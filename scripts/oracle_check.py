@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the sfDir parquet
+tables, sorts columns by name + rows by all columns, and compares values
+exactly. Exit 0 iff everything matches.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+
+def fetch_sorted(con, sql):
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(norm_cell(r[i]) for i in order) for r in rel.fetchall()]
+    rows.sort()
+    return [cols[i] for i in order], rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got_cols, got = fetch_sorted(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            want_cols, want = fetch_sorted(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failed.append(name)
+            continue
+        if got_cols != want_cols:
+            print(f"FAIL {name}: columns {got_cols} != {want_cols}")
+            failed.append(name)
+        elif got != want:
+            print(f"FAIL {name}: {len(got)} vs {len(want)} rows", flush=True)
+            diff_shown = 0
+            gs, ws = set(got), set(want)
+            for r in list(gs - ws)[:3]:
+                print(f"   spark-only: {r}")
+            for r in list(ws - gs)[:3]:
+                print(f"   oracle-only: {r}")
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.enrich.Enrichment
+import graft.functions.EtlFunctions._
+import graft.operators.{Cleaning, Consolidate, DateStreaks, KeepLastDedup}
+
+/** Relational operator inventory (SURVEY.md §2.3-2.7) expressed over the
+  * driver's TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Determinism contract with the oracle:
+  *  - money/double aggregates go through exact integer cents
+  *    (`floor(x*100+0.5)::BIGINT`), summed exactly, divided once at the
+  *    end — identical IEEE double ops in Spark and DuckDB, no
+  *    decimal-rounding-mode divergence;
+  *  - no raw TIMESTAMP column ever reaches an output (tz-representation
+  *    differs between engines) — always `date_format`/DATE;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact integer cents from a double (deterministic across engines). */
+  private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // A1/A4/A7 — hash aggregate with map-side partial agg; the shape of the
+    // reference's min-per-key and per-day group loads. Group count is tiny →
+    // single reduce stage at any scale.
+    "q01_groupby_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0).as("sum_disc_price"),
+          count(lit(1)).as("count_rows"))
+    }),
+
+    // P1/P2-shaped scan: filter + projection; both push into the parquet
+    // scan (PushedFilters + 3-column ReadSchema).
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // P2 — not-null split, good side. Mandatory-null rows are derived
+    // (testdata has no nulls) exactly as the oracle derives them.
+    "q03_notnull_good" -> ((s, dir) => {
+      val t = derivedNullOrders(s, dir)
+      Cleaning.notNullSplit(t, Seq("pr", "tp"))._1
+    }),
+
+    // P2 — reject capture (the complement side → error side-channel).
+    "q04_notnull_rejects" -> ((s, dir) => {
+      val t = derivedNullOrders(s, dir)
+      Cleaning.notNullSplit(t, Seq("pr", "tp"))._2
+    }),
+
+    // P4 — ""/" " → NULL normalization.
+    "q05_empty_to_null" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("lang") === "en", lit("")).when(col("lang") === "fr", lit(" "))
+          .otherwise(col("lang")).as("lang2"))
+      Cleaning.emptyToNull(t, Seq("lang2"))
+    }),
+
+    // J1 — broadcast lookup enrichment (tiny dim), then reduce.
+    "q06_broadcast_lookup" -> ((s, dir) => {
+      val li  = Tables.lineitem(s, dir)
+      val dim = Tables.supplier(s, dir).select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      val (enriched, _) = Enrichment.broadcastLookup(li, dim, "l_suppkey", "s_name")
+      enriched.groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0).as("revenue"))
+    }),
+
+    // J1 error path — unmatched-key probe (reference aborts on nonempty).
+    "q07_missing_keys" -> ((s, dir) => {
+      val li  = Tables.lineitem(s, dir)
+      val dim = Tables.supplier(s, dir).filter(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Enrichment.broadcastLookup(li, dim, "l_suppkey", "s_name")._2
+    }),
+
+    // J2/S8/A1 — first-timestamp enrichment via semi-join + partial min-agg
+    // (the reference's IN-list pushdown, distributed).
+    "q08_first_ts_enrich" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val fact = orders.filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+      Enrichment.firstTimestamp(fact, orders.select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey", "o_orderdate", "first_ts")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("first_ts"), "yyyy-MM-dd").as("first_date"))
+    }),
+
+    // A2 — distinct.
+    "q09_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // O1 — union consolidation of per-input frames.
+    "q10_union" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      Consolidate.union(Seq(
+        li.filter(col("l_returnflag") === "A"),
+        li.filter(col("l_returnflag") === "R")))
+    }),
+
+    // D1 — keep-last dedup (kept side): one row per customer, latest order.
+    "q11_keeplast_dedup" -> ((s, dir) => {
+      val (kept, _) = KeepLastDedup(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+      kept.select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_date"))
+    }),
+
+    // D1 — duplicate capture (the dropped rows → duplicates side-channel).
+    "q12_dup_capture" -> ((s, dir) => {
+      val (_, dups) = KeepLastDedup(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+      dups.select(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // G1 — consecutive-date streaks (gaps and islands).
+    "q13_date_streaks" -> ((s, dir) => {
+      val d = Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("od"))
+      DateStreaks(d, "od").select(
+        date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+        date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"),
+        col("n_days").cast("long").as("n_days"))
+    }),
+
+    // F3-F6 — the derive chain (formats, ISO week, weekday, keys, corridor).
+    "q14_derive_keys" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(
+        col("o_orderkey"),
+        fmtDateShort(col("o_orderdate")).as("date_short"),
+        weekDay(col("o_orderdate")).as("week_day"),
+        isoWeek(col("o_orderdate")).cast("long").as("week_num"),
+        corridor(col("o_orderpriority")).as("corridor"),
+        dashKey(fmtDateShort(col("o_orderdate")), col("o_orderkey").cast("string"),
+          col("o_orderpriority")).as("train_key"))
+    }),
+
+    // F10 — midnight rollover (conditional day-shift on time-of-day compare).
+    "q15_midnight_rollover" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val ticket = col("o_orderdate") + (col("o_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR")
+      val sched  = col("o_orderdate") + ((col("o_orderkey") * 7) % 24).cast("int") * expr("INTERVAL 1 HOUR")
+      o.select(
+        col("o_orderkey"),
+        fmtDateTimeMinute(midnightRollover(ticket, sched)).as("train_departure"))
+    }),
+
+    // F11 — 05:00 service-date cutoff.
+    "q16_service_date" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val ticket = col("o_orderdate") + (col("o_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR")
+      o.select(
+        col("o_orderkey"),
+        fmtDateShort(serviceDate(ticket)).as("service_date"))
+    }),
+
+    // U1→F6/F7/F8 — phone cleanup decomposed to built-ins.
+    "q17_phone_clean" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val prefix = concat(lit("+"), col("c_nationkey").cast("string"))
+      val tel = concat(prefix, lit("-"), (col("c_custkey") * 7919).cast("string"),
+        lit("-"), col("c_custkey").cast("string"))
+      c.select(col("c_custkey"), cleanPhone(prefix, tel).as("telephone"))
+    }),
+
+    // F9 — VAT gross-up ×1.15 in exact integer units (1e-6 scale).
+    "q18_vat_grossup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val taxE4 = floor(col("l_tax") * lit(10000) + lit(0.5)).cast("long")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        (taxE4 * 115 / 1000000.0).as("tax_grossed"))
+    }),
+
+    // A3/A4/A6 — audit counters: row count, null count, dup count per group.
+    "q19_audit_counts" -> ((s, dir) => {
+      val t = derivedNullOrders(s, dir)
+      t.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("pr").isNull || col("tp").isNull, 1L).otherwise(0L)).as("n_rejects"))
+    }),
+
+    // O2+O3 — deterministic top-k (sort with total-order tiebreak + limit).
+    "q20_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10))
+  )
+
+  /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
+    * inject them deterministically (priority '1-URGENT' and totalprice <
+    * 1000 become NULL) — mirrored exactly in the oracle SQL.
+    */
+  private def derivedNullOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      when(col("o_orderpriority") === "1-URGENT", lit(null)).otherwise(col("o_orderpriority")).as("pr"),
+      when(col("o_totalprice") < 1000, lit(null)).otherwise(col("o_totalprice")).as("tp"))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val derivedNullSql =
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS pr,
+      |  CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END AS tp
+      |FROM orders""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+        |  SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+        |  COUNT(*) AS count_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin,
+
+    "q03_notnull_good" ->
+      s"WITH t AS ($derivedNullSql) SELECT * FROM t WHERE pr IS NOT NULL AND tp IS NOT NULL",
+
+    "q04_notnull_rejects" ->
+      s"WITH t AS ($derivedNullSql) SELECT * FROM t WHERE NOT (pr IS NOT NULL AND tp IS NOT NULL)",
+
+    "q05_empty_to_null" ->
+      """SELECT doc_id,
+        |  CASE WHEN l = '' OR l = ' ' THEN NULL ELSE l END AS lang2
+        |FROM (SELECT doc_id,
+        |        CASE lang WHEN 'en' THEN '' WHEN 'fr' THEN ' ' ELSE lang END AS l
+        |      FROM documents)""".stripMargin,
+
+    "q06_broadcast_lookup" ->
+      """SELECT s_name, COUNT(*) AS n,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q07_missing_keys" ->
+      """SELECT DISTINCT l_suppkey FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                  WHERE s.s_suppkey <= 5 AND s.s_suppkey = l.l_suppkey)""".stripMargin,
+
+    "q08_first_ts_enrich" ->
+      """WITH fact AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |firsts AS (
+        |  SELECT o_custkey, MIN(o_orderdate) AS f FROM orders
+        |  WHERE o_custkey IN (SELECT o_custkey FROM fact) GROUP BY 1)
+        |SELECT fact.o_orderkey, fact.o_custkey, strftime(firsts.f, '%Y-%m-%d') AS first_date
+        |FROM fact LEFT JOIN firsts USING (o_custkey)""".stripMargin,
+
+    "q09_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q10_union" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'A'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q11_keeplast_dedup" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS last_date
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
+
+    "q12_dup_capture" ->
+      """SELECT o_custkey, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) > 1""".stripMargin,
+
+    "q13_date_streaks" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |g AS (SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS grp FROM d)
+        |SELECT strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+        |       strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+        |       CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT) AS n_days
+        |FROM g GROUP BY grp""".stripMargin,
+
+    "q14_derive_keys" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_short,
+        |  strftime(o_orderdate, '%a') AS week_day,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS week_num,
+        |  substr(o_orderpriority, 1, 2) AS corridor,
+        |  concat_ws(' - ', strftime(o_orderdate, '%Y-%m-%d'),
+        |            CAST(o_orderkey AS VARCHAR), o_orderpriority) AS train_key
+        |FROM orders""".stripMargin,
+
+    "q15_midnight_rollover" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    o_orderdate + INTERVAL 1 HOUR * (o_orderkey % 24) AS ticket,
+        |    o_orderdate + INTERVAL 1 HOUR * ((o_orderkey * 7) % 24) AS sched
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(CASE WHEN strftime(sched, '%H:%M:%S') > strftime(ticket, '%H:%M:%S')
+        |                THEN ticket - INTERVAL 1 DAY ELSE ticket END,
+        |           '%Y-%m-%d %H:%M') AS train_departure
+        |FROM t""".stripMargin,
+
+    "q16_service_date" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    o_orderdate + INTERVAL 1 HOUR * (o_orderkey % 24) AS ticket
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(CASE WHEN hour(ticket) * 60 + minute(ticket) <= 300
+        |                THEN CAST(ticket AS DATE) - 1 ELSE CAST(ticket AS DATE) END,
+        |           '%Y-%m-%d') AS service_date
+        |FROM t""".stripMargin,
+
+    "q17_phone_clean" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat('+', CAST(c_nationkey AS VARCHAR)) AS prefix,
+        |    concat('+', CAST(c_nationkey AS VARCHAR), '-',
+        |           CAST(c_custkey * 7919 AS VARCHAR), '-',
+        |           CAST(c_custkey AS VARCHAR)) AS tel
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  substr(replace(CASE WHEN starts_with(tel, prefix)
+        |                      THEN substr(tel, length(prefix) + 1) ELSE tel END,
+        |                 '-', ''), 1, 14) AS telephone
+        |FROM t""".stripMargin,
+
+    "q18_vat_grossup" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) * 115 / 1000000.0 AS tax_grossed
+        |FROM lineitem""".stripMargin,
+
+    "q19_audit_counts" ->
+      s"""WITH t AS ($derivedNullSql)
+         |SELECT o_orderpriority, COUNT(*) AS n_rows,
+         |  SUM(CASE WHEN pr IS NULL OR tp IS NULL THEN 1 ELSE 0 END) AS n_rejects
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q20_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+  )
+}
