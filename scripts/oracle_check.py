@@ -28,10 +28,11 @@ def norm_cell(v):
 def fetch_sorted(con, sql):
     rel = con.sql(sql)
     cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(norm_cell(r[i]) for i in order) for r in rel.fetchall()]
     rows.sort()
-    return [cols[i] for i in order], rows
+    return [cols[i] for i in order], [types[i] for i in order], rows
 
 
 def main():
@@ -46,14 +47,19 @@ def main():
         if only and name not in only:
             continue
         try:
-            got_cols, got = fetch_sorted(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            want_cols, want = fetch_sorted(con, sql)
+            got_cols, got_types, got = fetch_sorted(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            want_cols, want_types, want = fetch_sorted(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
+            failed.append(name)
+        # The real driver gate hashes typed values, so a HUGEINT-vs-BIGINT
+        # divergence fails it even when stringified values agree (r1 q19).
+        elif got_types != want_types:
+            print(f"FAIL {name}: types {list(zip(got_cols, got_types))} != {list(zip(want_cols, want_types))}")
             failed.append(name)
         elif got != want:
             print(f"FAIL {name}: {len(got)} vs {len(want)} rows", flush=True)

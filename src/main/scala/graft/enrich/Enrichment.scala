@@ -25,9 +25,17 @@ object Enrichment {
   def broadcastLookup(fact: DataFrame, dim: DataFrame, key: String,
       probe: String): (DataFrame, DataFrame) = {
     val enriched = fact.join(broadcast(dim), Seq(key), "left")
-    val missing  = enriched.filter(col(probe).isNull).select(col(key)).distinct()
-    (enriched, missing)
+    (enriched, missingKeys(fact, dim, key))
   }
+
+  /** Unmatched-key probe, scale-safe shape: distinct the fact keys FIRST
+    * (shuffle carries one row per distinct key, not the fact table), then
+    * broadcast-anti-join against the dimension. Equivalent to filtering the
+    * enriched frame for null probes + distinct, but never moves fact rows.
+    */
+  def missingKeys(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.select(col(key)).distinct()
+      .join(broadcast(dim.select(col(key))), Seq(key), "left_anti")
 
   /** J2: first-occurrence enrichment. `history` is the large table holding
     * prior operations; result joins `min(tsCol)` per key onto `fact`.

@@ -39,30 +39,46 @@ object EtlFunctions {
   /** F6 `:647` — corridor/stretch code = first 2 chars of the train number. */
   def corridor(trainNumber: Column): Column = substring(trainNumber, 1, 2)
 
-  /** F9 `:1001` — 15% VAT gross-up. Computed in decimal so results are
-    * exact and engine-independent; cast back by the caller as needed.
+  /** F9 `:1001` — 15% VAT gross-up. Exact integer path: the input is
+    * quantized to 1e-4 units (round-half-up), multiplied by 115, divided
+    * back once in double — identical IEEE ops in any engine, no
+    * decimal-rounding-mode divergence.
     */
   def vatGrossUp(c: Column): Column =
-    (c.cast("decimal(18,4)") * lit(BigDecimal("1.15"))).cast("decimal(18,4)")
+    floor(c * lit(10000) + lit(0.5)).cast("long") * 115 / 1000000.0
 
-  /** F10 `:655-671` — midnight-rollover adjustment. When the scheduled
-    * departure time-of-day is later than the ticket's stamped time-of-day,
-    * the train actually departed the previous day: shift back one day.
-    * Time-of-day comparison on "HH:mm:ss" strings matches the reference's
-    * string compare and is total-ordered.
+  /** F10 `:655-671` — midnight-rollover departure timestamp. The composed
+    * departure is the *scheduled* time-of-day on the ticket's stamped date;
+    * when the scheduled time-of-day is later than the ticket's stamped
+    * time-of-day, the train actually departed the previous day: shift the
+    * date back one day (keeping the scheduled time-of-day, matching
+    * `train_departure_date_time` in the reference). Time-of-day comparison
+    * on "HH:mm:ss" strings matches the reference's string compare.
     */
-  def midnightRollover(ticketTs: Column, scheduledTs: Column): Column =
+  def midnightRollover(ticketTs: Column, scheduledTs: Column): Column = {
+    val composed = to_timestamp(
+      concat_ws(" ", date_format(ticketTs, "yyyy-MM-dd"), date_format(scheduledTs, "HH:mm:ss")),
+      "yyyy-MM-dd HH:mm:ss")
     when(date_format(scheduledTs, "HH:mm:ss") > date_format(ticketTs, "HH:mm:ss"),
-      ticketTs - expr("INTERVAL 1 DAY")).otherwise(ticketTs)
-
-  /** F11 `:673-679` — service-date cutoff: departures at or before 05:00
-    * belong to the previous service date (maintenance-window rule).
-    */
-  def serviceDate(departureTs: Column): Column = {
-    val minutes = hour(departureTs) * 60 + minute(departureTs)
-    when(minutes <= lit(300), date_sub(to_date(departureTs), 1))
-      .otherwise(to_date(departureTs))
+      composed - expr("INTERVAL 1 DAY")).otherwise(composed)
   }
+
+  /** F10 `:667-671` — the rollover-adjusted departure *date* (the reference's
+    * `train_departure_date_short`): ticket date minus the same adjustment.
+    */
+  def rolloverDate(ticketTs: Column, scheduledTs: Column): Column =
+    when(date_format(scheduledTs, "HH:mm:ss") > date_format(ticketTs, "HH:mm:ss"),
+      date_sub(to_date(ticketTs), 1)).otherwise(to_date(ticketTs))
+
+  /** F11 `:673-679` — service-date cutoff: departures at or before 05:00:00
+    * belong to the previous service date (maintenance-window rule). Full
+    * time-of-day compare including seconds (the reference compares
+    * `time <= time(5,0)`).
+    */
+  def serviceDate(departureTs: Column): Column =
+    when(date_format(departureTs, "HH:mm:ss") <= lit("05:00:00"),
+      date_sub(to_date(departureTs), 1))
+      .otherwise(to_date(departureTs))
 
   /** U1→F7+F8+F6 `:723-736` — phone cleanup decomposed to built-ins:
     * strip the row's own prefix value, drop dashes, truncate to 14.
