@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
 object EtlFunctions {
 
   /** F1 `:545-549` — strict-format timestamp parse, null on failure
-    * (pandas `errors="coerce"` == Spark's default try-parse-null).
+    * (pandas `errors="coerce"`). `try_to_timestamp`, not `to_timestamp`:
+    * Spark 4 runs ANSI mode by default, where the plain parse THROWS on
+    * malformed input instead of nulling.
     */
-  def parseTs(c: Column): Column = to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+  def parseTs(c: Column): Column = try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
 
-  /** F2 `:563-564` — numeric coercion, null on failure. */
-  def parseNum(c: Column): Column = c.cast("double")
+  /** F2 `:563-564` — numeric coercion, null on failure (`try_cast` for the
+    * same ANSI reason as [[parseTs]]).
+    */
+  def parseNum(c: Column): Column = c.try_cast("double")
 
   /** F3 `:641-643` — date → "yyyy-MM-dd" text. */
   def fmtDateShort(c: Column): Column = date_format(c, "yyyy-MM-dd")

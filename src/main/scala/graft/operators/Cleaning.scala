@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** Column ref that survives names containing dots (Excel-ish headers like
+    * "Passengers Inc. Infants"): `col` parses dots as struct access unless
+    * backquoted.
+    */
+  def qcol(name: String): Column =
+    col(if (name.contains(".")) s"`$name`" else name)
+
   /** `""` and `" "` → NULL over the given columns (reference P4).
     * Exact-literal semantics, not a trim: the reference only normalizes
     * these two values (`reports_exporter_v0.83.py:997-998`).
@@ -26,15 +33,15 @@ object Cleaning {
     val colSet = cols.toSet
     df.select(df.columns.map { c =>
       if (colSet(c)) {
-        val x = col(c)
+        val x = qcol(c)
         when(x === "" || x === " ", lit(null)).otherwise(x).as(c)
-      } else col(c)
+      } else qcol(c)
     }.toIndexedSeq: _*)
   }
 
   /** Predicate: every mandatory column non-null. */
   def allNotNull(mandatory: Seq[String]): Column =
-    mandatory.map(col(_).isNotNull).reduce(_ && _)
+    mandatory.map(qcol(_).isNotNull).reduce(_ && _)
 
   /** Split into (good, rejected) on the mandatory-column predicate
     * (reference P2). Two lazy filters over one parent — cache the parent

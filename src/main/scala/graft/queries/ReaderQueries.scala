@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.classify.HeaderSniffer
+import graft.operators.Consolidate
+import graft.readers.{BookingPaymentReader, OccupancyReader, TrainListReader}
+import graft.schema.Schemas
+
+/** End-to-end reader-chain queries (SURVEY §3.2, M1-M3): each drives a REAL
+  * report reader — S5 all-string input → P1 prune → F1/F2 try-coercion →
+  * P2 mandatory-null split → derives (F3-F11, J1, J2, U1) → P4 → P6 rename —
+  * over string-typed frames built deterministically from the parquet
+  * testdata, with a DuckDB oracle replicating the same chain in SQL.
+  *
+  * Determinism rules (so hashes match bit-for-bit across engines):
+  *  - every injected string is built from INTEGER expressions (`CAST(int)`)
+  *    or `date_format` — never from stringified raw doubles (engines differ
+  *    in double→text rendering);
+  *  - doubles that reach the output are integer-valued (parsed from integer
+  *    strings) or a single shared IEEE op (×1.15) away from one.
+  */
+object ReaderQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ occupancy
+
+  /** 24-column all-string Occupancy source sheet derived from lineitem.
+    * Injected defects: unparseable Date (every 97th order), null Class
+    * (every 89th), empty-string Origin Station (every 101st part),
+    * single-space Validating (every 103rd supplier).
+    */
+  private def occSource(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def istr(c: Column): Column = c.cast("string")
+    li.select(
+      when(col("l_orderkey") % 97 === 0, lit("not a date"))
+        .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("Date"),
+      concat(lit("OD"), istr(col("l_partkey") % 20)).as("OD"),
+      when(col("l_partkey") % 101 === 0, lit(""))
+        .otherwise(concat(lit("S"), istr(col("l_partkey") % 30))).as("Origin Station"),
+      concat(lit("S"), istr(col("l_suppkey") % 30)).as("Destination Station"),
+      istr(col("l_partkey")).as("Train ID"),
+      concat(lit("T"), istr(col("l_suppkey") % 50)).as("Train Number"),
+      when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_linestatus")).as("Class"),
+      istr(floor(col("l_quantity")).cast("long")).as("Total Seats (Quota + Carer + PRM)"),
+      istr(col("l_linenumber")).as("Quota Configuration"),
+      istr(col("l_suppkey") % 5).as("Total Locks (Quota + Carer + PRM)"),
+      istr(col("l_partkey") % 7).as("For Sale"),
+      istr(col("l_orderkey") % 3).as("Reserved Usual Seats"),
+      istr(col("l_orderkey") % 4).as("Reserved PRM Seats"),
+      istr(col("l_orderkey") % 5).as("Reserved Carer Seats"),
+      istr(col("l_orderkey") % 1000).as("Ticket Reserved (Usual + Carer + PRM)"),
+      istr(col("l_orderkey") % 2).as("Reserved & Lock Usual Seats"),
+      istr(col("l_suppkey") % 2).as("Reserved & Lock PRM Seats"),
+      istr(col("l_partkey") % 2).as("Reserved & Lock Carer Seats"),
+      istr(col("l_partkey") % 11).as("Total Available"),
+      when(col("l_suppkey") % 103 === 0, lit(" "))
+        .otherwise(istr(col("l_suppkey") % 13)).as("Validating"),
+      istr(col("l_orderkey") % 17).as("No Show"),
+      istr(col("l_orderkey") % 19).as("UnBooked"),
+      istr(col("l_orderkey") % 23).as("Passengers Inc. Infants"),
+      col("l_returnflag").as("Checked On Board"))
+  }
+
+  private val occSrcSql =
+    """SELECT
+      |  CASE WHEN l_orderkey % 97 = 0 THEN 'not a date'
+      |       ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS "Date",
+      |  'OD' || CAST(l_partkey % 20 AS VARCHAR) AS "OD",
+      |  CASE WHEN l_partkey % 101 = 0 THEN ''
+      |       ELSE 'S' || CAST(l_partkey % 30 AS VARCHAR) END AS "Origin Station",
+      |  'S' || CAST(l_suppkey % 30 AS VARCHAR) AS "Destination Station",
+      |  CAST(l_partkey AS VARCHAR) AS "Train ID",
+      |  'T' || CAST(l_suppkey % 50 AS VARCHAR) AS "Train Number",
+      |  CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_linestatus END AS "Class",
+      |  CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) AS "TotalSeats",
+      |  CAST(l_linenumber AS VARCHAR) AS "QuotaConfiguration",
+      |  CAST(l_suppkey % 5 AS VARCHAR) AS "TotalLocks",
+      |  CAST(l_partkey % 7 AS VARCHAR) AS "ForSale",
+      |  CAST(l_orderkey % 3 AS VARCHAR) AS "ResUsual",
+      |  CAST(l_orderkey % 4 AS VARCHAR) AS "ResPrm",
+      |  CAST(l_orderkey % 5 AS VARCHAR) AS "ResCarer",
+      |  CAST(l_orderkey % 1000 AS VARCHAR) AS "TicketReserved",
+      |  CAST(l_orderkey % 2 AS VARCHAR) AS "RlUsual",
+      |  CAST(l_suppkey % 2 AS VARCHAR) AS "RlPrm",
+      |  CAST(l_partkey % 2 AS VARCHAR) AS "RlCarer",
+      |  CAST(l_partkey % 11 AS VARCHAR) AS "TotalAvailable",
+      |  CASE WHEN l_suppkey % 103 = 0 THEN ' '
+      |       ELSE CAST(l_suppkey % 13 AS VARCHAR) END AS "Validating",
+      |  CAST(l_orderkey % 17 AS VARCHAR) AS "NoShow",
+      |  CAST(l_orderkey % 19 AS VARCHAR) AS "UnBooked",
+      |  CAST(l_orderkey % 23 AS VARCHAR) AS "Passengers",
+      |  l_returnflag AS "CheckedOnBoard"
+      |FROM lineitem""".stripMargin
+
+  private val occCoercedSql =
+    s"""src AS ($occSrcSql),
+       |co AS (SELECT *, try_strptime("Date", '%Y-%m-%d %H:%M:%S') AS ts FROM src),
+       |good AS (SELECT * FROM co
+       |  WHERE ts IS NOT NULL AND "OD" IS NOT NULL AND "Train Number" IS NOT NULL
+       |    AND "Class" IS NOT NULL AND "QuotaConfiguration" IS NOT NULL
+       |    AND "TicketReserved" IS NOT NULL)""".stripMargin
+
+  // ------------------------------------------------------------ train list
+
+  /** 41-column all-string Train List source sheet derived from orders.
+    * Defects: unparseable Departure Date (97), null Ticket Number (89),
+    * unparseable VAT Base Price (83).
+    */
+  private def tlSource(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def istr(c: Column): Column = c.cast("string")
+    val tick = col("o_orderdate") +
+      (col("o_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR") +
+      (col("o_orderkey") % 60).cast("int") * expr("INTERVAL 1 MINUTE")
+    val prefix = concat(lit("+"), istr(col("o_custkey") % 100))
+    o.select(
+      when(col("o_orderkey") % 97 === 0, lit("not a date"))
+        .otherwise(date_format(tick, "yyyy-MM-dd HH:mm:ss")).as("Departure Date"),
+      concat(lit("T"), istr(col("o_custkey") % 50)).as("Train Number"),
+      concat(lit("OD"), istr(col("o_orderkey") % 10)).as("OD"),
+      concat(lit("O"), istr(col("o_custkey") % 5)).as("Origin Station"),
+      concat(lit("D"), istr(col("o_custkey") % 7)).as("Destination Station"),
+      istr(col("o_orderkey") % 12).as("Coach Number"),
+      istr(col("o_orderkey") % 80).as("Seat Number"),
+      col("o_orderstatus").as("Class"),
+      concat(lit("B"), istr(col("o_orderkey"))).as("Booking Code"),
+      when(col("o_orderkey") % 89 === 0, lit(null)).otherwise(istr(col("o_orderkey"))).as("Ticket Number"),
+      col("o_orderpriority").as("Tariff"),
+      lit("OK").as("Status"),
+      lit("CARD").as("Payment Mode"),
+      lit("MT").as("Media Type"),
+      lit("WEB").as("Sales Channel"),
+      istr(floor(col("o_totalprice")).cast("long")).as("Base Price"),
+      when(col("o_orderkey") % 83 === 0, lit("n/a"))
+        .otherwise(istr(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).as("VAT Base Price"),
+      istr(col("o_orderkey") % 40).as("Management Fee"),
+      istr(col("o_orderkey") % 6).as("VAT Management Fee"),
+      istr(col("o_orderkey") % 9).as("Payment Fee"),
+      istr(col("o_orderkey") % 3).as("VAT Payment Fee"),
+      istr(col("o_orderkey") % 500).as("Operation Amount"),
+      istr(col("o_orderkey") % 200).as("Penalty Tariff"),
+      istr(col("o_orderkey") % 300).as("Amount Not Refunded"),
+      lit("CT").as("Compensation Type"),
+      lit("CR").as("Compensation Reason"),
+      lit("CS").as("Compensation Status"),
+      lit("NA").as("Nationality"),
+      when(col("o_custkey") % 2 === 0, lit("F")).otherwise(lit("M")).as("Gender"),
+      concat(lit("N"), istr(col("o_custkey"))).as("Name"),
+      concat(lit("S"), istr(col("o_custkey"))).as("Surname"),
+      concat(lit("DOC"), istr(col("o_orderkey") % 1000)).as("Document"),
+      prefix.as("Prefix"),
+      concat(prefix, lit("-"), istr(col("o_orderkey") * 7919), lit("-"), istr(col("o_custkey"))).as("Telephone"),
+      lit("P").as("Profile"),
+      lit("").as("Special Needs"),
+      when(col("o_orderkey") % 5 === 0, lit(null))
+        .otherwise(date_format(tick + expr("INTERVAL 45 MINUTE"), "yyyy-MM-dd HH:mm:ss")).as("Validation Time"),
+      lit("N").as("Group"),
+      lit("Y").as("Checked On Board"),
+      lit("LOC").as("Last Operation Channel"),
+      lit("LOE").as("Last Operation Equipment Code"))
+  }
+
+  /** The J1 dimension: one scheduled departure time per train number,
+    * derived from the number itself so every fact row matches.
+    */
+  private def tlDim(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select((col("s_suppkey") % 50).as("n")).distinct()
+      .select(
+        concat(lit("T"), col("n").cast("string")).as("train_number"),
+        format_string("%02d:45:00", (col("n") % 24).cast("int")).as("departure_time"))
+
+  /** The J2 history: payment operations per ticket from lineitem. */
+  private def tlHistory(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").cast("string").as("ticket_number"),
+      col("l_shipdate").as("operation_date_time"))
+
+  private val tlSrcSql =
+    """SELECT
+      |  CASE WHEN o_orderkey % 97 = 0 THEN 'not a date'
+      |       ELSE strftime(tick, '%Y-%m-%d %H:%M:%S') END AS "Departure Date",
+      |  'T' || CAST(o_custkey % 50 AS VARCHAR) AS "Train Number",
+      |  'OD' || CAST(o_orderkey % 10 AS VARCHAR) AS "OD",
+      |  'O' || CAST(o_custkey % 5 AS VARCHAR) AS "Origin Station",
+      |  'D' || CAST(o_custkey % 7 AS VARCHAR) AS "Destination Station",
+      |  o_orderstatus AS "Class",
+      |  'B' || CAST(o_orderkey AS VARCHAR) AS "Booking Code",
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE CAST(o_orderkey AS VARCHAR) END AS "Ticket Number",
+      |  o_orderpriority AS "Tariff",
+      |  'OK' AS "Status",
+      |  CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) AS "Base Price",
+      |  CASE WHEN o_orderkey % 83 = 0 THEN 'n/a'
+      |       ELSE CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) END AS "VAT Base Price",
+      |  CAST(o_orderkey % 40 AS VARCHAR) AS "Management Fee",
+      |  CAST(o_orderkey % 6 AS VARCHAR) AS "VAT Management Fee",
+      |  CAST(o_orderkey % 9 AS VARCHAR) AS "Payment Fee",
+      |  CAST(o_orderkey % 3 AS VARCHAR) AS "VAT Payment Fee",
+      |  CAST(o_orderkey % 500 AS VARCHAR) AS "Operation Amount",
+      |  CAST(o_orderkey % 200 AS VARCHAR) AS "Penalty Tariff",
+      |  '+' || CAST(o_custkey % 100 AS VARCHAR) AS "Prefix",
+      |  '+' || CAST(o_custkey % 100 AS VARCHAR) || '-' || CAST(o_orderkey * 7919 AS VARCHAR) ||
+      |      '-' || CAST(o_custkey AS VARCHAR) AS "Telephone"
+      |FROM (SELECT *, o_orderdate + INTERVAL 1 HOUR * (o_orderkey % 24)
+      |                            + INTERVAL 1 MINUTE * (o_orderkey % 60) AS tick
+      |      FROM orders)""".stripMargin
+
+  // ------------------------------------------------------------ bpd
+
+  /** 57-column all-string BPD source sheet derived from lineitem. Defects:
+    * unparseable Operation Date (97), null Ticket Number (89), unparseable
+    * VAT Base Price (83), single-space Validation Time (103).
+    */
+  private def bpdSource(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def istr(c: Column): Column = c.cast("string")
+    val dep = col("l_shipdate") + (col("l_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR")
+    val arr = dep + expr("INTERVAL 3 HOUR")
+    li.select(
+      concat(lit("B"), istr(col("l_orderkey"))).as("Booking Code"),
+      when(col("l_orderkey") % 89 === 0, lit(null))
+        .otherwise(concat(istr(col("l_orderkey")), lit("-"), istr(col("l_linenumber")))).as("Ticket Number"),
+      when(col("l_orderkey") % 97 === 0, lit("not a date"))
+        .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("Operation Date"),
+      istr(floor(col("l_extendedprice")).cast("long")).as("Base Price"),
+      when(col("l_partkey") % 83 === 0, lit("NA"))
+        .otherwise(istr(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))).as("VAT Base Price"),
+      istr(col("l_orderkey") % 40).as("Management Fee"),
+      istr(col("l_orderkey") % 6).as("VAT Management Fee"),
+      istr(col("l_orderkey") % 9).as("Payment Fee"),
+      istr(col("l_orderkey") % 3).as("VAT Payment Fee"),
+      istr(col("l_orderkey") % 500).as("Operation Amount"),
+      istr(col("l_linenumber") * 100 + col("l_orderkey") % 50).as("Penalty Tariff"),
+      istr(col("l_orderkey") % 77).as("VAT Penalty"),
+      lit("CT").as("Compensation Type"),
+      lit("CR").as("Compensation Reason"),
+      lit("CS").as("Compensation Status"),
+      concat(lit("CN"), istr(col("l_orderkey") % 10000)).as("Card Number"),
+      lit("AC").as("Authorization Code"),
+      lit("OID").as("Order ID"),
+      lit("TID").as("Transaction ID"),
+      lit("SPC").as("Status Payment Card"),
+      lit("VISA").as("Card Brand"),
+      lit("BN").as("Bill Number"),
+      lit("BS").as("Bill Status"),
+      concat(lit("T"), istr(col("l_suppkey") % 50)).as("Train Number"),
+      date_format(dep, "yyyy-MM-dd HH:mm:ss").as("Departure Date"),
+      date_format(arr, "yyyy-MM-dd HH:mm:ss").as("Arrival Date"),
+      concat(lit("OD"), istr(col("l_partkey") % 20)).as("OD"),
+      concat(lit("O"), istr(col("l_partkey") % 5)).as("Origin Station"),
+      concat(lit("D"), istr(col("l_suppkey") % 7)).as("Destination Station"),
+      col("l_linestatus").as("Class"),
+      col("l_returnflag").as("Tariff"),
+      istr(floor(col("l_quantity")).cast("long")).as("Reserved Number of Seats"),
+      lit("OK").as("Status"),
+      lit("CSN").as("Card Serial Number"),
+      lit("CUN").as("Card User Name"),
+      lit("SS").as("Sales Station"),
+      lit("WEB").as("Sales Channel"),
+      lit("SEC").as("Sales Equipment Code"),
+      lit("CARD").as("Payment Mode"),
+      istr(col("l_orderkey") % 12).as("Coach Number"),
+      istr(col("l_orderkey") % 80).as("Seat Number"),
+      lit("NA").as("Nationality"),
+      concat(lit("NM"), istr(col("l_orderkey") % 500)).as("Name"),
+      lit("SN").as("Surname"),
+      lit("F").as("Gender"),
+      lit("DT").as("Document Type"),
+      lit("DOC").as("Document"),
+      concat(lit("+"), istr(col("l_suppkey") % 100)).as("Prefix"),
+      concat(lit("+"), istr(col("l_suppkey") % 100), lit("-"), istr(col("l_orderkey"))).as("Telephone"),
+      concat(lit("e"), istr(col("l_orderkey")), lit("@x")).as("Email"),
+      lit("P").as("Profile"),
+      when(col("l_suppkey") % 103 === 0, lit(" ")).otherwise(lit("VT")).as("Validation Time"),
+      lit("Y").as("Checked On Board"),
+      lit("DT").as("Detail Type"),
+      lit("TP").as("Tipology"),
+      lit("LOC").as("Last Operation Channel"),
+      lit("LOE").as("Last Operation Equipment Code"))
+  }
+
+  private val bpdSrcSql =
+    """SELECT
+      |  'B' || CAST(l_orderkey AS VARCHAR) AS "Booking Code",
+      |  CASE WHEN l_orderkey % 89 = 0 THEN NULL
+      |       ELSE CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) END AS "Ticket Number",
+      |  CASE WHEN l_orderkey % 97 = 0 THEN 'not a date'
+      |       ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS "Operation Date",
+      |  CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR) AS "Base Price",
+      |  CASE WHEN l_partkey % 83 = 0 THEN 'NA'
+      |       ELSE CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR) END AS "VAT Base Price",
+      |  CAST(l_linenumber * 100 + l_orderkey % 50 AS VARCHAR) AS "Penalty Tariff",
+      |  'T' || CAST(l_suppkey % 50 AS VARCHAR) AS "Train Number",
+      |  strftime(dep, '%Y-%m-%d %H:%M:%S') AS "Departure Date",
+      |  strftime(dep + INTERVAL 3 HOUR, '%Y-%m-%d %H:%M:%S') AS "Arrival Date",
+      |  'OD' || CAST(l_partkey % 20 AS VARCHAR) AS "OD",
+      |  l_linestatus AS "Class",
+      |  l_returnflag AS "Tariff",
+      |  CASE WHEN l_suppkey % 103 = 0 THEN ' ' ELSE 'VT' END AS "Validation Time"
+      |FROM (SELECT *, l_shipdate + INTERVAL 1 HOUR * (l_orderkey % 24) AS dep FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // S5+P1+F1+P2+P4+P6+F5+F12 — the full Occupancy reader, all 26 output cols.
+    "q21_occupancy_reader" -> ((s, dir) =>
+      OccupancyReader(occSource(s, dir), to_date(lit("2024-06-01"))).good),
+
+    // P2 reject capture through the reader (error side-channel content).
+    "q22_occupancy_rejects" -> ((s, dir) => {
+      val r = OccupancyReader(occSource(s, dir), to_date(lit("2024-06-01"))).rejects
+      r.select(
+        date_format(col("Date"), "yyyy-MM-dd HH:mm:ss").as("date_ts"),
+        col("OD").as("od"),
+        col("Train Number").as("train_number"),
+        col("Class").as("class"),
+        col("Ticket Reserved (Usual + Carer + PRM)").as("ticket_reserved"))
+    }),
+
+    // The full Train List chain: J1 broadcast dim join, F3-F8 derives,
+    // F10 midnight rollover, F11 service date, J2 min-per-ticket, U1 phone.
+    "q23_trainlist_reader" -> ((s, dir) => {
+      val r = TrainListReader(tlSource(s, dir), tlDim(s, dir), tlHistory(s, dir))
+      r.good.select(
+        col("ticket_number"),
+        col("departure_date"),
+        col("train_number"), col("od"),
+        col("train_hour"),
+        col("departure_date_short"),
+        col("train_od_short"),
+        col("stretch"),
+        col("week_day"),
+        col("week_num").cast("long").as("week_num"),
+        col("train_key"),
+        date_format(col("train_departure_date_time"), "yyyy-MM-dd HH:mm").as("train_departure_date_time"),
+        col("train_departure_date_short"),
+        col("service_train_departure_date_short"),
+        date_format(col("operation_date_time"), "yyyy-MM-dd HH:mm:ss").as("operation_ts"),
+        col("operation_date"),
+        col("telephone"),
+        col("vat_base_price"),
+        col("penalty_tariff"))
+    }),
+
+    // The BPD reader: 57→56 cols, F9 penalty gross-up, minute-text stamps.
+    "q24_bpd_reader" -> ((s, dir) => {
+      val r = BookingPaymentReader(bpdSource(s, dir))
+      r.good.select(
+        col("booking_code"), col("ticket_number"),
+        col("operation_date_time"), col("departure_date_time"), col("arrival_date_time"),
+        col("base_price"), col("base_price_vat"), col("penalty_tariff"),
+        col("train_number"), col("od"), col("class"), col("status"),
+        col("validating_time"))
+    }),
+
+    // O1+O2+D1 with the reference's string-LEXICOGRAPHIC occupancy sort
+    // ("9" > "10") — consolidation of two sheet frames then keep-last dedup.
+    "q25_consolidate_dedup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val t = li.select(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"),
+        concat(lit("OD"), (col("l_partkey") % 20).cast("string")).as("od"),
+        concat(lit("T"), (col("l_suppkey") % 50).cast("string")).as("train_number"),
+        col("l_linestatus").as("class"),
+        (col("l_orderkey") % 1000).cast("string").as("ticket_reserved"),
+        col("l_linenumber").cast("string").as("quota_configuration"),
+        (col("l_orderkey") % 2).as("__par"))
+      val sheets = Seq(t.filter(col("__par") === 0), t.filter(col("__par") === 1))
+        .map(_.drop("__par"))
+      val (kept, _) = Consolidate(sheets,
+        Seq("date", "od", "train_number", "class"),
+        Seq(col("ticket_reserved"), col("quota_configuration")))
+      kept
+    }),
+
+    // S4 — exact-header classification with drop-nulls-before-compare
+    // (driver-side decision surfaced as a one-row-per-case relation).
+    "q26_classifier" -> ((s, dir) => {
+      val occ = Schemas.occupancy.header
+      val tl = Schemas.trainList.header
+      def run(c: String, rows: Seq[Seq[String]]) = {
+        val r = HeaderSniffer.classify(rows)
+        (c, r.map(_._1).getOrElse(-1), r.map(_._2.schema.name).getOrElse("NONE"))
+      }
+      val cases = Seq(
+        // header at row 2, with interior nulls dropped before compare
+        run("occ_shifted", Seq(Seq("junk"), Seq("Report:", "Occupancy"),
+          occ.take(3) ++ Seq(null) ++ occ.drop(3))),
+        run("tl_clean", Seq(tl)),
+        run("truncated", Seq(occ.dropRight(1))),
+        run("extra_col", Seq(tl :+ "Surprise")),
+        run("empty", Seq(Seq())))
+      import s.implicits._
+      cases.toDF("case", "header_idx", "report")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q21_occupancy_reader" ->
+      s"""WITH $occCoercedSql
+         |SELECT
+         |  strftime(ts, '%Y-%m-%d') AS date,
+         |  "OD" AS od,
+         |  CASE WHEN "Origin Station" IN ('', ' ') THEN NULL ELSE "Origin Station" END AS origin_station,
+         |  "Destination Station" AS destination_station,
+         |  "Train ID" AS train_id,
+         |  "Train Number" AS train_number,
+         |  "Class" AS class,
+         |  "TotalSeats" AS total_seats,
+         |  "QuotaConfiguration" AS quota_configuration,
+         |  "TotalLocks" AS total_locks,
+         |  "ForSale" AS for_sale,
+         |  "ResUsual" AS reserved_usual_seats,
+         |  "ResPrm" AS reserved_prm_seats,
+         |  "ResCarer" AS reserved_carer_seats,
+         |  "TicketReserved" AS ticket_reserved,
+         |  "RlUsual" AS reserved_lock_usual_seats,
+         |  "RlPrm" AS reserved_lock_prm_seats,
+         |  "RlCarer" AS reserved_lock_carer_seats,
+         |  "TotalAvailable" AS total_available,
+         |  CASE WHEN "Validating" IN ('', ' ') THEN NULL ELSE "Validating" END AS validating,
+         |  "NoShow" AS no_show,
+         |  "UnBooked" AS unbooked,
+         |  "Passengers" AS passengers_inc_infant,
+         |  "CheckedOnBoard" AS checked_on_board,
+         |  '2024-06-01' AS data_date,
+         |  strftime(ts, '%Y-%m-%d') || ' - ' || "Train Number" || ' - ' || "OD" AS train_key
+         |FROM good""".stripMargin,
+
+    "q22_occupancy_rejects" ->
+      s"""WITH src AS ($occSrcSql),
+         |co AS (SELECT *, try_strptime("Date", '%Y-%m-%d %H:%M:%S') AS ts FROM src)
+         |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS date_ts, "OD" AS od,
+         |  "Train Number" AS train_number, "Class" AS class,
+         |  "TicketReserved" AS ticket_reserved
+         |FROM co
+         |WHERE NOT (ts IS NOT NULL AND "OD" IS NOT NULL AND "Train Number" IS NOT NULL
+         |  AND "Class" IS NOT NULL AND "QuotaConfiguration" IS NOT NULL
+         |  AND "TicketReserved" IS NOT NULL)""".stripMargin,
+
+    "q23_trainlist_reader" ->
+      s"""WITH src AS ($tlSrcSql),
+         |dim AS (
+         |  SELECT 'T' || CAST(n AS VARCHAR) AS train_number,
+         |         printf('%02d:45:00', n % 24) AS departure_time
+         |  FROM (SELECT DISTINCT s_suppkey % 50 AS n FROM supplier)),
+         |co AS (SELECT *,
+         |  try_strptime("Departure Date", '%Y-%m-%d %H:%M:%S') AS ts,
+         |  TRY_CAST("VAT Base Price" AS DOUBLE) AS vbp,
+         |  TRY_CAST("Management Fee" AS DOUBLE) AS mf,
+         |  TRY_CAST("VAT Management Fee" AS DOUBLE) AS vmf,
+         |  TRY_CAST("Payment Fee" AS DOUBLE) AS pf,
+         |  TRY_CAST("VAT Payment Fee" AS DOUBLE) AS vpf,
+         |  TRY_CAST("Operation Amount" AS DOUBLE) AS oa,
+         |  TRY_CAST("Penalty Tariff" AS DOUBLE) AS pt
+         |  FROM src),
+         |good AS (SELECT * FROM co
+         |  WHERE ts IS NOT NULL AND "Train Number" IS NOT NULL AND "OD" IS NOT NULL
+         |    AND "Origin Station" IS NOT NULL AND "Destination Station" IS NOT NULL
+         |    AND "Class" IS NOT NULL AND "Booking Code" IS NOT NULL
+         |    AND "Ticket Number" IS NOT NULL AND "Tariff" IS NOT NULL
+         |    AND "Status" IS NOT NULL AND "Base Price" IS NOT NULL
+         |    AND vbp IS NOT NULL AND mf IS NOT NULL AND vmf IS NOT NULL
+         |    AND pf IS NOT NULL AND vpf IS NOT NULL AND oa IS NOT NULL),
+         |der AS (
+         |  SELECT g.*, d.departure_time,
+         |    strftime(g.ts, '%Y-%m-%d') AS dds,
+         |    strptime(strftime(g.ts, '%Y-%m-%d') || ' ' || d.departure_time,
+         |             '%Y-%m-%d %H:%M:%S') AS sched
+         |  FROM good g LEFT JOIN dim d ON g."Train Number" = d.train_number),
+         |tdt AS (
+         |  SELECT *, CASE WHEN strftime(sched, '%H:%M:%S') > strftime(ts, '%H:%M:%S')
+         |                 THEN CAST(ts AS DATE) - 1 ELSE CAST(ts AS DATE) END
+         |            + CAST(sched AS TIME) AS tdtv
+         |  FROM der),
+         |firsts AS (
+         |  SELECT CAST(l_orderkey AS VARCHAR) AS tk, MIN(l_shipdate) AS f
+         |  FROM lineitem GROUP BY 1)
+         |SELECT "Ticket Number" AS ticket_number,
+         |  strftime(ts, '%Y-%m-%d %H:%M') AS departure_date,
+         |  "Train Number" AS train_number, "OD" AS od,
+         |  substr(departure_time, 1, 5) AS train_hour,
+         |  dds AS departure_date_short,
+         |  "Train Number" || ' - ' || "OD" AS train_od_short,
+         |  substr("Train Number", 1, 2) AS stretch,
+         |  strftime(ts, '%a') AS week_day,
+         |  CAST(weekofyear(ts) AS BIGINT) AS week_num,
+         |  dds || ' - ' || "Train Number" || ' - ' || "OD" AS train_key,
+         |  strftime(tdtv, '%Y-%m-%d %H:%M') AS train_departure_date_time,
+         |  strftime(tdtv, '%Y-%m-%d') AS train_departure_date_short,
+         |  strftime(CASE WHEN strftime(tdtv, '%H:%M:%S') <= '05:00:00'
+         |                THEN CAST(tdtv AS DATE) - 1 ELSE CAST(tdtv AS DATE) END,
+         |           '%Y-%m-%d') AS service_train_departure_date_short,
+         |  strftime(f, '%Y-%m-%d %H:%M:%S') AS operation_ts,
+         |  strftime(f, '%Y-%m-%d') AS operation_date,
+         |  substr(replace(CASE WHEN starts_with("Telephone", "Prefix")
+         |                      THEN substr("Telephone", length("Prefix") + 1)
+         |                      ELSE "Telephone" END, '-', ''), 1, 14) AS telephone,
+         |  vbp AS vat_base_price,
+         |  pt AS penalty_tariff
+         |FROM tdt LEFT JOIN firsts ON tdt."Ticket Number" = firsts.tk""".stripMargin,
+
+    "q24_bpd_reader" ->
+      s"""WITH src AS ($bpdSrcSql),
+         |co AS (SELECT *,
+         |  try_strptime("Operation Date", '%Y-%m-%d %H:%M:%S') AS ots,
+         |  try_strptime("Departure Date", '%Y-%m-%d %H:%M:%S') AS dts,
+         |  try_strptime("Arrival Date", '%Y-%m-%d %H:%M:%S') AS ats,
+         |  TRY_CAST("Base Price" AS DOUBLE) AS bp,
+         |  TRY_CAST("VAT Base Price" AS DOUBLE) AS vbp,
+         |  TRY_CAST("Penalty Tariff" AS DOUBLE) AS pt
+         |  FROM src),
+         |good AS (SELECT * FROM co
+         |  WHERE "Booking Code" IS NOT NULL AND "Ticket Number" IS NOT NULL
+         |    AND ots IS NOT NULL AND bp IS NOT NULL AND vbp IS NOT NULL
+         |    AND pt IS NOT NULL AND "Train Number" IS NOT NULL
+         |    AND dts IS NOT NULL AND ats IS NOT NULL AND "OD" IS NOT NULL
+         |    AND "Class" IS NOT NULL AND "Tariff" IS NOT NULL)
+         |SELECT "Booking Code" AS booking_code, "Ticket Number" AS ticket_number,
+         |  strftime(ots, '%Y-%m-%d %H:%M') AS operation_date_time,
+         |  strftime(dts, '%Y-%m-%d %H:%M') AS departure_date_time,
+         |  strftime(ats, '%Y-%m-%d %H:%M') AS arrival_date_time,
+         |  bp AS base_price, vbp AS base_price_vat,
+         |  pt * 1.15 AS penalty_tariff,
+         |  "Train Number" AS train_number, "OD" AS od, "Class" AS class,
+         |  'OK' AS status,
+         |  CASE WHEN "Validation Time" IN ('', ' ') THEN NULL
+         |       ELSE "Validation Time" END AS validating_time
+         |FROM good""".stripMargin,
+
+    "q25_consolidate_dedup" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
+        |    'OD' || CAST(l_partkey % 20 AS VARCHAR) AS od,
+        |    'T' || CAST(l_suppkey % 50 AS VARCHAR) AS train_number,
+        |    l_linestatus AS class,
+        |    CAST(l_orderkey % 1000 AS VARCHAR) AS ticket_reserved,
+        |    CAST(l_linenumber AS VARCHAR) AS quota_configuration
+        |  FROM lineitem)
+        |SELECT date, od, train_number, class, ticket_reserved, quota_configuration
+        |FROM t
+        |QUALIFY row_number() OVER (PARTITION BY date, od, train_number, class
+        |  ORDER BY ticket_reserved DESC, quota_configuration DESC) = 1""".stripMargin,
+
+    "q26_classifier" ->
+      """SELECT 'occ_shifted' AS "case", 2 AS header_idx, 'Occupancy' AS report
+        |UNION ALL SELECT 'tl_clean', 0, 'Train List'
+        |UNION ALL SELECT 'truncated', -1, 'NONE'
+        |UNION ALL SELECT 'extra_col', -1, 'NONE'
+        |UNION ALL SELECT 'empty', -1, 'NONE'""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DateStreaks
+
+/** K1-K3 — side-channel CSV sinks (error rows, duplicates, snapshot).
+  *
+  * Reference: `reports_exporter_v0.83.py:599-603, 1775-1787, 1789-1797` —
+  * zipped CSV artifacts named "<Report> <channel> <run timestamp>". Spark
+  * has no zip container codec, so gzip is the idiomatic substitute
+  * (SURVEY.md §7.3); the artifact layout is a directory of part files,
+  * written distributed — no driver-side buffering of row data.
+  */
+object SideChannelCsv {
+
+  /** The reference's artifact naming: "<report> <channel> <runStamp>". */
+  def artifactPath(exportDir: String, report: String, channel: String, runStamp: String): String =
+    s"$exportDir/$report $channel $runStamp"
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("compression", "gzip")
+      .csv(path)
+
+  def writeErrors(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
+    write(df, artifactPath(exportDir, report, "error rows", runStamp))
+
+  def writeDuplicates(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
+    write(df, artifactPath(exportDir, report, "duplicates", runStamp))
+
+  def writeSnapshot(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
+    write(df, artifactPath(exportDir, report, "data exported", runStamp))
+}
+
+/** K4-K6 — idempotent partition-overwrite load protocol, file-backed.
+  *
+  * Reference protocol (`export_train_list`, `:1304-1394`): distinct loaded
+  * days → consecutive-date streaks (G1) → per-streak ranged DELETE → per-day
+  * COPY → per-day audit row. The Spark-native shape is dynamic partition
+  * overwrite: partition the sink by the date column and overwrite exactly
+  * the partitions present in this batch — same idempotence contract
+  * (reload replaces, never duplicates) with no driver-sequenced DELETEs.
+  * The streaks still drive the reference's gap warning and the audit trail.
+  *
+  * Scale: the only collect is the distinct-day list (O(days) — bounded at
+  * any fact size); the data path is a straight partitioned parquet write.
+  */
+object PartitionOverwriteSink {
+
+  final case class LoadReport(days: Seq[String], streaks: Seq[(String, String)], gaps: Int)
+
+  /** Overwrite `targetDir`'s partitions for exactly the days present in
+    * `df[dateCol]`, append one audit row per day to `auditDir`, and report
+    * the streak structure (the reference warns on gaps, `:1321-1325`).
+    *
+    * @param dateCol a "yyyy-MM-dd"-formatted string or DATE column
+    */
+  def load(spark: SparkSession, df: DataFrame, dateCol: String,
+      targetDir: String, auditDir: String, table: String, runStamp: String,
+      user: String = "graft"): LoadReport = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
+
+    // G1 — streaks over the loaded days; tiny (O(days)) driver list.
+    val streakRows = DateStreaks(df.select(to_date(col(dateCol)).as("d")), "d")
+      .orderBy(col("streak_start")).collect()
+    val streaks = streakRows.toIndexedSeq.map(r =>
+      (r.getDate(0).toString, r.getDate(1).toString))
+    val days = df.select(to_date(col(dateCol)).cast("string").as("d"))
+      .distinct().orderBy("d").collect().toIndexedSeq.map(_.getString(0))
+
+    // K6 — one audit row per loaded day.
+    import spark.implicits._
+    days.toDF("period")
+      .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
+        lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
+      .write.mode(SaveMode.Append).parquet(auditDir)
+
+    LoadReport(days, streaks, gaps = math.max(0, streaks.size - 1))
+  }
+}
