@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ReaderQueries, Relational}
+import graft.queries.{LlmQueries, ReaderQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (ReaderQueries.queries, ReaderQueries.oracles)
+      (ReaderQueries.queries, ReaderQueries.oracles),
+      (LlmQueries.queries, LlmQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

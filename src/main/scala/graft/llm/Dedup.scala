@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation: exact (hash
+  * group-by), MinHash+LSH near-dup (shingle → signature → band-bucket
+  * shuffle → in-bucket verify), and SimHash.
+  *
+  * Scale contract: NOTHING here is all-pairs. Candidate generation
+  * shuffles on (band, band-value) — documents only meet if they collide
+  * in a band — and the exact-Jaccard verify runs only over candidates.
+  * A pathological bucket (thousands of identical docs) is a skew-join
+  * case; AQE skew splitting handles it, and the band value doubles as a
+  * salt-friendly key.
+  *
+  * Determinism contract: the shingle hash is the first 8 hex digits of
+  * md5 (portable to any engine), and the signature permutations are fixed
+  * integer LCGs mod 2^31-1 — so signatures, candidates, and verified
+  * pairs are bit-identical across engines (DuckDB-oracle-comparable).
+  */
+object Dedup {
+
+  /** Signature-permutation modulus (2^31 - 1, prime). */
+  val P: Long = 2147483647L
+  /** j-th permutation: h -> (A(j) * h + B(j)) mod P. A(j)*h stays well
+    * under 2^63 for 32-bit h.
+    */
+  def seedA(j: Int): Long = 131L + 2L * j * 1009L
+  def seedB(j: Int): Long = 7L + 4409L * j
+
+  /** Portable 32-bit string hash: first 8 hex digits of md5. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word k-shingles of a token array (documents shorter than k tokens
+    * collapse to a single whole-text shingle).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Distinct shingle-hash set of a document. */
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(TextAnalysis.tokens(text), k), s => hash32(s)))
+
+  /** MinHash signature: element j = min over the shingle-hash set of the
+    * j-th permutation. Min is order-free, so the signature is independent
+    * of shingle order.
+    */
+  def minhash(hashSet: Column, numSig: Int): Column =
+    array((0 until numSig).map { j =>
+      array_min(transform(hashSet, h => (h * seedA(j) + seedB(j)) % P))
+    }: _*)
+
+  /** Exact dedup with group stats: every row keeps its content-hash group,
+    * the group size, and the canonical (minimum) id. One shuffle on the
+    * content hash; map-side the hash is computed in codegen.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("dup_hash"))
+    df.withColumn("dup_hash", md5(col(textCol)))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+  }
+
+  /** Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
+    *
+    * @param minJacNum/@param minJacDen keep pairs with Jaccard ≥ num/den
+    *   (integer cross-multiplication — no float compare)
+    * @return (id_a, id_b, inter, uni) with id_a < id_b; inter/uni are the
+    *   exact intersection/union sizes of the distinct shingle-hash sets
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numSig: Int = 12, bandRows: Int = 2,
+      minJacNum: Int = 1, minJacDen: Int = 2): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val numBands = numSig / bandRows
+    val base = docs.select(col(idCol).as("id"), shingleHashSet(col(textCol), k).as("sh"))
+      .withColumn("sig", minhash(col("sh"), numSig))
+
+    val bandArr = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandRows).map(i => col("sig")(b * bandRows + i)): _*).as("bv"))
+    }: _*)
+    val bands = base.select(col("id"), explode(bandArr).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+
+    // Shuffle key = (band, band-value): docs only meet inside a bucket.
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    withSets
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter).as("uni"))
+      .filter(col("inter") * minJacDen >= col("uni") * minJacNum)
+  }
+
+  /** 16-bit SimHash over the (multiset of) token hashes: bit b is set when
+    * the signed bit-b vote across tokens is positive.
+    */
+  def simhash16(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => hash32(t))
+    val bits = (0 until 16).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash values (near-dup test:
+    * distance ≤ t). bit_count is a single codegen'd instruction.
+    */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

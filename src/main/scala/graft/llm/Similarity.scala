@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the correctness baseline: candidates ×
+  *    broadcast(queries). Linear in |corpus|·|queries|; right when the
+  *    query set is small (it is broadcast, never shuffled).
+  *  - [[bucketedTopK]] — the scale path: an IVF-style bucket column
+  *    (cluster/partition assignment) restricts each query to its bucket,
+  *    so the join shuffles on the bucket key and never goes all-pairs.
+  *
+  * Determinism: vectors are quantized to integer milli-units first, so
+  * dot products are exact integers in any engine; the cosine used for
+  * ranking is a single identical chain of IEEE ops (double divide +
+  * sqrt), bit-equal across engines. Ties break on neighbor id.
+  */
+object Similarity {
+
+  /** float vector → integer milli-unit vector (round-half-up). The
+    * float→double cast is exact, so quantization is engine-independent.
+    */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  /** Exact integer dot product of two equal-length long vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def ranked(joined: DataFrame, k: Int): DataFrame = {
+    val d = dot(col("qv"), col("cv"))
+    val na = dot(col("qv"), col("qv"))
+    val nb = dot(col("cv"), col("cv"))
+    val scored = joined.select(col("query_id"), col("neighbor_id"),
+      d.as("dot"), na.as("na"), nb.as("nb"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
+  /** Brute-force cosine top-k: every candidate scored against every
+    * (broadcast) query. Self-matches excluded.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    ranked(c.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id")), k)
+  }
+
+  /** Bucketed (IVF-style) top-k: candidates meet queries only inside
+    * their bucket — the join key is the bucket column, so the shuffle is
+    * by bucket and the per-query work is the bucket size, not the corpus.
+    */
+  def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(bucketCol).as("bucket"), quantize(col(vecCol)).as("qv"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"), quantize(col(vecCol)).as("cv"))
+    ranked(c.join(broadcast(q), Seq("bucket")).filter(col("neighbor_id") =!= col("query_id")), k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of projections
+    * onto fixed pseudo-random ±1 hyperplanes (plane p keeps component i
+    * when hash32(p·i-derived seed) is even). Deterministic, engine-free
+    * of RNG state; used as the `bucketCol` for [[bucketedTopK]] when no
+    * natural clustering exists.
+    */
+  def lshBucket(vec: Column, numPlanes: Int = 4): Column = {
+    val q = quantize(vec)
+    val bits = (0 until numPlanes).map { p =>
+      // ±1 pattern per (plane, index): sign = +1 iff (i*(2p+3)) % 7 < 4.
+      val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
+        (x, i) => when((i * (2 * p + 3)) % 7 < 4, x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` tables, each with a
+  * DuckDB oracle computing the identical spec. Signatures, candidates and
+  * scores are engine-exact by construction (portable md5-derived hashes,
+  * integer LCG permutations, integer-quantized dot products) — see the
+  * operator scaladocs in graft.llm.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------- shared SQL fragments
+
+  private def toksSql(t: String): String =
+    s"list_filter(string_split_regex(lower($t), '[^a-z0-9]+'), x -> x <> '')"
+  private def h32Sql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
+  /** expects a relation exposing `toks` */
+  private val shinglesSql: String =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |     ELSE list_transform(range(0, len(toks) - 2),
+      |            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END""".stripMargin
+  private val shSetSql: String =
+    s"list_distinct(list_transform($shinglesSql, sg -> ${h32Sql("sg")}))"
+  private def mhSql(j: Int): String =
+    s"list_min(list_transform(sh, h -> (h * ${Dedup.seedA(j)} + ${Dedup.seedB(j)}) % ${Dedup.P}))"
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def quantSql(v: String): String =
+    s"list_transform($v, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_dot_product(list_transform($a, y -> CAST(y AS DOUBLE)), list_transform($b, y -> CAST(y AS DOUBLE))) AS BIGINT)"
+
+  private def docsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash group-by with group stats; corpus has injected
+    // exact copies (every 7th doc) so groups are non-trivial.
+    "q30_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0).select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.exactDupGroups(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("dup_hash"), col("group_size"), col("canonical_id"))
+    }),
+
+    // MinHash signatures (12 permutations over distinct 3-shingle hashes).
+    "q31_minhash_signatures" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shingleHashSet(col("text")).as("sh"))
+      val sig = Dedup.minhash(col("sh"), 12)
+      base.select(col("doc_id") +: (0 until 12).map(j => sig(j).as(s"mh_$j")): _*)
+    }),
+
+    // Banded LSH candidate generation + exact-Jaccard verify (J >= 1/2)
+    // over a corpus with injected near-duplicates. Never all-pairs: the
+    // only joins are band-bucket equi-joins and candidate->set lookups.
+    "q32_lsh_neardup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(docsCorpus(s, dir), "doc_id", "text")),
+
+    // Language ID, quality stats, fingerprint.
+    "q33_text_stats" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(toks).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(toks).as("n_distinct"),
+        TextAnalysis.stopwordCount(toks, TextAnalysis.EnStop).as("n_stop"),
+        TextAnalysis.langGuess(toks).as("lang_guess"),
+        TextAnalysis.fingerprint(toks).as("fingerprint"),
+        TextAnalysis.isQuality(TextAnalysis.tokenCount(toks),
+          TextAnalysis.stopwordCount(toks, TextAnalysis.EnStop)).as("is_quality"))
+    }),
+
+    // 16-bit SimHash.
+    "q34_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))),
+
+    // Brute-force cosine top-5 for 10 query vectors (integer-quantized).
+    "q35_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5)),
+
+    // IVF-style bucketed top-3: queries only scored inside their bucket.
+    "q36_ann_bucketed" -> ((s, dir) =>
+      Similarity.bucketedTopK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") % 50 === 0, 3)),
+
+    // Multimodal plumbing: opaque binary payloads + metadata + head sample.
+    "q37_multimodal_meta" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleHead(assets, 8).select(
+        col("asset_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("head_hex"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val sigSelect =
+    (0 until 12).map(j => s"${mhSql(j)} AS mh_$j").mkString(",\n  ")
+
+  private val bandsSql = (0 until 6).map { b =>
+    s"SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS bv FROM sg"
+  }.mkString("\nUNION ALL\n")
+
+  private val simhashW =
+    (0 until 16).map(b =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS w$b")
+      .mkString(",\n  ")
+  private val simhashCombine =
+    (0 until 16).map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, md5(text) AS dup_hash,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |FROM corpus""".stripMargin,
+
+    "q31_minhash_signatures" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |sg AS (SELECT doc_id, $shSetSql AS sh FROM t)
+         |SELECT doc_id,
+         |  $sigSelect
+         |FROM sg""".stripMargin,
+
+    "q32_lsh_neardup_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         |t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM corpus),
+         |s0 AS (SELECT doc_id, $shSetSql AS sh FROM t),
+         |sg AS (SELECT doc_id, sh,
+         |  $sigSelect
+         |FROM s0),
+         |bands AS (
+         |$bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+         |FROM cand
+         |JOIN sg sa ON cand.id_a = sa.doc_id
+         |JOIN sg sb ON cand.id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
+         |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)""".stripMargin,
+
+    "q33_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop,
+         |  CASE WHEN len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)}))
+         |        AND len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)})) THEN 'en'
+         |       WHEN len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)})) THEN 'fr'
+         |       ELSE 'de' END AS lang_guess,
+         |  md5(array_to_string(toks, ' ')) AS fingerprint,
+         |  (len(toks) >= 5 AND len(toks) <= 5000
+         |   AND len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= 1) AS is_quality
+         |FROM t""".stripMargin,
+
+    "q34_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(${toksSql("text")}, tk -> ${h32Sql("tk")}) AS hs
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |  $simhashW
+         |FROM t)
+         |SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM w""".stripMargin,
+
+    "q35_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, ${quantSql("embedding")} AS cv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c, q WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q36_ann_bucketed" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, label, ${quantSql("embedding")} AS cv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c JOIN q USING (label) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q37_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents""".stripMargin
+  )
+}
