@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class LlmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partition pruning for scale"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "le chat et le chien et la maison de la ville en un jour"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: identical texts share a group with min-id canonical") {
+    val byId = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select("doc_id", "group_size", "canonical_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) === ((2L, 1L)))
+    assert(byId(4L) === ((2L, 1L)))
+    assert(byId(3L) === ((1L, 3L)))
+  }
+
+  test("minhash: identical docs have identical signatures; signature length = numSig") {
+    val sigs = docs.select(col("doc_id"), Dedup.minhash(Dedup.shingleHashSet(col("text")), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 12)
+    assert(sigs(1L) === sigs(4L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("LSH near-dup pairs: exact dup J=1, near-dup found, unrelated absent, no all-pairs plan") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidate generation must not be all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate generation must not be all-pairs")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.contains((1L, 4L)) && got((1L, 4L))._1 === got((1L, 4L))._2) // J = 1
+    assert(got.contains((1L, 2L))) // near-dup
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated docs far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) === 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(5L)))
+  }
+
+  test("text analysis: language ID and quality gate") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val r = docs.select(col("doc_id"), TextAnalysis.langGuess(toks).as("lang"),
+        TextAnalysis.isQuality(TextAnalysis.tokenCount(toks),
+          TextAnalysis.stopwordCount(toks, TextAnalysis.EnStop)).as("q"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._1 === "en" && r(1L)._2)
+    assert(r(5L)._1 === "fr")
+  }
+
+  test("fingerprint: case/punctuation/whitespace-insensitive") {
+    val two = Seq((1L, "Hello, World!  Again"), (2L, "hello world again")).toDF("id", "text")
+    val fps = two.select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
+      .as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.999f, 0.01f, 0.0f), 0),  // nearest to 0
+    (2L, Array(0.7f, 0.7f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1),
+    (4L, Array(0.0f, 1.0f, 0.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("ANN brute force: self excluded, nearest first, k respected") {
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 2)
+      .orderBy("rank").collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(1) === 1L) // rank 1 = closest
+    assert(r(1).getLong(1) === 2L)
+    assert(!r.map(_.getLong(1)).contains(0L))
+  }
+
+  test("ANN bucketed: candidates restricted to the query's bucket") {
+    val r = Similarity.bucketedTopK(vecs, "vec_id", "embedding", "label", col("vec_id") === 3, 5)
+      .collect()
+    assert(r.map(_.getLong(1)).toSet === Set(4L)) // only label-1 neighbors
+  }
+
+  test("LSH bucket id is deterministic and within range") {
+    val b = vecs.select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding")).as("b")).as[Int].collect()
+    assert(b.toSeq === b2.toSeq)
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+
+  test("multimodal: partition-batched extraction is deterministic with fixed feature shape") {
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f.length === 5)
+    assert(f.forall(_.features.length === Multimodal.FakeDecoder.FeatureDim))
+    assert(f(0).n_bytes === docs.orderBy("doc_id").select(length(col("text"))).as[Int].head().toLong)
+    // exact dup docs 1 and 4 → identical content hash and features
+    assert(f(0).content_hash === f(3).content_hash)
+    assert(f(0).features.toSeq === f(3).features.toSeq)
+    val head = Multimodal.sampleHead(assets, 4).select("head_hex").as[String].collect()
+    assert(head.forall(_.length === 8))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Seeded pseudo-property tests for the consolidation operators (D1, G1,
+  * P2/P4/P6). Deterministic seeds, many random cases per law.
+  */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  // ------------------------------------------------------- KeepLastDedup
+
+  private def randomRows(n: Int): Seq[(Integer, Int, Int, String)] =
+    (0 until n).map { i =>
+      val key: Integer = if (rnd.nextInt(10) == 0) null else Int.box(rnd.nextInt(8))
+      (key, rnd.nextInt(5), i, s"p$i")
+    }
+
+  test("D1: kept side has exactly one row per key (null keys form one group)") {
+    val df = randomRows(300).toDF("k", "ord", "tie", "payload")
+    val (kept, _) = KeepLastDedup(df, Seq("k"), Seq(col("ord"), col("tie")))
+    val nKeys = df.select("k").distinct().count() // distinct counts null once
+    assert(kept.count() === nKeys)
+    assert(kept.groupBy("k").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("D1: kept + dups partition the input exactly") {
+    val df = randomRows(300).toDF("k", "ord", "tie", "payload")
+    val (kept, dups) = KeepLastDedup(df, Seq("k"), Seq(col("ord"), col("tie")))
+    assert(kept.count() + dups.count() === df.count())
+    // multiset equality via payload (unique per row)
+    val union = kept.select("payload").union(dups.select("payload"))
+    assert(union.distinct().count() === df.count())
+  }
+
+  test("D1: kept row maximizes the ordering tuple within its key") {
+    val df = randomRows(300).toDF("k", "ord", "tie", "payload")
+    val (kept, _) = KeepLastDedup(df, Seq("k"), Seq(col("ord"), col("tie")))
+    val maxes = df.groupBy("k").agg(max(struct(col("ord"), col("tie"))).as("m"))
+    val joined = kept.join(maxes, kept("k") <=> maxes("k"))
+      .filter(struct(kept("ord"), kept("tie")) =!= col("m"))
+    assert(joined.count() === 0)
+  }
+
+  test("D1: empty dedup keys handled by Consolidate as no-dedup") {
+    val df = Seq((1, "a"), (1, "a")).toDF("k", "v")
+    val (kept, dups) = Consolidate(Seq(df, df), Seq.empty, Seq(col("k")))
+    assert(kept.count() === 4)
+    assert(dups.count() === 0)
+  }
+
+  // ----------------------------------------------------------- DateStreaks
+
+  test("G1: streaks exactly cover the distinct-date set, with gaps between islands") {
+    for (trial <- 1 to 5) {
+      val dates = (0 until 120).filter(_ => rnd.nextInt(3) > 0)
+        .map(d => java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+      if (dates.nonEmpty) {
+        val df = (dates ++ dates.take(5)).toDF("d") // dupes must not matter
+        val streaks = DateStreaks(df, "d").collect()
+        val covered = streaks.flatMap { r =>
+          val s = r.getDate(0).toLocalDate
+          val e = r.getDate(1).toLocalDate
+          assert(r.getInt(2) === (e.toEpochDay - s.toEpochDay + 1), s"trial $trial n_days")
+          Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e)).toSeq
+        }.toSet
+        assert(covered === dates.map(_.toLocalDate).toSet, s"trial $trial coverage")
+        // island maximality: the day before each start / after each end is absent
+        streaks.foreach { r =>
+          assert(!covered.contains(r.getDate(0).toLocalDate.minusDays(1)))
+          assert(!covered.contains(r.getDate(1).toLocalDate.plusDays(1)))
+        }
+      }
+    }
+  }
+
+  test("G1: single date is a one-day streak") {
+    val df = Seq(java.sql.Date.valueOf("2024-05-05")).toDF("d")
+    val r = DateStreaks(df, "d").collect()
+    assert(r.length === 1 && r(0).getInt(2) === 1)
+  }
+
+  // --------------------------------------------------------------- Cleaning
+
+  test("P4: emptyToNull nulls exactly \"\" and \" \" — no trim") {
+    val df = Seq(("", "keep"), (" ", "x"), ("  ", "y"), ("a", "z")).toDF("c", "o")
+    val out = Cleaning.emptyToNull(df, Seq("c")).collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(None, None, Some("  "), Some("a")))
+  }
+
+  test("P2: split is a partition; empty-string passes the null check (reference semantics)") {
+    val df = Seq((null: String, "r1"), ("", "r2"), ("v", "r3")).toDF("m", "o")
+    val (good, bad) = Cleaning.notNullSplit(df, Seq("m"))
+    assert(good.select("o").as[String].collect().toSet === Set("r2", "r3"))
+    assert(bad.select("o").as[String].collect().toSet === Set("r1"))
+  }
+
+  test("P6: renameAll rejects arity mismatch") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assertThrows[IllegalArgumentException](Cleaning.renameAll(df, Seq("x")))
+    assert(Cleaning.renameAll(df, Seq("x", "y")).columns.toSeq === Seq("x", "y"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.classify.HeaderSniffer
+import graft.readers.{BookingPaymentReader, OccupancyReader, TrainListReader}
+import graft.schema.{ReportType, Schemas}
+import graft.sinks.PartitionOverwriteSink
+
+/** End-to-end pipeline coverage: classification on files, reader dispatch
+  * with failure isolation, side channels, partition-overwrite sink.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(name)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** A tiny occupancy CSV: junk rows above the header exercise the sniff
+    * offset; one reject row (empty mandatory Date cell); duplicate keys.
+    */
+  private def occCsv(rows: Seq[String], junkRows: Int): String = {
+    val header = Schemas.occupancy.header.mkString(",")
+    val junk = (0 until junkRows).map(i => s"junk$i,x")
+    (junk ++ Seq(header) ++ rows).mkString("\n")
+  }
+
+  private def occRow(date: String, od: String, train: String, cls: String,
+      reserved: String, quota: String): String = {
+    // 24 cells in schema order; non-mandatory cells filled with "1"
+    val m = Map(0 -> date, 1 -> od, 5 -> train, 6 -> cls, 14 -> reserved, 8 -> quota)
+    (0 until 24).map(i => m.getOrElse(i, "1")).mkString(",")
+  }
+
+  test("S3/S4: classifyCsv finds the occupancy header behind junk rows") {
+    val dir = tmpDir("graft-cls")
+    val path = s"$dir/occ.csv"
+    Files.writeString(Paths.get(path), occCsv(Seq(occRow("2024-01-01 00:00:00", "AB", "T1", "C1", "5", "q")), junkRows = 2))
+    val got = HeaderSniffer.classifyCsv(spark, path)
+    assert(got === Some((2, ReportType.Occupancy)))
+  }
+
+  test("S5: readClassified skips junk above an offset header and parses all rows") {
+    val dir = tmpDir("graft-read")
+    val path = s"$dir/occ.csv"
+    Files.writeString(Paths.get(path),
+      occCsv(Seq(
+        occRow("2024-01-01 00:00:00", "AB", "T1", "C1", "5", "q"),
+        occRow("2024-01-02 00:00:00", "CD", "T2", "C2", "6", "q")), junkRows = 3))
+    val df = HeaderSniffer.readClassified(spark, path, 3, ReportType.Occupancy)
+    assert(df.count() === 2)
+    assert(df.columns.length === 24)
+  }
+
+  test("pipeline run: consolidation, keep-last dedup, rejects, bad input isolated") {
+    val in = tmpDir("graft-in")
+    val out = tmpDir("graft-out")
+    // file A: one good row + one reject (empty mandatory Date)
+    Files.writeString(Paths.get(s"$in/a.csv"), occCsv(Seq(
+      occRow("2024-01-01 00:00:00", "AB", "T1", "C1", "5", "q1"),
+      occRow("", "AB", "T1", "C1", "9", "q0")), junkRows = 0))
+    // file B: duplicate of A's key with higher sort value → wins keep-last
+    Files.writeString(Paths.get(s"$in/b.csv"), occCsv(Seq(
+      occRow("2024-01-01 00:00:00", "AB", "T1", "C1", "7", "q2")), junkRows = 0))
+    // file C: unclassifiable garbage
+    Files.writeString(Paths.get(s"$in/c.csv"), "what,is,this\n1,2,3")
+
+    val empty = spark.emptyDataFrame
+    val res = Pipeline.run(spark, in, out, "20240101T000000", empty, empty)
+
+    assert(res.unclassified === Seq(s"$in/c.csv"))
+    assert(res.errors.isEmpty)
+    val occ = res.results.find(_.report == ReportType.Occupancy).get
+    val kept = occ.kept.collect()
+    assert(kept.length === 1)
+    // keep-last on lexicographic ticket_reserved: "7" > "5"
+    assert(occ.kept.select("ticket_reserved").as[String].collect().toSeq === Seq("7"))
+    assert(occ.duplicates.count() === 1)
+    assert(occ.rejects.count() === 1)
+    // side channels written (gzip csv directories)
+    val exported = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(exported.exists(_.contains("error rows")))
+    assert(exported.exists(_.contains("duplicates")))
+    assert(exported.exists(_.contains("data exported")))
+  }
+
+  test("readers: column counts and reject capture per schema") {
+    import graft.readers.ReportReader
+    // Occupancy: 24 source cols → 26 output
+    val occRaw = Seq(
+      ("2024-01-01 00:00:00", "AB", "T1", "C1", "5", "q"),
+      (null, "AB", "T1", "C1", "5", "q")).toDF("Date", "OD", "Train Number", "Class",
+      "Ticket Reserved (Usual + Carer + PRM)", "Quota Configuration")
+    val full = Schemas.occupancy.header.foldLeft(occRaw) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit("1"))
+    }
+    val r = OccupancyReader(full, to_date(lit("2024-06-01")))
+    assert(r.good.columns.length === 26)
+    assert(r.good.count() === 1 && r.rejects.count() === 1)
+    assert(r.good.select("train_key").as[String].head() === "2024-01-01 - T1 - AB")
+  }
+
+  test("TL reader: missing train numbers surfaced for abort") {
+    val raw0 = Seq(("2024-01-01 10:00:00", "T9", "AB", "tkt1")).toDF(
+      "Departure Date", "Train Number", "OD", "Ticket Number")
+    val raw = Schemas.trainList.header.foldLeft(raw0) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit("1"))
+    }
+    val hours = Seq(("T1", "09:00:00")).toDF("train_number", "departure_time")
+    val hist = Seq(("tkt1", java.sql.Timestamp.valueOf("2024-01-01 08:00:00")))
+      .toDF("ticket_number", "operation_date_time")
+    val res = TrainListReader(raw, hours, hist)
+    assert(res.missingTrainNumbers.as[String].collect().toSeq === Seq("T9"))
+    assert(res.good.columns.length === 53)
+  }
+
+  test("BPD reader: VAT Penalty consumed by gross-up, 56 output columns") {
+    val raw0 = Seq(("B1", "t1", "2024-01-01 10:00:00", "100", "10", "200")).toDF(
+      "Booking Code", "Ticket Number", "Operation Date", "Base Price", "VAT Penalty", "Penalty Tariff")
+    val raw = Schemas.bookingPayment.header.foldLeft(raw0) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c,
+        if (c.contains("Date")) lit("2024-01-01 10:00:00") else lit("1"))
+    }
+    val r = BookingPaymentReader(raw)
+    assert(r.good.columns.length === 56)
+    assert(!r.good.columns.contains("vat_penalty"))
+    assert(r.good.select("penalty_tariff").as[Double].head() === 200 * 1.15)
+  }
+
+  test("K4-K6: partition-overwrite load is idempotent and audits per day") {
+    val target = tmpDir("graft-sink")
+    val audit = tmpDir("graft-audit")
+    val df = Seq(("2024-01-01", "a"), ("2024-01-02", "b")).toDF("day", "v")
+    val r1 = PartitionOverwriteSink.load(spark, df, "day", s"$target/t", s"$audit/a", "t", "run1")
+    assert(r1.days === Seq("2024-01-01", "2024-01-02"))
+    assert(r1.streaks.size === 1 && r1.gaps === 0)
+    // reload same days: no duplicates (overwrite, not append)
+    PartitionOverwriteSink.load(spark, df, "day", s"$target/t", s"$audit/a", "t", "run2")
+    assert(spark.read.parquet(s"$target/t").count() === 2)
+    // audit: one row per day per run
+    assert(spark.read.parquet(s"$audit/a").count() === 4)
+  }
+}
