@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Projection barrier: force an expensive per-row expression to be
+    * computed ONCE even when downstream projections reference the result
+    * many times. Catalyst's CollapseProject inlines a projected expression
+    * into every reference (a 12-signature select would recompute the
+    * shingle set 12×); a single-element explode is a Generate node, which
+    * projections do not collapse across, so the value materializes once.
+    */
+  def once(df: DataFrame, name: String, e: Column): DataFrame =
+    df.withColumn(name, explode(array(e)))
+
   /** Signature-permutation modulus (2^31 - 1, prime). */
   val P: Long = 2147483647L
   /** j-th permutation: h -> (A(j) * h + B(j)) mod P. A(j)*h stays well
@@ -35,16 +45,33 @@ object Dedup {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Word k-shingles of a token array (documents shorter than k tokens
-    * collapse to a single whole-text shingle).
+    * collapse to a single whole-text shingle). `toks` should be a
+    * materialized attribute: the slice lambda references it once per
+    * shingle, so an inlined tokenizer expression would re-tokenize the
+    * document once per shingle.
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** Distinct shingle-hash set of a document. */
+  /** Distinct shingle-hash set from a materialized token-array column. */
+  def shingleHashSetFromToks(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(toks, k), s => hash32(s)))
+
+  /** Distinct shingle-hash set of a document — single-reference
+    * convenience; plans should materialize tokens first (see
+    * [[withShingleHashSet]]).
+    */
   def shingleHashSet(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(TextAnalysis.tokens(text), k), s => hash32(s)))
+    shingleHashSetFromToks(TextAnalysis.tokens(text), k)
+
+  /** Tokens and shingle-hash set, each computed once per row. */
+  def withShingleHashSet(df: DataFrame, textCol: String, outCol: String,
+      k: Int = 3): DataFrame =
+    once(df, "__toks", TextAnalysis.tokens(col(textCol)))
+      .transform(d => once(d, outCol, shingleHashSetFromToks(col("__toks"), k)))
+      .drop("__toks")
 
   /** MinHash signature: element j = min over the shingle-hash set of the
     * j-th permutation. Min is order-free, so the signature is independent
@@ -78,8 +105,20 @@ object Dedup {
       minJacNum: Int = 1, minJacDen: Int = 2): DataFrame = {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
-    val base = docs.select(col(idCol).as("id"), shingleHashSet(col(textCol), k).as("sh"))
-      .withColumn("sig", minhash(col("sh"), numSig))
+    // Barriers: sh is referenced by the signature AND both verify joins;
+    // sig is referenced by every band. Without `once` each reference
+    // recomputes the whole tokenize→shingle→md5 chain.
+    // Repartition first: the per-row hashing is CPU-bound and must spread
+    // over all cores even when the source is one small file; at scale the
+    // shuffle is trivia next to the hashing. Persist: the signature table
+    // (~1-2% of corpus bytes) feeds three consumers (bands + both verify
+    // lookups) — caching it beats re-tokenizing the corpus three times.
+    val base = withShingleHashSet(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+        "__text", "sh", k)
+      .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
+      .select(col("id"), col("sh"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandArr = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -106,10 +145,11 @@ object Dedup {
   }
 
   /** 16-bit SimHash over the (multiset of) token hashes: bit b is set when
-    * the signed bit-b vote across tokens is positive.
+    * the signed bit-b vote across tokens is positive. `hs` should be a
+    * materialized attribute (see [[withSimhash16]]) — the combine
+    * references it 16 times.
     */
-  def simhash16(text: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(text), t => hash32(t))
+  def simhash16FromHashes(hs: Column): Column = {
     val bits = (0 until 16).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -117,6 +157,19 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
+
+  /** SimHash as a single-reference Column — only for one-off use; the
+    * 16-bit combine recomputes the token-hash array per bit. Prefer
+    * [[withSimhash16]] in plans.
+    */
+  def simhash16(text: Column): Column =
+    simhash16FromHashes(transform(TextAnalysis.tokens(text), t => hash32(t)))
+
+  /** SimHash with the token-hash array computed once per row. */
+  def withSimhash16(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    once(df, "__hs", transform(TextAnalysis.tokens(col(textCol)), t => hash32(t)))
+      .withColumn(outCol, simhash16FromHashes(col("__hs")))
+      .drop("__hs")
 
   /** Hamming distance between two SimHash values (near-dup test:
     * distance ≤ t). bit_count is a single codegen'd instruction.

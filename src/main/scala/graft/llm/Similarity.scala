@@ -31,12 +31,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Norms are computed per VECTOR before the join (the join output only
+    * evaluates the cross dot product per pair) — at n candidates × m
+    * queries this is n+m norm computations instead of n·m.
+    */
   private def ranked(joined: DataFrame, k: Int): DataFrame = {
-    val d = dot(col("qv"), col("cv"))
-    val na = dot(col("qv"), col("qv"))
-    val nb = dot(col("cv"), col("cv"))
     val scored = joined.select(col("query_id"), col("neighbor_id"),
-      d.as("dot"), na.as("na"), nb.as("nb"))
+      dot(col("qv"), col("cv")).as("dot"), col("na"), col("nb"))
     val cos = col("dot").cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
     val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("neighbor_id").asc)
@@ -45,14 +46,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
   }
 
+  private def querySide(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, extra: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val base = Dedup.once(emb.filter(queryPred), "qv", quantize(col(vecCol)))
+    base.select(Seq(col(idCol).as("query_id"), col("qv"), dot(col("qv"), col("qv")).as("na")) ++
+      extra.map { case (c, a) => col(c).as(a) }: _*)
+  }
+
+  private def candSide(emb: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val base = Dedup.once(emb, "cv", quantize(col(vecCol)))
+    base.select(Seq(col(idCol).as("neighbor_id"), col("cv"), dot(col("cv"), col("cv")).as("nb")) ++
+      extra.map { case (c, a) => col(c).as(a) }: _*)
+  }
+
   /** Brute-force cosine top-k: every candidate scored against every
     * (broadcast) query. Self-matches excluded.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-    val c = emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val q = querySide(emb, idCol, vecCol, queryPred)
+    val c = candSide(emb, idCol, vecCol)
     ranked(c.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id")), k)
   }
 
@@ -62,10 +76,30 @@ object Similarity {
     */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(bucketCol).as("bucket"), quantize(col(vecCol)).as("qv"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"), quantize(col(vecCol)).as("cv"))
+    val q = querySide(emb, idCol, vecCol, queryPred, Seq(bucketCol -> "bucket"))
+    val c = candSide(emb, idCol, vecCol, Seq(bucketCol -> "bucket"))
     ranked(c.join(broadcast(q), Seq("bucket")).filter(col("neighbor_id") =!= col("query_id")), k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs inside buckets: pairs (a < b)
+    * sharing a bucket whose cosine ≥ num/den, decided by INTEGER
+    * cross-multiplication on the quantized vectors — no float compare:
+    * cos ≥ t  ⇔  dot > 0  ∧  dot²·den² ≥ na·nb·num².
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+      num: Int, den: Int): DataFrame = {
+    val a = Dedup.once(emb, "v", quantize(col(vecCol)))
+      .select(col(idCol).as("id_a"), col(bucketCol).as("bucket"),
+        col("v").as("va"), dot(col("v"), col("v")).as("na"))
+    val b = Dedup.once(emb, "v", quantize(col(vecCol)))
+      .select(col(idCol).as("id_b"), col(bucketCol).as("bucket"),
+        col("v").as("vb"), dot(col("v"), col("v")).as("nb"))
+    val joined = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val d = dot(col("va"), col("vb"))
+    joined.select(col("id_a"), col("id_b"), d.as("dot"), col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (den.toLong * den) >= col("na") * col("nb") * (num.toLong * num))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
   }
 
   /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of projections

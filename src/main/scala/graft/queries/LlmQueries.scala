@@ -64,11 +64,14 @@ object LlmQueries {
     }),
 
     // MinHash signatures (12 permutations over distinct 3-shingle hashes).
+    // `once` barriers: sh and sig are each computed one time per row, not
+    // once per downstream reference.
     "q31_minhash_signatures" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.shingleHashSet(col("text")).as("sh"))
-      val sig = Dedup.minhash(col("sh"), 12)
-      base.select(col("doc_id") +: (0 until 12).map(j => sig(j).as(s"mh_$j")): _*)
+      val base = Dedup.withShingleHashSet(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .repartition(col("doc_id")), "text", "sh")
+      val withSig = Dedup.once(base, "sig", Dedup.minhash(col("sh"), 12))
+      withSig.select(col("doc_id") +: (0 until 12).map(j => col("sig")(j).as(s"mh_$j")): _*)
     }),
 
     // Banded LSH candidate generation + exact-Jaccard verify (J >= 1/2)
@@ -91,9 +94,10 @@ object LlmQueries {
           TextAnalysis.stopwordCount(toks, TextAnalysis.EnStop)).as("is_quality"))
     }),
 
-    // 16-bit SimHash.
+    // 16-bit SimHash (token-hash array materialized once per row).
     "q34_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))),
+      Dedup.withSimhash16(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", "simhash").select(col("doc_id"), col("simhash"))),
 
     // Brute-force cosine top-5 for 10 query vectors (integer-quantized).
     "q35_ann_bruteforce" -> ((s, dir) =>
@@ -104,6 +108,16 @@ object LlmQueries {
     "q36_ann_bucketed" -> ((s, dir) =>
       Similarity.bucketedTopK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         col("vec_id") % 50 === 0, 3)),
+
+    // Embedding-cosine near-dup: bucketed (by label) pairs at cos >= 19/20,
+    // decided by integer cross-multiplication on quantized vectors; corpus
+    // has injected exact-copy embeddings (every 25th vector).
+    "q38_cosine_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosineNearDupPairs(e.unionByName(copies), "vec_id", "embedding", "label", 19, 20)
+    }),
 
     // Multimodal plumbing: opaque binary payloads + metadata + head sample.
     "q37_multimodal_meta" -> ((s, dir) => {
@@ -225,6 +239,20 @@ object LlmQueries {
          |             neighbor_id ASC) AS rank
          |  FROM j)
          |WHERE rank <= 3""".stripMargin,
+
+    "q38_cosine_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv FROM corpus),
+         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.qv", "b.qv")} AS dot,
+         |    ${dotSql("a.qv", "a.qv")} AS na,
+         |    ${dotSql("b.qv", "b.qv")} AS nb
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, dot, na, nb FROM j
+         |WHERE dot > 0 AND dot * dot * 400 >= na * nb * 361""".stripMargin,
 
     "q37_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

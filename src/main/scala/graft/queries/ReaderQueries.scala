@@ -32,8 +32,15 @@ object ReaderQueries {
     * (every 89th), empty-string Origin Station (every 101st part),
     * single-space Validating (every 103rd supplier).
     */
+  /** The testdata parquet files have a single row group, so a raw scan
+    * cannot split — every source fixture repartitions by key to mimic the
+    * many-split layout a production input has, spreading the (CPU-bound)
+    * reader chain over all cores. The READERS stay shuffle-free; this is
+    * input shaping, as the reference's dormant tiered parallel read (S6)
+    * was.
+    */
   private def occSource(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir).repartition(col("l_orderkey"))
     def istr(c: Column): Column = c.cast("string")
     li.select(
       when(col("l_orderkey") % 97 === 0, lit("not a date"))
@@ -111,7 +118,7 @@ object ReaderQueries {
     * unparseable VAT Base Price (83).
     */
   private def tlSource(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).repartition(col("o_orderkey"))
     def istr(c: Column): Column = c.cast("string")
     val tick = col("o_orderdate") +
       (col("o_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR") +
@@ -215,7 +222,7 @@ object ReaderQueries {
     * VAT Base Price (83), single-space Validation Time (103).
     */
   private def bpdSource(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir).repartition(col("l_orderkey"))
     def istr(c: Column): Column = c.cast("string")
     val dep = col("l_shipdate") + (col("l_orderkey") % 24).cast("int") * expr("INTERVAL 1 HOUR")
     val arr = dep + expr("INTERVAL 3 HOUR")
@@ -359,7 +366,7 @@ object ReaderQueries {
     // O1+O2+D1 with the reference's string-LEXICOGRAPHIC occupancy sort
     // ("9" > "10") — consolidation of two sheet frames then keep-last dedup.
     "q25_consolidate_dedup" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      val li = Tables.lineitem(s, dir).repartition(col("l_orderkey"))
       val t = li.select(
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"),
         concat(lit("OD"), (col("l_partkey") % 20).cast("string")).as("od"),
