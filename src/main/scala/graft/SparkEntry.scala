@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, ReaderQueries, Relational}
+import graft.queries.{LlmQueries, ReaderQueries, Relational, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (ReaderQueries.queries, ReaderQueries.oracles),
-      (LlmQueries.queries, LlmQueries.oracles)
+      (LlmQueries.queries, LlmQueries.oracles),
+      (StreamingQueries.queries, StreamingQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode correctness entries for the streaming transforms: the same
+  * operator definitions run under `readStream` (EventStreams scaladoc);
+  * here they run on the batch `events` table so the DuckDB oracle can
+  * check them exactly.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour window aggregation (watermark-compatible shape).
+    "q40_windowed_events" -> ((s, dir) =>
+      EventStreams.windowedCounts(Tables.events(s, dir))),
+
+    // Sessionization: 30-minute-gap sessions per user (gaps-and-islands
+    // over per-user event times; one shuffle on user_id).
+    "q41_event_sessions" -> ((s, dir) =>
+      EventStreams.batchSessions(Tables.events(s, dir), gapMs = 1800000L))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_windowed_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q41_event_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+        |m AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS nw FROM m),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS si FROM n)
+        |SELECT user_id, CAST(si AS BIGINT) AS session_idx,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly batch (SURVEY §2.9) — this is the engine's
+  * forward extension: the same transforms run on a batch DataFrame (for
+  * the oracle gate) and on a streaming DataFrame (`readStream` source),
+  * because they are built from watermark-compatible operators only.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation (1 hour) with a 2-hour watermark when
+    * streaming. On a batch frame `withWatermark` is a no-op, so one
+    * definition serves both the oracle-checked batch path and the
+    * streaming path.
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), (sum(cents) / 100.0).as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Batch sessionization (gaps-and-islands on per-user event gaps): a new
+    * session starts when the gap to the previous event exceeds `gapMs`.
+    * One shuffle on user_id (window partition); the cumulative-sum session
+    * index and the session aggregation reuse that partitioning.
+    */
+  def batchSessions(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ms = unix_millis(col("ts"))
+    val prev = lag(ms, 1).over(byUser)
+    val isNew = when(prev.isNull || ms - prev > gapMs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ----------------------------------------------------- streaming state
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
+  final case class UserSession(user_id: Long, start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** Streaming sessionization via `mapGroupsWithState`: per-user state
+    * carries (session start, last event, count) across micro-batches; a
+    * gap larger than `gapMs` rolls the session. Emits the CURRENT session
+    * per user per batch (Update mode semantics).
+    */
+  def streamingSessions(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    val f: (Long, Iterator[Event], GroupState[SessionState]) => UserSession =
+      (userId, it, state) => {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          st =
+            if (st.startMs < 0 || t - st.lastMs > gapMs) SessionState(t, t, 1L)
+            else SessionState(st.startMs, math.max(st.lastMs, t), st.nEvents + 1L)
+        }
+        state.update(st)
+        UserSession(userId, st.startMs, st.lastMs, st.nEvents)
+      }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(f)(
+        Encoders.product[SessionState], Encoders.product[UserSession])
+  }
+
+  /** File-based streaming source with the events schema (the streaming
+    * entry point for directory-fed deployments).
+    */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming sink shorthand: append to parquet with a checkpoint. */
+  def writeEventStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint).start()
+}
