@@ -20,9 +20,13 @@ object SparkEntry {
       (StreamingQueries.queries, StreamingQueries.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The Train List reader is the engine's richest chain: all-string read →
+    * coercion → mandatory split → broadcast dim join → rollover/service
+    * derives → min-per-ticket enrichment → rename.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
+    ReaderQueries.queries("q23_trainlist_reader")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
