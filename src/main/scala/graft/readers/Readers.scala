@@ -42,7 +42,15 @@ object ReportReader {
         case ColKind.Str => x
       }).as(spec.source)
     }
-    raw.select(prjs ++ internals(raw): _*)
+    // Struct barrier (single-element explode → Generate): the mandatory-
+    // null filter AND the downstream projection both consume the coerced
+    // columns; without the barrier Catalyst evaluates every try-parse
+    // twice (once in the Filter, once in the Project). Materializing the
+    // coerced row once costs a row copy; re-parsing costs a format parse
+    // per timestamp column per consumer. The P2 filter never pushed to
+    // the scan anyway (it tests parse results, not source bytes).
+    raw.withColumn("__c", explode(array(struct(prjs: _*))))
+      .select(col("__c.*") +: internals(raw): _*)
   }
 
   def cleanAndSplit(raw: DataFrame, schema: ReportSchema): (DataFrame, DataFrame) =
