@@ -83,11 +83,22 @@ class PipelineSpec extends SparkSuite {
     assert(occ.kept.select("ticket_reserved").as[String].collect().toSeq === Seq("7"))
     assert(occ.duplicates.count() === 1)
     assert(occ.rejects.count() === 1)
-    // side channels written (gzip csv directories)
+    // side channels written (gzip csv directories) with the right content
     val exported = new java.io.File(out).listFiles().map(_.getName).toSet
     assert(exported.exists(_.contains("error rows")))
     assert(exported.exists(_.contains("duplicates")))
     assert(exported.exists(_.contains("data exported")))
+    def readBack(channel: String) =
+      spark.read.option("header", "true")
+        .csv(s"$out/${Schemas.occupancy.name} $channel 20240101T000000")
+    val dupRows = readBack("duplicates")
+    assert(dupRows.count() === 1)
+    assert(dupRows.select("ticket_reserved").as[String].head() === "5")
+    val snap = readBack("data exported")
+    assert(snap.count() === 1)
+    assert(snap.select("ticket_reserved").as[String].head() === "7")
+    val errs = readBack("error rows")
+    assert(errs.count() === 1)
   }
 
   test("readers: column counts and reject capture per schema") {
