@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions for the scale-critical queries: these
+  * fail if a future change regresses a broadcast into a shuffle, loses a
+  * scan-level pushdown, or lets a join degrade to all-pairs.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "expected scan-level pushed filters")
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      "expected the shipdate predicate at the scan")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "expected a pruned read schema")
+  }
+
+  test("q06: dimension join is broadcast, not shuffled") {
+    val p = plan("q06_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+  }
+
+  test("q07: missing-key probe anti-joins a pre-distinct probe side") {
+    val p = plan("q07_missing_keys")
+    assert(p.contains("LeftAnti"), "expected an anti-join")
+    assert(p.contains("HashAggregate"), "expected distinct before the join")
+  }
+
+  test("q08: first-timestamp enrichment uses a semi-join before the aggregation") {
+    val p = plan("q08_first_ts_enrich")
+    assert(p.contains("LeftSemi"), "history must be restricted by semi-join")
+  }
+
+  test("q35/q36: ANN joins broadcast the query side; no nested-loop explosion beyond the intended cross") {
+    val p = plan("q36_ann_bucketed")
+    assert(p.contains("BroadcastHashJoin"), "bucketed ANN must broadcast queries on the bucket key")
+    assert(!p.contains("CartesianProduct"), "bucketed ANN must not be all-pairs")
+  }
+
+  test("q11: keep-last dedup is a single partitioned window (no global sort)") {
+    val p = plan("q11_keeplast_dedup")
+    assert(p.contains("Window"), "expected a window")
+    assert(!p.contains("Sort [") || !p.contains("global=true"),
+      "dedup must not require a global sort")
+  }
+}

@@ -101,6 +101,38 @@ class PipelineSpec extends SparkSuite {
     assert(errs.count() === 1)
   }
 
+  test("pipeline run: TL path with dims; missing train number isolates the file") {
+    val in = tmpDir("graft-tl-in")
+    val out = tmpDir("graft-tl-out")
+    def tlRow(dep: String, train: String, ticket: String): String = {
+      val h = Schemas.trainList.header
+      val m = Map("Departure Date" -> dep, "Train Number" -> train, "Ticket Number" -> ticket)
+      h.map(c => m.getOrElse(c, "1")).mkString(",")
+    }
+    val header = Schemas.trainList.header.mkString(",")
+    // file A: train T1 exists in the dim
+    Files.writeString(Paths.get(s"$in/a.csv"),
+      (Seq(header) :+ tlRow("2024-01-01 10:00:00", "T1", "tk1")).mkString("\n"))
+    // file B: train T9 missing from the dim → input isolated as an error
+    Files.writeString(Paths.get(s"$in/b.csv"),
+      (Seq(header) :+ tlRow("2024-01-02 10:00:00", "T9", "tk2")).mkString("\n"))
+    val hours = Seq(("T1", "09:30:00")).toDF("train_number", "departure_time")
+    val hist = Seq(("tk1", java.sql.Timestamp.valueOf("2024-01-01 08:00:00")))
+      .toDF("ticket_number", "operation_date_time")
+    val res = Pipeline.run(spark, in, out, "20240101T000000", hours, hist)
+    assert(res.errors.map(_.path) === Seq(s"$in/b.csv"))
+    assert(res.errors.head.message.contains("T9"))
+    val tl = res.results.find(_.report == ReportType.TrainList).get
+    val kept = tl.kept.collect()
+    assert(kept.length === 1)
+    val row = tl.kept.select("ticket_number", "train_hour", "train_key",
+      "operation_date").head()
+    assert(row.getString(0) === "tk1")
+    assert(row.getString(1) === "09:30")
+    assert(row.getString(2) === "2024-01-01 - T1 - 1") // OD filler "1"
+    assert(row.getString(3) === "2024-01-01")
+  }
+
   test("readers: column counts and reject capture per schema") {
     import graft.readers.ReportReader
     // Occupancy: 24 source cols → 26 output
