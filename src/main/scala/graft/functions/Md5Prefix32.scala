@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the first 32 bits of md5(input) as an
+  * unsigned long — value-identical to
+  * `conv(substring(md5(s), 1, 8), 16, 10) :: long` (the portable hash the
+  * DuckDB oracles compute), but with no hex-string round trip: the
+  * built-in chain allocates a 32-char hex string, substrings it, and
+  * parses base-16 per call; this computes straight from the digest bytes
+  * with a thread-local MessageDigest.
+  *
+  * This is the engine's (b)-tier extension point (SURVEY §7.3): a scalar
+  * hot enough to justify bypassing built-ins — it runs once per shingle ×
+  * corpus in MinHash dedup — while everything else in the engine stays on
+  * built-in expressions. Codegen participates in whole-stage codegen via
+  * [[doGenCode]].
+  */
+case class Md5Prefix32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix32 requires a string input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix32.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix32$$.MODULE$$.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+}
+
+object Md5Prefix32 {
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 digest bytes, big-endian, as an unsigned 32-bit value in a
+    * long — equal to parsing the first 8 hex characters of the md5 string.
+    */
+  def hash(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Column wrapper for DataFrame-API use. */
+  def apply(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      Md5Prefix32(org.apache.spark.sql.GraftBridge.expression(c)))
+}
+
+/** SparkSessionExtensions entry point: register the engine's native
+  * functions for SQL use (`--conf spark.sql.extensions=graft.functions.GraftExtensions`),
+  * or install into an existing session with [[GraftExtensions.install]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
+}
+
+object GraftExtensions {
+  private[functions] val md5Prefix32Descriptor =
+    (new FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      (children: Seq[Expression]) => Md5Prefix32(children.head))
+
+  /** Idempotent registration on a live session (for sessions not built
+    * with the extensions conf).
+    */
+  def install(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      md5Prefix32Descriptor._1, md5Prefix32Descriptor._2, md5Prefix32Descriptor._3)
+}

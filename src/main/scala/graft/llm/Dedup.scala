@@ -40,9 +40,11 @@ object Dedup {
   def seedA(j: Int): Long = 131L + 2L * j * 1009L
   def seedB(j: Int): Long = 7L + 4409L * j
 
-  /** Portable 32-bit string hash: first 8 hex digits of md5. */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** Portable 32-bit string hash: first 8 hex digits of md5 — computed by
+    * the native [[graft.functions.Md5Prefix32]] expression (value-identical
+    * to `conv(substring(md5(c),1,8),16,10)::long`, no hex round trip).
+    */
+  def hash32(c: Column): Column = graft.functions.Md5Prefix32(c)
 
   /** Word k-shingles of a token array (documents shorter than k tokens
     * collapse to a single whole-text shingle). `toks` should be a

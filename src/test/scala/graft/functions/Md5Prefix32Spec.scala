@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSuite
+
+class Md5Prefix32Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("native md5_prefix32 equals the portable built-in chain on generated strings") {
+    val gen = Gen.listOfN(400, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.listOfN(8, Gen.oneOf("shingle", "word", "é", "汉", " ", "-")).map(_.mkString)))
+    val cases = gen.apply(Gen.Parameters.default, Seed(7L)).get.map(Option(_).getOrElse(""))
+    val df = cases.toDF("s")
+    val rows = df.select(
+      Md5Prefix32(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("portable"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("md5_prefix32 registers as a SQL function via GraftExtensions.install") {
+    GraftExtensions.install(spark)
+    val got = spark.sql("SELECT md5_prefix32('abc') AS h").as[Long].head()
+    val want = spark.sql("SELECT CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS h")
+      .as[Long].head()
+    assert(got === want)
+  }
+
+  test("md5_prefix32 is null-safe and rejects non-string input") {
+    val r = Seq[Option[String]](Some("x"), None).toDF("s")
+      .select(Md5Prefix32(col("s"))).collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(Md5Prefix32(col("n"))).collect()
+    }
+  }
+}
