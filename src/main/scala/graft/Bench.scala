@@ -26,11 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warmup: every query once (untimed).
-    names.foreach { n =>
-      try run(SparkEntry.queries(n)(spark, sfDir)) catch { case _: Throwable => () }
-    }
+    // Per-query warmup immediately before its timed run: a single global
+    // warmup pass lets the codegen cache evict earlier plans while later
+    // ones warm, re-billing Janino compilation (data-size-independent)
+    // to the timed pass.
     val results = names.map { name =>
+      try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
