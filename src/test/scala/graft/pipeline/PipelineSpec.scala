@@ -176,6 +176,32 @@ class PipelineSpec extends SparkSuite {
     assert(r.good.select("penalty_tariff").as[Double].head() === 200 * 1.15)
   }
 
+  test("Main.run: full control loop — gate, load, archive, exit code") {
+    val in = tmpDir("graft-main-in")
+    val exp = tmpDir("graft-main-exp")
+    val tgt = tmpDir("graft-main-tgt")
+    val arc = tmpDir("graft-main-arc")
+    Files.writeString(Paths.get(s"$in/good.csv"), occCsv(Seq(
+      occRow("2024-01-01 00:00:00", "AB", "T1", "C1", "5", "q1"),
+      occRow("2024-01-02 00:00:00", "CD", "T2", "C2", "6", "q2")), junkRows = 0))
+    Files.writeString(Paths.get(s"$in/junk.csv"), "not,a,report\n1,2,3")
+
+    val code = Main.run(spark, in, exp, tgt, arc,
+      spark.emptyDataFrame, spark.emptyDataFrame, s"$tgt/version_control.txt")
+    // junk.csv is unclassified → recorded error → nonzero exit
+    assert(code === 1)
+    // good file loaded into the partitioned target
+    val loaded = spark.read.parquet(s"$tgt/occupancy")
+    assert(loaded.count() === 2)
+    assert(loaded.columns.contains("date"))
+    // audit rows: one per loaded day
+    assert(spark.read.parquet(s"$tgt/audit").count() === 2)
+    // processed input archived, failed one left in place
+    assert(!Files.exists(Paths.get(s"$in/good.csv")))
+    assert(Files.exists(Paths.get(s"$arc/good.csv")))
+    assert(Files.exists(Paths.get(s"$in/junk.csv")))
+  }
+
   test("K4-K6: partition-overwrite load is idempotent and audits per day") {
     val target = tmpDir("graft-sink")
     val audit = tmpDir("graft-audit")
