@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators: salting for hot keys.
+  *
+  * AQE's skew handling (enabled in GraftSession) splits oversized
+  * shuffle partitions at runtime; salting is the plan-level complement
+  * for *known* hot keys — it bounds the per-task share of a hot key
+  * before the shuffle happens, which AQE cannot do for a single giant
+  * key group feeding an aggregation.
+  */
+object Skew {
+
+  sealed trait SaltedAgg { def out: String }
+  final case class SaltedSum(col: String, out: String) extends SaltedAgg
+  final case class SaltedCount(out: String) extends SaltedAgg
+  final case class SaltedMin(col: String, out: String) extends SaltedAgg
+  final case class SaltedMax(col: String, out: String) extends SaltedAgg
+
+  /** Two-phase salted aggregation for decomposable aggregates: phase 1
+    * groups by (keys, salt) — a hot key spreads across `numSalts`
+    * partial groups — phase 2 merges partials by keys. The salt values
+    * do not affect the result (sum of partial sums, min of partial
+    * mins, …), so any salt assignment is correct; `rand(seed)` spreads
+    * rows uniformly.
+    *
+    * Note Spark's own hash aggregation already does map-side partial
+    * aggregation, which handles most skew; explicit salting matters
+    * when the *merge* of one key's partials still overloads a reducer
+    * (e.g. huge per-key state) or for sort-based fallbacks.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
+      numSalts: Int = 16, seed: Long = 42L): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(seed) * numSalts).cast("int"))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head match {
+        case SaltedSum(c, o)  => sum(col(c)).as(o)
+        case SaltedCount(o)   => count(lit(1)).as(o)
+        case SaltedMin(c, o)  => min(col(c)).as(o)
+        case SaltedMax(c, o)  => max(col(c)).as(o)
+      }, aggs.tail.map {
+        case SaltedSum(c, o)  => sum(col(c)).as(o)
+        case SaltedCount(o)   => count(lit(1)).as(o)
+        case SaltedMin(c, o)  => min(col(c)).as(o)
+        case SaltedMax(c, o)  => max(col(c)).as(o)
+      }: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(merge(aggs.head), aggs.tail.map(merge): _*)
+  }
+
+  private def merge(a: SaltedAgg): Column = a match {
+    case SaltedSum(_, o)  => sum(col(o)).as(o)
+    case SaltedCount(o)   => sum(col(o)).as(o)
+    case SaltedMin(_, o)  => min(col(o)).as(o)
+    case SaltedMax(_, o)  => max(col(o)).as(o)
+  }
+
+  /** Salted equi-join for a skewed probe side against a modest build
+    * side: the build side is replicated `numSalts` times (one copy per
+    * salt value), the probe side gets a uniform salt, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `numSalts`
+    * reducers instead of one. Build-side cost: ×numSalts rows — use
+    * only when the build side is small enough to replicate but too big
+    * (or too row-multiplying) to broadcast.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      numSalts: Int = 16, joinType: String = "inner", seed: Long = 42L): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt", (rand(seed) * numSalts).cast("int"))
+    val saltedBuild = build.withColumn("__salt",
+      explode(array((0 until numSalts).map(lit): _*)))
+    saltedProbe.join(saltedBuild, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -205,7 +205,20 @@ object Relational {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .limit(10))
+        .limit(10)),
+
+    // Skew salting — two-phase salted aggregation; the oracle computes the
+    // plain group-by, proving the result is salt-independent.
+    "q27_salted_agg" -> ((s, dir) => {
+      import graft.operators.Skew
+      val li = Tables.lineitem(s, dir)
+        .withColumn("qty_cents", cents(col("l_quantity")))
+      Skew.saltedAggregate(li, Seq("l_returnflag"),
+        Seq(Skew.SaltedSum("qty_cents", "sum_qty_cents"),
+          Skew.SaltedCount("n_rows"),
+          Skew.SaltedMin("l_orderkey", "min_key"),
+          Skew.SaltedMax("l_orderkey", "max_key")))
+    })
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -361,6 +374,14 @@ object Relational {
 
     "q20_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q27_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -84,6 +84,32 @@ class OperatorSpec extends SparkSuite {
     assert(r.length === 1 && r(0).getInt(2) === 1)
   }
 
+  // ------------------------------------------------------------------- Skew
+
+  test("salting: salted aggregate equals plain aggregate (skewed input)") {
+    // 90% of rows share one hot key
+    val rows = (0 until 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong))
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, Seq("k"),
+      Seq(Skew.SaltedSum("v", "s"), Skew.SaltedCount("n"),
+        Skew.SaltedMin("v", "mn"), Skew.SaltedMax("v", "mx")), numSalts = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(salted === plain)
+  }
+
+  test("salting: salted join equals plain join (skewed probe)") {
+    val probe = (0 until 1000).map(i => (if (i % 5 == 0) i % 20 else 7, i)).toDF("k", "p")
+    val build = (0 until 20).map(i => (i, s"b$i")).toDF("k", "b")
+    val salted = Skew.saltedJoin(probe, build, "k", numSalts = 4)
+      .select("k", "p", "b").collect().map(_.toSeq).toSet
+    val plain = probe.join(build, Seq("k")).select("k", "p", "b")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
   // --------------------------------------------------------------- Cleaning
 
   test("P4: emptyToNull nulls exactly \"\" and \" \" — no trim") {
