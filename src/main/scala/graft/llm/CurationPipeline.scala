@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline: exact dedup → near-dup
+  * removal → quality/language gate. This is the shape a 100 TB curation
+  * job runs; each stage is the already-verified operator, chained:
+  *
+  *  1. exact dedup FIRST — identical documents collapse to the minimum-id
+  *     canonical before LSH, which also removes the pathological
+  *     identical-doc buckets from the band join (SCALE.md);
+  *  2. MinHash-LSH near-dup pairs over the canonicals; of each verified
+  *     pair the higher id drops (transitively: any doc that is the
+  *     higher side of ANY pair drops);
+  *  3. per-document quality gate (token count + stopword evidence) and
+  *     language filter.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      shingleK: Int = 3,
+      numSig: Int = 12,
+      bandRows: Int = 2,
+      minJacNum: Int = 1,
+      minJacDen: Int = 2,
+      keepLang: String = "en")
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup: keep the canonical (min id) of each content group.
+    val canon = Dedup.exactDupGroups(docs, idCol, textCol)
+      .filter(col(idCol) === col("canonical_id"))
+      .select(col(idCol), col(textCol))
+
+    // 2. near-dup removal: drop the higher id of every verified pair.
+    val pairs = Dedup.nearDupPairs(canon, idCol, textCol,
+      cfg.shingleK, cfg.numSig, cfg.bandRows, cfg.minJacNum, cfg.minJacDen)
+    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    val kept = canon.join(dropIds, Seq(idCol), "left_anti")
+
+    // 3. quality + language gate over materialized tokens.
+    val withToks = Dedup.once(kept, "__toks", TextAnalysis.tokens(col(textCol)))
+    val nToks: Column = TextAnalysis.tokenCount(col("__toks"))
+    val nStop: Column = TextAnalysis.stopwordCount(col("__toks"), TextAnalysis.EnStop)
+    withToks
+      .filter(TextAnalysis.isQuality(nToks, nStop) &&
+        TextAnalysis.langGuess(col("__toks")) === cfg.keepLang)
+      .select(col(idCol), nToks.as("n_tokens"),
+        TextAnalysis.langGuess(col("__toks")).as("lang_guess"))
+  }
+}

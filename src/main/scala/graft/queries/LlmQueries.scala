@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` tables, each with a
@@ -109,6 +109,20 @@ object LlmQueries {
       Similarity.bucketedTopK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         col("vec_id") % 50 === 0, 3)),
 
+    // The composed curation pipeline: exact dedup -> LSH near-dup removal
+    // -> quality/language gate, over a corpus with BOTH kinds of injected
+    // duplicates.
+    "q39_curation_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text")))
+      CurationPipeline.curate(corpus, "doc_id", "text")
+    }),
+
     // Embedding-cosine near-dup: bucketed (by label) pairs at cos >= 19/20,
     // decided by integer cross-multiplication on quantized vectors; corpus
     // has injected exact-copy embeddings (every 25th vector).
@@ -139,6 +153,27 @@ object LlmQueries {
     s"SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS bv FROM sg"
   }.mkString("\nUNION ALL\n")
 
+  /** The t→sg→bands→cand→pairs CTE chain of the LSH near-dup spec, reading
+    * doc_id/text from `sourceRel` — shared by q32 and the q39 composite.
+    */
+  private def lshChainSql(sourceRel: String): String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $sourceRel),
+       |s0 AS (SELECT doc_id, $shSetSql AS sh FROM t),
+       |sg AS (SELECT doc_id, sh,
+       |  $sigSelect
+       |FROM s0),
+       |bands AS (
+       |$bandsSql),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+       |FROM cand
+       |JOIN sg sa ON cand.id_a = sa.doc_id
+       |JOIN sg sb ON cand.id_b = sb.doc_id)""".stripMargin
+
   private val simhashW =
     (0 until 16).map(b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS w$b")
@@ -166,24 +201,8 @@ object LlmQueries {
 
     "q32_lsh_neardup_pairs" ->
       s"""WITH corpus AS ($corpusSql),
-         |t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM corpus),
-         |s0 AS (SELECT doc_id, $shSetSql AS sh FROM t),
-         |sg AS (SELECT doc_id, sh,
-         |  $sigSelect
-         |FROM s0),
-         |bands AS (
-         |$bandsSql),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-         |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
-         |FROM cand
-         |JOIN sg sa ON cand.id_a = sa.doc_id
-         |JOIN sg sb ON cand.id_b = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
-         |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)""".stripMargin,
+         |${lshChainSql("corpus")}
+         |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
 
     "q33_text_stats" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
@@ -239,6 +258,34 @@ object LlmQueries {
          |             neighbor_id ASC) AS rank
          |  FROM j)
          |WHERE rank <= 3""".stripMargin,
+
+    "q39_curation_pipeline" -> {
+      val langCase =
+        s"""CASE WHEN len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)}))
+           |      AND len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)})) THEN 'en'
+           |     WHEN len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)})) >= len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)})) THEN 'fr'
+           |     ELSE 'de' END""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ex AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM corpus),
+         |kept AS (SELECT doc_id, text FROM ex WHERE doc_id = canon),
+         |${lshChainSql("kept")},
+         |dropped AS (SELECT DISTINCT id_b FROM pairs WHERE inter * 2 >= uni),
+         |surv AS (SELECT k.doc_id, k.text FROM kept k
+         |  LEFT JOIN dropped d ON k.doc_id = d.id_b WHERE d.id_b IS NULL),
+         |st AS (SELECT doc_id, ${toksSql("text")} AS toks FROM surv)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  $langCase AS lang_guess
+         |FROM st
+         |WHERE len(toks) >= 5 AND len(toks) <= 5000
+         |  AND len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= 1
+         |  AND $langCase = 'en'""".stripMargin
+    },
 
     "q38_cosine_neardup" ->
       s"""WITH corpus AS (

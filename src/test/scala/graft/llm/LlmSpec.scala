@@ -98,6 +98,22 @@ class LlmSpec extends SparkSuite {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("curation pipeline: exact dup collapses, near-dup higher id drops, non-en and junk filtered") {
+    val corpus = docs.unionByName(Seq(
+      (6L, "zz qq xx"), // too short + no stopwords → quality-filtered
+      (7L, docs.filter(col("doc_id") === 3).select("text").as[String].head())) // exact dup of 3
+      .toDF("doc_id", "text"))
+    val out = CurationPipeline.curate(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(1L))   // canonical of exact group {1,4}
+    assert(!out.contains(4L))  // exact dup of 1
+    assert(!out.contains(2L))  // near-dup of 1, higher id
+    assert(out.contains(3L))   // unique en doc survives; its dup 7 dropped
+    assert(!out.contains(7L))
+    assert(!out.contains(5L))  // french → language gate
+    assert(!out.contains(6L))  // junk → quality gate
+  }
+
   test("multimodal: partition-batched extraction is deterministic with fixed feature shape") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
