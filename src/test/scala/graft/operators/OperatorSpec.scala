@@ -84,6 +84,35 @@ class OperatorSpec extends SparkSuite {
     assert(r.length === 1 && r(0).getInt(2) === 1)
   }
 
+  // --------------------------------------------------------------- Sketches
+
+  test("HLL distinct count lands within the documented error bound") {
+    val df = (0 until 20000).map(i => (s"g${i % 4}", i % 3000)).toDF("g", "v")
+    val approx = Sketches.approxDistinct(df, Seq("g"), "v", rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, e) =>
+      assert(math.abs(approx(g) - e) <= e * 0.15, s"group $g: approx ${approx(g)} vs exact $e")
+    }
+  }
+
+  test("approx quantiles bracket the exact quantiles") {
+    val df = (1 to 10001).map(_.toDouble).toDF("v")
+    val qs = df.select(Sketches.approxQuantiles(df, "v", Seq(0.1, 0.5, 0.9)))
+      .head().getSeq[Double](0)
+    assert(math.abs(qs(0) - 1000) < 50)
+    assert(math.abs(qs(1) - 5000) < 50)
+    assert(math.abs(qs(2) - 9000) < 50)
+  }
+
+  test("heavy hitters returns exactly the keys above the support threshold") {
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (0 until 15).map(i => s"cold$i")
+    val hh = Sketches.heavyHitters(rows.toDF("k"), "k", minSupport = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("hot", 60L), ("warm", 25L)))
+  }
+
   // ------------------------------------------------------------------- Skew
 
   test("salting: salted aggregate equals plain aggregate (skewed input)") {
