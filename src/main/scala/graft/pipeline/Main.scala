@@ -19,11 +19,24 @@ import graft.sinks.PartitionOverwriteSink
 object Main {
   val EngineVersion = 1.0
 
-  /** Date column used for the partition-overwrite load, per report. */
+  /** Date column used for the partition-overwrite load, per report. BPD
+    * has no date-typed output column — the reference keys its per-day
+    * deletes on `to_char(operation_date_time, 'yyyy-mm-dd')`
+    * (`reports_exporter_v0.83.py:1421-1434`); the file-sink analog derives
+    * the day from the minute-text timestamp and partition-overwrites it.
+    */
   private def loadDateColumn(report: ReportType): Option[String] = report match {
     case ReportType.TrainList      => Some("departure_date_short")
     case ReportType.Occupancy      => Some("date")
-    case ReportType.BookingPayment => None // per-day deletes keyed on op ts; file sink appends
+    case ReportType.BookingPayment => Some("__op_day")
+  }
+
+  private def withLoadColumns(report: ReportType, df: DataFrame): DataFrame = report match {
+    case ReportType.BookingPayment =>
+      df.withColumn("__op_day",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("operation_date_time"), 1, 10))
+    case _ => df
   }
 
   def run(spark: SparkSession, inputDir: String, exportDir: String, targetDir: String,
@@ -46,21 +59,17 @@ object Main {
 
     res.results.foreach { r =>
       val name = r.report.schema.name
-      loadDateColumn(r.report) match {
-        case Some(dateCol) =>
-          try {
-            val report = PartitionOverwriteSink.load(spark, r.kept, dateCol,
-              s"$targetDir/${name.replace(' ', '_').toLowerCase}",
-              s"$targetDir/audit", name, ctx.runStamp)
-            if (report.gaps > 0)
-              errors.record("load", s"$name: ${report.gaps} gap(s) between date streaks")
-          } catch {
-            case e: Exception => errors.record("load", s"$name: ${e.getMessage}")
-          }
-        case None =>
-          try r.kept.write.mode("append")
-            .parquet(s"$targetDir/${name.replace(' ', '_').toLowerCase}")
-          catch { case e: Exception => errors.record("load", s"$name: ${e.getMessage}") }
+      loadDateColumn(r.report).foreach { dateCol =>
+        try {
+          val report = PartitionOverwriteSink.load(spark,
+            withLoadColumns(r.report, r.kept), dateCol,
+            s"$targetDir/${name.replace(' ', '_').toLowerCase}",
+            s"$targetDir/audit", name, ctx.runStamp)
+          if (report.gaps > 0)
+            errors.record("load", s"$name: ${report.gaps} gap(s) between date streaks")
+        } catch {
+          case e: Exception => errors.record("load", s"$name: ${e.getMessage}")
+        }
       }
     }
 
