@@ -101,6 +101,24 @@ class PipelineSpec extends SparkSuite {
     assert(errs.count() === 1)
   }
 
+  test("pipeline run: equal sort keys across files — later input wins (pandas stable keep-last parity)") {
+    val in = tmpDir("graft-tie-in")
+    val out = tmpDir("graft-tie-out")
+    // same dedup key AND same sort keys; only a non-key cell differs
+    def row(origin: String) =
+      (0 until 24).map(i => Map(0 -> "2024-01-01 00:00:00", 1 -> "AB", 5 -> "T1", 6 -> "C1",
+        14 -> "5", 8 -> "q", 2 -> origin).getOrElse(i, "1")).mkString(",")
+    val header = Schemas.occupancy.header.mkString(",")
+    Files.writeString(Paths.get(s"$in/a.csv"), (Seq(header) :+ row("fromA")).mkString("\n"))
+    Files.writeString(Paths.get(s"$in/b.csv"), (Seq(header) :+ row("fromB")).mkString("\n"))
+    val res = Pipeline.run(spark, in, out, "20240101T000000",
+      spark.emptyDataFrame, spark.emptyDataFrame)
+    val occ = res.results.find(_.report == ReportType.Occupancy).get
+    // files are discovered sorted (a, b) → b is the later input → keep-last keeps b
+    assert(occ.kept.select("origin_station").as[String].collect().toSeq === Seq("fromB"))
+    assert(occ.duplicates.select("origin_station").as[String].collect().toSeq === Seq("fromA"))
+  }
+
   test("pipeline run: TL path with dims; missing train number isolates the file") {
     val in = tmpDir("graft-tl-in")
     val out = tmpDir("graft-tl-out")
