@@ -73,10 +73,13 @@ object Main {
       }
     }
 
-    // Archive only inputs that were read successfully (failed inputs stay
-    // for the next run, as in the reference).
-    val failed = res.errors.map(_.path).toSet ++ res.unclassified
-    val processed = Pipeline.discover(inputDir).filterNot(failed)
+    // Archive only inputs whose every unit was read successfully (failed
+    // inputs stay for the next run, as in the reference). Error paths may
+    // name a sheet ("file.xlsx#sheet2") — the whole workbook stays.
+    val failed = (res.errors.map(_.path) ++ res.unclassified)
+      .map(_.takeWhile(_ != '#')).toSet
+    val processed = (Pipeline.discover(inputDir, ".csv") ++
+      Pipeline.discover(inputDir, ".xlsx")).filterNot(failed)
     try Archival.archive(processed, archiveDir)
     catch { case e: Exception => errors.record("archive", String.valueOf(e.getMessage)) }
 

@@ -38,6 +38,14 @@ object Pipeline {
     def errorsFound: Boolean = errors.nonEmpty
   }
 
+  /** One classified input unit: a CSV file, or one sheet of an xlsx
+    * workbook (S2 — sheet enumeration makes (file, sheet) the unit).
+    */
+  final case class ClassifiedInput(path: String, sheet: Option[Int], headerIdx: Int,
+      report: ReportType) {
+    def display: String = sheet.fold(path)(i => s"$path#sheet$i")
+  }
+
   /** S1 — enumerate candidate input files (driver-side, like the
     * reference's `os.listdir`).
     */
@@ -47,14 +55,49 @@ object Pipeline {
       .map(_.getPath).sorted.toIndexedSeq
   }
 
+  /** S2-S4 — classify every input unit in a directory: CSV files whole,
+    * xlsx workbooks per sheet. Returns (classified, unclassified-display).
+    */
+  def classifyAll(spark: SparkSession, inputDir: String)
+      : (Seq[ClassifiedInput], Seq[String]) = {
+    val csv = discover(inputDir, ".csv").map { p =>
+      (HeaderSniffer.classifyCsv(spark, p) match {
+        case Some((idx, rep)) => Right(ClassifiedInput(p, None, idx, rep))
+        case None             => Left(p)
+      })
+    }
+    val xlsx = discover(inputDir, ".xlsx").flatMap { p =>
+      val sheets = try graft.sources.Xlsx.sheetNames(p).indices.toSeq
+        catch { case _: Exception => Seq.empty }
+      if (sheets.isEmpty) Seq(Left(p))
+      else sheets.map { i =>
+        val rows = try graft.sources.Xlsx.readSheet(p, i, HeaderSniffer.SniffRows)
+          catch { case _: Exception => Seq.empty }
+        HeaderSniffer.classify(rows) match {
+          case Some((idx, rep)) => Right(ClassifiedInput(p, Some(i), idx, rep))
+          case None             => Left(s"$p#sheet$i")
+        }
+      }
+    }
+    val all = csv ++ xlsx
+    (all.collect { case Right(c) => c }, all.collect { case Left(p) => p })
+  }
+
   /** C2 — dispatch one classified input to its reader. Any throw is
     * captured (C3) and the input skipped.
     */
-  def readInput(spark: SparkSession, path: String, headerIdx: Int, report: ReportType,
+  def readInput(spark: SparkSession, input: ClassifiedInput,
       fileOrd: Int, trainHours: => DataFrame, history: => DataFrame)
       : Either[InputError, ReaderOutput] =
     try {
-      val raw = HeaderSniffer.readClassified(spark, path, headerIdx, report)
+      val path = input.path
+      val report = input.report
+      val base = input.sheet match {
+        case Some(si) => graft.sources.Xlsx.readClassified(spark, path, si,
+          input.headerIdx, report.schema)
+        case None => HeaderSniffer.readClassified(spark, path, input.headerIdx, report)
+      }
+      val raw = base
         // D1 input-order tiebreaker (SURVEY §7.4 risk 1): file ordinal +
         // per-file row id reproduce pandas' stable keep-last across a batch.
         .withColumn("__file_ord", lit(fileOrd))
@@ -64,33 +107,32 @@ object Pipeline {
           val r = TrainListReader(raw, trainHours, history)
           if (!r.missingTrainNumbers.isEmpty) {
             val missing = r.missingTrainNumbers.limit(20).collect().map(_.get(0)).mkString(", ")
-            Left(InputError(path, s"train numbers missing from departure times: $missing"))
+            Left(InputError(input.display, s"train numbers missing from departure times: $missing"))
           } else Right(ReaderOutput(r.good, r.rejects))
         case ReportType.Occupancy      => Right(OccupancyReader(raw))
         case ReportType.BookingPayment => Right(BookingPaymentReader(raw))
       }
     } catch {
-      case e: Exception => Left(InputError(path, String.valueOf(e.getMessage)))
+      case e: Exception => Left(InputError(input.display, String.valueOf(e.getMessage)))
     }
 
-  /** Full run over a directory of CSVs. Readers carry the tiebreaker
-    * columns through to consolidation, where the dedup window orders by
-    * (report sort keys, file ordinal, row ordinal) — exact pandas
-    * stable-sort keep-last parity — and drops them from the outputs.
+  /** Full run over a directory of inputs (CSV files and xlsx workbooks).
+    * Readers carry the tiebreaker columns through to consolidation, where
+    * the dedup window orders by (report sort keys, file ordinal, row
+    * ordinal) — exact pandas stable-sort keep-last parity — and drops
+    * them from the outputs.
     */
   def run(spark: SparkSession, inputDir: String, exportDir: String, runStamp: String,
       trainHours: => DataFrame, history: => DataFrame): RunResult = {
-    val inputs = discover(inputDir)
-    val classified = inputs.map(p => p -> HeaderSniffer.classifyCsv(spark, p))
-    val unclassified = classified.collect { case (p, None) => p }
+    val (classified, unclassified) = classifyAll(spark, inputDir)
 
     val errors = Seq.newBuilder[InputError]
     val results = ReportType.all.flatMap { report =>
-      val mine = classified.collect { case (p, Some((idx, r))) if r == report => (p, idx) }
+      val mine = classified.filter(_.report == report)
       if (mine.isEmpty) None
       else {
-        val reads = mine.zipWithIndex.map { case ((p, idx), ord) =>
-          readInput(spark, p, idx, report, ord, trainHours, history)
+        val reads = mine.zipWithIndex.map { case (ci, ord) =>
+          readInput(spark, ci, ord, trainHours, history)
         }
         reads.collect { case Left(e) => e }.foreach(errors += _)
         val ok = reads.collect { case Right(o) => o }

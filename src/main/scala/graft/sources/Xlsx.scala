@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.schema.ReportSchema
+
+/** Minimal `.xlsx` reader on JDK-only primitives (zip + StAX) — no
+  * external dependency, zero-egress-safe.
+  *
+  * xlsx is a zip of XML parts: `xl/workbook.xml` lists sheets,
+  * `xl/worksheets/sheetN.xml` holds cells, `xl/sharedStrings.xml` the
+  * string pool, `xl/styles.xml` the number formats (needed to recognize
+  * date-styled numeric cells and render them the way pandas
+  * `read_excel(dtype=str)` does).
+  *
+  * Deliberately driver-side: workbook sheets are small by construction
+  * (the reference's own model is per-sheet driver read + union;
+  * `reports_exporter_v0.83.py:522-528`), and the sniff path reads at most
+  * 50 rows. Large distributed inputs use the CSV/parquet paths.
+  *
+  * Supported cell types: shared string (`t="s"`), inline string
+  * (`t="inlineStr"`), literal (`t="str"`), boolean, and numeric —
+  * numeric cells with a built-in date format id (14-22, 45-47) or a
+  * custom date-like format are rendered as "yyyy-MM-dd HH:mm:ss" from
+  * the 1900-epoch serial, everything else as the shortest round-trip
+  * decimal (integral serials render without ".0", matching pandas' str
+  * of int-valued floats is NOT attempted — the engine re-coerces anyway).
+  */
+object Xlsx {
+
+  private val factory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  final case class SheetRef(name: String, sheetId: String, rId: String)
+
+  /** Sheet names in workbook order (reference S2). */
+  def sheetNames(path: String): Seq[String] = withZip(path) { zip =>
+    val wb = zip.getInputStream(zip.getEntry("xl/workbook.xml"))
+    try {
+      val r = factory.createXMLStreamReader(wb)
+      val names = ListBuffer.empty[String]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+          names += attr(r, "name").getOrElse("")
+      }
+      names.toList
+    } finally wb.close()
+  }
+
+  /** Read one sheet as all-string rows (empty cells are null), up to
+    * `maxRows` rows. Column count = widest row unless `width` is given.
+    */
+  def readSheet(path: String, sheetIndex: Int, maxRows: Int = Int.MaxValue): Seq[Seq[String]] =
+    withZip(path) { zip =>
+      val shared = readSharedStrings(zip)
+      val dateStyles = readDateStyles(zip)
+      val entryName = s"xl/worksheets/sheet${sheetIndex + 1}.xml"
+      val entry = Option(zip.getEntry(entryName))
+        .getOrElse(throw new IllegalArgumentException(s"no sheet part $entryName in $path"))
+      val in = zip.getInputStream(entry)
+      try parseSheet(in, shared, dateStyles, maxRows)
+      finally in.close()
+    }
+
+  /** All-string DataFrame of the sheet body below `headerIdx`, with the
+    * report's schema (the xlsx analog of HeaderSniffer.readClassified).
+    */
+  def readClassified(spark: SparkSession, path: String, sheetIndex: Int,
+      headerIdx: Int, schema: ReportSchema): DataFrame = {
+    val struct = schema.allStringStruct
+    val width = struct.size
+    val body = readSheet(path, sheetIndex).drop(headerIdx + 1).map { r =>
+      Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(body.toList), struct)
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def withZip[A](path: String)(f: ZipFile => A): A = {
+    val zip = new ZipFile(path)
+    try f(zip) finally zip.close()
+  }
+
+  private def attr(r: XMLStreamReader, name: String): Option[String] = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return Some(r.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+
+  private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val e = zip.getEntry("xl/sharedStrings.xml")
+    if (e == null) return IndexedSeq.empty
+    val in = zip.getInputStream(e)
+    try {
+      val r = factory.createXMLStreamReader(in)
+      val out = ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inSi = false
+      var inT = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += sb.toString
+            case _ =>
+          }
+        case _ =>
+      }
+      out.toIndexedSeq
+    } finally in.close()
+  }
+
+  /** Style indexes (cellXfs order) whose numFmt renders as a date/time. */
+  private def readDateStyles(zip: ZipFile): Set[Int] = {
+    val e = zip.getEntry("xl/styles.xml")
+    if (e == null) return Set.empty
+    val builtinDate = (14 to 22).toSet ++ (45 to 47).toSet
+    val in = zip.getInputStream(e)
+    try {
+      val r = factory.createXMLStreamReader(in)
+      val customDate = scala.collection.mutable.Set.empty[Int]
+      val styleFmts = ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            for (id <- attr(r, "numFmtId").flatMap(_.toIntOption);
+                 code <- attr(r, "formatCode"))
+              if (code.exists("ymdhs".contains(_)) && !code.contains("#")) customDate += id
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            styleFmts += attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" => inCellXfs = false
+        case _ =>
+      }
+      styleFmts.zipWithIndex.collect {
+        case (fmt, idx) if builtinDate(fmt) || customDate(fmt) => idx
+      }.toSet
+    } finally in.close()
+  }
+
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String],
+      dateStyles: Set[Int], maxRows: Int): Seq[Seq[String]] = {
+    val r = factory.createXMLStreamReader(in)
+    val rows = ListBuffer.empty[Seq[String]]
+    var row: ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var cellStyle = -1
+    var inV = false
+    var inIs = false
+    val sb = new StringBuilder
+    while (r.hasNext && rows.size < maxRows) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => row = ArrayBuffer.empty[String]
+        case "c" if row != null =>
+          cellCol = attr(r, "r").map(colIndex).getOrElse(row.length)
+          cellType = attr(r, "t").getOrElse("n")
+          cellStyle = attr(r, "s").flatMap(_.toIntOption).getOrElse(-1)
+          sb.clear()
+        case "v" => inV = true
+        case "is" => inIs = true
+        case "t" if inIs => inV = true
+        case _ =>
+      }
+      case XMLStreamConstants.CHARACTERS if inV => sb.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "t" if inIs => inV = false
+        case "is" => inIs = false
+        case "c" if row != null =>
+          val raw = sb.toString
+          val value: String = cellType match {
+            case "s" => raw.toIntOption.flatMap(shared.lift).orNull
+            case "inlineStr" | "str" => raw
+            case "b" => if (raw == "1") "TRUE" else "FALSE"
+            case _ => // numeric
+              if (raw.isEmpty) null
+              else if (dateStyles(cellStyle)) renderDateSerial(raw)
+              else raw
+          }
+          while (row.length < cellCol) row += null
+          row += value
+          cellCol = -1
+        case "row" if row != null =>
+          rows += row.toSeq; row = null
+        case _ =>
+      }
+      case _ =>
+    }
+    rows.toList
+  }
+
+  /** "A1" → 0, "AB3" → 27. */
+  private def colIndex(ref: String): Int = {
+    var acc = 0
+    var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** Excel 1900-epoch serial → "yyyy-MM-dd HH:mm:ss" (the rendering the
+    * engine's F1 coercion expects). Serial day 0 = 1899-12-30.
+    */
+  private def renderDateSerial(raw: String): String = {
+    val serial = raw.toDouble
+    val epoch = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+    val seconds = math.round(serial * 86400.0)
+    epoch.plusSeconds(seconds)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+}

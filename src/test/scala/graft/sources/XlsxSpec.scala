@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSuite
+import graft.pipeline.Pipeline
+import graft.schema.{ReportType, Schemas}
+
+/** Builds a real (minimal, ECMA-376-conformant) xlsx in the test and
+  * drives it through the reader and the pipeline.
+  */
+class XlsxSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** One-sheet workbook: shared strings, inline strings, numerics, and a
+    * date-styled numeric cell.
+    */
+  private def writeXlsx(path: String, sheetRows: Seq[Seq[(String, String)]],
+      sharedStrings: Seq[String]): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="Report" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedStrings.size}" uniqueCount="${sharedStrings.size}">""" +
+        sharedStrings.map(s => s"<si><t>${scala.xml.Utility.escape(s)}</t></si>").mkString + "</sst>")
+    // style 0: general; style 1: built-in date format 22 (m/d/yy h:mm)
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="22"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    val body = sheetRows.zipWithIndex.map { case (cells, ri) =>
+      val cs = cells.zipWithIndex.collect { case ((t, v), ci) if v != null =>
+        val ref = s"${('A' + ci).toChar}${ri + 1}"
+        t match {
+          case "s"   => s"""<c r="$ref" t="s"><v>$v</v></c>"""
+          case "str" => s"""<c r="$ref" t="str"><v>${scala.xml.Utility.escape(v)}</v></c>"""
+          case "d"   => s"""<c r="$ref" s="1"><v>$v</v></c>"""
+          case _     => s"""<c r="$ref"><v>$v</v></c>"""
+        }
+      }.mkString
+      s"""<row r="${ri + 1}">$cs</row>"""
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  test("xlsx: shared strings, inline values, numerics, date serials, sparse cells") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val path = s"$dir/t.xlsx"
+    writeXlsx(path,
+      Seq(
+        Seq(("s", "0"), ("s", "1")),
+        // 45292.5 = 2024-01-01 12:00:00; column C skipped (sparse)
+        Seq(("str", "hello"), ("d", "45292.5"), ("n", null), ("n", "42")),
+        Seq(("n", "3.5"))),
+      sharedStrings = Seq("colA", "colB"))
+    assert(Xlsx.sheetNames(path) === Seq("Report"))
+    val rows = Xlsx.readSheet(path, 0)
+    assert(rows(0) === Seq("colA", "colB"))
+    assert(rows(1) === Seq("hello", "2024-01-01 12:00:00", null, "42"))
+    assert(rows(2) === Seq("3.5"))
+  }
+
+  test("xlsx: occupancy sheet classifies and runs through the full pipeline") {
+    val in = Files.createTempDirectory("graft-xlsx-in").toString
+    val out = Files.createTempDirectory("graft-xlsx-out").toString
+    val header = Schemas.occupancy.header
+    def dataRow(date: String, od: String): Seq[(String, String)] =
+      (0 until 24).map { i =>
+        val v = Map(0 -> date, 1 -> od, 5 -> "T1", 6 -> "C1", 14 -> "5", 8 -> "q")
+          .getOrElse(i, "1")
+        ("str", v)
+      }
+    writeXlsx(s"$in/report.xlsx",
+      Seq(Seq(("str", "junk header above")), header.map(h => ("str", h)),
+        dataRow("2024-01-01 00:00:00", "AB"),
+        dataRow("2024-01-02 00:00:00", "CD")),
+      sharedStrings = Seq.empty)
+    val res = Pipeline.run(spark, in, out, "20240101T000000",
+      spark.emptyDataFrame, spark.emptyDataFrame)
+    assert(res.errors.isEmpty && res.unclassified.isEmpty)
+    val occ = res.results.find(_.report == ReportType.Occupancy).get
+    assert(occ.kept.count() === 2)
+    assert(occ.kept.select("od").as[String].collect().toSet === Set("AB", "CD"))
+  }
+}
