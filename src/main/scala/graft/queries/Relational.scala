@@ -218,6 +218,23 @@ object Relational {
           Skew.SaltedCount("n_rows"),
           Skew.SaltedMin("l_orderkey", "min_key"),
           Skew.SaltedMax("l_orderkey", "max_key")))
+    }),
+
+    // Skew salting — salted equi-join equals the plain join (oracle).
+    "q28_salted_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("s_suppkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      Skew.saltedJoin(li, sup, "s_suppkey", numSalts = 8)
+    }),
+
+    // Heavy hitters: exact counts above a minimum-support threshold.
+    "q29_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.Sketches
+      Sketches.heavyHitters(
+        Tables.lineitem(s, dir).select((col("l_suppkey") % 13).as("bucket")),
+        "bucket", minSupport = 0.07)
     })
   )
 
@@ -382,6 +399,16 @@ object Relational {
         |  COUNT(*) AS n_rows,
         |  MIN(l_orderkey) AS min_key,
         |  MAX(l_orderkey) AS max_key
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q28_salted_join" ->
+      """SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q29_heavy_hitters" ->
+      """WITH b AS (SELECT l_suppkey % 13 AS bucket FROM lineitem),
+        |t AS (SELECT CAST(CEIL(COUNT(*) * 0.07) AS BIGINT) AS thr FROM b)
+        |SELECT bucket, COUNT(*) AS cnt FROM b
+        |GROUP BY 1 HAVING COUNT(*) >= (SELECT thr FROM t)""".stripMargin
   )
 }
