@@ -40,7 +40,7 @@ object VersionGate {
       else 0.0
     if (current < maxSeen) Decision(proceed = false, registered = false, maxSeen)
     else if (current > maxSeen && isFinal) {
-      Files.createDirectories(p.getParent)
+      Option(p.getParent).foreach(Files.createDirectories(_))
       Files.writeString(p, s"$current\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       Decision(proceed = true, registered = true, current)

@@ -22,7 +22,10 @@ object DateStreaks {
     * @return (streak_start: date, streak_end: date, n_days: int) one row per island
     */
   def apply(df: DataFrame, dateCol: String): DataFrame = {
-    val d = df.select(col(dateCol).as("d")).distinct()
+    // null dates cannot belong to any consecutive run — they would form a
+    // phantom island with null bounds (the reference's inputs are
+    // post-clean, date-mandatory; this guards the general operator).
+    val d = df.select(col(dateCol).as("d")).filter(col("d").isNotNull).distinct()
     d.withColumn("__grp", date_sub(col("d"), row_number().over(Window.orderBy(col("d")))))
       .groupBy(col("__grp"))
       .agg(

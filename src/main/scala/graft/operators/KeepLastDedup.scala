@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
 object KeepLastDedup {
 
   /** @param keys     dedup key columns (window partition)
-    * @param ordering ascending "last wins" priority — internally reversed
+    * @param ordering ascending "last wins" priority — internally reversed.
+    *   `desc_nulls_first`, not plain `desc`: pandas' ascending sort puts
+    *   NaN/NaT LAST (`na_position='last'`), so keep-last keeps the null
+    *   row when one exists — the faithful mirror of "last after
+    *   ascending-nulls-last" is "first in descending-nulls-first".
     * @return (kept, dups): kept has exactly one row per key
     */
   def apply(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): (DataFrame, DataFrame) = {
-    val w  = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(ordering.map(_.desc).toIndexedSeq: _*)
+    val w  = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(ordering.map(_.desc_nulls_first).toIndexedSeq: _*)
     val rn = df.withColumn("__rn", row_number().over(w))
     (rn.filter(col("__rn") === 1).drop("__rn"), rn.filter(col("__rn") > 1).drop("__rn"))
   }

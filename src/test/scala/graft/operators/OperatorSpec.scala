@@ -46,6 +46,16 @@ class OperatorSpec extends SparkSuite {
     assert(joined.count() === 0)
   }
 
+  test("D1: null ordering value wins — pandas ascending-nulls-last keep-last parity") {
+    val df = Seq(
+      ("k", Integer.valueOf(1), "low"),
+      ("k", Integer.valueOf(2), "high"),
+      ("k", null.asInstanceOf[Integer], "nullrow")).toDF("k", "ord", "tag")
+    val (kept, dups) = KeepLastDedup(df, Seq("k"), Seq(col("ord")))
+    assert(kept.select("tag").as[String].collect().toSeq === Seq("nullrow"))
+    assert(dups.count() === 2)
+  }
+
   test("D1: empty dedup keys handled by Consolidate as no-dedup") {
     val df = Seq((1, "a"), (1, "a")).toDF("k", "v")
     val (kept, dups) = Consolidate(Seq(df, df), Seq.empty, Seq(col("k")))
