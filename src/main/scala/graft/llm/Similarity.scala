@@ -102,21 +102,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
   }
 
-  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of projections
-    * onto fixed pseudo-random ±1 hyperplanes (plane p keeps component i
-    * when hash32(p·i-derived seed) is even). Deterministic, engine-free
-    * of RNG state; used as the `bucketCol` for [[bucketedTopK]] when no
-    * natural clustering exists.
+  /** Random-hyperplane LSH bucket id from a (pre-quantized, ideally
+    * materialized) vector: `numPlanes` sign bits of projections onto
+    * fixed deterministic ±1 hyperplanes — plane p keeps component i when
+    * `(i·(2p+3)) mod 7 < 4`. No RNG state, engine-portable.
     */
-  def lshBucket(vec: Column, numPlanes: Int = 4): Column = {
-    val q = quantize(vec)
+  def lshBucketFromQuantized(qv: Column, numPlanes: Int = 4): Column = {
     val bits = (0 until numPlanes).map { p =>
-      // ±1 pattern per (plane, index): sign = +1 iff (i*(2p+3)) % 7 < 4.
-      val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
-        (x, i) => when((i * (2 * p + 3)) % 7 < 4, x).otherwise(-x)),
+      val proj = aggregate(
+        transform(qv, (x, i) => when((i * (2 * p + 3)) % 7 < 4, x).otherwise(-x)),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
+
+  /** Convenience over a raw float vector; used as the `bucketCol` for
+    * [[bucketedTopK]] when no natural clustering exists.
+    */
+  def lshBucket(vec: Column, numPlanes: Int = 4): Column =
+    lshBucketFromQuantized(quantize(vec), numPlanes)
 }

@@ -133,6 +133,18 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(e.unionByName(copies), "vec_id", "embedding", "label", 19, 20)
     }),
 
+    // LSH-bucketed ANN: data-independent random-hyperplane buckets (no
+    // natural clustering needed) restricting the search per query.
+    "q42_ann_lsh_bucketed" -> ((s, dir) => {
+      val base = Dedup.once(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "qv", Similarity.quantize(col("embedding")))
+        .withColumn("lsh_bucket", Similarity.lshBucketFromQuantized(col("qv"), 4))
+        .select(col("vec_id"), col("embedding"), col("lsh_bucket"))
+      Similarity.bucketedTopK(base, "vec_id", "embedding", "lsh_bucket",
+        col("vec_id") % 50 === 0, 3)
+    }),
+
     // Multimodal plumbing: opaque binary payloads + metadata + head sample.
     "q37_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
@@ -300,6 +312,28 @@ object LlmQueries {
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, dot, na, nb FROM j
          |WHERE dot > 0 AND dot * dot * 400 >= na * nb * 361""".stripMargin,
+
+    "q42_ann_lsh_bucketed" -> {
+      def proj(p: Int): String =
+        s"CAST(list_sum(list_transform(v, (x, i) -> CASE WHEN ((i - 1) * ${2 * p + 3}) % 7 < 4 THEN x ELSE -x END)) AS BIGINT)"
+      val bucket = (0 until 4).map(p => s"(CASE WHEN ${proj(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, $bucket AS bucket FROM base),
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM bk WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, bucket, v AS cv FROM bk),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 3""".stripMargin
+    },
 
     "q37_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
