@@ -84,6 +84,13 @@ object EventStreams {
         Encoders.product[SessionState], Encoders.product[UserSession])
   }
 
+  /** Stream-static enrichment: join the event stream to a broadcast
+    * dimension (same shape as the batch J1; Structured Streaming executes
+    * it per micro-batch with the static side broadcast once).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** File-based streaming source with the events schema (the streaming
     * entry point for directory-fed deployments).
     */

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSuite
@@ -46,6 +47,41 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val last = spark.sql("SELECT n_events FROM sess_out").collect().map(_.getLong(0))
       assert(last.contains(1L)) // rolled session emitted with fresh count
+    } finally q.stop()
+  }
+
+  test("file stream: read parquet directory as a stream, aggregate, write with checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Seq(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:35:00", 2))
+      .toDF().write.parquet(src)
+    val stream = readEventStream(spark, src, Seq.empty[Event].toDF().schema)
+    // append-mode file sink requires a watermarked aggregation
+    val q = writeEventStream(windowedCounts(stream), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // watermark holds the open window back in append mode until more data
+    // arrives; restart with a late batch to close the first window
+    Seq(ev(3, "2024-01-01 14:00:00", 1)).toDF().write.mode("append").parquet(src)
+    val q2 = writeEventStream(windowedCounts(readEventStream(spark, src,
+      Seq.empty[Event].toDF().schema)), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.filter(col("win_start") === "2024-01-01 10:00:00")
+      .select("n_events").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("stream-static join enriches micro-batches against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 3))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, tier FROM enrich_out ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(got.toSeq === Seq((1L, Some("gold")), (3L, None)))
     } finally q.stop()
   }
 
