@@ -45,15 +45,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as
-    * a nanos long — convert to a microsecond timestamp (values are
-    * µs-precision, so no truncation loss).
+    * a nanos long — convert to a microsecond timestamp with INTEGER
+    * division (`div`): the Column `/` operator is true division through
+    * double, and ns-epoch magnitudes (~1.7e18) exceed double's 2^53
+    * integer range, silently landing some rows one microsecond off.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

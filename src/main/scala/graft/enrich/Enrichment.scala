@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
 object Enrichment {
 
   /** J1: broadcast-left-join enrichment + unmatched-key capture.
-    * @return (enriched, missingKeys) — missingKeys is the distinct set of
-    *   fact keys with no dimension match; the reference aborts when nonempty.
+    * "Missing" matches the reference's post-join null check
+    * (`reports_exporter_v0.83.py:631`): a key is missing when it has no
+    * dimension row OR when its dimension row carries a NULL probe value —
+    * both decided from the (tiny) dimension side, so the fact table never
+    * enters a shuffle.
+    * @return (enriched, missingKeys); the reference aborts when nonempty.
     */
   def broadcastLookup(fact: DataFrame, dim: DataFrame, key: String,
       probe: String): (DataFrame, DataFrame) = {
     val enriched = fact.join(broadcast(dim), Seq(key), "left")
-    (enriched, missingKeys(fact, dim, key))
+    val factKeys = fact.select(col(key)).distinct()
+    val nullProbe = factKeys.join(
+      broadcast(dim.filter(col(probe).isNull).select(col(key))), Seq(key), "left_semi")
+    val missing = missingKeys(fact, dim, key).unionByName(nullProbe).distinct()
+    (enriched, missing)
   }
 
   /** Unmatched-key probe, scale-safe shape: distinct the fact keys FIRST

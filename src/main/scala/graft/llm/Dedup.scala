@@ -102,9 +102,16 @@ object Dedup {
     * @return (id_a, id_b, inter, uni) with id_a < id_b; inter/uni are the
     *   exact intersection/union sizes of the distinct shingle-hash sets
     */
+  /** @param persistSignatures cache the signature table across its three
+    *   consumers (default). The cache lives until the session drops it
+    *   (LRU) — a long-lived service calling this repeatedly should pass
+    *   false and manage persistence of `docs` itself, or unpersist via
+    *   `spark.sharedState.cacheManager` between batches.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numSig: Int = 12, bandRows: Int = 2,
-      minJacNum: Int = 1, minJacDen: Int = 2): DataFrame = {
+      minJacNum: Int = 1, minJacDen: Int = 2,
+      persistSignatures: Boolean = true): DataFrame = {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
     // Barriers: sh is referenced by the signature AND both verify joins;
@@ -115,12 +122,14 @@ object Dedup {
     // shuffle is trivia next to the hashing. Persist: the signature table
     // (~1-2% of corpus bytes) feeds three consumers (bands + both verify
     // lookups) — caching it beats re-tokenizing the corpus three times.
-    val base = withShingleHashSet(
+    val base0 = withShingleHashSet(
         docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
         "__text", "sh", k)
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
       .select(col("id"), col("sh"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = if (persistSignatures)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
 
     val bandArr = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),

@@ -61,24 +61,34 @@ object PartitionOverwriteSink {
   def load(spark: SparkSession, df: DataFrame, dateCol: String,
       targetDir: String, auditDir: String, table: String, runStamp: String,
       user: String = "graft"): LoadReport = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
+    // The frame is consumed by two actions (write + streak collect);
+    // persist so the upstream chain runs once, release before returning.
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      pinned.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
 
-    // G1 — streaks over the loaded days; tiny (O(days)) driver list.
-    val streakRows = DateStreaks(df.select(to_date(col(dateCol)).as("d")), "d")
-      .orderBy(col("streak_start")).collect()
-    val streaks = streakRows.toIndexedSeq.map(r =>
-      (r.getDate(0).toString, r.getDate(1).toString))
-    val days = df.select(to_date(col(dateCol)).cast("string").as("d"))
-      .distinct().orderBy("d").collect().toIndexedSeq.map(_.getString(0))
+      // G1 — streaks over the loaded days; tiny (O(days)) driver list.
+      val streakRows = DateStreaks(pinned.select(to_date(col(dateCol)).as("d")), "d")
+        .orderBy(col("streak_start")).collect()
+      val streaks = streakRows.toIndexedSeq.map(r =>
+        (r.getDate(0).toString, r.getDate(1).toString))
+      // Streaks are maximal consecutive runs, so expanding them enumerates
+      // exactly the distinct loaded days — no second scan needed.
+      val days = streaks.flatMap { case (a, b) =>
+        Iterator.iterate(java.time.LocalDate.parse(a))(_.plusDays(1))
+          .takeWhile(!_.isAfter(java.time.LocalDate.parse(b)))
+          .map(_.toString).toSeq
+      }.sorted
 
-    // K6 — one audit row per loaded day.
-    import spark.implicits._
-    days.toDF("period")
-      .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
-        lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
-      .write.mode(SaveMode.Append).parquet(auditDir)
+      // K6 — one audit row per loaded day.
+      import spark.implicits._
+      days.toDF("period")
+        .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
+          lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
+        .write.mode(SaveMode.Append).parquet(auditDir)
 
-    LoadReport(days, streaks, gaps = math.max(0, streaks.size - 1))
+      LoadReport(days, streaks, gaps = math.max(0, streaks.size - 1))
+    } finally pinned.unpersist()
   }
 }

@@ -42,36 +42,71 @@ object Xlsx {
     f
   }
 
-  final case class SheetRef(name: String, sheetId: String, rId: String)
+  final case class SheetRef(name: String, part: String)
 
-  /** Sheet names in workbook order (reference S2). */
-  def sheetNames(path: String): Seq[String] = withZip(path) { zip =>
+  /** Sheets in workbook order, resolved to their zip parts through
+    * `xl/_rels/workbook.xml.rels` (part numbering does NOT follow sheet
+    * order once sheets have been deleted/reordered — the r:id
+    * relationship is the only correct mapping).
+    */
+  def sheetRefs(path: String): Seq[SheetRef] = withZip(path) { zip =>
+    val rels: Map[String, String] = {
+      val e = zip.getEntry("xl/_rels/workbook.xml.rels")
+      if (e == null) Map.empty
+      else {
+        val in = zip.getInputStream(e)
+        try {
+          val r = factory.createXMLStreamReader(in)
+          val m = Map.newBuilder[String, String]
+          while (r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+              for (id <- attr(r, "Id"); target <- attr(r, "Target"))
+                m += id -> (if (target.startsWith("/")) target.drop(1)
+                            else s"xl/${target.stripPrefix("./")}")
+          }
+          m.result()
+        } finally in.close()
+      }
+    }
     val wb = zip.getInputStream(zip.getEntry("xl/workbook.xml"))
     try {
       val r = factory.createXMLStreamReader(wb)
-      val names = ListBuffer.empty[String]
+      val out = ListBuffer.empty[SheetRef]
+      var ordinal = 0
       while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
-          names += attr(r, "name").getOrElse("")
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          ordinal += 1
+          val name = attr(r, "name").getOrElse("")
+          val part = attr(r, "id").flatMap(rels.get)
+            .getOrElse(s"xl/worksheets/sheet$ordinal.xml") // rels-less fallback
+          out += SheetRef(name, part)
+        }
       }
-      names.toList
+      out.toList
     } finally wb.close()
   }
 
-  /** Read one sheet as all-string rows (empty cells are null), up to
-    * `maxRows` rows. Column count = widest row unless `width` is given.
+  /** Sheet names in workbook order (reference S2). */
+  def sheetNames(path: String): Seq[String] = sheetRefs(path).map(_.name)
+
+  /** Read one sheet (by workbook order index) as all-string rows (empty
+    * cells are null), up to `maxRows` rows.
     */
-  def readSheet(path: String, sheetIndex: Int, maxRows: Int = Int.MaxValue): Seq[Seq[String]] =
+  def readSheet(path: String, sheetIndex: Int, maxRows: Int = Int.MaxValue): Seq[Seq[String]] = {
+    val refs = sheetRefs(path)
+    require(sheetIndex >= 0 && sheetIndex < refs.length,
+      s"sheet index $sheetIndex out of range (${refs.length} sheets) in $path")
     withZip(path) { zip =>
       val shared = readSharedStrings(zip)
       val dateStyles = readDateStyles(zip)
-      val entryName = s"xl/worksheets/sheet${sheetIndex + 1}.xml"
-      val entry = Option(zip.getEntry(entryName))
-        .getOrElse(throw new IllegalArgumentException(s"no sheet part $entryName in $path"))
+      val entry = Option(zip.getEntry(refs(sheetIndex).part))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sheet part ${refs(sheetIndex).part} in $path"))
       val in = zip.getInputStream(entry)
       try parseSheet(in, shared, dateStyles, maxRows)
       finally in.close()
     }
+  }
 
   /** All-string DataFrame of the sheet body below `headerIdx`, with the
     * report's schema (the xlsx analog of HeaderSniffer.readClassified).

@@ -167,6 +167,15 @@ class PipelineSpec extends SparkSuite {
     assert(r.good.select("train_key").as[String].head() === "2024-01-01 - T1 - AB")
   }
 
+  test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
+    import graft.enrich.Enrichment
+    val fact = Seq(("T1", 1), ("T2", 2), ("T3", 3)).toDF("k", "v")
+    val dim = Seq(("T1", "09:00:00"), ("T2", null)).toDF("k", "hour")
+    val (_, missing) = Enrichment.broadcastLookup(fact, dim, "k", "hour")
+    // T2 exists but carries a null hour; T3 is absent — both missing
+    assert(missing.as[String].collect().toSet === Set("T2", "T3"))
+  }
+
   test("TL reader: missing train numbers surfaced for abort") {
     val raw0 = Seq(("2024-01-01 10:00:00", "T9", "AB", "tkt1")).toDF(
       "Departure Date", "Train Number", "OD", "Ticket Number")

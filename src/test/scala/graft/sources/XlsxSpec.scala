@@ -73,6 +73,31 @@ class XlsxSpec extends SparkSuite {
     assert(rows(2) === Seq("3.5"))
   }
 
+  test("xlsx: sheet order resolves through workbook rels, not part numbering") {
+    val dir = Files.createTempDirectory("graft-xlsx-rels").toString
+    val path = s"$dir/r.xlsx"
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // workbook order: [Late, Early]; rels point Late→sheet9.xml, Early→sheet2.xml
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Late" sheetId="5" r:id="rId9"/><sheet name="Early" sheetId="1" r:id="rId2"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId9" Target="worksheets/sheet9.xml"/>
+        |<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>""".stripMargin)
+    def sheetXml(v: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="str"><v>$v</v></c></row></sheetData></worksheet>"""
+    put("xl/worksheets/sheet9.xml", sheetXml("from-late"))
+    put("xl/worksheets/sheet2.xml", sheetXml("from-early"))
+    zos.close()
+    assert(Xlsx.sheetNames(path) === Seq("Late", "Early"))
+    assert(Xlsx.readSheet(path, 0) === Seq(Seq("from-late")))
+    assert(Xlsx.readSheet(path, 1) === Seq(Seq("from-early")))
+  }
+
   test("xlsx: occupancy sheet classifies and runs through the full pipeline") {
     val in = Files.createTempDirectory("graft-xlsx-in").toString
     val out = Files.createTempDirectory("graft-xlsx-out").toString
