@@ -102,7 +102,7 @@ object Pipeline {
         // per-file row id reproduce pandas' stable keep-last across a batch.
         .withColumn("__file_ord", lit(fileOrd))
         .withColumn("__row_ord", monotonically_increasing_id())
-      report match {
+      val out = report match {
         case ReportType.TrainList =>
           val r = TrainListReader(raw, trainHours, history)
           if (!r.missingTrainNumbers.isEmpty) {
@@ -112,6 +112,11 @@ object Pipeline {
         case ReportType.Occupancy      => Right(OccupancyReader(raw))
         case ReportType.BookingPayment => Right(BookingPaymentReader(raw))
       }
+      // P3 — empty-batch guard (reference raises when 0 rows survive the
+      // clean, `reports_exporter_v0.83.py:606-607`); the input is isolated
+      // like any other failure.
+      out.filterOrElse(!_.good.isEmpty,
+        InputError(input.display, "empty batch: no rows survived cleaning (P3 guard)"))
     } catch {
       case e: Exception => Left(InputError(input.display, String.valueOf(e.getMessage)))
     }

@@ -167,6 +167,22 @@ class PipelineSpec extends SparkSuite {
     assert(r.good.select("train_key").as[String].head() === "2024-01-01 - T1 - AB")
   }
 
+  test("P3: an input whose every row is rejected is isolated as an empty batch") {
+    val in = tmpDir("graft-p3-in")
+    val out = tmpDir("graft-p3-out")
+    // all rows have an unparseable mandatory Date → all rejected
+    Files.writeString(Paths.get(s"$in/bad.csv"), occCsv(Seq(
+      occRow("", "AB", "T1", "C1", "5", "q"),
+      occRow("", "CD", "T2", "C2", "6", "q")), junkRows = 0))
+    Files.writeString(Paths.get(s"$in/good.csv"), occCsv(Seq(
+      occRow("2024-01-01 00:00:00", "EF", "T3", "C3", "7", "q")), junkRows = 0))
+    val res = Pipeline.run(spark, in, out, "20240101T000000",
+      spark.emptyDataFrame, spark.emptyDataFrame)
+    assert(res.errors.map(_.path) === Seq(s"$in/bad.csv"))
+    assert(res.errors.head.message.contains("empty batch"))
+    assert(res.results.find(_.report == ReportType.Occupancy).get.kept.count() === 1)
+  }
+
   test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
     import graft.enrich.Enrichment
     val fact = Seq(("T1", 1), ("T2", 2), ("T3", 3)).toDF("k", "v")
