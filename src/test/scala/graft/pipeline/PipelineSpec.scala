@@ -245,6 +245,28 @@ class PipelineSpec extends SparkSuite {
     assert(Files.exists(Paths.get(s"$in/junk.csv")))
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    import graft.sinks.BucketedTables
+    val dir = tmpDir("graft-bkt")
+    val a = (0 until 1000).map(i => (i % 50, s"a$i")).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i % 50, s"vb$i")).toDF("k", "vb")
+    BucketedTables.writeBucketed(a, "bkt_a", s"$dir/a", "k", 8, Seq("k"))
+    BucketedTables.writeBucketed(b, "bkt_b", s"$dir/b", "k", 8, Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketedTables.coLocatedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() === (0 until 50).map(k => 20L * 20L).sum)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"co-located join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("K4-K6: partition-overwrite load is idempotent and audits per day") {
     val target = tmpDir("graft-sink")
     val audit = tmpDir("graft-audit")
