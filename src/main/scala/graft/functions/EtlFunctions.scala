@@ -60,9 +60,12 @@ object EtlFunctions {
     * on "HH:mm:ss" strings matches the reference's string compare.
     */
   def midnightRollover(ticketTs: Column, scheduledTs: Column): Column = {
-    val composed = to_timestamp(
-      concat_ws(" ", date_format(ticketTs, "yyyy-MM-dd"), date_format(scheduledTs, "HH:mm:ss")),
-      "yyyy-MM-dd HH:mm:ss")
+    // concat (null-propagating), NOT concat_ws: concat_ws SKIPS null args,
+    // so a null scheduled time would leave a bare date that the full
+    // pattern rejects — and ANSI to_timestamp throws. A null input must
+    // yield a null composed timestamp.
+    val composed = parseTs(
+      concat(date_format(ticketTs, "yyyy-MM-dd"), lit(" "), date_format(scheduledTs, "HH:mm:ss")))
     when(date_format(scheduledTs, "HH:mm:ss") > date_format(ticketTs, "HH:mm:ss"),
       composed - expr("INTERVAL 1 DAY")).otherwise(composed)
   }

@@ -103,9 +103,10 @@ object TrainListReader {
 
     val dep = col("Departure Date")
     val depShort = fmtDateShort(dep)
-    // Scheduled departure = the dimension's time-of-day on the ticket's date.
-    val sched = to_timestamp(concat_ws(" ", depShort, col("departure_time")),
-      "yyyy-MM-dd HH:mm:ss")
+    // Scheduled departure = the dimension's time-of-day on the ticket's
+    // date. concat null-propagates (an unmatched train's null
+    // departure_time must give a null schedule, not a parse failure).
+    val sched = parseTs(concat(depShort, lit(" "), col("departure_time")))
     val trainDepTs = midnightRollover(dep, sched)
 
     val derived = joined
