@@ -77,9 +77,17 @@ object Dedup {
 
   /** MinHash signature: element j = min over the shingle-hash set of the
     * j-th permutation. Min is order-free, so the signature is independent
-    * of shingle order.
+    * of shingle order. Computed by the native
+    * [[graft.functions.MinhashSig]] expression — one pass over the hash
+    * array instead of numSig interpreted transform+array_min walks.
     */
   def minhash(hashSet: Column, numSig: Int): Column =
+    graft.functions.MinhashSig(hashSet, numSig)
+
+  /** The built-in-composed form of [[minhash]] (the spec the native
+    * expression must equal; kept for the equivalence property test).
+    */
+  def minhashComposed(hashSet: Column, numSig: Int): Column =
     array((0 until numSig).map { j =>
       array_min(transform(hashSet, h => (h * seedA(j) + seedB(j)) % P))
     }: _*)

@@ -31,6 +31,20 @@ class Md5Prefix32Spec extends SparkSuite {
     assert(got === want)
   }
 
+  test("native minhash_sig equals the composed transform+array_min spec, incl. empty and null elements") {
+    import graft.llm.Dedup
+    val gen = Gen.listOfN(200, Gen.listOf(Gen.oneOf(
+      Gen.choose(0L, 4294967295L).map(Long.box), Gen.const(null: java.lang.Long))))
+    val cases = gen.apply(Gen.Parameters.default, Seed(11L)).get
+    val df = cases.map(l => Tuple1(l)).toDF("hs")
+    val rows = df.select(
+      Dedup.minhash(col("hs"), 12).as("native"),
+      Dedup.minhashComposed(col("hs"), 12).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+    }
+  }
+
   test("md5_prefix32 is null-safe and rejects non-string input") {
     val r = Seq[Option[String]](Some("x"), None).toDF("s")
       .select(Md5Prefix32(col("s"))).collect()
