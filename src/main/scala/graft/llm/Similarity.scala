@@ -27,8 +27,15 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
-  /** Exact integer dot product of two equal-length long vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two equal-length long vectors (native
+    * one-pass expression; see [[graft.functions.ArrayDotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
+
+  /** Built-in-composed dot product (the spec [[dot]] must equal; kept for
+    * the equivalence property test).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Norms are computed per VECTOR before the join (the join output only

@@ -45,6 +45,18 @@ class Md5Prefix32Spec extends SparkSuite {
     }
   }
 
+  test("native array_dot_product equals the composed zip_with+aggregate spec") {
+    import graft.llm.Similarity
+    val gen = Gen.listOfN(200, Gen.choose(1, 64).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-1000L, 1000L)), Gen.listOfN(n, Gen.choose(-1000L, 1000L)))))
+    val cases = gen.apply(Gen.Parameters.default, Seed(13L)).get
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotComposed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("md5_prefix32 is null-safe and rejects non-string input") {
     val r = Seq[Option[String]](Some("x"), None).toDF("s")
       .select(Md5Prefix32(col("s"))).collect()
