@@ -62,10 +62,14 @@ object EtlFunctions {
   def midnightRollover(ticketTs: Column, scheduledTs: Column): Column = {
     // concat (null-propagating), NOT concat_ws: concat_ws SKIPS null args,
     // so a null scheduled time would leave a bare date that the full
-    // pattern rejects — and ANSI to_timestamp throws. A null input must
-    // yield a null composed timestamp.
-    val composed = parseTs(
-      concat(date_format(ticketTs, "yyyy-MM-dd"), lit(" "), date_format(scheduledTs, "HH:mm:ss")))
+    // pattern rejects. The parse itself stays STRICT (to_timestamp, not
+    // try_): null inputs yield null (ANSI only affects malformed text),
+    // while genuinely malformed text raises — matching the reference's
+    // plain pd.to_datetime composition (`:655-659`), whose raise is
+    // isolated per input by the dispatcher.
+    val composed = to_timestamp(
+      concat(date_format(ticketTs, "yyyy-MM-dd"), lit(" "), date_format(scheduledTs, "HH:mm:ss")),
+      "yyyy-MM-dd HH:mm:ss")
     when(date_format(scheduledTs, "HH:mm:ss") > date_format(ticketTs, "HH:mm:ss"),
       composed - expr("INTERVAL 1 DAY")).otherwise(composed)
   }

@@ -71,19 +71,27 @@ object Md5Prefix32 {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.md5Prefix32Descriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[functions] val md5Prefix32Descriptor =
+  private[functions] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
-      (children: Seq[Expression]) => Md5Prefix32(children.head))
+      (children: Seq[Expression]) => Md5Prefix32(children.head)),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinhashSig(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("array_dot_product"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_product"),
+      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
 
   /** Idempotent registration on a live session (for sessions not built
     * with the extensions conf).
     */
   def install(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      md5Prefix32Descriptor._1, md5Prefix32Descriptor._2, md5Prefix32Descriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -41,8 +41,8 @@ case class MinhashSig(child: Expression, numSig: Int) extends UnaryExpression {
 }
 
 object MinhashSig {
-  /** Permutation modulus/seeds — MUST stay equal to graft.llm.Dedup's
-    * (the DuckDB oracles encode them).
+  /** THE canonical permutation modulus/seeds (graft.llm.Dedup aliases
+    * these; the DuckDB oracle SQL is generated from them).
     */
   val P: Long = 2147483647L
   def seedA(j: Int): Long = 131L + 2L * j * 1009L

@@ -32,13 +32,15 @@ object Dedup {
   def once(df: DataFrame, name: String, e: Column): DataFrame =
     df.withColumn(name, explode(array(e)))
 
-  /** Signature-permutation modulus (2^31 - 1, prime). */
-  val P: Long = 2147483647L
-  /** j-th permutation: h -> (A(j) * h + B(j)) mod P. A(j)*h stays well
-    * under 2^63 for 32-bit h.
+  /** Signature-permutation modulus (2^31 - 1, prime) and seeds — aliases
+    * of the single canonical definition in
+    * [[graft.functions.MinhashSig]]; the j-th permutation is
+    * h -> (A(j) * h + B(j)) mod P, with A(j)*h well under 2^63 for
+    * 32-bit h.
     */
-  def seedA(j: Int): Long = 131L + 2L * j * 1009L
-  def seedB(j: Int): Long = 7L + 4409L * j
+  val P: Long = graft.functions.MinhashSig.P
+  def seedA(j: Int): Long = graft.functions.MinhashSig.seedA(j)
+  def seedB(j: Int): Long = graft.functions.MinhashSig.seedB(j)
 
   /** Portable 32-bit string hash: first 8 hex digits of md5 — computed by
     * the native [[graft.functions.Md5Prefix32]] expression (value-identical

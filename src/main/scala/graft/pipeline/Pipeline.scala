@@ -114,7 +114,9 @@ object Pipeline {
       }
       // P3 — empty-batch guard (reference raises when 0 rows survive the
       // clean, `reports_exporter_v0.83.py:606-607`); the input is isolated
-      // like any other failure.
+      // like any other failure. This is a deliberate per-input action
+      // (limit-1 count), matching the reference's per-sheet shape[0]
+      // check — the only eager work in the otherwise-lazy per-report plan.
       out.filterOrElse(!_.good.isEmpty,
         InputError(input.display, "empty batch: no rows survived cleaning (P3 guard)"))
     } catch {

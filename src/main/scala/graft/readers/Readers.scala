@@ -105,8 +105,10 @@ object TrainListReader {
     val depShort = fmtDateShort(dep)
     // Scheduled departure = the dimension's time-of-day on the ticket's
     // date. concat null-propagates (an unmatched train's null
-    // departure_time must give a null schedule, not a parse failure).
-    val sched = parseTs(concat(depShort, lit(" "), col("departure_time")))
+    // departure_time gives a null schedule); malformed dimension data
+    // still raises (strict parse), isolated per input by the dispatcher.
+    val sched = to_timestamp(concat(depShort, lit(" "), col("departure_time")),
+      "yyyy-MM-dd HH:mm:ss")
     val trainDepTs = midnightRollover(dep, sched)
 
     val derived = joined

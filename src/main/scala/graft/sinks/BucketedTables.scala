@@ -20,7 +20,6 @@ object BucketedTables {
       .bucketBy(numBuckets, bucketCol)
     val sorted = sortCols match {
       case Seq() => w
-      case Seq(c) => w.sortBy(c)
       case c +: rest => w.sortBy(c, rest: _*)
     }
     sorted.format("parquet").saveAsTable(table)

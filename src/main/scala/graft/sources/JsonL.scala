@@ -24,15 +24,20 @@ object JsonL {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
-  /** (good, rejects): good rows without the corrupt column; rejects carry
-    * the raw malformed line. The frame is cached for the two-filter fork
-    * (Spark disallows filtering on the corrupt column over a bare scan).
+  /** good rows (without the corrupt column), rejects (the raw malformed
+    * lines), and a `release` hook dropping the shared cache — the frame
+    * is cached for the two-filter fork (Spark disallows filtering on the
+    * corrupt column over a bare scan); the CALLER owns the lifecycle and
+    * should release after both sides are consumed.
     */
-  def readWithRejects(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+  final case class JsonLRead(good: DataFrame, rejects: DataFrame, release: () => Unit)
+
+  def readWithRejects(spark: SparkSession, path: String, schema: StructType): JsonLRead = {
     val df = read(spark, path, schema).cache()
-    (df.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")))
+    JsonLRead(
+      df.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")),
+      () => { df.unpersist(); () })
   }
 
   /** Gzip JSONL write (curated-corpus delivery format). */

@@ -6,7 +6,7 @@ import org.scalacheck.rng.Seed
 
 import graft.SparkSuite
 
-class Md5Prefix32Spec extends SparkSuite {
+class NativeExpressionsSpec extends SparkSuite {
   import spark.implicits._
 
   test("native md5_prefix32 equals the portable built-in chain on generated strings") {
@@ -23,12 +23,16 @@ class Md5Prefix32Spec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
-  test("md5_prefix32 registers as a SQL function via GraftExtensions.install") {
+  test("all native functions register for SQL via GraftExtensions.install") {
     GraftExtensions.install(spark)
     val got = spark.sql("SELECT md5_prefix32('abc') AS h").as[Long].head()
     val want = spark.sql("SELECT CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS h")
       .as[Long].head()
     assert(got === want)
+    assert(spark.sql("SELECT array_dot_product(array(1L, 2L), array(3L, 4L)) AS d")
+      .as[Long].head() === 11L)
+    assert(spark.sql("SELECT size(minhash_sig(array(5L, 6L), 12)) AS n")
+      .as[Int].head() === 12)
   }
 
   test("native minhash_sig equals the composed transform+array_min spec, incl. empty and null elements") {

@@ -98,26 +98,6 @@ class XlsxSpec extends SparkSuite {
     assert(Xlsx.readSheet(path, 1) === Seq(Seq("from-early")))
   }
 
-  test("jsonl: schema-pinned read with malformed-line reject capture, gzip roundtrip") {
-    import org.apache.spark.sql.types._
-    val dir = Files.createTempDirectory("graft-jsonl").toString
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
-      """{"doc_id": 1, "text": "hello world"}
-        |not json at all
-        |{"doc_id": 2, "text": "second doc"}""".stripMargin)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
-    val (good, rejects) = JsonL.readWithRejects(spark, s"$dir/d.jsonl", schema)
-    assert(good.count() === 2)
-    assert(good.columns.toSeq === Seq("doc_id", "text"))
-    assert(rejects.as[String].collect().toSeq === Seq("not json at all"))
-    // gzip roundtrip
-    JsonL.write(good, s"$dir/out")
-    val back = JsonL.read(spark, s"$dir/out", schema)
-    assert(back.count() === 2)
-    assert(new java.io.File(s"$dir/out").listFiles().exists(_.getName.endsWith(".json.gz")))
-  }
-
   test("xlsx: occupancy sheet classifies and runs through the full pipeline") {
     val in = Files.createTempDirectory("graft-xlsx-in").toString
     val out = Files.createTempDirectory("graft-xlsx-out").toString
