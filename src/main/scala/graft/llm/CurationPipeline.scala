@@ -24,7 +24,8 @@ object CurationPipeline {
       bandRows: Int = 2,
       minJacNum: Int = 1,
       minJacDen: Int = 2,
-      keepLang: String = "en")
+      keepLang: String = "en",
+      persistSignatures: Boolean = true)
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -35,7 +36,8 @@ object CurationPipeline {
 
     // 2. near-dup removal: drop the higher id of every verified pair.
     val pairs = Dedup.nearDupPairs(canon, idCol, textCol,
-      cfg.shingleK, cfg.numSig, cfg.bandRows, cfg.minJacNum, cfg.minJacDen)
+      cfg.shingleK, cfg.numSig, cfg.bandRows, cfg.minJacNum, cfg.minJacDen,
+      cfg.persistSignatures)
     val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
     val kept = canon.join(dropIds, Seq(idCol), "left_anti")
 

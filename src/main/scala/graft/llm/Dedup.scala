@@ -137,9 +137,14 @@ object Dedup {
         "__text", "sh", k)
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
       .select(col("id"), col("sh"), col("sig"))
-    val base = if (persistSignatures)
-      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else base0
+    // storageLevel consults the session's CacheManager: if an identical
+    // plan is already cached (warmup run, an enclosing pipeline), reuse it
+    // instead of issuing a duplicate persist (which would only warn).
+    val base =
+      if (persistSignatures &&
+          base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
 
     val bandArr = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),

@@ -54,11 +54,21 @@ object Multimodal {
     val enc = Encoders.product[AssetFeatures]
     val in = assets.as(Encoders.product[Asset])
     in.mapPartitions { it =>
-      // per-partition decoder setup would go here
+      // per-partition setup: one digest instance reused (reset per row)
+      // across the whole partition, like a real codec's native context.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789abcdef".toCharArray
       it.map { a =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(a.content).map("%02x".format(_)).mkString
-        AssetFeatures(a.asset_id, a.kind, a.content.length.toLong, digest,
+        md.reset()
+        val bytes = md.digest(a.content)
+        val sb = new java.lang.StringBuilder(bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          sb.append(hexDigits(b >>> 4)).append(hexDigits(b & 0xf))
+          i += 1
+        }
+        AssetFeatures(a.asset_id, a.kind, a.content.length.toLong, sb.toString,
           FakeDecoder.decode(a.content))
       }
     }(enc)

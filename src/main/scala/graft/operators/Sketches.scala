@@ -37,13 +37,36 @@ object Sketches {
   /** Values of `keyCol` appearing in at least `minSupport` fraction of
     * rows, with exact counts. The HAVING prunes before the final
     * ordering, so only candidates survive the aggregation.
+    *
+    * One scan: the grand total rides the SAME aggregation via
+    * `rollup(key)` (the grouping-id=1 row), and Spark's ReuseExchange
+    * dedups the shared shuffle between the total branch and the per-key
+    * branch — no second pass over the input. Callers that already know
+    * the row count (a previous stage's metric, a table statistic) pass
+    * `totalHint` and skip the rollup row entirely.
     */
-  def heavyHitters(df: DataFrame, keyCol: String, minSupport: Double): DataFrame = {
+  def heavyHitters(df: DataFrame, keyCol: String, minSupport: Double,
+      totalHint: Option[Long] = None): DataFrame = {
     require(minSupport > 0 && minSupport <= 1, "minSupport in (0, 1]")
-    val total = df.count() // one scan; at scale pass a known/estimated total instead
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= lit(math.ceil(total * minSupport).toLong))
-      .orderBy(col("cnt").desc, col(keyCol).asc)
+    totalHint match {
+      case Some(total) =>
+        df.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= lit(math.ceil(total * minSupport).toLong))
+          .orderBy(col("cnt").desc, col(keyCol).asc)
+      case None =>
+        // rollup yields every per-key group (grouping=0) plus one grand-
+        // total row (grouping=1); grouping() disambiguates a genuine null
+        // key from the total row.
+        val agg = df.rollup(col(keyCol))
+          .agg(count(lit(1)).as("cnt"), grouping(col(keyCol)).as("__g"))
+        val totalRow = agg.filter(col("__g") === 1)
+          .select(col("cnt").as("__total"))
+        agg.filter(col("__g") === 0)
+          .crossJoin(broadcast(totalRow))
+          .filter(col("cnt") >= ceil(col("__total") * lit(minSupport)).cast("long"))
+          .select(col(keyCol), col("cnt"))
+          .orderBy(col("cnt").desc, col(keyCol).asc)
+    }
   }
 }
