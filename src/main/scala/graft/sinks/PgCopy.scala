@@ -1,0 +1,147 @@
+package graft.sinks
+
+import java.io.InputStream
+import java.nio.charset.StandardCharsets
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** K4 — PostgreSQL bulk load via `COPY ... FROM STDIN WITH (FORMAT csv)`,
+  * the reference's load protocol (`reports_exporter_v0.83.py:1357-1372`,
+  * psycopg2 `copy_expert`; chosen over row INSERTs in changelog v0.7,
+  * `:68-69`).
+  *
+  * Spark's JDBC writer issues batched INSERTs; COPY streams raw CSV
+  * through a single protocol message per partition — the fastest path
+  * into Postgres. The write is distributed: each partition opens its own
+  * connection and streams its rows through a constant-memory
+  * row→CSV InputStream (no partition-sized buffer).
+  *
+  * The container has neither a Postgres server nor the pgjdbc driver jar,
+  * so the driver adapter ([[PgCopy.PgDriverCopyApi]]) resolves
+  * `org.postgresql.copy.CopyManager` reflectively at runtime; everything
+  * above that seam — the COPY statement, the CSV framing (quoting, NULL
+  * encoding, timestamp text), the streaming, the per-partition protocol —
+  * is pure and unit-tested against a fake [[PgCopy.CopyApi]].
+  */
+object PgCopy {
+
+  /** The seam: how a CSV byte stream reaches the database. Implementations
+    * must be serializable — the api object ships to executors.
+    */
+  trait CopyApi extends Serializable {
+    /** Stream `data` through `COPY` on `conn`; returns rows loaded. */
+    def copyIn(conn: Connection, sql: String, data: InputStream): Long
+  }
+
+  /** Production adapter: pgjdbc's CopyManager, resolved reflectively so
+    * this compiles (and the rest of the engine tests) without the driver
+    * jar on the classpath. Equivalent to
+    * `new CopyManager(conn.unwrap(BaseConnection)).copyIn(sql, data)`.
+    */
+  object PgDriverCopyApi extends CopyApi {
+    def copyIn(conn: Connection, sql: String, data: InputStream): Long = {
+      val bc = Class.forName("org.postgresql.core.BaseConnection")
+      val cm = Class.forName("org.postgresql.copy.CopyManager")
+      val mgr = cm.getConstructor(bc)
+        .newInstance(conn.unwrap(bc.asInstanceOf[Class[AnyRef]]))
+      cm.getMethod("copyIn", classOf[String], classOf[InputStream])
+        .invoke(mgr, sql, data).asInstanceOf[java.lang.Long].longValue()
+    }
+  }
+
+  /** The COPY statement. CSV format: default delimiter `,`, default quote
+    * `"`, unquoted empty field = NULL, quoted `""` = empty string — the
+    * exact framing [[encodeField]] emits.
+    */
+  def copySql(table: String, cols: Seq[String]): String =
+    cols.map(c => "\"" + c + "\"").mkString(s"COPY $table (", ", ", ") FROM STDIN WITH (FORMAT csv)")
+
+  /** One CSV field under COPY's csv rules:
+    *  - SQL NULL → unquoted empty field;
+    *  - empty string → `""` (quoted, so it stays a string, not NULL);
+    *  - delimiter / quote / CR / LF trigger quoting, embedded quotes
+    *    double;
+    *  - timestamps/dates render as their JDBC text form
+    *    (`yyyy-mm-dd hh:mm:ss.f`), which Postgres parses natively;
+    *  - everything else via toString (numbers, booleans).
+    */
+  def encodeField(v: Any): String = v match {
+    case null => ""
+    case s: String => quote(s)
+    case ts: java.sql.Timestamp => ts.toString
+    case d: java.sql.Date => d.toString
+    case other => other.toString
+  }
+
+  private def quote(s: String): String =
+    if (s.isEmpty) "\"\""
+    else if (s.indexOf(',') < 0 && s.indexOf('"') < 0 &&
+             s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** One COPY line (no terminator). */
+  def encodeRow(row: Row): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < row.length) {
+      if (i > 0) sb.append(',')
+      sb.append(encodeField(if (row.isNullAt(i)) null else row.get(i)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Constant-memory adapter from a partition's row iterator to the
+    * InputStream CopyManager consumes: one encoded line buffered at a
+    * time, pulled on demand — a 10 GB partition streams in O(row) memory.
+    */
+  final class RowsCsvInputStream(rows: Iterator[Row]) extends InputStream {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+
+    private def ensure(): Boolean = {
+      while (pos >= buf.length) {
+        if (!rows.hasNext) return false
+        buf = (encodeRow(rows.next()) + "\n").getBytes(StandardCharsets.UTF_8)
+        pos = 0
+      }
+      true
+    }
+
+    override def read(): Int =
+      if (!ensure()) -1
+      else { val b = buf(pos) & 0xff; pos += 1; b }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (!ensure()) -1
+      else {
+        val n = math.min(len, buf.length - pos)
+        System.arraycopy(buf, pos, b, off, n)
+        pos += n
+        n
+      }
+  }
+
+  /** Distributed COPY load: one connection + one COPY per non-empty
+    * partition, rows streamed. Returns total rows loaded (from the
+    * database's own COPY row counts, summed via accumulator).
+    *
+    * `connFactory` and `api` ship to executors; the factory should build
+    * the connection from captured config (url/props), not capture one.
+    */
+  def copyLoad(df: DataFrame, table: String,
+      connFactory: () => Connection, api: CopyApi = PgDriverCopyApi): Long = {
+    val sql = copySql(table, df.columns.toSeq)
+    val acc = df.sparkSession.sparkContext.longAccumulator("pg_copy_rows")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val conn = connFactory()
+        try acc.add(api.copyIn(conn, sql, new RowsCsvInputStream(it)))
+        finally if (conn != null) conn.close()
+      }
+    }
+    acc.value
+  }
+}

@@ -77,16 +77,21 @@ object Jdbc {
   }
 
   /** K4-K6 — the delete-then-load protocol against a JDBC sink: per-streak
-    * ranged DELETEs, a batched-insert append (Spark's JDBC writer;
-    * a COPY-based writer would replace this per-partition), then per-day
-    * audit rows — the sequencing of `export_train_list` (`:1304-1394`).
-    * The DELETE/audit statements run on the driver connection; only the
-    * bulk append is distributed.
+    * ranged DELETEs, the bulk append, then per-day audit rows — the
+    * sequencing of `export_train_list` (`:1304-1394`). The DELETE/audit
+    * statements run on the driver connection; only the bulk append is
+    * distributed.
+    *
+    * The append path is selected by `copy`: `Some(api)` streams each
+    * partition through `COPY ... FROM STDIN` (the reference's protocol,
+    * [[graft.sinks.PgCopy]]); `None` falls back to Spark's batched-INSERT
+    * JDBC writer (portable to any JDBC sink).
     */
   def partitionOverwriteLoad(df: DataFrame, url: String, table: String,
       dateCol: String, streaks: Seq[(String, String)], days: Seq[String],
       auditTable: String, runStamp: String, user: String,
-      props: Properties, connFactory: () => Connection): Unit = {
+      props: Properties, connFactory: () => Connection,
+      copy: Option[graft.sinks.PgCopy.CopyApi] = None): Unit = {
     val conn = connFactory()
     try {
       val st = conn.createStatement()
@@ -94,7 +99,10 @@ object Jdbc {
       st.close()
     } finally conn.close()
 
-    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+    copy match {
+      case Some(api) => graft.sinks.PgCopy.copyLoad(df, table, connFactory, api)
+      case None => df.write.mode(SaveMode.Append).jdbc(url, table, props)
+    }
 
     val conn2 = connFactory()
     try {

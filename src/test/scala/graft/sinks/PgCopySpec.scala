@@ -1,0 +1,133 @@
+package graft.sinks
+
+import java.io.InputStream
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.nio.charset.StandardCharsets
+import java.sql.Connection
+import java.util.Properties
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.Jdbc
+
+/** K4 — framing + protocol tests for the COPY bulk writer, no database
+  * needed: a fake [[PgCopy.CopyApi]] captures the exact byte stream a
+  * real CopyManager would receive, and a dynamic-proxy Connection records
+  * the driver-side protocol statements.
+  */
+object FakeDb {
+  val copySqls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val payloads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def reset(): Unit = { copySqls.clear(); payloads.clear(); statements.clear() }
+
+  /** Records the COPY statement + full payload; returns the line count
+    * (what a real COPY reports as rows loaded).
+    */
+  object CollectingCopyApi extends PgCopy.CopyApi {
+    def copyIn(conn: Connection, sql: String, data: InputStream): Long = {
+      copySqls.add(sql)
+      val s = new String(data.readAllBytes(), StandardCharsets.UTF_8)
+      payloads.add(s)
+      s.count(_ == '\n').toLong
+    }
+  }
+
+  private class Handler extends InvocationHandler with Serializable {
+    def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
+      method.getName match {
+        case "createStatement" =>
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[java.sql.Statement]), new Handler)
+        case "execute" =>
+          statements.add(args(0).asInstanceOf[String]); java.lang.Boolean.FALSE
+        case "close" | "setAutoCommit" => null
+        case "isClosed" => java.lang.Boolean.FALSE
+        case "toString" => "FakeConnection"
+        case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+        case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
+        case other => sys.error(s"fake connection: unexpected call $other")
+      }
+  }
+
+  class ConnFactory extends (() => Connection) with Serializable {
+    def apply(): Connection =
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[Connection]), new Handler).asInstanceOf[Connection]
+  }
+}
+
+class PgCopySpec extends SparkSuite {
+  import PgCopy._
+
+  test("copy statement quotes columns and uses csv format") {
+    assert(copySql("\"AFC\".train_list", Seq("a", "b c")) ===
+      """COPY "AFC".train_list ("a", "b c") FROM STDIN WITH (FORMAT csv)""")
+  }
+
+  test("field framing: NULL vs empty string vs quoting vs temporal text") {
+    assert(encodeField(null) === "")                       // NULL = unquoted empty
+    assert(encodeField("") === "\"\"")                     // empty string stays a string
+    assert(encodeField("plain") === "plain")
+    assert(encodeField("a,b") === "\"a,b\"")
+    assert(encodeField("say \"hi\"") === "\"say \"\"hi\"\"\"")
+    assert(encodeField("line\nbreak") === "\"line\nbreak\"")
+    assert(encodeField(java.sql.Timestamp.valueOf("2024-01-02 03:04:05")) ===
+      "2024-01-02 03:04:05.0")
+    assert(encodeField(java.sql.Date.valueOf("2024-01-02")) === "2024-01-02")
+    assert(encodeField(42) === "42")
+    assert(encodeField(1.5) === "1.5")
+  }
+
+  test("row framing joins fields with commas, nulls stay empty") {
+    assert(encodeRow(Row("x", null, 7)) === "x,,7")
+  }
+
+  test("streaming InputStream yields one line per row under byte-wise and bulk reads") {
+    val rows = Seq(Row("a", 1), Row(null, 2), Row("c,d", 3))
+    val expected = "a,1\n,2\n\"c,d\",3\n"
+    val bulk = new String(new RowsCsvInputStream(rows.iterator).readAllBytes(),
+      StandardCharsets.UTF_8)
+    assert(bulk === expected)
+    val one = new RowsCsvInputStream(rows.iterator)
+    val sb = new StringBuilder
+    var b = one.read()
+    while (b != -1) { sb.append(b.toChar); b = one.read() }
+    assert(sb.toString === expected)
+    assert(one.read() === -1) // stays exhausted
+  }
+
+  test("copyLoad streams every partition through COPY and sums the row counts") {
+    FakeDb.reset()
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("label", when(col("id") % 3 === 0, lit(null)).otherwise(concat(lit("v,"), col("id"))))
+      .repartition(3)
+    val n = copyLoad(df, "tgt", new FakeDb.ConnFactory, FakeDb.CollectingCopyApi)
+    assert(n === 10)
+    assert(FakeDb.copySqls.size >= 1 && FakeDb.copySqls.size <= 3)
+    assert(FakeDb.copySqls.peek === """COPY tgt ("id", "label") FROM STDIN WITH (FORMAT csv)""")
+    val lines = FakeDb.payloads.toArray(Array.empty[String]).flatMap(_.split("\n")).sorted
+    val expected = (0L until 10L).map(i =>
+      if (i % 3 == 0) s"$i," else s"""$i,"v,$i"""").sorted
+    assert(lines.toSeq === expected)
+  }
+
+  test("partitionOverwriteLoad with COPY: delete -> copy -> audit, no JDBC insert path") {
+    FakeDb.reset()
+    val df = spark.range(0, 4).toDF("id")
+    // bogus url: the batched-INSERT fallback would throw if selected
+    Jdbc.partitionOverwriteLoad(df, "jdbc:bogus://nowhere", "tgt",
+      "day", streaks = Seq(("2024-01-01", "2024-01-02")), days = Seq("2024-01-01"),
+      auditTable = "audit", runStamp = "rs", user = "u",
+      props = new Properties, connFactory = new FakeDb.ConnFactory,
+      copy = Some(FakeDb.CollectingCopyApi))
+    val sts = FakeDb.statements.toArray(Array.empty[String]).toSeq
+    assert(sts.exists(_.startsWith("DELETE FROM tgt")))
+    assert(sts.exists(_.startsWith("INSERT INTO audit")))
+    assert(FakeDb.payloads.toArray(Array.empty[String]).flatMap(_.split("\n")).sorted.toSeq
+      === Seq("0", "1", "2", "3"))
+  }
+}
