@@ -15,6 +15,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Consolidate {
 
+  /** How the report's sort keys order the keep-last dedup.
+    *
+    * The reference sorts occupancy's numeric-string seat counts
+    * LEXICOGRAPHICALLY ("9" > "10" — a quirk of all-string frames,
+    * `:1140-1143, 1757-1758`); [[SortMode.Lexicographic]] reproduces it.
+    * [[SortMode.Numeric]] is the "fixed" mode (SURVEY §1.2 engine
+    * decision): sort keys int-cast, so "10" > "9"; non-numeric strings
+    * cast to NULL and sort per the dedup's nulls-first descending rule.
+    */
+  sealed trait SortMode
+  object SortMode {
+    case object Lexicographic extends SortMode
+    case object Numeric extends SortMode
+  }
+
+  /** Sort-key columns under a mode (tiebreakers are appended by callers). */
+  def ordering(sortKeys: Seq[String], mode: SortMode): Seq[Column] = mode match {
+    case SortMode.Lexicographic => sortKeys.map(org.apache.spark.sql.functions.col)
+    case SortMode.Numeric =>
+      sortKeys.map(k => org.apache.spark.sql.functions.col(k).cast("int"))
+  }
+
   def union(dfs: Seq[DataFrame]): DataFrame = {
     require(dfs.nonEmpty, "empty batch (reference P3 guard)")
     dfs.reduce(_.unionByName(_))

@@ -130,7 +130,8 @@ object Pipeline {
     * them from the outputs.
     */
   def run(spark: SparkSession, inputDir: String, exportDir: String, runStamp: String,
-      trainHours: => DataFrame, history: => DataFrame): RunResult = {
+      trainHours: => DataFrame, history: => DataFrame,
+      sortMode: Consolidate.SortMode = Consolidate.SortMode.Lexicographic): RunResult = {
     val (classified, unclassified) = classifyAll(spark, inputDir)
 
     val errors = Seq.newBuilder[InputError]
@@ -146,8 +147,13 @@ object Pipeline {
         if (ok.isEmpty) None
         else {
           val tiebreak = Seq(col("__file_ord"), col("__row_ord"))
-          val ordering = report.schema.sortKeys
-            .filter(k => ok.head.good.columns.contains(k)).map(col) ++ tiebreak
+          // The numeric "fixed" mode only applies to occupancy's numeric-
+          // string keys; date/timestamp sort keys keep their native order.
+          val mode = if (report == ReportType.Occupancy) sortMode
+            else Consolidate.SortMode.Lexicographic
+          val ordering = Consolidate.ordering(
+            report.schema.sortKeys.filter(k => ok.head.good.columns.contains(k)),
+            mode) ++ tiebreak
           val (kept0, dups0) = Consolidate(ok.map(_.good), report.schema.dedupKeys, ordering)
           val kept = kept0.drop("__file_ord", "__row_ord")
           val dups = dups0.drop("__file_ord", "__row_ord")

@@ -383,6 +383,28 @@ object ReaderQueries {
       kept
     }),
 
+    // O2 "fixed" numeric-sort mode (SURVEY §1.2): same consolidation as
+    // q25 but the dedup ordering int-casts the numeric-string keys, so
+    // "10" outranks "9" — both modes ship, each gated.
+    "q43_consolidate_numeric" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).repartition(col("l_orderkey"))
+      val t = li.select(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"),
+        concat(lit("OD"), (col("l_partkey") % 20).cast("string")).as("od"),
+        concat(lit("T"), (col("l_suppkey") % 50).cast("string")).as("train_number"),
+        col("l_linestatus").as("class"),
+        (col("l_orderkey") % 1000).cast("string").as("ticket_reserved"),
+        col("l_linenumber").cast("string").as("quota_configuration"),
+        (col("l_orderkey") % 2).as("__par"))
+      val sheets = Seq(t.filter(col("__par") === 0), t.filter(col("__par") === 1))
+        .map(_.drop("__par"))
+      val (kept, _) = Consolidate(sheets,
+        Seq("date", "od", "train_number", "class"),
+        Consolidate.ordering(Seq("ticket_reserved", "quota_configuration"),
+          Consolidate.SortMode.Numeric))
+      kept
+    }),
+
     // S4 — exact-header classification with drop-nulls-before-compare
     // (driver-side decision surfaced as a one-row-per-case relation).
     "q26_classifier" -> ((s, dir) => {
@@ -553,6 +575,21 @@ object ReaderQueries {
         |FROM t
         |QUALIFY row_number() OVER (PARTITION BY date, od, train_number, class
         |  ORDER BY ticket_reserved DESC, quota_configuration DESC) = 1""".stripMargin,
+
+    "q43_consolidate_numeric" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
+        |    'OD' || CAST(l_partkey % 20 AS VARCHAR) AS od,
+        |    'T' || CAST(l_suppkey % 50 AS VARCHAR) AS train_number,
+        |    l_linestatus AS class,
+        |    CAST(l_orderkey % 1000 AS VARCHAR) AS ticket_reserved,
+        |    CAST(l_linenumber AS VARCHAR) AS quota_configuration
+        |  FROM lineitem)
+        |SELECT date, od, train_number, class, ticket_reserved, quota_configuration
+        |FROM t
+        |QUALIFY row_number() OVER (PARTITION BY date, od, train_number, class
+        |  ORDER BY CAST(ticket_reserved AS INTEGER) DESC,
+        |           CAST(quota_configuration AS INTEGER) DESC) = 1""".stripMargin,
 
     "q26_classifier" ->
       """SELECT 'occ_shifted' AS "case", 2 AS header_idx, 'Occupancy' AS report

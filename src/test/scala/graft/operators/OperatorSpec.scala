@@ -169,4 +169,14 @@ class OperatorSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Cleaning.renameAll(df, Seq("x")))
     assert(Cleaning.renameAll(df, Seq("x", "y")).columns.toSeq === Seq("x", "y"))
   }
+
+  test("O2: numeric sort mode keeps '10' where lexicographic keeps '9'") {
+    val df = Seq(("k", "9"), ("k", "10"), ("k", "7")).toDF("key", "ticket")
+    def keep(mode: Consolidate.SortMode): String =
+      Consolidate(Seq(df), Seq("key"),
+        Consolidate.ordering(Seq("ticket"), mode))._1
+        .select("ticket").as[String].head()
+    assert(keep(Consolidate.SortMode.Lexicographic) === "9")  // "9" > "7" > "10"
+    assert(keep(Consolidate.SortMode.Numeric) === "10")
+  }
 }
