@@ -84,6 +84,56 @@ object EventStreams {
         Encoders.product[SessionState], Encoders.product[UserSession])
   }
 
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Streaming sessionization that emits each session EXACTLY ONCE — when
+    * its gap has expired against the event-time watermark — and then
+    * drops the per-user state (`flatMapGroupsWithState` + event-time
+    * timeout). Unlike [[streamingSessions]] (Update-mode, current-session
+    * snapshots, state retained forever), this is the bounded-state form a
+    * long-running deployment needs: state size is O(active users), not
+    * O(all users ever seen).
+    *
+    * Mechanics per micro-batch: new events extend or roll the session
+    * (rolling emits the closed predecessor immediately); the state's
+    * timeout is re-armed to `last event + gapMs`, so when the watermark
+    * passes it with no new events the timed-out callback emits the final
+    * session and removes the state.
+    */
+  def closedSessions(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val f: (Long, Iterator[Event], GroupState[SessionState]) => Iterator[ClosedSession] =
+      (userId, it, state) => {
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          Iterator.single(ClosedSession(userId, st.startMs, st.lastMs, st.nEvents))
+        } else {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.startMs < 0) SessionState(t, t, 1L)
+              else if (t - st.lastMs > gapMs) {
+                closed += ClosedSession(userId, st.startMs, st.lastMs, st.nEvents)
+                SessionState(t, t, 1L)
+              } else SessionState(st.startMs, math.max(st.lastMs, t), st.nEvents + 1L)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+          closed.result().iterator
+        }
+      }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(f)(
+        Encoders.product[SessionState], Encoders.product[ClosedSession])
+  }
+
   /** Stream-static enrichment: join the event stream to a broadcast
     * dimension (same shape as the batch J1; Structured Streaming executes
     * it per micro-batch with the static side broadcast once).

@@ -50,6 +50,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("closed sessions: emitted exactly once on timeout, state cleared") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = closedSessions(mem.toDS(), gapMs = 1800000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("closed_out").outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.sql(
+        "SELECT user_id, start_ms, end_ms, n_events FROM closed_out ORDER BY user_id, start_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:10:00", 7))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // session still open — nothing emitted yet
+
+      // another user's event pushes the watermark past 10:40 (10:10+gap):
+      // the no-data micro-batch fires user 7's timeout exactly once.
+      mem.addData(ev(3, "2024-01-01 12:00:00", 8))
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, t0, t0 + 600000L, 2L)))
+
+      // state was cleared: a new user-7 event opens a FRESH session
+      // (n_events restarts at 1), closed by a later watermark advance.
+      mem.addData(ev(4, "2024-01-01 13:00:00", 7))
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-01 15:00:00", 9))
+      q.processAllAvailable()
+      val t13 = Timestamp.valueOf("2024-01-01 13:00:00").getTime
+      assert(rows().filter(_._1 == 7L) ===
+        Seq((7L, t0, t0 + 600000L, 2L), (7L, t13, t13, 1L)))
+    } finally q.stop()
+  }
+
   test("file stream: read parquet directory as a stream, aggregate, write with checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
