@@ -19,12 +19,27 @@ object Skew {
   final case class SaltedMin(col: String, out: String) extends SaltedAgg
   final case class SaltedMax(col: String, out: String) extends SaltedAgg
 
+  /** Deterministic per-row salt: `pmod(xxhash64(saltCols, seed), numSalts)`.
+    * Hash-based, not `rand()`: a task retry or stage recomputation
+    * re-derives the SAME salt for every row, so fault recovery is
+    * bit-stable (rand re-draws per recompute, which can double-count or
+    * drop rows across a retried shuffle boundary). `saltCols` empty →
+    * hash all columns; rows identical in every hashed column share a
+    * salt, which cannot change any decomposable-aggregate result.
+    */
+  def saltExpr(df: DataFrame, saltCols: Seq[String], numSalts: Int,
+      seed: Long): Column = {
+    val cols = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
+    pmod(xxhash64(lit(seed) +: cols: _*), lit(numSalts.toLong)).cast("int")
+  }
+
   /** Two-phase salted aggregation for decomposable aggregates: phase 1
     * groups by (keys, salt) — a hot key spreads across `numSalts`
     * partial groups — phase 2 merges partials by keys. The salt values
     * do not affect the result (sum of partial sums, min of partial
-    * mins, …), so any salt assignment is correct; `rand(seed)` spreads
-    * rows uniformly.
+    * mins, …), so any salt assignment is correct; the deterministic
+    * row-hash salt spreads rows uniformly AND reproduces identically
+    * under task retry.
     *
     * Note Spark's own hash aggregation already does map-side partial
     * aggregation, which handles most skew; explicit salting matters
@@ -32,8 +47,8 @@ object Skew {
     * (e.g. huge per-key state) or for sort-based fallbacks.
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
-      numSalts: Int = 16, seed: Long = 42L): DataFrame = {
-    val salted = df.withColumn("__salt", (rand(seed) * numSalts).cast("int"))
+      numSalts: Int = 16, seed: Long = 42L, saltCols: Seq[String] = Nil): DataFrame = {
+    val salted = df.withColumn("__salt", saltExpr(df, saltCols, numSalts, seed))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head match {
         case SaltedSum(c, o)  => sum(col(c)).as(o)
@@ -66,8 +81,10 @@ object Skew {
     * (or too row-multiplying) to broadcast.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      numSalts: Int = 16, joinType: String = "inner", seed: Long = 42L): DataFrame = {
-    val saltedProbe = probe.withColumn("__salt", (rand(seed) * numSalts).cast("int"))
+      numSalts: Int = 16, joinType: String = "inner", seed: Long = 42L,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      saltExpr(probe, saltCols, numSalts, seed))
     val saltedBuild = build.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
     saltedProbe.join(saltedBuild, Seq(key, "__salt"), joinType).drop("__salt")

@@ -170,6 +170,18 @@ class OperatorSpec extends SparkSuite {
     assert(Cleaning.renameAll(df, Seq("x", "y")).columns.toSeq === Seq("x", "y"))
   }
 
+  test("salt assignment survives repartitioning (recompute-stable, unlike rand)") {
+    val df = (0 until 300).map(i => (i % 3, i)).toDF("k", "v")
+    def salts(parts: Int): Map[Int, Int] = {
+      val d = df.repartition(parts)
+      d.withColumn("s", Skew.saltExpr(d, Nil, 8, 42L))
+        .select("v", "s").as[(Int, Int)].collect().toMap
+    }
+    val a = salts(2)
+    assert(a === salts(7)) // same row → same salt under any partitioning
+    assert(a.values.toSet.size > 1) // and it actually spreads
+  }
+
   test("O2: numeric sort mode keeps '10' where lexicographic keeps '9'") {
     val df = Seq(("k", "9"), ("k", "10"), ("k", "7")).toDF("key", "ticket")
     def keep(mode: Consolidate.SortMode): String =
