@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** S7/S8/S9 + K4-K6 against a REAL JDBC database — Derby embedded
+  * in-memory (ships with Spark) — so the read paths (`dimTable`,
+  * `pushdownQuery`, `currentVersion`) and the batched-INSERT load
+  * protocol are exercised end-to-end over an actual driver, not just as
+  * SQL strings. No Postgres in the container; Derby covers the
+  * column-name-mapping and dialect-quoting risks a first live deploy
+  * would otherwise hit blind.
+  *
+  * Derby folds unquoted identifiers to UPPER; the engine's builders quote
+  * lowercase names, so tables here are created with quoted lowercase
+  * columns — the same convention the reference's Postgres DDL uses.
+  */
+class JdbcSpec extends SparkSuite {
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def connect(): Connection = DriverManager.getConnection(url)
+
+  private def exec(sqls: String*): Unit = {
+    val c = connect()
+    try { val st = c.createStatement(); sqls.foreach(st.execute(_)); st.close() }
+    finally c.close()
+  }
+
+  test("S7: dimTable reads a live JDBC dimension with correct columns and types") {
+    exec("""CREATE TABLE dim_trains ("train_number" VARCHAR(10), "departure_time" VARCHAR(8))""",
+      """INSERT INTO dim_trains VALUES ('T1', '08:45:00'), ('T2', '09:45:00')""")
+    val df = Jdbc.dimTable(spark, url, "dim_trains")
+    assert(df.columns.toSeq === Seq("train_number", "departure_time"))
+    assert(df.orderBy("train_number").as[(String, String)].collect().toSeq ===
+      Seq(("T1", "08:45:00"), ("T2", "09:45:00")))
+  }
+
+  test("S8: pushdownQuery ships the aggregation to the database") {
+    exec("""CREATE TABLE ops ("ticket" VARCHAR(10), "op_ts" TIMESTAMP)""",
+      """INSERT INTO ops VALUES ('A', '2024-01-02 10:00:00'), ('A', '2024-01-01 09:00:00'), ('B', '2024-01-03 08:00:00')""")
+    val df = Jdbc.pushdownQuery(spark, url,
+      """SELECT "ticket", MIN("op_ts") AS "first_op" FROM ops GROUP BY "ticket"""")
+    val got = df.orderBy("ticket")
+      .select(col("ticket"), date_format(col("first_op"), "yyyy-MM-dd HH:mm:ss"))
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("A", "2024-01-01 09:00:00"), ("B", "2024-01-03 08:00:00")))
+  }
+
+  test("S9: currentVersion reads MAX(version) over a live connection") {
+    exec("""CREATE TABLE versions (version DOUBLE)""",
+      """INSERT INTO versions VALUES (0.81), (0.83), (0.82)""")
+    val c = connect()
+    try assert(Jdbc.currentVersion(c, """versions""") === 0.83)
+    finally c.close()
+  }
+
+  test("K4-K6: partitionOverwriteLoad round-trips delete -> append -> audit on a live database") {
+    exec(
+      """CREATE TABLE tgt ("day" VARCHAR(10), "id" INT)""",
+      """INSERT INTO tgt VALUES ('2024-01-01', 100), ('2024-01-03', 300)""",
+      """CREATE TABLE audit_log ("timestamp" VARCHAR(20), "table" VARCHAR(20), OPERATION VARCHAR(20), PERIOD VARCHAR(20), "user" VARCHAR(20))""")
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("day", "id")
+    Jdbc.partitionOverwriteLoad(df, url, "tgt", "day",
+      streaks = Seq(("2024-01-01", "2024-01-02")), days = Seq("2024-01-01", "2024-01-02"),
+      auditTable = "audit_log", runStamp = "2024-06-01 12:00", user = "graft",
+      props = new Properties, connFactory = () => connect())
+    // the overlapping day 2024-01-01 was deleted then re-loaded; day 3 kept
+    val rows = Jdbc.dimTable(spark, url, "tgt")
+      .orderBy("day", "id").as[(String, Int)].collect().toSeq
+    assert(rows === Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 300)))
+    val audits = Jdbc.dimTable(spark, url, "audit_log")
+      .select("PERIOD").as[String].collect().sorted.toSeq
+    assert(audits === Seq("2024-01-01", "2024-01-02"))
+  }
+}
