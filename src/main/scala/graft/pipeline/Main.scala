@@ -28,12 +28,14 @@ object Main {
   private def loadDateColumn(report: ReportType): Option[String] = report match {
     case ReportType.TrainList      => Some("departure_date_short")
     case ReportType.Occupancy      => Some("date")
-    case ReportType.BookingPayment => Some("__op_day")
+    case ReportType.BookingPayment => Some("op_day")
   }
 
   private def withLoadColumns(report: ReportType, df: DataFrame): DataFrame = report match {
     case ReportType.BookingPayment =>
-      df.withColumn("__op_day",
+      // public name: this column becomes the sink's partition directory
+      // (`op_day=2024-…`), not engine scratch.
+      df.withColumn("op_day",
         org.apache.spark.sql.functions.substring(
           org.apache.spark.sql.functions.col("operation_date_time"), 1, 10))
     case _ => df

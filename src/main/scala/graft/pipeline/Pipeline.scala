@@ -87,7 +87,8 @@ object Pipeline {
     * captured (C3) and the input skipped.
     */
   def readInput(spark: SparkSession, input: ClassifiedInput,
-      fileOrd: Int, trainHours: => DataFrame, history: => DataFrame)
+      fileOrd: Int, trainHours: => DataFrame, history: => DataFrame,
+      eagerEmptyGuard: Boolean = true)
       : Either[InputError, ReaderOutput] =
     try {
       val path = input.path
@@ -117,8 +118,12 @@ object Pipeline {
       // like any other failure. This is a deliberate per-input action
       // (limit-1 count), matching the reference's per-sheet shape[0]
       // check — the only eager work in the otherwise-lazy per-report plan.
-      out.filterOrElse(!_.good.isEmpty,
-        InputError(input.display, "empty batch: no rows survived cleaning (P3 guard)"))
+      // With `eagerEmptyGuard=false` the check is deferred to run()'s
+      // single union-level count (one job for a whole batch of inputs).
+      if (eagerEmptyGuard)
+        out.filterOrElse(!_.good.isEmpty,
+          InputError(input.display, EmptyBatchMessage))
+      else out
     } catch {
       case e: Exception => Left(InputError(input.display, String.valueOf(e.getMessage)))
     }
@@ -129,9 +134,18 @@ object Pipeline {
     * ordinal) — exact pandas stable-sort keep-last parity — and drops
     * them from the outputs.
     */
+  val EmptyBatchMessage = "empty batch: no rows survived cleaning (P3 guard)"
+
+  /** @param batchedGuard defer the P3 empty-input check from one Spark
+    *   action per input to ONE count job over the tagged union per report
+    *   type — same isolation semantics, N driver round trips → 1. Keep
+    *   the default (eager, reference-faithful per-sheet check) for small
+    *   batches; flip it when input counts grow to the thousands.
+    */
   def run(spark: SparkSession, inputDir: String, exportDir: String, runStamp: String,
       trainHours: => DataFrame, history: => DataFrame,
-      sortMode: Consolidate.SortMode = Consolidate.SortMode.Lexicographic): RunResult = {
+      sortMode: Consolidate.SortMode = Consolidate.SortMode.Lexicographic,
+      batchedGuard: Boolean = false): RunResult = {
     val (classified, unclassified) = classifyAll(spark, inputDir)
 
     val errors = Seq.newBuilder[InputError]
@@ -140,10 +154,27 @@ object Pipeline {
       if (mine.isEmpty) None
       else {
         val reads = mine.zipWithIndex.map { case (ci, ord) =>
-          readInput(spark, ci, ord, trainHours, history)
+          (ci, readInput(spark, ci, ord, trainHours, history,
+            eagerEmptyGuard = !batchedGuard))
         }
-        reads.collect { case Left(e) => e }.foreach(errors += _)
-        val ok = reads.collect { case Right(o) => o }
+        reads.collect { case (_, Left(e)) => e }.foreach(errors += _)
+        val okPairs = reads.collect { case (ci, Right(o)) => (ci, o) }
+        val ok =
+          if (!batchedGuard) okPairs.map(_._2)
+          else {
+            // P3 batched: which inputs still have rows, in one job.
+            val present: Set[Int] =
+              if (okPairs.isEmpty) Set.empty
+              else okPairs.zipWithIndex
+                .map { case ((_, o), i) => o.good.select(lit(i).as("__i")) }
+                .reduce(_.unionByName(_))
+                .groupBy(col("__i")).count()
+                .collect().map(_.getInt(0)).toSet
+            okPairs.zipWithIndex.flatMap { case ((ci, o), i) =>
+              if (present(i)) Some(o)
+              else { errors += InputError(ci.display, EmptyBatchMessage); None }
+            }
+          }
         if (ok.isEmpty) None
         else {
           val tiebreak = Seq(col("__file_ord"), col("__row_ord"))

@@ -183,6 +183,51 @@ class PipelineSpec extends SparkSuite {
     assert(res.results.find(_.report == ReportType.Occupancy).get.kept.count() === 1)
   }
 
+  test("P3 batched guard: same isolation, one guard job instead of one per input") {
+    def writeInputs(): String = {
+      val in = tmpDir("graft-p3b-in")
+      Files.writeString(Paths.get(s"$in/bad.csv"), occCsv(Seq(
+        occRow("", "AB", "T1", "C1", "5", "q")), junkRows = 0))
+      Files.writeString(Paths.get(s"$in/g1.csv"), occCsv(Seq(
+        occRow("2024-01-01 00:00:00", "EF", "T3", "C3", "7", "q")), junkRows = 0))
+      Files.writeString(Paths.get(s"$in/g2.csv"), occCsv(Seq(
+        occRow("2024-01-02 00:00:00", "GH", "T4", "C4", "8", "q")), junkRows = 0))
+      in
+    }
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1000) } // listener bus drains asynchronously
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+
+    val inA = writeInputs()
+    var resBatched: Pipeline.RunResult = null
+    val jobsBatched = countJobs {
+      resBatched = Pipeline.run(spark, inA, tmpDir("graft-p3b-o1"), "20240101T000000",
+        spark.emptyDataFrame, spark.emptyDataFrame, batchedGuard = true)
+    }
+    // identical isolation semantics to the eager guard
+    assert(resBatched.errors.map(_.path) === Seq(s"$inA/bad.csv"))
+    assert(resBatched.errors.head.message.contains("empty batch"))
+    assert(resBatched.results.find(_.report == ReportType.Occupancy).get.kept.count() === 2)
+
+    val inB = writeInputs()
+    val jobsEager = countJobs {
+      Pipeline.run(spark, inB, tmpDir("graft-p3b-o2"), "20240101T000000",
+        spark.emptyDataFrame, spark.emptyDataFrame, batchedGuard = false)
+    }
+    // 3 inputs: eager pays 3 isEmpty jobs, batched pays 1 count job
+    assert(jobsBatched < jobsEager,
+      s"batched guard should run fewer jobs (batched=$jobsBatched, eager=$jobsEager)")
+  }
+
   test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
     import graft.enrich.Enrichment
     val fact = Seq(("T1", 1), ("T2", 2), ("T3", 3)).toDF("k", "v")
