@@ -25,7 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional subset (comma-separated names) for scale-curve runs and
+    // single-query iteration; default remains the full suite.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Per-query warmup immediately before its timed run: a single global
     // warmup pass lets the codegen cache evict earlier plans while later
     // ones warm, re-billing Janino compilation (data-size-independent)

@@ -118,6 +118,39 @@ object Dedup {
     *   false and manage persistence of `docs` itself, or unpersist via
     *   `spark.sharedState.cacheManager` between batches.
     */
+  /** The banding projection shared by the pair join and the bucket-stats
+    * guard: one (band, band-value) struct per band, band-value = the
+    * band's signature slice joined with '_'.
+    */
+  private def bandArray(numBands: Int, bandRows: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandRows).map(i => col("sig")(b * bandRows + i)): _*).as("bv"))
+    }: _*)
+
+  /** Guard diagnostic for a near-dup run: per-band bucket-size stats of
+    * the LSH shuffle. Candidate generation is quadratic IN EACH BUCKET,
+    * so `max_bucket` is the number that predicts cost — run this (cheap:
+    * signatures + one count) before a large job; a max in the thousands
+    * means exact-dedup first (identical docs share every band) or a
+    * narrower band width.
+    */
+  def bandBucketStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numSig: Int = 12, bandRows: Int = 2): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val numBands = numSig / bandRows
+    val base = withShingleHashSet(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__text", "sh", k)
+      .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
+    base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
+      .groupBy(col("bd.band").as("band"), col("bd.bv"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"))
+      .agg(max(col("bucket_size")).as("max_bucket"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numSig: Int = 12, bandRows: Int = 2,
       minJacNum: Int = 1, minJacDen: Int = 2,
@@ -146,11 +179,7 @@ object Dedup {
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
 
-    val bandArr = array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until bandRows).map(i => col("sig")(b * bandRows + i)): _*).as("bv"))
-    }: _*)
-    val bands = base.select(col("id"), explode(bandArr).as("bd"))
+    val bands = base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
 
     // Shuffle key = (band, band-value): docs only meet inside a bucket.

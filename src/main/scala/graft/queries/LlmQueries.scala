@@ -145,6 +145,12 @@ object LlmQueries {
         col("vec_id") % 50 === 0, 3)
     }),
 
+    // LSH band-bucket guard: the per-band bucket-size profile that
+    // predicts candidate-join cost (quadratic per bucket) — the check a
+    // 100 TB near-dup run fires before committing to the pair join.
+    "q44_lsh_bucket_stats" -> ((s, dir) =>
+      Dedup.bandBucketStats(docsCorpus(s, dir), "doc_id", "text")),
+
     // Multimodal plumbing: opaque binary payloads + metadata + head sample.
     "q37_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
@@ -168,14 +174,20 @@ object LlmQueries {
   /** The t→sg→bands→cand→pairs CTE chain of the LSH near-dup spec, reading
     * doc_id/text from `sourceRel` — shared by q32 and the q39 composite.
     */
-  private def lshChainSql(sourceRel: String): String =
+  /** The chain up through band rows — shared by the pair join (q32/q39)
+    * and the bucket-stats guard (q44).
+    */
+  private def lshBandsSql(sourceRel: String): String =
     s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $sourceRel),
        |s0 AS (SELECT doc_id, $shSetSql AS sh FROM t),
        |sg AS (SELECT doc_id, sh,
        |  $sigSelect
        |FROM s0),
        |bands AS (
-       |$bandsSql),
+       |$bandsSql)""".stripMargin
+
+  private def lshChainSql(sourceRel: String): String =
+    s"""${lshBandsSql(sourceRel)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
@@ -215,6 +227,14 @@ object LlmQueries {
       s"""WITH corpus AS ($corpusSql),
          |${lshChainSql("corpus")}
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    "q44_lsh_bucket_stats" ->
+      s"""WITH corpus AS ($corpusSql),
+         |${lshBandsSql("corpus")},
+         |buckets AS (SELECT band, bv, COUNT(*) AS sz FROM bands GROUP BY band, bv)
+         |SELECT band, CAST(MAX(sz) AS BIGINT) AS max_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM buckets GROUP BY band""".stripMargin,
 
     "q33_text_stats" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)

@@ -43,6 +43,16 @@ class LlmSpec extends SparkSuite {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("band bucket stats: exact dups share every band's bucket; max_bucket flags them") {
+    val stats = Dedup.bandBucketStats(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.keySet === (0 until 6).toSet) // numSig=12 / bandRows=2
+    // docs 1 and 4 are identical → every band has a bucket of ≥ 2
+    assert(stats.values.forall { case (maxB, _) => maxB >= 2L })
+    // no bucket can exceed the corpus size
+    assert(stats.values.forall { case (maxB, _) => maxB <= 5L })
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated docs far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
