@@ -8,31 +8,83 @@ import graft.operators.DateStreaks
 /** K1-K3 — side-channel CSV sinks (error rows, duplicates, snapshot).
   *
   * Reference: `reports_exporter_v0.83.py:599-603, 1775-1787, 1789-1797` —
-  * zipped CSV artifacts named "<Report> <channel> <run timestamp>". Spark
-  * has no zip container codec, so gzip is the idiomatic substitute
-  * (SURVEY.md §7.3); the artifact layout is a directory of part files,
-  * written distributed — no driver-side buffering of row data.
+  * zipped CSV artifacts named "<Report> <channel> <run timestamp>".
+  *
+  * Two container formats:
+  *  - [[Container.GzipDir]] (default, scale path): a directory of gzip
+  *    part files, written fully distributed — no driver-side buffering.
+  *  - [[Container.CsvZip]] (reference-faithful delivery): a literal
+  *    `<artifact>.csv.zip` holding one `<artifact>.csv` entry, exactly
+  *    what the reference's consumers unzip. Zip is a single-stream
+  *    container, so the rows are still WRITTEN distributed (plain-csv
+  *    part files) and only STREAMED into the zip on the driver with a
+  *    constant-memory copy — right for the side channels (rejects,
+  *    duplicates: a sliver of the corpus), wrong for main data at 100 TB.
   */
 object SideChannelCsv {
+
+  sealed trait Container
+  object Container {
+    case object GzipDir extends Container
+    case object CsvZip extends Container
+  }
 
   /** The reference's artifact naming: "<report> <channel> <runStamp>". */
   def artifactPath(exportDir: String, report: String, channel: String, runStamp: String): String =
     s"$exportDir/$report $channel $runStamp"
 
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("header", "true")
-      .option("compression", "gzip")
-      .csv(path)
+  def write(df: DataFrame, path: String,
+      container: Container = Container.GzipDir): Unit = container match {
+    case Container.GzipDir =>
+      df.write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    case Container.CsvZip =>
+      writeCsvZip(df, path)
+  }
 
-  def writeErrors(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
-    write(df, artifactPath(exportDir, report, "error rows", runStamp))
+  /** `<path>.csv.zip` with a single `<basename>.csv` entry: parts are
+    * written distributed (headerless), then streamed into the zip in
+    * part order behind one header line. Quoting inside rows is Spark's
+    * CSV writer's; the header quotes only names that need it.
+    */
+  private def writeCsvZip(df: DataFrame, path: String): Unit = {
+    val staging = path + ".staging"
+    df.write.mode(SaveMode.Overwrite).option("header", "false").csv(staging)
+    val parts = Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = new java.io.File(path).getName
+    val zos = new java.util.zip.ZipOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path + ".csv.zip")))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"$base.csv"))
+      val header = df.columns.map(csvQuote).mkString(",") + "\n"
+      zos.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      parts.foreach(p => java.nio.file.Files.copy(p.toPath, zos))
+      zos.closeEntry()
+    } finally zos.close()
+    parts.foreach(_.delete())
+    Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    new java.io.File(staging).delete()
+  }
 
-  def writeDuplicates(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
-    write(df, artifactPath(exportDir, report, "duplicates", runStamp))
+  private def csvQuote(s: String): String =
+    if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 
-  def writeSnapshot(df: DataFrame, exportDir: String, report: String, runStamp: String): Unit =
-    write(df, artifactPath(exportDir, report, "data exported", runStamp))
+  def writeErrors(df: DataFrame, exportDir: String, report: String, runStamp: String,
+      container: Container = Container.GzipDir): Unit =
+    write(df, artifactPath(exportDir, report, "error rows", runStamp), container)
+
+  def writeDuplicates(df: DataFrame, exportDir: String, report: String, runStamp: String,
+      container: Container = Container.GzipDir): Unit =
+    write(df, artifactPath(exportDir, report, "duplicates", runStamp), container)
+
+  def writeSnapshot(df: DataFrame, exportDir: String, report: String, runStamp: String,
+      container: Container = Container.GzipDir): Unit =
+    write(df, artifactPath(exportDir, report, "data exported", runStamp), container)
 }
 
 /** K4-K6 — idempotent partition-overwrite load protocol, file-backed.

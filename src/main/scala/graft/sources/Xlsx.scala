@@ -99,11 +99,12 @@ object Xlsx {
     withZip(path) { zip =>
       val shared = readSharedStrings(zip)
       val dateStyles = readDateStyles(zip)
+      val date1904 = readDate1904(zip)
       val entry = Option(zip.getEntry(refs(sheetIndex).part))
         .getOrElse(throw new IllegalArgumentException(
           s"no sheet part ${refs(sheetIndex).part} in $path"))
       val in = zip.getInputStream(entry)
-      try parseSheet(in, shared, dateStyles, maxRows)
+      try parseSheet(in, shared, dateStyles, date1904, maxRows)
       finally in.close()
     }
   }
@@ -168,6 +169,24 @@ object Xlsx {
     } finally in.close()
   }
 
+  /** Workbook date system: `<workbookPr date1904="1"/>` switches serial
+    * day 0 from 1899-12-30 (default) to 1904-01-01 (legacy Mac Excel).
+    */
+  private def readDate1904(zip: ZipFile): Boolean = {
+    val e = zip.getEntry("xl/workbook.xml")
+    if (e == null) return false
+    val in = zip.getInputStream(e)
+    try {
+      val r = factory.createXMLStreamReader(in)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr")
+          return attr(r, "date1904").exists(v => v == "1" || v == "true")
+      }
+      false
+    } finally in.close()
+  }
+
   /** Style indexes (cellXfs order) whose numFmt renders as a date/time. */
   private def readDateStyles(zip: ZipFile): Set[Int] = {
     val e = zip.getEntry("xl/styles.xml")
@@ -200,7 +219,7 @@ object Xlsx {
   }
 
   private def parseSheet(in: InputStream, shared: IndexedSeq[String],
-      dateStyles: Set[Int], maxRows: Int): Seq[Seq[String]] = {
+      dateStyles: Set[Int], date1904: Boolean, maxRows: Int): Seq[Seq[String]] = {
     val r = factory.createXMLStreamReader(in)
     val rows = ListBuffer.empty[Seq[String]]
     var row: ArrayBuffer[String] = null
@@ -236,7 +255,7 @@ object Xlsx {
             case "b" => if (raw == "1") "TRUE" else "FALSE"
             case _ => // numeric
               if (raw.isEmpty) null
-              else if (dateStyles(cellStyle)) renderDateSerial(raw)
+              else if (dateStyles(cellStyle)) renderDateSerial(raw, date1904)
               else raw
           }
           while (row.length < cellCol) row += null
@@ -262,12 +281,15 @@ object Xlsx {
     acc - 1
   }
 
-  /** Excel 1900-epoch serial → "yyyy-MM-dd HH:mm:ss" (the rendering the
-    * engine's F1 coercion expects). Serial day 0 = 1899-12-30.
+  /** Excel date serial → "yyyy-MM-dd HH:mm:ss" (the rendering the
+    * engine's F1 coercion expects). Serial day 0 = 1899-12-30 in the
+    * default 1900 system, 1904-01-01 when the workbook sets date1904.
     */
-  private def renderDateSerial(raw: String): String = {
+  private def renderDateSerial(raw: String, date1904: Boolean): String = {
     val serial = raw.toDouble
-    val epoch = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+    val epoch =
+      if (date1904) java.time.LocalDateTime.of(1904, 1, 1, 0, 0)
+      else java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
     val seconds = math.round(serial * 86400.0)
     epoch.plusSeconds(seconds)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))

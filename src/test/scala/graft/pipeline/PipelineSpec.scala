@@ -312,6 +312,26 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("K1-K3 zip container: literal .csv.zip with one csv entry, content intact") {
+    import scala.jdk.CollectionConverters._
+    import graft.sinks.SideChannelCsv
+    val dir = tmpDir("graft-zip")
+    val df = Seq(("a", "x,y"), ("b", "plain")).toDF("k", "v").repartition(2)
+    SideChannelCsv.write(df, s"$dir/Occupancy duplicates 20240101",
+      SideChannelCsv.Container.CsvZip)
+    val zf = new java.util.zip.ZipFile(s"$dir/Occupancy duplicates 20240101.csv.zip")
+    try {
+      val entries = zf.entries().asScala.toSeq
+      assert(entries.map(_.getName) === Seq("Occupancy duplicates 20240101.csv"))
+      val lines = scala.io.Source.fromInputStream(zf.getInputStream(entries.head))
+        .getLines().toSeq
+      assert(lines.head === "k,v")
+      assert(lines.tail.sorted === Seq("a,\"x,y\"", "b,plain"))
+    } finally zf.close()
+    // staging directory cleaned up
+    assert(!Files.exists(Paths.get(s"$dir/Occupancy duplicates 20240101.staging")))
+  }
+
   test("K4-K6: partition-overwrite load is idempotent and audits per day") {
     val target = tmpDir("graft-sink")
     val audit = tmpDir("graft-audit")

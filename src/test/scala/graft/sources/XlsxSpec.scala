@@ -18,7 +18,7 @@ class XlsxSpec extends SparkSuite {
     * date-styled numeric cell.
     */
   private def writeXlsx(path: String, sheetRows: Seq[Seq[(String, String)]],
-      sharedStrings: Seq[String]): Unit = {
+      sharedStrings: Seq[String], date1904: Boolean = false): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
@@ -27,9 +27,10 @@ class XlsxSpec extends SparkSuite {
     }
     put("[Content_Types].xml",
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    val wbPr = if (date1904) """<workbookPr date1904="1"/>""" else ""
     put("xl/workbook.xml",
-      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-        |<sheets><sheet name="Report" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets>
+      s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |$wbPr<sheets><sheet name="Report" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets>
         |</workbook>""".stripMargin)
     put("xl/sharedStrings.xml",
       s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedStrings.size}" uniqueCount="${sharedStrings.size}">""" +
@@ -71,6 +72,17 @@ class XlsxSpec extends SparkSuite {
     assert(rows(0) === Seq("colA", "colB"))
     assert(rows(1) === Seq("hello", "2024-01-01 12:00:00", null, "42"))
     assert(rows(2) === Seq("3.5"))
+  }
+
+  test("xlsx: date1904 workbooks shift the serial epoch to 1904-01-01") {
+    val dir = Files.createTempDirectory("graft-xlsx1904").toString
+    // serial 100.25 = epoch + 100 days 6 h in whichever date system
+    val rows = Seq(Seq(("d", "100.25")))
+    val p1900 = s"$dir/t1900.xlsx"; val p1904 = s"$dir/t1904.xlsx"
+    writeXlsx(p1900, rows, Nil)
+    writeXlsx(p1904, rows, Nil, date1904 = true)
+    assert(Xlsx.readSheet(p1900, 0) === Seq(Seq("1900-04-09 06:00:00")))
+    assert(Xlsx.readSheet(p1904, 0) === Seq(Seq("1904-04-10 06:00:00")))
   }
 
   test("xlsx: sheet order resolves through workbook rels, not part numbering") {
