@@ -155,19 +155,65 @@ object Dedup {
       k: Int = 3, numSig: Int = 12, bandRows: Int = 2,
       minJacNum: Int = 1, minJacDen: Int = 2,
       persistSignatures: Boolean = true): DataFrame = {
-    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
-    val numBands = numSig / bandRows
-    // Barriers: sh is referenced by the signature AND both verify joins;
-    // sig is referenced by every band. Without `once` each reference
-    // recomputes the whole tokenize→shingle→md5 chain.
+    // Barriers: sh is referenced by the signature AND both verify joins.
     // Repartition first: the per-row hashing is CPU-bound and must spread
     // over all cores even when the source is one small file; at scale the
-    // shuffle is trivia next to the hashing. Persist: the signature table
-    // (~1-2% of corpus bytes) feeds three consumers (bands + both verify
-    // lookups) — caching it beats re-tokenizing the corpus three times.
-    val base0 = withShingleHashSet(
-        docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
-        "__text", "sh", k)
+    // shuffle is trivia next to the hashing.
+    val sets = withShingleHashSet(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+      "__text", "sh", k)
+    lshPairsFromSets(sets, numSig, bandRows, minJacNum, minJacDen, persistSignatures)
+  }
+
+  /** Character n-grams of the canonical token stream (lowercased,
+    * punctuation-stripped, single-spaced) — the sub-word analog of word
+    * shingles: robust to tokenization edits, standard for short-edit
+    * near-dup detection. Texts shorter than n chars collapse to one
+    * whole-string gram.
+    */
+  def charNgramHashSetFromNorm(norm: Column, n: Int): Column = {
+    val grams = when(length(norm) < n, array(norm))
+      .otherwise(transform(sequence(lit(0), length(norm) - n),
+        i => norm.substr(i + 1, lit(n))))
+    array_distinct(transform(grams, g => hash32(g)))
+  }
+
+  /** Normalized stream and char-n-gram hash set, each computed once per
+    * row ([[once]] barriers, as [[withShingleHashSet]]).
+    */
+  def withCharNgramHashSet(df: DataFrame, textCol: String, outCol: String,
+      n: Int): DataFrame =
+    once(df, "__norm", concat_ws(" ", TextAnalysis.tokens(col(textCol))))
+      .transform(d => once(d, outCol, charNgramHashSetFromNorm(col("__norm"), n)))
+      .drop("__norm")
+
+  /** Near-duplicate pairs by CHARACTER-n-gram Jaccard — same banded-LSH
+    * + exact-verify machinery as [[nearDupPairs]], with char n-grams as
+    * the set elements instead of word shingles. Catches near-dups that
+    * word shingling misses (intra-word edits, concatenations).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numSig: Int = 12, bandRows: Int = 2,
+      minJacNum: Int = 1, minJacDen: Int = 2,
+      persistSignatures: Boolean = true): DataFrame = {
+    val sets = withCharNgramHashSet(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+      "__text", "sh", n)
+    lshPairsFromSets(sets, numSig, bandRows, minJacNum, minJacDen, persistSignatures)
+  }
+
+  /** The engine of both near-dup operators: banded MinHash-LSH candidate
+    * generation + exact-Jaccard verify over a (id, sh) set table.
+    */
+  private def lshPairsFromSets(sets: DataFrame, numSig: Int, bandRows: Int,
+      minJacNum: Int, minJacDen: Int, persistSignatures: Boolean): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val numBands = numSig / bandRows
+    // sig is referenced by every band — `once` barrier. Persist: the
+    // signature table (~1-2% of corpus bytes) feeds three consumers
+    // (bands + both verify lookups) — caching it beats recomputing the
+    // set chain three times.
+    val base0 = sets
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
       .select(col("id"), col("sh"), col("sig"))
     // storageLevel consults the session's CacheManager: if an identical

@@ -53,6 +53,37 @@ object TextAnalysis {
     */
   def fingerprint(toks: Column): Column = md5(concat_ws(" ", toks))
 
+  /** GPT-2-style pre-tokenizer regex ("BPE-ish"): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs — the
+    * standard shape for estimating subword token counts without a merges
+    * table. Plain alternation only, so Java (Spark codegen) and RE2
+    * (DuckDB oracle) agree byte-for-byte.
+    */
+  val BpePattern: String = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  /** BPE-ish token pieces of the lowercased text (bare spaces between
+    * matches are skipped, as in the GPT-2 pre-tokenizer).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
+  /** Rabin-Karp rolling hash of a token stream: fold
+    * `acc -> (acc * B + h32(tok)) mod P` left-to-right. Unlike
+    * [[fingerprint]] (one opaque md5 of the whole stream) the polynomial
+    * structure makes it incrementally maintainable — append a token in
+    * O(1), slide a fixed-size window by subtracting `h·B^(w-1)` — the
+    * classic chunk fingerprint for streaming dedup. Arithmetic stays
+    * under 2^63: acc < P ≈ 2^31, B ≈ 2^20, h32%P < 2^31.
+    */
+  val RollB: Long = 1000003L
+  def rollingHash(toks: Column): Column =
+    // element hashes pre-reduced mod P so an init-less fold (DuckDB
+    // list_reduce starts from the first ELEMENT) matches this init-0 fold
+    aggregate(transform(toks, t => Dedup.hash32(t) % Dedup.P), lit(0L),
+      (acc, h) => (acc * RollB + h) % Dedup.P)
+
   /** Cheap quality gate: enough tokens, not absurdly many, and at least
     * one known stopword (pure symbol soup fails).
     */

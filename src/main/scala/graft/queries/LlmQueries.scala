@@ -151,6 +151,22 @@ object LlmQueries {
     "q44_lsh_bucket_stats" -> ((s, dir) =>
       Dedup.bandBucketStats(docsCorpus(s, dir), "doc_id", "text")),
 
+    // Character-n-gram Jaccard near-dup: the same banded-LSH machinery
+    // with char 5-grams of the normalized stream as set elements —
+    // catches intra-word edits that word shingling misses.
+    "q45_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsCorpus(s, dir), "doc_id", "text")),
+
+    // BPE-ish token counting (GPT-2 pre-tokenizer regex) and the
+    // order-sensitive Rabin-Karp rolling-hash document fingerprint.
+    "q46_bpe_rolling" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.rollingHash(toks).as("roll_hash"))
+    }),
+
     // Multimodal plumbing: opaque binary payloads + metadata + head sample.
     "q37_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
@@ -177,26 +193,50 @@ object LlmQueries {
   /** The chain up through band rows — shared by the pair join (q32/q39)
     * and the bucket-stats guard (q44).
     */
-  private def lshBandsSql(sourceRel: String): String =
-    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM $sourceRel),
-       |s0 AS (SELECT doc_id, $shSetSql AS sh FROM t),
+  /** Word-shingle hash sets (the [[lshBandsSql]] default). */
+  private def wordSetsSql(sourceRel: String): String =
+    s"""SELECT doc_id, $shSetSql AS sh
+       |FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM $sourceRel)""".stripMargin
+
+  /** Character-n-gram hash sets over the canonical token stream (the
+    * q45 variant; mirrors Dedup.charNgramHashSetFromNorm).
+    */
+  private def charNgramSetsSql(sourceRel: String, n: Int): String =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN length(norm) < $n THEN [norm]
+       |         ELSE list_transform(range(0, length(norm) - ${n - 1}),
+       |                i -> substr(norm, CAST(i + 1 AS INT), $n)) END,
+       |    g -> ${h32Sql("g")})) AS sh
+       |FROM (SELECT doc_id, array_to_string(${toksSql("text")}, ' ') AS norm
+       |      FROM $sourceRel)""".stripMargin
+
+  /** The s0→sg→bands chain from a (doc_id, sh) sets relation. */
+  private def lshBandsFromSetsSql(setsSql: String): String =
+    s"""s0 AS (
+       |$setsSql),
        |sg AS (SELECT doc_id, sh,
        |  $sigSelect
        |FROM s0),
        |bands AS (
        |$bandsSql)""".stripMargin
 
+  private def lshBandsSql(sourceRel: String): String =
+    lshBandsFromSetsSql(wordSetsSql(sourceRel))
+
+  private val candPairsSql: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+      |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+      |FROM cand
+      |JOIN sg sa ON cand.id_a = sa.doc_id
+      |JOIN sg sb ON cand.id_b = sb.doc_id)""".stripMargin
+
   private def lshChainSql(sourceRel: String): String =
     s"""${lshBandsSql(sourceRel)},
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT id_a, id_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-       |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
-       |FROM cand
-       |JOIN sg sa ON cand.id_a = sa.doc_id
-       |JOIN sg sb ON cand.id_b = sb.doc_id)""".stripMargin
+       |$candPairsSql""".stripMargin
 
   private val simhashW =
     (0 until 16).map(b =>
@@ -227,6 +267,22 @@ object LlmQueries {
       s"""WITH corpus AS ($corpusSql),
          |${lshChainSql("corpus")}
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    "q45_ngram_jaccard" ->
+      s"""WITH corpus AS ($corpusSql),
+         |${lshBandsFromSetsSql(charNgramSetsSql("corpus", 5))},
+         |$candPairsSql
+         |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    "q46_bpe_rolling" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks, lower(text) AS lt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lt, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(toks, tk -> ${h32Sql("tk")} % ${Dedup.P}),
+         |              (a, h) -> (a * ${TextAnalysis.RollB} + h) % ${Dedup.P}) END AS BIGINT) AS roll_hash
+         |FROM t""".stripMargin,
 
     "q44_lsh_bucket_stats" ->
       s"""WITH corpus AS ($corpusSql),

@@ -53,6 +53,32 @@ class LlmSpec extends SparkSuite {
     assert(stats.values.forall { case (maxB, _) => maxB <= 5L })
   }
 
+  test("char-ngram Jaccard pairs: near-dups found, unrelated absent, no all-pairs plan") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val keys = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup
+    assert(keys.contains((1L, 2L))) // one-word edit: char 5-grams overlap heavily
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("bpe tokens and rolling hash: counts, order sensitivity, empty-doc zero") {
+    val d = Seq(
+      (1L, "It's 42 degrees, okay?"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"), // permutation: same token SET, different order
+      (4L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"),
+        TextAnalysis.rollingHash(TextAnalysis.tokens(col("text"))).as("rh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // it|'s| 42| degrees|,| okay|? → 7 pieces
+    assert(got(1L)._1 === 7L)
+    assert(got(2L)._2 !== got(3L)._2) // order-sensitive
+    assert(got(4L) === ((0L, 0L)))
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated docs far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
