@@ -80,4 +80,24 @@ object Multimodal {
     */
   def sampleHead(assets: DataFrame, nBytes: Int): DataFrame =
     assets.withColumn("head_hex", lower(hex(expr(s"substring(content, 1, $nBytes)"))))
+
+  /** Frame extraction: fixed-length windows every `stride` bytes over the
+    * opaque payload — one output row per (asset, frame) with the frame's
+    * offset and content hash. A real video/audio decoder would seek codec
+    * frame boundaries instead of byte strides; the Spark-side plumbing
+    * (per-row window enumeration, explode to frame rows, per-frame hash,
+    * all codegen'd — no UDF, no decode) is exactly this shape. Payloads
+    * shorter than one frame yield a single truncated frame 0.
+    */
+  def frameSamples(assets: DataFrame, frameLen: Int, stride: Int): DataFrame = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    val lastStart =
+      greatest(lit(0L), floor((length(col("content")) - frameLen) / stride.toDouble).cast("long"))
+    val frames = transform(sequence(lit(0L), lastStart), i =>
+      struct(i.as("frame_idx"),
+        (i * stride + 1).as("frame_off"),
+        md5(substring(col("content"), (i * stride + 1).cast("int"), lit(frameLen))).as("frame_hash")))
+    assets.select(col("asset_id"), explode(frames).as("f"))
+      .select(col("asset_id"), col("f.frame_idx"), col("f.frame_off"), col("f.frame_hash"))
+  }
 }

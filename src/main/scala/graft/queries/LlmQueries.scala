@@ -167,6 +167,14 @@ object LlmQueries {
         TextAnalysis.rollingHash(toks).as("roll_hash"))
     }),
 
+    // Frame sampling over opaque payloads: fixed windows at a byte
+    // stride, one row per (asset, frame) — decode-free multimodal
+    // slicing, fully codegen'd.
+    "q47_frame_samples" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.frameSamples(assets, frameLen = 64, stride = 48)
+    }),
+
     // Multimodal plumbing: opaque binary payloads + metadata + head sample.
     "q37_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(Tables.documents(s, dir), "doc_id", "text")
@@ -283,6 +291,17 @@ object LlmQueries {
          |       ELSE list_reduce(list_transform(toks, tk -> ${h32Sql("tk")} % ${Dedup.P}),
          |              (a, h) -> (a * ${TextAnalysis.RollB} + h) % ${Dedup.P}) END AS BIGINT) AS roll_hash
          |FROM t""".stripMargin,
+
+    // text is ASCII in the testdata, so VARCHAR windows hash identically
+    // to the engine's byte windows (DuckDB 1.0 has no BLOB substring).
+    "q47_frame_samples" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  GREATEST(0, CAST(FLOOR((length(text) - 64) / 48.0) AS BIGINT)) AS last
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, i AS frame_idx,
+        |  i * 48 + 1 AS frame_off,
+        |  md5(substring(text, i * 48 + 1, 64)) AS frame_hash
+        |FROM t, UNNEST(range(0, last + 1)) AS u(i)""".stripMargin,
 
     "q44_lsh_bucket_stats" ->
       s"""WITH corpus AS ($corpusSql),

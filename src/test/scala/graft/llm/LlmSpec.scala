@@ -150,6 +150,22 @@ class LlmSpec extends SparkSuite {
     assert(!out.contains(6L))  // junk → quality gate
   }
 
+  test("frame samples: stride windows with hashes; short payloads give one truncated frame") {
+    val assets = Multimodal.assetsFromText(
+      Seq((1L, "x" * 100), (2L, "ab")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.frameSamples(assets, frameLen = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // asset 1: len 100 → last start idx floor((100-64)/48)=0 → frame 0 only
+    // asset 2: len 2 < frameLen → single truncated frame 0
+    assert(got === Seq((1L, 0L, 1L), (2L, 0L, 1L)))
+    val long = Multimodal.frameSamples(
+      Multimodal.assetsFromText(Seq((3L, "y" * 200)).toDF("doc_id", "text"), "doc_id", "text"),
+      frameLen = 64, stride = 48).collect()
+    // len 200 → floor((200-64)/48)=2 → frames 0,1,2 at offsets 1,49,97
+    assert(long.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq ===
+      Seq((0L, 1L), (1L, 49L), (2L, 97L)))
+  }
+
   test("multimodal: partition-batched extraction is deterministic with fixed feature shape") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
