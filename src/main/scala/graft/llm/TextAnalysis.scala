@@ -89,4 +89,61 @@ object TextAnalysis {
     */
   def isQuality(nToks: Column, nStop: Column, minTokens: Int = 5, maxTokens: Int = 5000): Column =
     nToks >= minTokens && nToks <= maxTokens && nStop >= 1
+
+  /** Ratio in basis points (0-10000), integer-exact across engines:
+    * floor(num * 10000 / den), 0 when the denominator is 0. Exact under
+    * double floor for any corpus-realistic sizes (< 2^53).
+    */
+  def basisPoints(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(num * 10000 / den).cast("long"))
+
+  /** Per-document quality profile with the standard ratio features:
+    * character/punctuation counts, punctuation ratio, stopword ratio
+    * (all integer/basis-point valued — deterministic), plus the boolean
+    * gate. `text` must be the raw text column; `toks` its materialized
+    * token array.
+    */
+  def qualityProfile(text: Column, toks: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nPunct = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("long")
+    val nToks = tokenCount(toks)
+    val nStop = stopwordCount(toks, EnStop)
+    Seq(
+      nChars.as("n_chars"),
+      nPunct.as("n_punct"),
+      basisPoints(nPunct, nChars).as("punct_bp"),
+      basisPoints(nStop, nToks).as("stop_bp"),
+      isQuality(nToks, nStop).as("is_quality"))
+  }
+
+  /** Characteristic character trigrams (over the canonical single-spaced
+    * stream, so word-boundary trigrams like "he " count) for the n-gram
+    * language-ID heuristic — the profile-overlap method, kept tiny like
+    * the stopword inventories: the operator is the shape, not the model.
+    */
+  val EnTri: Seq[String] = Seq("the", "he ", " th", "ing", "and", " an", "ed ")
+  val FrTri: Seq[String] = Seq("le ", " de", "es ", " la", "ent", " le", "de ")
+  val DeTri: Seq[String] = Seq("der", "ie ", "sch", " di", "und", "ein", "cht")
+
+  /** Distinct character trigrams of the normalized stream (short texts
+    * collapse to one whole-string gram, as the shingle operators do).
+    */
+  def charTrigramSet(norm: Column): Column =
+    when(length(norm) < 3, array(norm))
+      .otherwise(array_distinct(transform(sequence(lit(0), length(norm) - 3),
+        i => norm.substr(i + 1, lit(3)))))
+
+  /** N-gram-heuristic language guess: argmax of trigram-profile overlap
+    * with the same fixed tie order as [[langGuess]] (en ≥ fr ≥ de).
+    * `tris` must be a materialized trigram-set column.
+    */
+  def langGuessNgram(tris: Column): Column = {
+    def overlap(inv: Seq[String]): Column =
+      size(array_intersect(tris, array(inv.map(lit): _*))).cast("long")
+    val en = overlap(EnTri); val fr = overlap(FrTri); val de = overlap(DeTri)
+    when(en >= fr && en >= de, lit("en"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
 }

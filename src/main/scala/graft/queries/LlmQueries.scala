@@ -167,6 +167,21 @@ object LlmQueries {
         TextAnalysis.rollingHash(toks).as("roll_hash"))
     }),
 
+    // Quality-ratio profile (punct/stopword basis points) + n-gram
+    // language ID: the ratio features and the char-trigram-profile
+    // heuristic, all integer-valued for engine-exact comparison.
+    "q48_quality_lang_profile" -> ((s, dir) => {
+      val base = Dedup.once(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "__toks", TextAnalysis.tokens(col("text")))
+        .transform(d => Dedup.once(d, "__norm", concat_ws(" ", col("__toks"))))
+        .transform(d => Dedup.once(d, "__tris", TextAnalysis.charTrigramSet(col("__norm"))))
+      base.select(
+        col("doc_id") +:
+          TextAnalysis.qualityProfile(col("text"), col("__toks")) :+
+          TextAnalysis.langGuessNgram(col("__tris")).as("lang_ngram"): _*)
+    }),
+
     // Frame sampling over opaque payloads: fixed windows at a byte
     // stride, one row per (asset, frame) — decode-free multimodal
     // slicing, fully codegen'd.
@@ -291,6 +306,29 @@ object LlmQueries {
          |       ELSE list_reduce(list_transform(toks, tk -> ${h32Sql("tk")} % ${Dedup.P}),
          |              (a, h) -> (a * ${TextAnalysis.RollB} + h) % ${Dedup.P}) END AS BIGINT) AS roll_hash
          |FROM t""".stripMargin,
+
+    "q48_quality_lang_profile" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, text, toks, array_to_string(toks, ' ') AS norm FROM t),
+         |g AS (SELECT *, CASE WHEN length(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(range(0, length(norm) - 2),
+         |               i -> substring(norm, CAST(i + 1 AS INT), 3))) END AS tris,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop
+         |FROM n)
+         |SELECT doc_id, n_chars, n_punct,
+         |  CASE WHEN n_chars = 0 THEN 0
+         |       ELSE CAST(FLOOR(n_punct * 10000.0 / n_chars) AS BIGINT) END AS punct_bp,
+         |  CASE WHEN n_toks = 0 THEN 0
+         |       ELSE CAST(FLOOR(n_stop * 10000.0 / n_toks) AS BIGINT) END AS stop_bp,
+         |  (n_toks >= 5 AND n_toks <= 5000 AND n_stop >= 1) AS is_quality,
+         |  CASE WHEN len(list_intersect(tris, ${sqlList(TextAnalysis.EnTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.FrTri)}))
+         |        AND len(list_intersect(tris, ${sqlList(TextAnalysis.EnTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.DeTri)})) THEN 'en'
+         |       WHEN len(list_intersect(tris, ${sqlList(TextAnalysis.FrTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.DeTri)})) THEN 'fr'
+         |       ELSE 'de' END AS lang_ngram
+         |FROM g""".stripMargin,
 
     // text is ASCII in the testdata, so VARCHAR windows hash identically
     // to the engine's byte windows (DuckDB 1.0 has no BLOB substring).
