@@ -117,6 +117,18 @@ object TextAnalysis {
       isQuality(nToks, nStop).as("is_quality"))
   }
 
+  /** Repetition profile over a materialized shingle column (Gopher/C4-
+    * style duplicate-n-gram filter features): total and distinct shingle
+    * counts plus the repeated fraction in basis points — a high `rep_bp`
+    * marks boilerplate/looping text for the quality gate.
+    */
+  def repetitionStats(sh: Column): Seq[Column] = {
+    val n = size(sh).cast("long")
+    val d = size(array_distinct(sh)).cast("long")
+    Seq(n.as("n_3grams"), d.as("n_distinct_3grams"),
+      basisPoints(n - d, n).as("rep_bp"))
+  }
+
   /** Characteristic character trigrams (over the canonical single-spaced
     * stream, so word-boundary trigrams like "he " count) for the n-gram
     * language-ID heuristic — the profile-overlap method, kept tiny like

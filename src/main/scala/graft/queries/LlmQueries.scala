@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{CurationPipeline, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` tables, each with a
@@ -167,6 +167,22 @@ object LlmQueries {
         TextAnalysis.rollingHash(toks).as("roll_hash"))
     }),
 
+    // Deterministic hash-keyed train/val/test assignment — never rand():
+    // same doc, same split on any engine/run/retry.
+    "q49_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq(("train", 90), ("val", 5), ("test", 5))).as("split"))),
+
+    // Gopher/C4-style repetition profile: repeated-3-gram fraction.
+    "q50_repetition_stats" -> ((s, dir) => {
+      val base = Dedup.once(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "__toks", TextAnalysis.tokens(col("text")))
+        .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+      base.select(col("doc_id") +: TextAnalysis.repetitionStats(col("__sh3")): _*)
+    }),
+
     // Quality-ratio profile (punct/stopword basis points) + n-gram
     // language ID: the ratio features and the char-trigram-profile
     // heuristic, all integer-valued for engine-exact comparison.
@@ -306,6 +322,22 @@ object LlmQueries {
          |       ELSE list_reduce(list_transform(toks, tk -> ${h32Sql("tk")} % ${Dedup.P}),
          |              (a, h) -> (a * ${TextAnalysis.RollB} + h) % ${Dedup.P}) END AS BIGINT) AS roll_hash
          |FROM t""".stripMargin,
+
+    "q49_hash_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)""".stripMargin,
+
+    "q50_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, $shinglesSql AS sh3 FROM t)
+         |SELECT doc_id,
+         |  CAST(len(sh3) AS BIGINT) AS n_3grams,
+         |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_distinct_3grams,
+         |  CASE WHEN len(sh3) = 0 THEN 0
+         |       ELSE CAST(FLOOR((len(sh3) - len(list_distinct(sh3))) * 10000.0 / len(sh3)) AS BIGINT) END AS rep_bp
+         |FROM s""".stripMargin,
 
     "q48_quality_lang_profile" ->
       s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),

@@ -166,6 +166,21 @@ class LlmSpec extends SparkSuite {
       Seq((0L, 1L), (1L, 49L), (2L, 97L)))
   }
 
+  test("hash split: partitions the corpus, stable across recomputation, ~expected sizes") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val splits = Seq(("train", 90), ("val", 5), ("test", 5))
+    def assign() = ids.select(col("id"), Sampling.splitAssign(col("id"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign()
+    assert(a === assign()) // deterministic
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // total partition
+    assert(counts("train") > 1600 && counts("val") < 200 && counts("test") < 200)
+    // sampleGate(p) agrees with bucket arithmetic: gate(100) keeps all, gate(0) none
+    assert(ids.filter(Sampling.sampleGate(col("id"), 100)).count() === 2000)
+    assert(ids.filter(Sampling.sampleGate(col("id"), 0)).count() === 0)
+  }
+
   test("multimodal: partition-batched extraction is deterministic with fixed feature shape") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
