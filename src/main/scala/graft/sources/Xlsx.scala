@@ -201,9 +201,12 @@ object Xlsx {
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
           case "numFmt" =>
+            // '#' marks numeric masks; '[' marks elapsed-time codes like
+            // [h]:mm:ss — durations, not calendar dates; both stay raw.
             for (id <- attr(r, "numFmtId").flatMap(_.toIntOption);
                  code <- attr(r, "formatCode"))
-              if (code.exists("ymdhs".contains(_)) && !code.contains("#")) customDate += id
+              if (code.exists("ymdhs".contains(_)) && !code.contains("#") &&
+                  !code.contains("[")) customDate += id
           case "cellXfs" => inCellXfs = true
           case "xf" if inCellXfs =>
             styleFmts += attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)

@@ -49,4 +49,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Sort [") || !p.contains("global=true"),
       "dedup must not require a global sort")
   }
+
+  test("q46/q48/q50: per-row profile queries stay shuffle-free scan-projects") {
+    Seq("q46_bpe_rolling", "q48_quality_lang_profile", "q50_repetition_stats")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      }
+  }
+
+  test("q47: frame sampling is a shuffle-free explode") {
+    val p = plan("q47_frame_samples")
+    assert(p.contains("Generate"), "expected the frame explode")
+    assert(!p.contains("Exchange"), "frame sampling must not shuffle")
+  }
+
+  test("q44: bucket stats aggregate partially before both exchanges") {
+    val p = plan("q44_lsh_bucket_stats")
+    assert(p.contains("partial_count"), "expected map-side partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q45: char-ngram LSH pairs never degrade to all-pairs") {
+    val p = plan("q45_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -35,10 +35,13 @@ class XlsxSpec extends SparkSuite {
     put("xl/sharedStrings.xml",
       s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sharedStrings.size}" uniqueCount="${sharedStrings.size}">""" +
         sharedStrings.map(s => s"<si><t>${scala.xml.Utility.escape(s)}</t></si>").mkString + "</sst>")
-    // style 0: general; style 1: built-in date format 22 (m/d/yy h:mm)
+    // style 0: general; style 1: built-in date format 22 (m/d/yy h:mm);
+    // style 2: custom elapsed-time [h]:mm:ss (NOT a date — stays raw);
+    // style 3: custom date yyyy-mm-dd (date-like → rendered)
     put("xl/styles.xml",
       """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="22"/></cellXfs>
+        |<numFmts count="2"><numFmt numFmtId="164" formatCode="[h]:mm:ss"/><numFmt numFmtId="165" formatCode="yyyy-mm-dd"/></numFmts>
+        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="22"/><xf numFmtId="164"/><xf numFmtId="165"/></cellXfs>
         |</styleSheet>""".stripMargin)
     val body = sheetRows.zipWithIndex.map { case (cells, ri) =>
       val cs = cells.zipWithIndex.collect { case ((t, v), ci) if v != null =>
@@ -47,6 +50,8 @@ class XlsxSpec extends SparkSuite {
           case "s"   => s"""<c r="$ref" t="s"><v>$v</v></c>"""
           case "str" => s"""<c r="$ref" t="str"><v>${scala.xml.Utility.escape(v)}</v></c>"""
           case "d"   => s"""<c r="$ref" s="1"><v>$v</v></c>"""
+          case "el"  => s"""<c r="$ref" s="2"><v>$v</v></c>"""
+          case "cd"  => s"""<c r="$ref" s="3"><v>$v</v></c>"""
           case _     => s"""<c r="$ref"><v>$v</v></c>"""
         }
       }.mkString
@@ -72,6 +77,14 @@ class XlsxSpec extends SparkSuite {
     assert(rows(0) === Seq("colA", "colB"))
     assert(rows(1) === Seq("hello", "2024-01-01 12:00:00", null, "42"))
     assert(rows(2) === Seq("3.5"))
+  }
+
+  test("xlsx: elapsed-time custom formats stay raw serials, custom date formats render") {
+    val dir = Files.createTempDirectory("graft-xlsxfmt").toString
+    val path = s"$dir/t.xlsx"
+    writeXlsx(path, Seq(Seq(("el", "1.5"), ("cd", "45292.5"))), Nil)
+    // [h]:mm:ss is a duration → raw serial; yyyy-mm-dd custom → rendered
+    assert(Xlsx.readSheet(path, 0) === Seq(Seq("1.5", "2024-01-01 12:00:00")))
   }
 
   test("xlsx: date1904 workbooks shift the serial epoch to 1904-01-01") {
