@@ -134,6 +134,19 @@ object EventStreams {
         Encoders.product[SessionState], Encoders.product[ClosedSession])
   }
 
+  /** Streaming exact-dedup at ingest: drop rows whose key re-appears
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`) —
+    * the streaming form of the batch exact dedup with BOUNDED state:
+    * a key's dedup entry expires once the watermark passes it, so state
+    * is O(keys per watermark window), not O(all keys ever). The batch
+    * form (plain `dropDuplicates`) answers the oracle; this is the
+    * ingest-path guard a continuous document/event feed runs.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-static enrichment: join the event stream to a broadcast
     * dimension (same shape as the batch J1; Structured Streaming executes
     * it per micro-batch with the static side broadcast once).

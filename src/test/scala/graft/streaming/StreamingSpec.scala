@@ -83,6 +83,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: repeated keys within the watermark dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:01:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 10:02:00", 3), ev(2, "2024-01-01 10:03:00", 4))
+      q.processAllAvailable()
+      // event_id 1 appeared three times (twice in batch 1, once in batch 2
+      // — state carried across batches) → kept once; id 2 kept once.
+      val got = spark.sql("SELECT event_id, count(*) FROM dedup_out GROUP BY event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("file stream: read parquet directory as a stream, aggregate, write with checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
