@@ -85,7 +85,11 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Number].intValue())),
     (new FunctionIdentifier("array_dot_product"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_product"),
-      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))),
+    (new FunctionIdentifier("ngram_poly_hash_set"),
+      new ExpressionInfo(classOf[NgramPolyHashSet].getName, "ngram_poly_hash_set"),
+      (children: Seq[Expression]) => NgramPolyHashSet(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent registration on a live session (for sessions not built
     * with the extensions conf).

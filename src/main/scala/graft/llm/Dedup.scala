@@ -170,13 +170,16 @@ object Dedup {
     * shingles: robust to tokenization edits, standard for short-edit
     * near-dup detection. Texts shorter than n chars collapse to one
     * whole-string gram.
+    *
+    * Computed by the native [[graft.functions.NgramPolyHashSet]]
+    * expression: ONE pass over the string's bytes with a polynomial
+    * hash — char n-grams yield ~one gram per character, so the composed
+    * transform+substr+md5 chain (a string allocation + crypto digest per
+    * gram) is ~20× the per-document work of word shingling; the native
+    * one-pass form is what keeps character-level LSH affordable.
     */
-  def charNgramHashSetFromNorm(norm: Column, n: Int): Column = {
-    val grams = when(length(norm) < n, array(norm))
-      .otherwise(transform(sequence(lit(0), length(norm) - n),
-        i => norm.substr(i + 1, lit(n))))
-    array_distinct(transform(grams, g => hash32(g)))
-  }
+  def charNgramHashSetFromNorm(norm: Column, n: Int): Column =
+    graft.functions.NgramPolyHashSet(norm, n)
 
   /** Normalized stream and char-n-gram hash set, each computed once per
     * row ([[once]] barriers, as [[withShingleHashSet]]).
@@ -191,9 +194,18 @@ object Dedup {
     * + exact-verify machinery as [[nearDupPairs]], with char n-grams as
     * the set elements instead of word shingles. Catches near-dups that
     * word shingling misses (intra-word edits, concatenations).
+    *
+    * Default bands are WIDER than the word variant (4 rows × 4 bands vs
+    * 2 × 6): unrelated same-language documents share many character
+    * n-grams (measured baseline J ≈ 0.17 on the test corpus vs ≈ 0 for
+    * word shingles), and 2-row bands would admit ~J² ≈ 3% of ALL pairs
+    * per band as candidates — quadratic blowup at corpus scale. 4-row
+    * bands cut the baseline admit rate to J⁴ ≈ 0.1% while keeping
+    * high-similarity near-dups (J ≥ 0.8, the char variant's target)
+    * detectable; run [[bandBucketStats]] before changing them.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, numSig: Int = 12, bandRows: Int = 2,
+      n: Int = 5, numSig: Int = 16, bandRows: Int = 4,
       minJacNum: Int = 1, minJacDen: Int = 2,
       persistSignatures: Boolean = true): DataFrame = {
     val sets = withCharNgramHashSet(

@@ -219,12 +219,17 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- oracles
 
-  private val sigSelect =
-    (0 until 12).map(j => s"${mhSql(j)} AS mh_$j").mkString(",\n  ")
+  private def sigSelectN(numSig: Int): String =
+    (0 until numSig).map(j => s"${mhSql(j)} AS mh_$j").mkString(",\n  ")
+  private val sigSelect = sigSelectN(12)
 
-  private val bandsSql = (0 until 6).map { b =>
-    s"SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS bv FROM sg"
-  }.mkString("\nUNION ALL\n")
+  private def bandsSqlN(numSig: Int, bandRows: Int): String =
+    (0 until numSig / bandRows).map { b =>
+      val bv = (0 until bandRows)
+        .map(i => s"CAST(mh_${b * bandRows + i} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $bv AS bv FROM sg"
+    }.mkString("\nUNION ALL\n")
+  private val bandsSql = bandsSqlN(12, 2)
 
   /** The t→sg→bands→cand→pairs CTE chain of the LSH near-dup spec, reading
     * doc_id/text from `sourceRel` — shared by q32 and the q39 composite.
@@ -238,26 +243,36 @@ object LlmQueries {
        |FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM $sourceRel)""".stripMargin
 
   /** Character-n-gram hash sets over the canonical token stream (the
-    * q45 variant; mirrors Dedup.charNgramHashSetFromNorm).
+    * q45 variant; mirrors Dedup.charNgramHashSetFromNorm / the native
+    * NgramPolyHashSet: fold (a*B + byte) % P over each gram's chars —
+    * DuckDB's init-less list_reduce matches the init-0 fold because
+    * byte codes < P).
     */
+  private def polyHashSql(g: String): String =
+    s"""CASE WHEN length($g) = 0 THEN 0
+       |     ELSE list_reduce(list_transform(range(1, length($g) + 1),
+       |            j -> CAST(ascii(substr($g, CAST(j AS INT), 1)) AS BIGINT)),
+       |          (a, c) -> (a * ${graft.functions.NgramPolyHashSet.B} + c) % ${graft.functions.NgramPolyHashSet.P}) END""".stripMargin
+
   private def charNgramSetsSql(sourceRel: String, n: Int): String =
     s"""SELECT doc_id, list_distinct(list_transform(
        |    CASE WHEN length(norm) < $n THEN [norm]
        |         ELSE list_transform(range(0, length(norm) - ${n - 1}),
        |                i -> substr(norm, CAST(i + 1 AS INT), $n)) END,
-       |    g -> ${h32Sql("g")})) AS sh
+       |    g -> ${polyHashSql("g")})) AS sh
        |FROM (SELECT doc_id, array_to_string(${toksSql("text")}, ' ') AS norm
        |      FROM $sourceRel)""".stripMargin
 
   /** The s0→sg→bands chain from a (doc_id, sh) sets relation. */
-  private def lshBandsFromSetsSql(setsSql: String): String =
+  private def lshBandsFromSetsSql(setsSql: String, numSig: Int = 12,
+      bandRows: Int = 2): String =
     s"""s0 AS (
        |$setsSql),
        |sg AS (SELECT doc_id, sh,
-       |  $sigSelect
+       |  ${sigSelectN(numSig)}
        |FROM s0),
        |bands AS (
-       |$bandsSql)""".stripMargin
+       |${bandsSqlN(numSig, bandRows)})""".stripMargin
 
   private def lshBandsSql(sourceRel: String): String =
     lshBandsFromSetsSql(wordSetsSql(sourceRel))
@@ -309,7 +324,7 @@ object LlmQueries {
 
     "q45_ngram_jaccard" ->
       s"""WITH corpus AS ($corpusSql),
-         |${lshBandsFromSetsSql(charNgramSetsSql("corpus", 5))},
+         |${lshBandsFromSetsSql(charNgramSetsSql("corpus", 5), numSig = 16, bandRows = 4)},
          |$candPairsSql
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
 

@@ -35,6 +35,27 @@ class NativeExpressionsSpec extends SparkSuite {
       .as[Int].head() === 12)
   }
 
+  test("native ngram_poly_hash_set equals the reference fold on generated ASCII strings") {
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) =>
+        (a * NgramPolyHashSet.B + (b & 0xff)) % NgramPolyHashSet.P)
+    def expected(s: String, n: Int): Seq[Long] =
+      if (s.length < n) Seq(polyHash(s))
+      else s.sliding(n).map(polyHash).toSeq.distinct
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("ab"), Gen.const("aaaaaaaaaa")))
+    val cases = gen.apply(Gen.Parameters.default, Seed(13L)).get.map(Option(_).getOrElse(""))
+    val rows = cases.toDF("s")
+      .select(col("s"), NgramPolyHashSet(col("s"), 5).as("native")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === expected(r.getString(0), 5), s"for '${r.getString(0)}'")
+    }
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT size(ngram_poly_hash_set('hello world', 3)) AS n")
+      .as[Int].head() === 9) // 9 distinct trigrams of an 11-char string
+  }
+
   test("native minhash_sig equals the composed transform+array_min spec, incl. empty and null elements") {
     import graft.llm.Dedup
     val gen = Gen.listOfN(200, Gen.listOf(Gen.oneOf(
