@@ -138,21 +138,18 @@ object TextAnalysis {
   val FrTri: Seq[String] = Seq("le ", " de", "es ", " la", "ent", " le", "de ")
   val DeTri: Seq[String] = Seq("der", "ie ", "sch", " di", "und", "ein", "cht")
 
-  /** Distinct character trigrams of the normalized stream (short texts
-    * collapse to one whole-string gram, as the shingle operators do).
-    */
-  def charTrigramSet(norm: Column): Column =
-    when(length(norm) < 3, array(norm))
-      .otherwise(array_distinct(transform(sequence(lit(0), length(norm) - 3),
-        i => norm.substr(i + 1, lit(3)))))
-
   /** N-gram-heuristic language guess: argmax of trigram-profile overlap
     * with the same fixed tie order as [[langGuess]] (en ≥ fr ≥ de).
-    * `tris` must be a materialized trigram-set column.
+    *
+    * Implemented as `contains(norm, trigram)` per inventory entry —
+    * value-identical to materializing the document's distinct-trigram
+    * set and intersecting (both count the inventory grams present), but
+    * ~|inventory| substring scans per document instead of ~|doc| gram
+    * allocations.
     */
-  def langGuessNgram(tris: Column): Column = {
+  def langGuessNgram(norm: Column): Column = {
     def overlap(inv: Seq[String]): Column =
-      size(array_intersect(tris, array(inv.map(lit): _*))).cast("long")
+      inv.map(t => when(norm.contains(lit(t)), 1L).otherwise(0L)).reduce(_ + _)
     val en = overlap(EnTri); val fr = overlap(FrTri); val de = overlap(DeTri)
     when(en >= fr && en >= de, lit("en"))
       .when(fr >= de, lit("fr"))

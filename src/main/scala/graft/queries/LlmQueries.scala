@@ -191,11 +191,10 @@ object LlmQueries {
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "__toks", TextAnalysis.tokens(col("text")))
         .transform(d => Dedup.once(d, "__norm", concat_ws(" ", col("__toks"))))
-        .transform(d => Dedup.once(d, "__tris", TextAnalysis.charTrigramSet(col("__norm"))))
       base.select(
         col("doc_id") +:
           TextAnalysis.qualityProfile(col("text"), col("__toks")) :+
-          TextAnalysis.langGuessNgram(col("__tris")).as("lang_ngram"): _*)
+          TextAnalysis.langGuessNgram(col("__norm")).as("lang_ngram"): _*)
     }),
 
     // Frame sampling over opaque payloads: fixed windows at a byte
@@ -354,12 +353,15 @@ object LlmQueries {
          |       ELSE CAST(FLOOR((len(sh3) - len(list_distinct(sh3))) * 10000.0 / len(sh3)) AS BIGINT) END AS rep_bp
          |FROM s""".stripMargin,
 
-    "q48_quality_lang_profile" ->
+    "q48_quality_lang_profile" -> {
+      def triOverlap(inv: Seq[String]): String =
+        inv.map(t => s"(CASE WHEN contains(norm, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
+      val en = triOverlap(TextAnalysis.EnTri)
+      val fr = triOverlap(TextAnalysis.FrTri)
+      val de = triOverlap(TextAnalysis.DeTri)
       s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
          |n AS (SELECT doc_id, text, toks, array_to_string(toks, ' ') AS norm FROM t),
-         |g AS (SELECT *, CASE WHEN length(norm) < 3 THEN [norm]
-         |        ELSE list_distinct(list_transform(range(0, length(norm) - 2),
-         |               i -> substring(norm, CAST(i + 1 AS INT), 3))) END AS tris,
+         |g AS (SELECT *,
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
          |  CAST(len(toks) AS BIGINT) AS n_toks,
@@ -371,11 +373,11 @@ object LlmQueries {
          |  CASE WHEN n_toks = 0 THEN 0
          |       ELSE CAST(FLOOR(n_stop * 10000.0 / n_toks) AS BIGINT) END AS stop_bp,
          |  (n_toks >= 5 AND n_toks <= 5000 AND n_stop >= 1) AS is_quality,
-         |  CASE WHEN len(list_intersect(tris, ${sqlList(TextAnalysis.EnTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.FrTri)}))
-         |        AND len(list_intersect(tris, ${sqlList(TextAnalysis.EnTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.DeTri)})) THEN 'en'
-         |       WHEN len(list_intersect(tris, ${sqlList(TextAnalysis.FrTri)})) >= len(list_intersect(tris, ${sqlList(TextAnalysis.DeTri)})) THEN 'fr'
+         |  CASE WHEN ($en) >= ($fr) AND ($en) >= ($de) THEN 'en'
+         |       WHEN ($fr) >= ($de) THEN 'fr'
          |       ELSE 'de' END AS lang_ngram
-         |FROM g""".stripMargin,
+         |FROM g""".stripMargin
+    },
 
     // text is ASCII in the testdata, so VARCHAR windows hash identically
     // to the engine's byte windows (DuckDB 1.0 has no BLOB substring).
