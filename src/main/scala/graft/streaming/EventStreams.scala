@@ -123,7 +123,12 @@ object EventStreams {
               } else SessionState(st.startMs, math.max(st.lastMs, t), st.nEvents + 1L)
           }
           state.update(st)
-          state.setTimeoutTimestamp(st.lastMs + gapMs)
+          // clamp: a very-late event (lastMs + gap already behind the
+          // watermark) must not arm a timeout in the past — Spark throws
+          // on timestamps <= watermark. Clamped sessions close at the
+          // next watermark advance.
+          state.setTimeoutTimestamp(
+            math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
           closed.result().iterator
         }
       }

@@ -80,6 +80,16 @@ class StreamingSpec extends SparkSuite {
       val t13 = Timestamp.valueOf("2024-01-01 13:00:00").getTime
       assert(rows().filter(_._1 == 7L) ===
         Seq((7L, t0, t0 + 600000L, 2L), (7L, t13, t13, 1L)))
+
+      // an event older than the watermark (15:00) is filtered before the
+      // state function (Spark's late-row filter for stateful operators)
+      // — no session, no crash; the timeout clamp in closedSessions is
+      // defense-in-depth for engines/configs without that filter.
+      mem.addData(ev(6, "2024-01-01 09:00:00", 11))
+      q.processAllAvailable()
+      mem.addData(ev(7, "2024-01-01 16:00:00", 12))
+      q.processAllAvailable()
+      assert(rows().filter(_._1 == 11L).isEmpty)
     } finally q.stop()
   }
 
