@@ -43,6 +43,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    # A requested query that the dump doesn't know is an ERROR, not a
+    # silent skip — stale outputs (e.g. after a failed compile) must not
+    # read as green.
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL unknown queries (not in oracle_sql.json): {sorted(unknown)}")
+        failed.extend(sorted(unknown))
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
