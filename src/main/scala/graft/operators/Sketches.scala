@@ -38,12 +38,14 @@ object Sketches {
     * rows, with exact counts. The HAVING prunes before the final
     * ordering, so only candidates survive the aggregation.
     *
-    * One scan: the grand total rides the SAME aggregation via
-    * `rollup(key)` (the grouping-id=1 row), and Spark's ReuseExchange
-    * dedups the shared shuffle between the total branch and the per-key
-    * branch — no second pass over the input. Callers that already know
+    * One scan: the per-key counts aggregate once, and the grand total is
+    * a tiny re-aggregation of that output joined back by broadcast. The
+    * count output is packed into a single STRUCT column so column
+    * pruning cannot specialize the two consumers' plans apart — with
+    * identical subtrees, ReuseExchange runs the scan + count shuffle
+    * ONCE (plan-asserted in OperatorSpec). Callers that already know
     * the row count (a previous stage's metric, a table statistic) pass
-    * `totalHint` and skip the rollup row entirely.
+    * `totalHint` and skip the total branch entirely.
     */
   def heavyHitters(df: DataFrame, keyCol: String, minSupport: Double,
       totalHint: Option[Long] = None): DataFrame = {
@@ -55,14 +57,12 @@ object Sketches {
           .filter(col("cnt") >= lit(math.ceil(total * minSupport).toLong))
           .orderBy(col("cnt").desc, col(keyCol).asc)
       case None =>
-        // rollup yields every per-key group (grouping=0) plus one grand-
-        // total row (grouping=1); grouping() disambiguates a genuine null
-        // key from the total row.
-        val agg = df.rollup(col(keyCol))
-          .agg(count(lit(1)).as("cnt"), grouping(col(keyCol)).as("__g"))
-        val totalRow = agg.filter(col("__g") === 1)
-          .select(col("cnt").as("__total"))
-        agg.filter(col("__g") === 0)
+        val counts = df.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("cnt"))
+          .select(struct(col(keyCol).as("k"), col("cnt").as("c")).as("kc"))
+        val totalRow = counts.agg(sum(col("kc.c")).as("__total"))
+        counts
+          .select(col("kc.k").as(keyCol), col("kc.c").as("cnt"))
           .crossJoin(broadcast(totalRow))
           .filter(col("cnt") >= ceil(col("__total") * lit(minSupport)).cast("long"))
           .select(col(keyCol), col("cnt"))

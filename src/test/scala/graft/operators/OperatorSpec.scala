@@ -170,6 +170,18 @@ class OperatorSpec extends SparkSuite {
     assert(Cleaning.renameAll(df, Seq("x", "y")).columns.toSeq === Seq("x", "y"))
   }
 
+  test("heavy hitters without a hint reuses one scan+shuffle for counts and total") {
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (0 until 15).map(i => s"cold$i")
+    val hh = Sketches.heavyHitters(rows.toDF("k"), "k", minSupport = 0.2)
+    assert(hh.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("hot", 60L), ("warm", 25L)))
+    // after execution the adaptive plan must show the count exchange
+    // consumed twice via reuse, not two independent scans
+    val executed = hh.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"expected exchange reuse in:\n$executed")
+  }
+
   test("salt assignment survives repartitioning (recompute-stable, unlike rand)") {
     val df = (0 until 300).map(i => (i % 3, i)).toDF("k", "v")
     def salts(parts: Int): Map[Int, Int] = {
