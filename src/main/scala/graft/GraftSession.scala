@@ -30,7 +30,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Default parallelism: every available core (the container profile is
+    * local[32]); override with SPARK_GRAFT_CPUS for constrained runs.
+    */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
