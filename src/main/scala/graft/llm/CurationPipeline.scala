@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** @param maxRepBp when set, drop documents whose repeated-3-gram
+    *   fraction exceeds this many basis points (boilerplate gate)
+    * @param splits when set, append a deterministic hash-keyed `split`
+    *   column (train/val/test) to the output
+    */
   final case class Config(
       shingleK: Int = 3,
       numSig: Int = 12,
@@ -25,7 +30,9 @@ object CurationPipeline {
       minJacNum: Int = 1,
       minJacDen: Int = 2,
       keepLang: String = "en",
-      persistSignatures: Boolean = true)
+      persistSignatures: Boolean = true,
+      maxRepBp: Option[Int] = None,
+      splits: Option[Seq[(String, Int)]] = None)
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -41,14 +48,27 @@ object CurationPipeline {
     val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
     val kept = canon.join(dropIds, Seq(idCol), "left_anti")
 
-    // 3. quality + language gate over materialized tokens.
+    // 3. quality + language gate over materialized tokens, with the
+    // optional repetition (boilerplate) gate in the same pass.
     val withToks = Dedup.once(kept, "__toks", TextAnalysis.tokens(col(textCol)))
+    val base = cfg.maxRepBp match {
+      case Some(bp) =>
+        Dedup.once(withToks, "__sh3", Dedup.shingles(col("__toks"), 3))
+          .filter(TextAnalysis.basisPoints(
+            size(col("__sh3")).cast("long") -
+              size(array_distinct(col("__sh3"))).cast("long"),
+            size(col("__sh3")).cast("long")) <= bp)
+      case None => withToks
+    }
     val nToks: Column = TextAnalysis.tokenCount(col("__toks"))
     val nStop: Column = TextAnalysis.stopwordCount(col("__toks"), TextAnalysis.EnStop)
-    withToks
+    val out = base
       .filter(TextAnalysis.isQuality(nToks, nStop) &&
         TextAnalysis.langGuess(col("__toks")) === cfg.keepLang)
       .select(col(idCol), nToks.as("n_tokens"),
         TextAnalysis.langGuess(col("__toks")).as("lang_guess"))
+    // 4. optional deterministic split assignment for downstream training.
+    cfg.splits.fold(out)(sp =>
+      out.withColumn("split", Sampling.splitAssign(col(idCol), sp)))
   }
 }

@@ -166,6 +166,23 @@ class LlmSpec extends SparkSuite {
       Seq((0L, 1L), (1L, 49L), (2L, 97L)))
   }
 
+  test("curation options: repetition gate drops boilerplate, splits column appended") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the day is done for all of us here"),
+      (2L, "the spam line is the spam line is the spam line is the spam line is the spam line is the spam line is"))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(
+      maxRepBp = Some(3000), splits = Some(Seq(("train", 50), ("eval", 50))))
+    val got = CurationPipeline.curate(corpus, "doc_id", "text", cfg).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L)) // doc 2: rep_bp ~ 7700 → dropped
+    assert(got.head.schema.fieldNames.contains("split"))
+    assert(Set("train", "eval").contains(got.head.getAs[String]("split")))
+    // defaults unchanged: no split column, boilerplate kept
+    val plain = CurationPipeline.curate(corpus, "doc_id", "text")
+    assert(!plain.columns.contains("split"))
+    assert(plain.count() === 2)
+  }
+
   test("hash split: partitions the corpus, stable across recomputation, ~expected sizes") {
     val ids = spark.range(0, 2000).toDF("id")
     val splits = Seq(("train", 90), ("val", 5), ("test", 5))
