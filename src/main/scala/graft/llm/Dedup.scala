@@ -139,8 +139,11 @@ object Dedup {
       k: Int = 3, numSig: Int = 12, bandRows: Int = 2): DataFrame = {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
+    // same repartition as the pair operators: the hashing must spread
+    // over all cores even from a single input split, or the "cheap"
+    // guard runs partition-bound.
     val base = withShingleHashSet(
-        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
         "__text", "sh", k)
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
     base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))

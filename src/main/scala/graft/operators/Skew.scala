@@ -19,18 +19,28 @@ object Skew {
   final case class SaltedMin(col: String, out: String) extends SaltedAgg
   final case class SaltedMax(col: String, out: String) extends SaltedAgg
 
-  /** Deterministic per-row salt: `pmod(xxhash64(saltCols, seed), numSalts)`.
-    * Hash-based, not `rand()`: a task retry or stage recomputation
-    * re-derives the SAME salt for every row, so fault recovery is
-    * bit-stable (rand re-draws per recompute, which can double-count or
-    * drop rows across a retried shuffle boundary). `saltCols` empty →
-    * hash all columns; rows identical in every hashed column share a
-    * salt, which cannot change any decomposable-aggregate result.
+  /** Deterministic per-row salt:
+    * `pmod(xxhash64(seed, spark_partition_id, saltCols...), numSalts)`.
+    *
+    * Hash-based, not `rand()`: rand's draw depends on the row's ORDER
+    * within its partition, which is nondeterministic after shuffle
+    * reads — a task retry can re-draw different salts and double-count
+    * or drop rows across a retried boundary. The hash depends only on
+    * the partition id and row CONTENT, both stable under recomputation
+    * of the same plan.
+    *
+    * The partition id is in the mix so byte-identical rows (the classic
+    * hot key in log-like data) still spread across partitions instead of
+    * collapsing onto one salt; within one partition identical rows share
+    * a salt, where map-side partial aggregation collapses them anyway.
+    * `saltCols` empty → hash all columns. Salt choice cannot change any
+    * decomposable-aggregate result.
     */
   def saltExpr(df: DataFrame, saltCols: Seq[String], numSalts: Int,
       seed: Long): Column = {
     val cols = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
-    pmod(xxhash64(lit(seed) +: cols: _*), lit(numSalts.toLong)).cast("int")
+    pmod(xxhash64(lit(seed) +: spark_partition_id().cast("long") +: cols: _*),
+      lit(numSalts.toLong)).cast("int")
   }
 
   /** Two-phase salted aggregation for decomposable aggregates: phase 1

@@ -162,17 +162,43 @@ object Pipeline {
         val ok =
           if (!batchedGuard) okPairs.map(_._2)
           else {
-            // P3 batched: which inputs still have rows, in one job.
-            val present: Set[Int] =
+            // P3 batched: which inputs still have rows, in ONE job.
+            // RDD union + take(1) per partition: each partition's lazy
+            // iterator stops at its first surviving row (no full counts),
+            // and the RDD action runs as a single shuffle-free job (a
+            // DataFrame union of limit(1)s would become one AQE stage
+            // job per branch).
+            def batchedPresent(): Set[Int] =
               if (okPairs.isEmpty) Set.empty
-              else okPairs.zipWithIndex
-                .map { case ((_, o), i) => o.good.select(lit(i).as("__i")) }
-                .reduce(_.unionByName(_))
-                .groupBy(col("__i")).count()
-                .collect().map(_.getInt(0)).toSet
-            okPairs.zipWithIndex.flatMap { case ((ci, o), i) =>
-              if (present(i)) Some(o)
-              else { errors += InputError(ci.display, EmptyBatchMessage); None }
+              else {
+                val marked = okPairs.zipWithIndex.map { case ((_, o), i) =>
+                  o.good.select(lit(i).as("__i")).rdd.mapPartitions(_.take(1))
+                }
+                spark.sparkContext.union(marked)
+                  .map(_.getInt(0)).collect().toSet
+              }
+            try {
+              val present = batchedPresent()
+              okPairs.zipWithIndex.flatMap { case ((ci, o), i) =>
+                if (present(i)) Some(o)
+                else { errors += InputError(ci.display, EmptyBatchMessage); None }
+              }
+            } catch {
+              case _: Exception =>
+                // the combined job cannot attribute an execution-time
+                // failure to an input — fall back to the eager per-input
+                // guard so C3 isolation still holds (one bad input must
+                // not sink the batch)
+                okPairs.flatMap { case (ci, o) =>
+                  try {
+                    if (!o.good.isEmpty) Some(o)
+                    else { errors += InputError(ci.display, EmptyBatchMessage); None }
+                  } catch {
+                    case e: Exception =>
+                      errors += InputError(ci.display, String.valueOf(e.getMessage))
+                      None
+                  }
+                }
             }
           }
         if (ok.isEmpty) None

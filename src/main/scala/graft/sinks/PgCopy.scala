@@ -55,7 +55,8 @@ object PgCopy {
     * exact framing [[encodeField]] emits.
     */
   def copySql(table: String, cols: Seq[String]): String =
-    cols.map(c => "\"" + c + "\"").mkString(s"COPY $table (", ", ", ") FROM STDIN WITH (FORMAT csv)")
+    cols.map(c => "\"" + c.replace("\"", "\"\"") + "\"")
+      .mkString(s"COPY $table (", ", ", ") FROM STDIN WITH (FORMAT csv)")
 
   /** One CSV field under COPY's csv rules:
     *  - SQL NULL → unquoted empty field;
@@ -124,9 +125,17 @@ object PgCopy {
       }
   }
 
-  /** Distributed COPY load: one connection + one COPY per non-empty
-    * partition, rows streamed. Returns total rows loaded (from the
-    * database's own COPY row counts, summed via accumulator).
+  /** Distributed COPY load: one connection + one transactional COPY per
+    * non-empty partition, rows streamed. Returns total rows loaded (from
+    * the database's own COPY row counts, summed via accumulator).
+    *
+    * Each partition's COPY runs with autocommit off and commits only
+    * after the stream completes, so a task that dies mid-COPY rolls its
+    * rows back and the retry starts clean. A task that dies BETWEEN
+    * commit and task-success report can still be re-run by Spark and
+    * duplicate its partition — exactly-once needs a staging table or a
+    * partition-id dedup column on top of this protocol; the enclosing
+    * delete-then-load makes whole-RUN retries idempotent either way.
     *
     * `connFactory` and `api` ship to executors; the factory should build
     * the connection from captured config (url/props), not capture one.
@@ -138,8 +147,18 @@ object PgCopy {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val conn = connFactory()
-        try acc.add(api.copyIn(conn, sql, new RowsCsvInputStream(it)))
-        finally if (conn != null) conn.close()
+        try {
+          conn.setAutoCommit(false)
+          try {
+            val n = api.copyIn(conn, sql, new RowsCsvInputStream(it))
+            conn.commit()
+            acc.add(n)
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Exception => () }
+              throw e
+          }
+        } finally if (conn != null) conn.close()
       }
     }
     acc.value

@@ -52,8 +52,18 @@ object SideChannelCsv {
   private def writeCsvZip(df: DataFrame, path: String): Unit = {
     val staging = path + ".staging"
     df.write.mode(SaveMode.Overwrite).option("header", "false").csv(staging)
-    val parts = Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+    // The repackaging reads the staging dir through the DRIVER's local
+    // filesystem — a cluster deploy with a non-local default FS must use
+    // the gzip-dir container instead. Fail loudly rather than shipping a
+    // header-only zip with the rows silently dropped.
+    val stagingDir = new java.io.File(staging)
+    require(stagingDir.isDirectory,
+      s"csv.zip staging dir $staging not visible on the driver's local " +
+        "filesystem — use Container.GzipDir on non-local deployments")
+    val parts = Option(stagingDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    require(parts.nonEmpty || df.isEmpty,
+      s"no part files under $staging but the frame has rows")
     val base = new java.io.File(path).getName
     val zos = new java.util.zip.ZipOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path + ".csv.zip")))

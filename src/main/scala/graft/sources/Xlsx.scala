@@ -44,6 +44,9 @@ object Xlsx {
 
   final case class SheetRef(name: String, part: String)
 
+  /** Elapsed-time tokens in a number format: [h]/[mm]/[ss] etc. */
+  private[sources] val ElapsedToken = "(?i)\\[[hms]+\\]".r
+
   /** Sheets in workbook order, resolved to their zip parts through
     * `xl/_rels/workbook.xml.rels` (part numbering does NOT follow sheet
     * order once sheets have been deleted/reordered — the r:id
@@ -201,12 +204,14 @@ object Xlsx {
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
           case "numFmt" =>
-            // '#' marks numeric masks; '[' marks elapsed-time codes like
-            // [h]:mm:ss — durations, not calendar dates; both stay raw.
+            // '#' marks numeric masks; bracketed TIME tokens ([h], [mm],
+            // [ss]) mark elapsed-time codes — durations, not calendar
+            // dates; both stay raw. Other bracket uses (locale prefixes
+            // like [$-409], colors like [Red]) are still dates.
             for (id <- attr(r, "numFmtId").flatMap(_.toIntOption);
                  code <- attr(r, "formatCode"))
               if (code.exists("ymdhs".contains(_)) && !code.contains("#") &&
-                  !code.contains("[")) customDate += id
+                  !Xlsx.ElapsedToken.pattern.matcher(code).find()) customDate += id
           case "cellXfs" => inCellXfs = true
           case "xf" if inCellXfs =>
             styleFmts += attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)

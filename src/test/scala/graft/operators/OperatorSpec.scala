@@ -182,16 +182,20 @@ class OperatorSpec extends SparkSuite {
       s"expected exchange reuse in:\n$executed")
   }
 
-  test("salt assignment survives repartitioning (recompute-stable, unlike rand)") {
-    val df = (0 until 300).map(i => (i % 3, i)).toDF("k", "v")
-    def salts(parts: Int): Map[Int, Int] = {
-      val d = df.repartition(parts)
-      d.withColumn("s", Skew.saltExpr(d, Nil, 8, 42L))
+  test("salt assignment is recompute-stable and spreads identical rows") {
+    val df = (0 until 300).map(i => (i % 3, i)).toDF("k", "v").repartition(4)
+    def salts(): Map[Int, Int] =
+      df.withColumn("s", Skew.saltExpr(df, Nil, 8, 42L))
         .select("v", "s").as[(Int, Int)].collect().toMap
-    }
-    val a = salts(2)
-    assert(a === salts(7)) // same row → same salt under any partitioning
-    assert(a.values.toSet.size > 1) // and it actually spreads
+    val a = salts()
+    assert(a === salts()) // re-evaluating the same plan re-derives the same salts
+    assert(a.values.toSet.size > 1)
+    // byte-identical rows (the classic hot key) must NOT collapse onto
+    // one salt — the partition id in the hash spreads them
+    val dupes = Seq.fill(400)("hot").toDF("k").repartition(8)
+    val dupSalts = dupes.withColumn("s", Skew.saltExpr(dupes, Nil, 8, 42L))
+      .select("s").as[Int].collect().toSet
+    assert(dupSalts.size > 1, "identical rows collapsed onto a single salt")
   }
 
   test("O2: numeric sort mode keeps '10' where lexicographic keeps '9'") {

@@ -44,7 +44,7 @@ object FakeDb {
             Array(classOf[java.sql.Statement]), new Handler)
         case "execute" =>
           statements.add(args(0).asInstanceOf[String]); java.lang.Boolean.FALSE
-        case "close" | "setAutoCommit" => null
+        case "close" | "setAutoCommit" | "commit" | "rollback" => null
         case "isClosed" => java.lang.Boolean.FALSE
         case "toString" => "FakeConnection"
         case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))

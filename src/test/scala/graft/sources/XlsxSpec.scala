@@ -38,10 +38,12 @@ class XlsxSpec extends SparkSuite {
     // style 0: general; style 1: built-in date format 22 (m/d/yy h:mm);
     // style 2: custom elapsed-time [h]:mm:ss (NOT a date — stays raw);
     // style 3: custom date yyyy-mm-dd (date-like → rendered)
+    // style 4: locale-prefixed date (what Excel writes for Long Date) —
+    // bracketed but NOT elapsed time, must still render as a date
     put("xl/styles.xml",
       """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-        |<numFmts count="2"><numFmt numFmtId="164" formatCode="[h]:mm:ss"/><numFmt numFmtId="165" formatCode="yyyy-mm-dd"/></numFmts>
-        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="22"/><xf numFmtId="164"/><xf numFmtId="165"/></cellXfs>
+        |<numFmts count="3"><numFmt numFmtId="164" formatCode="[h]:mm:ss"/><numFmt numFmtId="165" formatCode="yyyy-mm-dd"/><numFmt numFmtId="166" formatCode="[$-409]m/d/yy h:mm"/></numFmts>
+        |<cellXfs count="5"><xf numFmtId="0"/><xf numFmtId="22"/><xf numFmtId="164"/><xf numFmtId="165"/><xf numFmtId="166"/></cellXfs>
         |</styleSheet>""".stripMargin)
     val body = sheetRows.zipWithIndex.map { case (cells, ri) =>
       val cs = cells.zipWithIndex.collect { case ((t, v), ci) if v != null =>
@@ -52,6 +54,7 @@ class XlsxSpec extends SparkSuite {
           case "d"   => s"""<c r="$ref" s="1"><v>$v</v></c>"""
           case "el"  => s"""<c r="$ref" s="2"><v>$v</v></c>"""
           case "cd"  => s"""<c r="$ref" s="3"><v>$v</v></c>"""
+          case "ld"  => s"""<c r="$ref" s="4"><v>$v</v></c>"""
           case _     => s"""<c r="$ref"><v>$v</v></c>"""
         }
       }.mkString
@@ -82,9 +85,11 @@ class XlsxSpec extends SparkSuite {
   test("xlsx: elapsed-time custom formats stay raw serials, custom date formats render") {
     val dir = Files.createTempDirectory("graft-xlsxfmt").toString
     val path = s"$dir/t.xlsx"
-    writeXlsx(path, Seq(Seq(("el", "1.5"), ("cd", "45292.5"))), Nil)
-    // [h]:mm:ss is a duration → raw serial; yyyy-mm-dd custom → rendered
-    assert(Xlsx.readSheet(path, 0) === Seq(Seq("1.5", "2024-01-01 12:00:00")))
+    writeXlsx(path, Seq(Seq(("el", "1.5"), ("cd", "45292.5"), ("ld", "45292.5"))), Nil)
+    // [h]:mm:ss is a duration → raw serial; yyyy-mm-dd custom and the
+    // locale-prefixed [$-409]m/d/yy (bracketed but not elapsed) → rendered
+    assert(Xlsx.readSheet(path, 0) ===
+      Seq(Seq("1.5", "2024-01-01 12:00:00", "2024-01-01 12:00:00")))
   }
 
   test("xlsx: date1904 workbooks shift the serial epoch to 1904-01-01") {
