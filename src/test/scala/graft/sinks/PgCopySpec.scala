@@ -21,8 +21,21 @@ object FakeDb {
   val copySqls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val payloads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val txCalls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def reset(): Unit = { copySqls.clear(); payloads.clear(); statements.clear() }
+  def reset(): Unit = {
+    copySqls.clear(); payloads.clear(); statements.clear(); txCalls.clear()
+  }
+
+  /** Fails every COPY after consuming the stream — exercises the
+    * transaction guard.
+    */
+  object FailingCopyApi extends PgCopy.CopyApi {
+    def copyIn(conn: Connection, sql: String, data: InputStream): Long = {
+      data.readAllBytes()
+      throw new RuntimeException("simulated mid-COPY failure")
+    }
+  }
 
   /** Records the COPY statement + full payload; returns the line count
     * (what a real COPY reports as rows loaded).
@@ -44,7 +57,9 @@ object FakeDb {
             Array(classOf[java.sql.Statement]), new Handler)
         case "execute" =>
           statements.add(args(0).asInstanceOf[String]); java.lang.Boolean.FALSE
-        case "close" | "setAutoCommit" | "commit" | "rollback" => null
+        case "setAutoCommit" => null
+        case t @ ("commit" | "rollback") => txCalls.add(t); null
+        case "close" => null
         case "isClosed" => java.lang.Boolean.FALSE
         case "toString" => "FakeConnection"
         case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
@@ -113,6 +128,23 @@ class PgCopySpec extends SparkSuite {
     val expected = (0L until 10L).map(i =>
       if (i % 3 == 0) s"$i," else s"""$i,"v,$i"""").sorted
     assert(lines.toSeq === expected)
+  }
+
+  test("copyLoad commits per partition on success, rolls back on COPY failure") {
+    FakeDb.reset()
+    val df = spark.range(0, 6).toDF("id").repartition(2)
+    copyLoad(df, "tgt", new FakeDb.ConnFactory, FakeDb.CollectingCopyApi)
+    assert(FakeDb.txCalls.toArray(Array.empty[String]).forall(_ == "commit"))
+    assert(FakeDb.txCalls.size >= 1)
+
+    FakeDb.reset()
+    val thrown = intercept[Exception] {
+      copyLoad(df, "tgt", new FakeDb.ConnFactory, FakeDb.FailingCopyApi)
+    }
+    assert(thrown.getMessage.contains("simulated mid-COPY failure") ||
+      String.valueOf(thrown.getCause).contains("simulated mid-COPY failure"))
+    val calls = FakeDb.txCalls.toArray(Array.empty[String])
+    assert(calls.contains("rollback") && !calls.contains("commit"))
   }
 
   test("partitionOverwriteLoad with COPY: delete -> copy -> audit, no JDBC insert path") {
