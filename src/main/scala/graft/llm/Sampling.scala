@@ -34,4 +34,51 @@ object Sampling {
     require(percent >= 0 && percent <= 100, "percent in [0, 100]")
     Dedup.hash32(id.cast("string")) % 100 < percent
   }
+
+  final case class PackedSequence(seq_id: String, doc_ids: Array[Long],
+      n_docs: Int, total_tokens: Long)
+
+  /** Greedy sequence packing: group documents into fixed token-budget
+    * sequences (pretraining batch preparation). Packing is per partition
+    * — documents hash-partition by id and pack in ascending-id order, so
+    * the assignment is deterministic across runs and task retries, and
+    * no single node ever sees the whole corpus (cross-partition packing
+    * would). A document alone exceeding the budget gets its own
+    * sequence (truncation is the tokenizer stage's concern).
+    *
+    * Packing efficiency note: per-partition greedy wastes at most one
+    * document's tokens per sequence boundary per partition — at corpus
+    * scale the fill ratio converges to the global greedy's; choose
+    * partition counts so each holds thousands of documents.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tokenBudget: Long,
+      numPartitions: Int = 0): org.apache.spark.sql.Dataset[PackedSequence] = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    val withTokens = docs.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokenCount(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+    val parted =
+      (if (numPartitions > 0) withTokens.repartition(numPartitions, col("id"))
+       else withTokens.repartition(col("id")))
+        .sortWithinPartitions(col("id"))
+    parted.mapPartitions { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val out = scala.collection.mutable.ArrayBuffer.empty[PackedSequence]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var tot = 0L
+      var seqIdx = 0
+      def flush(): Unit = if (cur.nonEmpty) {
+        out += PackedSequence(s"$pid-$seqIdx", cur.toArray, cur.size, tot)
+        cur.clear(); tot = 0L; seqIdx += 1
+      }
+      it.foreach { r =>
+        val (id, n) = (r.getLong(0), r.getLong(1))
+        if (tot + n > tokenBudget) flush()
+        cur += id; tot += n
+      }
+      flush()
+      out.iterator
+    }(Encoders.product[PackedSequence])
+  }
 }

@@ -167,6 +167,14 @@ object LlmQueries {
         TextAnalysis.rollingHash(toks).as("roll_hash"))
     }),
 
+    // Greedy sequence packing into fixed token budgets (pretraining batch
+    // prep). Deterministic per-partition greedy — not SQL-expressible, so
+    // no oracle entry (driver records the rows-only check); the exact
+    // coverage/budget/determinism laws live in LlmSpec.
+    "q51_sequence_packing" -> ((s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        tokenBudget = 512, numPartitions = 32).toDF()),
+
     // Deterministic hash-keyed train/val/test assignment — never rand():
     // same doc, same split on any engine/run/retry.
     "q49_hash_split" -> ((s, dir) =>

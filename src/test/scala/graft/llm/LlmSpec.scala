@@ -166,6 +166,29 @@ class LlmSpec extends SparkSuite {
       Seq((0L, 1L), (1L, 49L), (2L, 97L)))
   }
 
+  test("sequence packing: exact coverage, budget respected, deterministic") {
+    val corpus = (0L until 100L).map(i =>
+      (i, ("tok " * (5 + (i % 17)).toInt).trim)).toDF("doc_id", "text")
+    def pack() = Sampling.packSequences(corpus, "doc_id", "text",
+      tokenBudget = 40, numPartitions = 4).collect()
+    val seqs = pack()
+    // every document appears exactly once across all sequences
+    assert(seqs.flatMap(_.doc_ids).sorted.toSeq === (0L until 100L))
+    // no multi-doc sequence exceeds the budget
+    seqs.filter(_.n_docs > 1).foreach(s =>
+      assert(s.total_tokens <= 40, s"${s.seq_id} over budget"))
+    // totals are the real token counts
+    assert(seqs.map(_.total_tokens).sum === (0L until 100L).map(i => 5 + (i % 17)).sum)
+    // deterministic across re-execution
+    assert(seqs.map(s => s.seq_id -> s.doc_ids.toSeq).toMap ===
+      pack().map(s => s.seq_id -> s.doc_ids.toSeq).toMap)
+    // an oversize document gets its own sequence rather than being lost
+    val big = Seq((1L, ("w " * 100).trim), (2L, "a b c")).toDF("doc_id", "text")
+    val bigSeqs = Sampling.packSequences(big, "doc_id", "text", 10).collect()
+    assert(bigSeqs.flatMap(_.doc_ids).sorted.toSeq === Seq(1L, 2L))
+    assert(bigSeqs.find(_.doc_ids.contains(1L)).get.n_docs === 1)
+  }
+
   test("curation options: repetition gate drops boilerplate, splits column appended") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then the day is done for all of us here"),
