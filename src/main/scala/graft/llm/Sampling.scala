@@ -63,22 +63,30 @@ object Sampling {
        else withTokens.repartition(col("id")))
         .sortWithinPartitions(col("id"))
     parted.mapPartitions { (it: Iterator[Row]) =>
+      // streaming greedy: O(current sequence) memory, not O(partition)
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val out = scala.collection.mutable.ArrayBuffer.empty[PackedSequence]
-      val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var tot = 0L
-      var seqIdx = 0
-      def flush(): Unit = if (cur.nonEmpty) {
-        out += PackedSequence(s"$pid-$seqIdx", cur.toArray, cur.size, tot)
-        cur.clear(); tot = 0L; seqIdx += 1
+      new Iterator[PackedSequence] {
+        private val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        private var tot = 0L
+        private var seqIdx = 0
+        private def emit(): PackedSequence = {
+          val s = PackedSequence(s"$pid-$seqIdx", cur.toArray, cur.size, tot)
+          cur.clear(); tot = 0L; seqIdx += 1
+          s
+        }
+        def hasNext: Boolean = it.hasNext || cur.nonEmpty
+        def next(): PackedSequence = {
+          while (it.hasNext) {
+            val r = it.next()
+            val (id, n) = (r.getLong(0), r.getLong(1))
+            if (tot + n > tokenBudget && cur.nonEmpty) {
+              val s = emit(); cur += id; tot += n; return s
+            }
+            cur += id; tot += n
+          }
+          emit()
+        }
       }
-      it.foreach { r =>
-        val (id, n) = (r.getLong(0), r.getLong(1))
-        if (tot + n > tokenBudget) flush()
-        cur += id; tot += n
-      }
-      flush()
-      out.iterator
     }(Encoders.product[PackedSequence])
   }
 }
