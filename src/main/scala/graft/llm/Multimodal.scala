@@ -81,6 +81,27 @@ object Multimodal {
   def sampleHead(assets: DataFrame, nBytes: Int): DataFrame =
     assets.withColumn("head_hex", lower(hex(expr(s"substring(content, 1, $nBytes)"))))
 
+  /** Resize analog for opaque payloads: keep every `factor`-th byte —
+    * the decode-free stand-in for image downsampling (a real pipeline
+    * decodes, resizes with a codec, re-encodes inside this same
+    * partition-batched loop; the Spark-side shape — typed mapPartitions,
+    * new payload + updated metadata — is identical). Deterministic, so
+    * downstream hashes stay gate-comparable.
+    */
+  def downsample(assets: DataFrame, factor: Int): Dataset[Asset] = {
+    require(factor >= 1, "factor must be >= 1")
+    val enc = Encoders.product[Asset]
+    assets.as(enc).mapPartitions { it =>
+      it.map { a =>
+        val in = a.content
+        val out = new Array[Byte]((in.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = in(i * factor); i += 1 }
+        Asset(a.asset_id, a.kind, out)
+      }
+    }(enc)
+  }
+
   /** Frame extraction: fixed-length windows every `stride` bytes over the
     * opaque payload — one output row per (asset, frame) with the frame's
     * offset and content hash. A real video/audio decoder would seek codec

@@ -221,6 +221,18 @@ class LlmSpec extends SparkSuite {
     assert(ids.filter(Sampling.sampleGate(col("id"), 0)).count() === 0)
   }
 
+  test("multimodal downsample: every k-th byte kept, empty and short payloads safe") {
+    val assets = Multimodal.assetsFromText(
+      Seq((1L, "abcdefghij"), (2L, "x"), (3L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.downsample(assets, 3).collect()
+      .map(a => a.asset_id -> new String(a.content, "UTF-8")).toMap
+    assert(got === Map(1L -> "adgj", 2L -> "x", 3L -> ""))
+    // factor 1 is the identity
+    val id = Multimodal.downsample(assets, 1).collect()
+      .map(a => a.asset_id -> new String(a.content, "UTF-8")).toMap
+    assert(id(1L) === "abcdefghij")
+  }
+
   test("multimodal: partition-batched extraction is deterministic with fixed feature shape") {
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
     val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
