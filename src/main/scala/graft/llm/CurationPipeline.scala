@@ -54,10 +54,7 @@ object CurationPipeline {
     val base = cfg.maxRepBp match {
       case Some(bp) =>
         Dedup.once(withToks, "__sh3", Dedup.shingles(col("__toks"), 3))
-          .filter(TextAnalysis.basisPoints(
-            size(col("__sh3")).cast("long") -
-              size(array_distinct(col("__sh3"))).cast("long"),
-            size(col("__sh3")).cast("long")) <= bp)
+          .filter(TextAnalysis.repBp(col("__sh3")) <= bp)
       case None => withToks
     }
     val nToks: Column = TextAnalysis.tokenCount(col("__toks"))

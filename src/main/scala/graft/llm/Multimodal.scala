@@ -94,7 +94,9 @@ object Multimodal {
     assets.as(enc).mapPartitions { it =>
       it.map { a =>
         val in = a.content
-        val out = new Array[Byte]((in.length + factor - 1) / factor)
+        // overflow-safe ceil division: (len + factor - 1) wraps for huge factors
+        val n = if (in.length == 0) 0 else (in.length - 1) / factor + 1
+        val out = new Array[Byte](n)
         var i = 0
         while (i < out.length) { out(i) = in(i * factor); i += 1 }
         Asset(a.asset_id, a.kind, out)

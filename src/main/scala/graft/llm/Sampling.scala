@@ -63,22 +63,29 @@ object Sampling {
        else withTokens.repartition(col("id")))
         .sortWithinPartitions(col("id"))
     parted.mapPartitions { (it: Iterator[Row]) =>
-      // streaming greedy: O(current sequence) memory, not O(partition)
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // streaming greedy: O(current sequence) memory, not O(partition).
+      // seq_id = the sequence's FIRST doc id: every document belongs to
+      // exactly one sequence, so the first member identifies it globally
+      // — unlike TaskContext.getPartitionId(), which collapses under a
+      // downstream narrow coalesce (coalesce(1) computes many parent
+      // partitions inside one task) and would collide ids.
       new Iterator[PackedSequence] {
         private val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
         private var tot = 0L
-        private var seqIdx = 0
         private def emit(): PackedSequence = {
-          val s = PackedSequence(s"$pid-$seqIdx", cur.toArray, cur.size, tot)
-          cur.clear(); tot = 0L; seqIdx += 1
+          val s = PackedSequence(s"s${cur.head}", cur.toArray, cur.size, tot)
+          cur.clear(); tot = 0L
           s
+        }
+        private def readRow(r: Row): (Long, Long) = {
+          require(!r.isNullAt(0),
+            s"packSequences: id column '$idCol' must be non-null and castable to long")
+          (r.getLong(0), r.getLong(1))
         }
         def hasNext: Boolean = it.hasNext || cur.nonEmpty
         def next(): PackedSequence = {
           while (it.hasNext) {
-            val r = it.next()
-            val (id, n) = (r.getLong(0), r.getLong(1))
+            val (id, n) = readRow(it.next())
             if (tot + n > tokenBudget && cur.nonEmpty) {
               val s = emit(); cur += id; tot += n; return s
             }

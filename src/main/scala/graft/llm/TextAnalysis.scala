@@ -122,12 +122,19 @@ object TextAnalysis {
     * counts plus the repeated fraction in basis points — a high `rep_bp`
     * marks boilerplate/looping text for the quality gate.
     */
-  def repetitionStats(sh: Column): Seq[Column] = {
+  /** The repeated-shingle fraction in basis points — THE definition of
+    * rep_bp; [[repetitionStats]] (q50) and the curation gate both call
+    * this, so the formula lives in exactly one place.
+    */
+  def repBp(sh: Column): Column = {
     val n = size(sh).cast("long")
-    val d = size(array_distinct(sh)).cast("long")
-    Seq(n.as("n_3grams"), d.as("n_distinct_3grams"),
-      basisPoints(n - d, n).as("rep_bp"))
+    basisPoints(n - size(array_distinct(sh)).cast("long"), n)
   }
+
+  def repetitionStats(sh: Column): Seq[Column] =
+    Seq(size(sh).cast("long").as("n_3grams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct_3grams"),
+      repBp(sh).as("rep_bp"))
 
   /** Characteristic character trigrams (over the canonical single-spaced
     * stream, so word-boundary trigrams like "he " count) for the n-gram

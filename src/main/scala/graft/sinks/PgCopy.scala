@@ -53,6 +53,12 @@ object PgCopy {
   /** The COPY statement. CSV format: default delimiter `,`, default quote
     * `"`, unquoted empty field = NULL, quoted `""` = empty string — the
     * exact framing [[encodeField]] emits.
+    *
+    * Column names are quote-escaped (they come from DataFrame schemas,
+    * i.e. data-adjacent); `table` is interpolated verbatim because it is
+    * a possibly schema-qualified identifier path (`"AFC".train_list`)
+    * from the deployment's schema registry — same contract as
+    * [[graft.sources.Jdbc.Sql]]: never pass user input as a table name.
     */
   def copySql(table: String, cols: Seq[String]): String =
     cols.map(c => "\"" + c.replace("\"", "\"\"") + "\"")

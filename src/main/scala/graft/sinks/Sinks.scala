@@ -62,8 +62,11 @@ object SideChannelCsv {
         "filesystem — use Container.GzipDir on non-local deployments")
     val parts = Option(stagingDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    require(parts.nonEmpty || df.isEmpty,
-      s"no part files under $staging but the frame has rows")
+    // an empty frame legitimately writes zero part files, but the commit
+    // marker must exist — checking it costs no recompute (re-running the
+    // frame to ask isEmpty could disagree with what was written)
+    require(parts.nonEmpty || new java.io.File(stagingDir, "_SUCCESS").exists(),
+      s"no part files and no _SUCCESS marker under $staging")
     val base = new java.io.File(path).getName
     val zos = new java.util.zip.ZipOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path + ".csv.zip")))
