@@ -39,29 +39,37 @@ object Sampling {
       n_docs: Int, total_tokens: Long)
 
   /** Greedy sequence packing: group documents into fixed token-budget
-    * sequences (pretraining batch preparation). Packing is per partition
-    * — documents hash-partition by id and pack in ascending-id order, so
-    * the assignment is deterministic across runs and task retries, and
+    * sequences (pretraining batch preparation). Documents are assigned to
+    * `numGroups` PORTABLE hash groups (md5-derived id hash, never Spark's
+    * partitioner) and each group packs greedily in ascending-id order —
+    * so the assignment is deterministic across runs, task retries, AND
+    * engines (the DuckDB oracle reproduces it with a recursive CTE), and
     * no single node ever sees the whole corpus (cross-partition packing
     * would). A document alone exceeding the budget gets its own
     * sequence (truncation is the tokenizer stage's concern).
     *
-    * Packing efficiency note: per-partition greedy wastes at most one
-    * document's tokens per sequence boundary per partition — at corpus
+    * Packing efficiency note: per-group greedy wastes at most one
+    * document's tokens per sequence boundary per group — at corpus
     * scale the fill ratio converges to the global greedy's; choose
-    * partition counts so each holds thousands of documents.
+    * group counts so each holds thousands of documents.
     */
   def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, tokenBudget: Long,
-      numPartitions: Int = 0): org.apache.spark.sql.Dataset[PackedSequence] = {
+      numGroups: Int = 0): org.apache.spark.sql.Dataset[PackedSequence] = {
     require(tokenBudget > 0, "tokenBudget must be positive")
     import org.apache.spark.sql.{Encoders, Row}
-    val withTokens = docs.select(col(idCol).cast("long").as("id"),
+    val groups =
+      if (numGroups > 0) numGroups
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val withTokens = docs.select(
+      pmod(Dedup.hash32(col(idCol).cast("string")), lit(groups.toLong)).as("grp"),
+      col(idCol).cast("long").as("id"),
       TextAnalysis.tokenCount(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
-    val parted =
-      (if (numPartitions > 0) withTokens.repartition(numPartitions, col("id"))
-       else withTokens.repartition(col("id")))
-        .sortWithinPartitions(col("id"))
+    // repartition only CO-LOCATES groups (several hash groups may share a
+    // Spark partition); the iterator resets at group boundaries, so the
+    // output is independent of the physical partitioning.
+    val parted = withTokens.repartition(groups, col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
     parted.mapPartitions { (it: Iterator[Row]) =>
       // streaming greedy: O(current sequence) memory, not O(partition).
       // seq_id = the sequence's FIRST doc id: every document belongs to
@@ -72,24 +80,25 @@ object Sampling {
       new Iterator[PackedSequence] {
         private val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
         private var tot = 0L
+        private var curGrp = -1L
         private def emit(): PackedSequence = {
           val s = PackedSequence(s"s${cur.head}", cur.toArray, cur.size, tot)
           cur.clear(); tot = 0L
           s
         }
-        private def readRow(r: Row): (Long, Long) = {
-          require(!r.isNullAt(0),
+        private def readRow(r: Row): (Long, Long, Long) = {
+          require(!r.isNullAt(1),
             s"packSequences: id column '$idCol' must be non-null and castable to long")
-          (r.getLong(0), r.getLong(1))
+          (r.getLong(0), r.getLong(1), r.getLong(2))
         }
         def hasNext: Boolean = it.hasNext || cur.nonEmpty
         def next(): PackedSequence = {
           while (it.hasNext) {
-            val (id, n) = readRow(it.next())
-            if (tot + n > tokenBudget && cur.nonEmpty) {
-              val s = emit(); cur += id; tot += n; return s
+            val (grp, id, n) = readRow(it.next())
+            if (cur.nonEmpty && (grp != curGrp || tot + n > tokenBudget)) {
+              val s = emit(); curGrp = grp; cur += id; tot += n; return s
             }
-            cur += id; tot += n
+            curGrp = grp; cur += id; tot += n
           }
           emit()
         }

@@ -168,12 +168,17 @@ object LlmQueries {
     }),
 
     // Greedy sequence packing into fixed token budgets (pretraining batch
-    // prep). Deterministic per-partition greedy — not SQL-expressible, so
-    // no oracle entry (driver records the rows-only check); the exact
-    // coverage/budget/determinism laws live in LlmSpec.
+    // prep). Groups are PORTABLE hash groups (md5-derived), so the greedy
+    // run is engine-reproducible: the DuckDB oracle replays it with a
+    // recursive CTE — q51 is fully hash-gated, not rows-only. The library
+    // API returns doc_ids as array<long>; the gate entry projects it to a
+    // comma-joined string because the driver's comparator hashes scalar
+    // cells only (ADVICE r3: raw arrays make its pandas sort throw).
     "q51_sequence_packing" -> ((s, dir) =>
       Sampling.packSequences(Tables.documents(s, dir), "doc_id", "text",
-        tokenBudget = 512, numPartitions = 32).toDF()),
+        tokenBudget = 512, numGroups = 32).toDF()
+        .select(col("seq_id"), concat_ws(",", col("doc_ids")).as("doc_ids_csv"),
+          col("n_docs"), col("total_tokens"))),
 
     // Deterministic hash-keyed train/val/test assignment — never rand():
     // same doc, same split on any engine/run/retry.
@@ -307,6 +312,34 @@ object LlmQueries {
     (0 until 16).map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // Replays the per-group greedy fold row by row: iteration k of the
+    // recursive CTE carries the running total / sequence head into row
+    // k+1 of every group simultaneously (recursion depth = max rows per
+    // group, ~N/32). Portable because the group key is the md5-derived
+    // id hash, not Spark's partitioner.
+    "q51_sequence_packing" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT ${h32Sql("CAST(doc_id AS VARCHAR)")} % 32 AS grp, doc_id,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT grp, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM t),
+         |acc AS (
+         |  SELECT grp, rn, doc_id, n_tokens, n_tokens AS run, doc_id AS seq_start
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.grp, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN acc.run + r.n_tokens > 512 THEN r.n_tokens
+         |         ELSE acc.run + r.n_tokens END,
+         |    CASE WHEN acc.run + r.n_tokens > 512 THEN r.doc_id
+         |         ELSE acc.seq_start END
+         |  FROM acc JOIN r ON r.grp = acc.grp AND r.rn = acc.rn + 1)
+         |SELECT 's' || CAST(seq_start AS VARCHAR) AS seq_id,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM acc GROUP BY seq_start""".stripMargin,
+
     "q30_exact_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -71,14 +71,26 @@ object PgCopy {
     *    double;
     *  - timestamps/dates render as their JDBC text form
     *    (`yyyy-mm-dd hh:mm:ss.f`), which Postgres parses natively;
-    *  - everything else via toString (numbers, booleans).
+    *  - binary → Postgres bytea hex input (`\xDEADBEEF`);
+    *  - numbers/booleans via toString;
+    *  - anything else (array/map/struct cells) REJECTS: a toString
+    *    fallthrough would stream `[B@1f2a3b`-style garbage into the
+    *    target table — fail on the first row instead (ADVICE r3).
     */
   def encodeField(v: Any): String = v match {
     case null => ""
     case s: String => quote(s)
     case ts: java.sql.Timestamp => ts.toString
     case d: java.sql.Date => d.toString
-    case other => other.toString
+    case i: java.time.Instant => java.sql.Timestamp.from(i).toString
+    case d: java.time.LocalDate => d.toString
+    case b: Array[Byte] => b.map(x => f"${x & 0xff}%02x").mkString("\\x", "", "")
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => throw new IllegalArgumentException(
+      s"PgCopy cannot encode a ${other.getClass.getName} cell — COPY columns " +
+        "must be scalar (string/number/boolean/date/timestamp/binary); " +
+        "project arrays/maps/structs to scalars before the load")
   }
 
   private def quote(s: String): String =

@@ -46,12 +46,15 @@ object SideChannelCsv {
 
   /** `<path>.csv.zip` with a single `<basename>.csv` entry: parts are
     * written distributed (headerless), then streamed into the zip in
-    * part order behind one header line. Quoting inside rows is Spark's
-    * CSV writer's; the header quotes only names that need it.
+    * part order behind one header line. The staging write pins the
+    * RFC-4180 dialect (escape = quote, so embedded quotes double) —
+    * Spark's default escape is backslash, which standard CSV consumers
+    * (pandas, Excel) misparse; the header uses the same quote doubling.
     */
   private def writeCsvZip(df: DataFrame, path: String): Unit = {
     val staging = path + ".staging"
-    df.write.mode(SaveMode.Overwrite).option("header", "false").csv(staging)
+    df.write.mode(SaveMode.Overwrite).option("header", "false")
+      .option("quote", "\"").option("escape", "\"").csv(staging)
     // The repackaging reads the staging dir through the DRIVER's local
     // filesystem — a cluster deploy with a non-local default FS must use
     // the gzip-dir container instead. Fail loudly rather than shipping a

@@ -170,7 +170,7 @@ class LlmSpec extends SparkSuite {
     val corpus = (0L until 100L).map(i =>
       (i, ("tok " * (5 + (i % 17)).toInt).trim)).toDF("doc_id", "text")
     def pack() = Sampling.packSequences(corpus, "doc_id", "text",
-      tokenBudget = 40, numPartitions = 4).collect()
+      tokenBudget = 40, numGroups = 4).collect()
     val seqs = pack()
     // every document appears exactly once across all sequences
     assert(seqs.flatMap(_.doc_ids).sorted.toSeq === (0L until 100L))
@@ -182,6 +182,25 @@ class LlmSpec extends SparkSuite {
     // deterministic across re-execution
     assert(seqs.map(s => s.seq_id -> s.doc_ids.toSeq).toMap ===
       pack().map(s => s.seq_id -> s.doc_ids.toSeq).toMap)
+    // ...and equal to a driver-side replay of the portable-hash greedy
+    // (the same fold the DuckDB oracle runs as a recursive CTE): the
+    // result depends only on (id, tokens, budget, groups), never on
+    // Spark's partitioner.
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val expected = (0L until 100L).map(i => (i, 5L + i % 17))
+      .groupBy { case (id, _) => h32(id.toString) % 4 }.values.flatMap { grp =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = Vector.empty[Long]; var tot = 0L
+        grp.sortBy(_._1).foreach { case (id, n) =>
+          if (cur.nonEmpty && tot + n > 40) { out += cur; cur = Vector.empty; tot = 0 }
+          cur :+= id; tot += n
+        }
+        if (cur.nonEmpty) out += cur
+        out.map(ids => s"s${ids.head}" -> ids)
+      }.toMap
+    assert(seqs.map(s => s.seq_id -> s.doc_ids.toSeq).toMap === expected)
     // an oversize document gets its own sequence rather than being lost
     val big = Seq((1L, ("w " * 100).trim), (2L, "a b c")).toDF("doc_id", "text")
     val bigSeqs = Sampling.packSequences(big, "doc_id", "text", 10).collect()

@@ -316,7 +316,8 @@ class PipelineSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import graft.sinks.SideChannelCsv
     val dir = tmpDir("graft-zip")
-    val df = Seq(("a", "x,y"), ("b", "plain")).toDF("k", "v").repartition(2)
+    val df = Seq(("a", "x,y"), ("b", "plain"), ("c", "say \"hi\""))
+      .toDF("k", "v").repartition(2)
     SideChannelCsv.write(df, s"$dir/Occupancy duplicates 20240101",
       SideChannelCsv.Container.CsvZip)
     val zf = new java.util.zip.ZipFile(s"$dir/Occupancy duplicates 20240101.csv.zip")
@@ -326,7 +327,8 @@ class PipelineSpec extends SparkSuite {
       val lines = scala.io.Source.fromInputStream(zf.getInputStream(entries.head))
         .getLines().toSeq
       assert(lines.head === "k,v")
-      assert(lines.tail.sorted === Seq("a,\"x,y\"", "b,plain"))
+      // embedded quotes double (RFC 4180), never backslash-escape (ADVICE r3)
+      assert(lines.tail.sorted === Seq("a,\"x,y\"", "b,plain", "c,\"say \"\"hi\"\"\""))
     } finally zf.close()
     // staging directory cleaned up
     assert(!Files.exists(Paths.get(s"$dir/Occupancy duplicates 20240101.staging")))

@@ -97,6 +97,18 @@ class PgCopySpec extends SparkSuite {
     assert(encodeField(1.5) === "1.5")
   }
 
+  test("binary encodes as bytea hex input; non-scalar cells reject (ADVICE r3)") {
+    assert(encodeField(Array[Byte](0, 1, -1, 0x7f)) === "\\x0001ff7f")
+    assert(encodeField(Array.emptyByteArray) === "\\x")
+    // bytea hex text has no CSV-special chars, so it frames unquoted
+    assert(encodeRow(Row("k", Array[Byte](0xde.toByte, 0xad.toByte))) === "k,\\xdead")
+    // array / map / struct cells would toString into garbage — fail fast
+    for (bad <- Seq(Seq(1, 2), Map("a" -> 1), Row(1, "x"))) {
+      val e = intercept[IllegalArgumentException](encodeField(bad))
+      assert(e.getMessage.contains("COPY columns"))
+    }
+  }
+
   test("row framing joins fields with commas, nulls stay empty") {
     assert(encodeRow(Row("x", null, 7)) === "x,,7")
   }
