@@ -128,6 +128,20 @@ object Dedup {
         concat_ws("_", (0 until bandRows).map(i => col("sig")(b * bandRows + i)): _*).as("bv"))
     }: _*)
 
+  /** Spread the CPU-bound per-row hashing over the session's full
+    * parallelism ONLY when the source needs it: a single small file scans
+    * as one split, which would leave every other core idle through the
+    * most expensive per-row stage — but an at-scale scan already has ≥
+    * shuffle-parallelism splits, and an unconditional repartition there
+    * is a full (id, text) corpus shuffle bought for nothing (VERDICT r4
+    * item 4). The split count comes from the physical plan; no job runs.
+    */
+  private[llm] def spreadForHashing(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(col("id"))
+  }
+
   /** Guard diagnostic for a near-dup run: per-band bucket-size stats of
     * the LSH shuffle. Candidate generation is quadratic IN EACH BUCKET,
     * so `max_bucket` is the number that predicts cost — run this (cheap:
@@ -139,11 +153,11 @@ object Dedup {
       k: Int = 3, numSig: Int = 12, bandRows: Int = 2): DataFrame = {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
-    // same repartition as the pair operators: the hashing must spread
-    // over all cores even from a single input split, or the "cheap"
+    // same conditional spread as the pair operators: the hashing must
+    // cover all cores even from a single input split, or the "cheap"
     // guard runs partition-bound.
     val base = withShingleHashSet(
-        docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+        spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text"))),
         "__text", "sh", k)
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
     base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
@@ -159,11 +173,11 @@ object Dedup {
       minJacNum: Int = 1, minJacDen: Int = 2,
       persistSignatures: Boolean = true): DataFrame = {
     // Barriers: sh is referenced by the signature AND both verify joins.
-    // Repartition first: the per-row hashing is CPU-bound and must spread
-    // over all cores even when the source is one small file; at scale the
-    // shuffle is trivia next to the hashing.
+    // Spread first (conditionally): the per-row hashing is CPU-bound and
+    // must cover all cores even when the source is one small file; when
+    // the scan already has enough splits no shuffle is issued.
     val sets = withShingleHashSet(
-      docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+      spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text"))),
       "__text", "sh", k)
     lshPairsFromSets(sets, numSig, bandRows, minJacNum, minJacDen, persistSignatures)
   }
@@ -212,7 +226,7 @@ object Dedup {
       minJacNum: Int = 1, minJacDen: Int = 2,
       persistSignatures: Boolean = true): DataFrame = {
     val sets = withCharNgramHashSet(
-      docs.select(col(idCol).as("id"), col(textCol).as("__text")).repartition(col("id")),
+      spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text"))),
       "__text", "sh", n)
     lshPairsFromSets(sets, numSig, bandRows, minJacNum, minJacDen, persistSignatures)
   }

@@ -80,6 +80,8 @@ object Similarity {
   /** Bucketed (IVF-style) top-k: candidates meet queries only inside
     * their bucket — the join key is the bucket column, so the shuffle is
     * by bucket and the per-query work is the bucket size, not the corpus.
+    * Pre-flight [[bucketCostProfile]] to size that per-query work before
+    * a large run.
     */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
       queryPred: Column, k: Int): DataFrame = {
@@ -88,10 +90,40 @@ object Similarity {
     ranked(c.join(broadcast(q), Seq("bucket")).filter(col("neighbor_id") =!= col("query_id")), k)
   }
 
+  /** Generic bucket-size pre-flight for ANY bucket-restricted pair/probe
+    * join ([[cosineNearDupPairs]], [[bucketedTopK]]): per-bucket row
+    * counts, cheap (one partial-aggregated shuffle on the bucket key —
+    * the same key the guarded join would shuffle on). The embedding
+    * analog of [[Dedup.bandBucketStats]] (q44): in-bucket pair work is
+    * quadratic, so the max bucket — not the corpus size — predicts cost.
+    */
+  def bucketStats(df: DataFrame, bucketCol: String): DataFrame =
+    df.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+
+  /** One-row cost profile over [[bucketStats]]: bucket count, max bucket,
+    * total rows, and the exact in-bucket pair count `Σ sz·(sz−1)/2` — the
+    * number a 100 TB job compares against its budget BEFORE committing to
+    * [[cosineNearDupPairs]] (a max_bucket in the millions means the
+    * bucketing column is too coarse: re-bucket, e.g. finer IVF cells or
+    * more LSH planes, or exact-dedup first). Integer `div` keeps the
+    * count exact past 2^53 in any engine.
+    */
+  def bucketCostProfile(df: DataFrame, bucketCol: String): DataFrame =
+    bucketStats(df, bucketCol).agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("bucket_size")).as("max_bucket"),
+      sum(col("bucket_size")).as("n_rows"),
+      sum(expr("bucket_size * (bucket_size - 1) div 2")).as("pair_cost"))
+
   /** Embedding-cosine near-duplicate pairs inside buckets: pairs (a < b)
     * sharing a bucket whose cosine ≥ num/den, decided by INTEGER
     * cross-multiplication on the quantized vectors — no float compare:
     * cos ≥ t  ⇔  dot > 0  ∧  dot²·den² ≥ na·nb·num².
+    *
+    * Pre-flight [[bucketCostProfile]] on the same (df, bucketCol) before
+    * a large run: the pair join is quadratic PER BUCKET and a single
+    * skewed bucket dominates the job (q52 is the gated profile).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String, bucketCol: String,
       num: Int, den: Int): DataFrame = {

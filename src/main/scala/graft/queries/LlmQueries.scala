@@ -133,6 +133,18 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(e.unionByName(copies), "vec_id", "embedding", "label", 19, 20)
     }),
 
+    // Generic bucket-size pre-flight (the q44 analog for the embedding
+    // side): the one-row cost profile a 100 TB job reads BEFORE
+    // committing to the quadratic-per-bucket q38 pair join — same
+    // corpus, same bucket column. Column pruning matters: the profile
+    // never reads the embedding vectors.
+    "q52_bucket_cost_profile" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("label"))
+      Similarity.bucketCostProfile(e.unionByName(copies), "label")
+    }),
+
     // LSH-bucketed ANN: data-independent random-hyperplane buckets (no
     // natural clustering needed) restricting the search per query.
     "q42_ann_lsh_bucketed" -> ((s, dir) => {
@@ -521,6 +533,18 @@ object LlmQueries {
          |  AND len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) >= 1
          |  AND $langCase = 'en'""".stripMargin
     },
+
+    "q52_bucket_cost_profile" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, label FROM embeddings WHERE vec_id % 25 = 0),
+        |b AS (SELECT label, COUNT(*) AS sz FROM corpus GROUP BY label)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_cost
+        |FROM b""".stripMargin,
 
     "q38_cosine_neardup" ->
       s"""WITH corpus AS (

@@ -74,4 +74,22 @@ class PlanSpec extends SparkSuite {
     val p = plan("q45_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("near-dup pre-hash spread is conditional: shuffles a 1-split source, skips a wide one") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta tok$i"))
+      .toDF("doc_id", "text")
+    // REPARTITION_BY_COL appears in the plan ONLY from the explicit
+    // spread repartition — every other exchange in the LSH chain is
+    // EnsureRequirements-inserted (ENSURE_REQUIREMENTS).
+    val narrow = graft.llm.Dedup.nearDupPairs(docs.coalesce(1), "doc_id", "text",
+      persistSignatures = false).queryExecution.executedPlan.toString
+    assert(narrow.contains("REPARTITION_BY_COL"),
+      "a single-split source must be spread over the cores before hashing")
+    val target = spark.sessionState.conf.numShufflePartitions
+    val wide = graft.llm.Dedup.nearDupPairs(docs.repartition(target + 2), "doc_id", "text",
+      persistSignatures = false).queryExecution.executedPlan.toString
+    assert(!wide.contains("REPARTITION_BY_COL"),
+      "a source with enough splits must not pay a pre-hash corpus shuffle")
+  }
 }

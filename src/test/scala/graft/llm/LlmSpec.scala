@@ -208,6 +208,28 @@ class LlmSpec extends SparkSuite {
     assert(bigSeqs.find(_.doc_ids.contains(1L)).get.n_docs === 1)
   }
 
+  test("bucket cost profile: exact in-bucket pair counts") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "bucket")
+    val r = Similarity.bucketCostProfile(df, "bucket").collect().head
+    // buckets a:3 b:2 c:1 → pairs 3 + 1 + 0 = 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === (3L, 3L, 6L, 4L))
+  }
+
+  test("sequence packing: output independent of physical parallelism; default group count fixed") {
+    val corpus = (0L until 100L).map(i =>
+      (i, ("tok " * (5 + (i % 17)).toInt).trim)).toDF("doc_id", "text")
+    def packOn(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id", "text", tokenBudget = 40)
+        .collect().map(s => s.seq_id -> s.doc_ids.toSeq).toMap
+    // same packing whether the input arrives as 1 split or 13: the group
+    // key is the portable id hash, never the physical partitioning
+    assert(packOn(corpus.repartition(1)) === packOn(corpus.repartition(13)))
+    // the default group count is a fixed constant, not defaultParallelism
+    // — the same job on a different cluster must pack identically
+    assert(Sampling.DefaultPackGroups === 256)
+  }
+
   test("curation options: repetition gate drops boilerplate, splits column appended") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then the day is done for all of us here"),
