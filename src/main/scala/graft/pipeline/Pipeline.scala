@@ -55,31 +55,79 @@ object Pipeline {
       .map(_.getPath).sorted.toIndexedSeq
   }
 
+  /** Driver-pool width for the classify/read fan-out: the per-(file,
+    * sheet) sniffs and xlsx parses are independent, driver-side, and
+    * each a mix of zip IO and StAX CPU — a bounded pool is the engine's
+    * answer to the reference's dormant tiered read
+    * (`Old/reports_exporter_v0.82.ipynb:484-560`). Capped: the driver is
+    * shared with Spark's scheduler threads.
+    */
+  val DriverPoolParallelism: Int =
+    math.max(1, math.min(16, Runtime.getRuntime.availableProcessors()))
+
+  /** Order-preserving parallel map on a bounded driver pool. Safe here
+    * because every work unit is independent and thread-compatible: each
+    * xlsx parse opens its own ZipFile, and Spark job submission /
+    * DataFrame construction are thread-safe on a shared session. Results
+    * (and therefore error accumulation downstream) keep input order, so
+    * the fan-out changes wall-clock only, never output.
+    */
+  private[pipeline] def parMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1 || xs.sizeIs <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, xs.size))
+      try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        }))
+        .map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      finally pool.shutdown()
+    }
+
+  private sealed trait SniffUnit
+  private final case class CsvFile(path: String) extends SniffUnit
+  private final case class XlsxSheet(path: String, sheet: Int) extends SniffUnit
+  /** A workbook whose sheet enumeration failed or returned none. */
+  private final case class DeadBook(path: String) extends SniffUnit
+
   /** S2-S4 — classify every input unit in a directory: CSV files whole,
     * xlsx workbooks per sheet. Returns (classified, unclassified-display).
+    *
+    * Two pool phases: sheet enumeration per workbook, then every
+    * (file, sheet) sniff+classify and CSV sniff together — a batch of
+    * thousands of workbooks no longer serializes on the driver.
     */
-  def classifyAll(spark: SparkSession, inputDir: String)
+  def classifyAll(spark: SparkSession, inputDir: String,
+      parallelism: Int = DriverPoolParallelism)
       : (Seq[ClassifiedInput], Seq[String]) = {
-    val csv = discover(inputDir, ".csv").map { p =>
-      (HeaderSniffer.classifyCsv(spark, p) match {
-        case Some((idx, rep)) => Right(ClassifiedInput(p, None, idx, rep))
-        case None             => Left(p)
-      })
+    val books = parMap(discover(inputDir, ".xlsx"), parallelism) { p =>
+      p -> (try graft.sources.Xlsx.sheetNames(p).indices.toSeq
+            catch { case _: Exception => Seq.empty })
     }
-    val xlsx = discover(inputDir, ".xlsx").flatMap { p =>
-      val sheets = try graft.sources.Xlsx.sheetNames(p).indices.toSeq
-        catch { case _: Exception => Seq.empty }
-      if (sheets.isEmpty) Seq(Left(p))
-      else sheets.map { i =>
+    val units: Seq[SniffUnit] =
+      discover(inputDir, ".csv").map(CsvFile) ++
+        books.flatMap {
+          case (p, ss) if ss.isEmpty => Seq(DeadBook(p))
+          case (p, ss)               => ss.map(XlsxSheet(p, _))
+        }
+    val all = parMap(units, parallelism) {
+      case CsvFile(p) =>
+        HeaderSniffer.classifyCsv(spark, p) match {
+          case Some((idx, rep)) => Right(ClassifiedInput(p, None, idx, rep))
+          case None             => Left(p)
+        }
+      case XlsxSheet(p, i) =>
         val rows = try graft.sources.Xlsx.readSheet(p, i, HeaderSniffer.SniffRows)
           catch { case _: Exception => Seq.empty }
         HeaderSniffer.classify(rows) match {
           case Some((idx, rep)) => Right(ClassifiedInput(p, Some(i), idx, rep))
           case None             => Left(s"$p#sheet$i")
         }
-      }
+      case DeadBook(p) => Left(p)
     }
-    val all = csv ++ xlsx
     (all.collect { case Right(c) => c }, all.collect { case Left(p) => p })
   }
 
@@ -153,9 +201,14 @@ object Pipeline {
       val mine = classified.filter(_.report == report)
       if (mine.isEmpty) None
       else {
-        val reads = mine.zipWithIndex.map { case (ci, ord) =>
-          (ci, readInput(spark, ci, ord, trainHours, history,
-            eagerEmptyGuard = !batchedGuard))
+        // per-(file, sheet) reads fan out on the driver pool: the xlsx
+        // parses and per-input guard actions are the serial cost for a
+        // workbook batch; order (and so the D1 fileOrd tiebreaker and
+        // error attribution) is preserved by parMap.
+        val reads = parMap(mine.zipWithIndex.toSeq, DriverPoolParallelism) {
+          case (ci, ord) =>
+            (ci, readInput(spark, ci, ord, trainHours, history,
+              eagerEmptyGuard = !batchedGuard))
         }
         reads.collect { case (_, Left(e)) => e }.foreach(errors += _)
         val okPairs = reads.collect { case (ci, Right(o)) => (ci, o) }

@@ -228,6 +228,53 @@ class PipelineSpec extends SparkSuite {
       s"batched guard should run fewer jobs (batched=$jobsBatched, eager=$jobsEager)")
   }
 
+  /** Minimal one-sheet all-string workbook (rels-less fallback path). */
+  private def writeStrXlsx(path: String, rows: Seq[Seq[String]]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Report" sheetId="1"/></sheets></workbook>""")
+    val body = rows.zipWithIndex.map { case (cells, ri) =>
+      val cs = cells.zipWithIndex.map { case (v, ci) =>
+        s"""<c r="${('A' + ci).toChar}${ri + 1}" t="str"><v>${scala.xml.Utility.escape(v)}</v></c>"""
+      }.mkString
+      s"""<row r="${ri + 1}">$cs</row>"""
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  test("classifyAll over a workbook batch: pool fan-out equals sequential, and runs concurrently") {
+    val in = tmpDir("graft-par-in")
+    val occCells = (0 until 24).map(i => Map(0 -> "2024-01-01 00:00:00", 1 -> "AB",
+      5 -> "T1", 6 -> "C1", 14 -> "5", 8 -> "q").getOrElse(i, "1"))
+    (0 until 6).foreach { i =>
+      writeStrXlsx(s"$in/w$i.xlsx", Seq(Schemas.occupancy.header, occCells))
+    }
+    val sequential = Pipeline.classifyAll(spark, in, parallelism = 1)
+    val pooled = Pipeline.classifyAll(spark, in)
+    // identical output (content AND order — fileOrd tiebreakers depend on it)
+    assert(pooled === sequential)
+    assert(sequential._1.size === 6 && sequential._2.isEmpty)
+    assert(sequential._1.forall(_.report == ReportType.Occupancy))
+
+    // the pool genuinely overlaps units: 8 sleeping units must finish well
+    // under the 1.6 s serial sum, on more than one thread
+    val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val t0 = System.nanoTime()
+    val out = Pipeline.parMap((0 until 8).toSeq, 8) { i =>
+      threads.add(Thread.currentThread().getName); Thread.sleep(200); i * 2
+    }
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    assert(out === (0 until 8).map(_ * 2))
+    assert(threads.size > 1, "expected multiple pool threads")
+    assert(wallMs < 1200, s"pool wall-clock should beat the 1600 ms serial sum (was $wallMs ms)")
+  }
+
   test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
     import graft.enrich.Enrichment
     val fact = Seq(("T1", 1), ("T2", 2), ("T3", 3)).toDF("k", "v")

@@ -58,6 +58,13 @@ object FakeDb {
         case "execute" =>
           statements.add(args(0).asInstanceOf[String]); java.lang.Boolean.FALSE
         case "setAutoCommit" => null
+        case "unwrap" =>
+          // hand back a proxy implementing the requested interface (the
+          // pgjdbc BaseConnection stub) on the SAME handler, as a real
+          // pgjdbc Connection unwraps to itself
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(args(0).asInstanceOf[Class[_]]), this)
+        case "isWrapperFor" => java.lang.Boolean.TRUE
         case t @ ("commit" | "rollback") => txCalls.add(t); null
         case "close" => null
         case "isClosed" => java.lang.Boolean.FALSE
@@ -185,6 +192,27 @@ class PgCopySpec extends SparkSuite {
       String.valueOf(thrown.getCause).contains("simulated mid-COPY failure"))
     val calls = FakeDb.txCalls.toArray(Array.empty[String])
     assert(calls.contains("rollback") && !calls.contains("commit"))
+  }
+
+  test("the default reflective pgjdbc adapter executes against the real class names") {
+    // test-scope stubs under the exact pgjdbc names (org.postgresql.core
+    // .BaseConnection / org.postgresql.copy.CopyManager) let the
+    // PRODUCTION PgDriverCopyApi path — Class.forName, constructor
+    // lookup, unwrap, method invoke — run end-to-end (VERDICT r4 item 4:
+    // previously the one untested inch of the COPY protocol).
+    org.postgresql.copy.CopyManager.reset()
+    FakeDb.reset()
+    val df = spark.range(0, 5).toDF("id").repartition(2)
+    val n = copyLoad(df, "tgt", new FakeDb.ConnFactory) // api defaults to PgDriverCopyApi
+    assert(n === 5)
+    val sqls = org.postgresql.copy.CopyManager.SQLS.toArray(Array.empty[String])
+    assert(sqls.nonEmpty &&
+      sqls.forall(_ === """COPY tgt ("id") FROM STDIN WITH (FORMAT csv)"""))
+    val lines = org.postgresql.copy.CopyManager.PAYLOADS.toArray(Array.empty[String])
+      .flatMap(_.split("\n")).sorted
+    assert(lines.toSeq === Seq("0", "1", "2", "3", "4"))
+    // transactions still sequence through the driver connection
+    assert(FakeDb.txCalls.toArray(Array.empty[String]).forall(_ == "commit"))
   }
 
   test("partitionOverwriteLoad with COPY: delete -> copy -> audit, no JDBC insert path") {
