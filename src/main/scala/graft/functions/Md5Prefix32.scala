@@ -89,6 +89,10 @@ object GraftExtensions {
     (new FunctionIdentifier("ngram_poly_hash_set"),
       new ExpressionInfo(classOf[NgramPolyHashSet].getName, "ngram_poly_hash_set"),
       (children: Seq[Expression]) => NgramPolyHashSet(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("window_roll_hash"),
+      new ExpressionInfo(classOf[WindowRollHash].getName, "window_roll_hash"),
+      (children: Seq[Expression]) => WindowRollHash(children.head,
         children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent registration on a live session (for sessions not built

@@ -22,6 +22,12 @@ object CurationPipeline {
     *   fraction exceeds this many basis points (boilerplate gate)
     * @param splits when set, append a deterministic hash-keyed `split`
     *   column (train/val/test) to the output
+    * @param clusterCanonical near-dup removal keeps exactly the MINIMUM
+    *   id of each transitive near-dup cluster
+    *   ([[Dedup.canonicalizeClusters]]) instead of dropping the higher
+    *   id of every verified pair — for a star 1~3, 2~3 the pairwise rule
+    *   keeps {1, 2} (direction-dependent) while the cluster rule keeps
+    *   {1} (canonical per component)
     */
   final case class Config(
       shingleK: Int = 3,
@@ -32,7 +38,8 @@ object CurationPipeline {
       keepLang: String = "en",
       persistSignatures: Boolean = true,
       maxRepBp: Option[Int] = None,
-      splits: Option[Seq[(String, Int)]] = None)
+      splits: Option[Seq[(String, Int)]] = None,
+      clusterCanonical: Boolean = false)
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -41,11 +48,18 @@ object CurationPipeline {
       .filter(col(idCol) === col("canonical_id"))
       .select(col(idCol), col(textCol))
 
-    // 2. near-dup removal: drop the higher id of every verified pair.
+    // 2. near-dup removal: by default drop the higher id of every
+    // verified pair (reference-faithful); with clusterCanonical, keep
+    // only each transitive cluster's minimum id.
     val pairs = Dedup.nearDupPairs(canon, idCol, textCol,
       cfg.shingleK, cfg.numSig, cfg.bandRows, cfg.minJacNum, cfg.minJacDen,
       cfg.persistSignatures)
-    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    val dropIds =
+      if (cfg.clusterCanonical)
+        Dedup.canonicalizeClusters(pairs)
+          .filter(col("id") =!= col("canonical_id"))
+          .select(col("id").as(idCol)).distinct()
+      else pairs.select(col("id_b").as(idCol)).distinct()
     val kept = canon.join(dropIds, Seq(idCol), "left_anti")
 
     // 3. quality + language gate over materialized tokens, with the

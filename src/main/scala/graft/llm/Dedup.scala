@@ -274,6 +274,101 @@ object Dedup {
       .filter(col("inter") * minJacDen >= col("uni") * minJacNum)
   }
 
+  /** Chunk fingerprint table: one row per (id, DISTINCT w-token-window
+    * rolling hash) — [[TextAnalysis.windowHashes]] exploded. Per-doc
+    * distinctness means a chunk repeated INSIDE one document counts
+    * once, so pair counts below measure cross-document sharing only.
+    * ~one row per corpus token: run [[Similarity.bucketCostProfile]] on
+    * (this, "chunk") before a large pair job — a ubiquitous boilerplate
+    * window is a mega-bucket exactly like a hot LSH band (q44/q52), and
+    * the standard mitigations are a wider `w` or dropping the
+    * top-frequency chunks first.
+    */
+  def chunkTable(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val base = spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+    once(base, "__hs", TextAnalysis.tokenHashes(TextAnalysis.tokens(col("__text"))))
+      .transform(d => once(d, "__ch", graft.functions.WindowRollHash(col("__hs"), w)))
+      .select(col("id"), explode(array_distinct(col("__ch"))).as("chunk"))
+  }
+
+  /** Cross-document chunk-match pairs: documents sharing at least one
+    * w-token-window fingerprint, with the shared-chunk count — the
+    * windowed rolling-hash dedup primitive (boilerplate/quotation
+    * detection between documents that are NOT near-dups overall).
+    *
+    * Scale shape: the only join is the chunk-hash equi-self-join — the
+    * LSH-band analog, never all-pairs — and both sides are the same
+    * plan, so the shuffle is planned once and reused (ReusedExchange).
+    * Quadratic per chunk bucket: pre-flight with
+    * [[Similarity.bucketCostProfile]] (q56 gates it).
+    */
+  def chunkMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val chunks = chunkTable(docs, idCol, textCol, w)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
+  /** Transitive canonicalization of a verified near-dup pair graph:
+    * connected components by iterative min-label propagation. Every id
+    * appearing in `pairs` maps to the MINIMUM id reachable through the
+    * pair relation — so a chain A~B~C collapses to canonical A no matter
+    * which pairs the LSH verify emitted or in which direction (dropping
+    * `id_b` per pair is direction-dependent; this is not).
+    *
+    * Distributed shape: each round is (neighbor-min join + pointer-jump
+    * join), both equi-joins on the id — no all-pairs anywhere. The
+    * pointer-jump (follow the label's own label) halves remaining chain
+    * depth per round, so convergence is O(log diameter) rounds, and
+    * near-dup cluster diameters are tiny in practice. Labels only ever
+    * decrease, so an unchanged label sum IS the fixpoint — the loop
+    * stops there or at `maxIters` (each round = one Spark job; bound it
+    * rather than trust pathological graphs).
+    *
+    * @return (id, canonical_id) for every id in the graph
+    */
+  def canonicalizeClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // label sums are the convergence probe; decimal so the probe can't
+    // overflow at corpus-scale id magnitudes
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = lblSum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      // neighbor-min: smallest label among self and direct neighbors
+      val viaNbr = sym.join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("blbl")).as("nlbl"))
+      val m1 = labels.join(viaNbr, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("l0"))
+      // pointer-jump (path halving): also take the label's own label —
+      // every label IS a node id, so this is a self-join on the table
+      val m2 = m1.join(labels.select(col("id").as("l0"), col("lbl").as("jlbl")), Seq("l0"), "left")
+        .select(col("id"), least(col("l0"), coalesce(col("jlbl"), col("l0"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cur = lblSum(m2) // materializes m2 before the old cache drops
+      val old = labels
+      labels = m2
+      old.unpersist()
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("canonical_id"))
+  }
+
   /** 16-bit SimHash over the (multiset of) token hashes: bit b is set when
     * the signed bit-b vote across tokens is positive. `hs` should be a
     * materialized attribute (see [[withSimhash16]]) — the combine

@@ -77,12 +77,30 @@ object TextAnalysis {
     * classic chunk fingerprint for streaming dedup. Arithmetic stays
     * under 2^63: acc < P ≈ 2^31, B ≈ 2^20, h32%P < 2^31.
     */
-  val RollB: Long = 1000003L
+  val RollB: Long = graft.functions.WindowRollHash.B
+
+  /** Per-token hashes pre-reduced mod P — the element stream the
+    * whole-document fold AND the windowed chunk fingerprints consume
+    * (pre-reduction makes DuckDB's init-less `list_reduce` equal the
+    * init-0 fold).
+    */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => Dedup.hash32(t) % Dedup.P)
+
   def rollingHash(toks: Column): Column =
-    // element hashes pre-reduced mod P so an init-less fold (DuckDB
-    // list_reduce starts from the first ELEMENT) matches this init-0 fold
-    aggregate(transform(toks, t => Dedup.hash32(t) % Dedup.P), lit(0L),
+    aggregate(tokenHashes(toks), lit(0L),
       (acc, h) => (acc * RollB + h) % Dedup.P)
+
+  /** Sliding-window chunk fingerprints: the rolling hash of every
+    * `w`-token window at stride 1 (documents shorter than w collapse to
+    * one whole-stream hash) — computed by the native O(1)-slide
+    * [[graft.functions.WindowRollHash]] expression, O(n) per document
+    * instead of the O(n·w) per-window refold. The cross-document
+    * chunk-dedup operators build on this ([[Dedup.chunkMatchPairs]]).
+    * `toks` should be a materialized attribute.
+    */
+  def windowHashes(toks: Column, w: Int): Column =
+    graft.functions.WindowRollHash(tokenHashes(toks), w)
 
   /** Cheap quality gate: enough tokens, not absurdly many, and at least
     * one known stopword (pure symbol soup fails).

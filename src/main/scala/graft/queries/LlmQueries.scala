@@ -80,6 +80,28 @@ object LlmQueries {
     "q32_lsh_neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(docsCorpus(s, dir), "doc_id", "text")),
 
+    // Windowed rolling-hash chunk dedup: cross-doc pairs sharing >= 1
+    // distinct 8-token-window fingerprint, with shared-chunk counts —
+    // catches boilerplate/quotation overlap between documents that are
+    // NOT near-dups overall. Native O(1)-slide window hashes; the only
+    // join is the chunk-hash equi-join (never all-pairs).
+    "q55_chunk_match_pairs" -> ((s, dir) =>
+      Dedup.chunkMatchPairs(docsCorpus(s, dir), "doc_id", "text", w = 8)),
+
+    // The chunk-bucket pre-flight (q44/q52 analog for chunk dedup): the
+    // cost profile a large chunk-dedup job reads before the pair join.
+    "q56_chunk_bucket_stats" -> ((s, dir) =>
+      Similarity.bucketCostProfile(
+        Dedup.chunkTable(docsCorpus(s, dir), "doc_id", "text", w = 8), "chunk")),
+
+    // Transitive near-dup canonicalization: every doc in the verified
+    // pair graph labeled with its cluster's minimum id (min-label
+    // propagation + pointer jumping — O(log diameter) equi-join rounds,
+    // never all-pairs). The DuckDB oracle replays the closure with a
+    // recursive CTE.
+    "q53_neardup_clusters" -> ((s, dir) =>
+      Dedup.canonicalizeClusters(Dedup.nearDupPairs(docsCorpus(s, dir), "doc_id", "text"))),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -287,6 +309,29 @@ object LlmQueries {
        |FROM (SELECT doc_id, array_to_string(${toksSql("text")}, ' ') AS norm
        |      FROM $sourceRel)""".stripMargin
 
+  /** The (doc_id, chunk) relation of the windowed rolling-hash dedup:
+    * per-doc DISTINCT w-token-window fingerprints (mirrors
+    * Dedup.chunkTable / the native WindowRollHash — DuckDB's init-less
+    * list_reduce equals the init-0 fold because element hashes are
+    * pre-reduced mod P).
+    */
+  private def chunksSql(sourceRel: String, w: Int): String = {
+    val B = graft.functions.WindowRollHash.B
+    def fold(listExpr: String): String =
+      s"list_reduce($listExpr, (a, h) -> (a * $B + h) % ${Dedup.P})"
+    s"""hs0 AS (SELECT doc_id,
+       |  list_transform(${toksSql("text")}, tk -> ${h32Sql("tk")} % ${Dedup.P}) AS hs
+       |FROM $sourceRel),
+       |wins AS (SELECT doc_id,
+       |  CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+       |       WHEN len(hs) < $w THEN [${fold("hs")}]
+       |       ELSE list_transform(range(0, len(hs) - ${w - 1}),
+       |              i -> ${fold(s"list_slice(hs, i + 1, i + $w)")}) END AS win
+       |FROM hs0),
+       |chunks AS (SELECT doc_id, chunk
+       |  FROM wins, UNNEST(list_distinct(win)) AS u(chunk))""".stripMargin
+  }
+
   /** The s0→sg→bands chain from a (doc_id, sh) sets relation. */
   private def lshBandsFromSetsSql(setsSql: String, numSig: Int = 12,
       bandRows: Int = 2): String =
@@ -373,6 +418,41 @@ object LlmQueries {
       s"""WITH corpus AS ($corpusSql),
          |${lshChainSql("corpus")}
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    "q55_chunk_match_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         |${chunksSql("corpus", 8)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q56_chunk_bucket_stats" ->
+      s"""WITH corpus AS ($corpusSql),
+         |${chunksSql("corpus", 8)},
+         |b AS (SELECT chunk, COUNT(*) AS sz FROM chunks GROUP BY chunk)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+         |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_cost
+         |FROM b""".stripMargin,
+
+    // Reachability closure over the verified-pair graph: recursive UNION
+    // (set semantics) terminates at the closure; canonical = min over
+    // self and everything reachable.
+    "q53_neardup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |${lshChainSql("corpus")},
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE inter * 2 >= uni),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM verified
+         |          UNION ALL SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT id, CAST(LEAST(id, MIN(r)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY id""".stripMargin,
 
     "q45_ngram_jaccard" ->
       s"""WITH corpus AS ($corpusSql),

@@ -405,6 +405,37 @@ object ReaderQueries {
       kept
     }),
 
+    // K4-K6 — the partition-overwrite load protocol gated end-to-end:
+    // the same batch loads TWICE into a fresh file target, and the
+    // result is computed from what the sink actually WROTE (read-back,
+    // never the input frame): the row/key aggregates prove overwrite
+    // idempotence (a second run replaces, never appends) and
+    // n_audit_rows proves one audit row per day per run. The oracle
+    // computes the same numbers from the source table directly — they
+    // agree only if the sink's round trip is lossless and idempotent.
+    "q54_load_protocol" -> ((s, dir) => {
+      val batch = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .filter(col("day") >= "1995-01-01" && col("day") < "1995-04-01")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q54").toString
+      graft.sinks.PartitionOverwriteSink.load(s, batch, "day",
+        s"$tmp/t", s"$tmp/a", "orders_q54", "run1")
+      graft.sinks.PartitionOverwriteSink.load(s, batch, "day",
+        s"$tmp/t", s"$tmp/a", "orders_q54", "run2")
+      val back = s.read.parquet(s"$tmp/t")
+      val audit = s.read.parquet(s"$tmp/a")
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("day").cast("string")).as("n_days"),
+        sum(col("o_orderkey")).as("key_sum"),
+        min(col("day").cast("string")).as("min_day"),
+        max(col("day").cast("string")).as("max_day"))
+        .crossJoin(audit.agg(
+          count(lit(1)).as("n_audit_rows"),
+          countDistinct(col("operation")).as("n_ops")))
+    }),
+
     // S4 — exact-header classification with drop-nulls-before-compare
     // (driver-side decision surfaced as a one-row-per-case relation).
     "q26_classifier" -> ((s, dir) => {
@@ -430,6 +461,20 @@ object ReaderQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q54_load_protocol" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-01-01'
+        |    AND strftime(o_orderdate, '%Y-%m-%d') < '1995-04-01')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  MIN(day) AS min_day, MAX(day) AS max_day,
+        |  CAST(COUNT(DISTINCT day) * 2 AS BIGINT) AS n_audit_rows,
+        |  CAST(1 AS BIGINT) AS n_ops
+        |FROM sel""".stripMargin,
+
     "q21_occupancy_reader" ->
       s"""WITH $occCoercedSql
          |SELECT

@@ -82,6 +82,26 @@ class NativeExpressionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("native window_roll_hash equals the per-window refold, incl. short and empty inputs") {
+    import WindowRollHash.{B, P}
+    def refold(hs: Seq[Long]): Long = hs.foldLeft(0L)((a, h) => (a * B + h) % P)
+    def model(hs: Seq[Long], w: Int): Seq[Long] =
+      if (hs.length < w) Seq(refold(hs))
+      else hs.sliding(w).map(refold).toSeq
+    val gen = Gen.listOfN(200, Gen.listOf(Gen.choose(0L, P - 1)))
+    val cases = gen.apply(Gen.Parameters.default, Seed(17L)).get ++
+      Seq(Nil, Seq(5L), (0L until 7L).toSeq) // empty, single, exactly-w-1 edge
+    val rows = cases.map(Tuple1(_)).toDF("hs")
+      .select(col("hs"), WindowRollHash(col("hs"), 8).as("native")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === model(r.getSeq[Long](0), 8),
+        s"for ${r.getSeq[Long](0)}")
+    }
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT size(window_roll_hash(array(1L, 2L, 3L), 2)) AS n")
+      .as[Int].head() === 2)
+  }
+
   test("md5_prefix32 is null-safe and rejects non-string input") {
     val r = Seq[Option[String]](Some("x"), None).toDF("s")
       .select(Md5Prefix32(col("s"))).collect()

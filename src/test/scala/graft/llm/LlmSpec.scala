@@ -208,6 +208,50 @@ class LlmSpec extends SparkSuite {
     assert(bigSeqs.find(_.doc_ids.contains(1L)).get.n_docs === 1)
   }
 
+  test("chunk match pairs: shared 8-token windows counted once per doc, disjoint docs absent") {
+    val shared = (1 to 10).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, (shared ++ Seq("alpha", "beta")).mkString(" ")),
+      (2L, (shared ++ Seq("gamma", "delta")).mkString(" ")),
+      (3L, (1 to 12).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkMatchPairs(docs, "doc_id", "text", w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 1 and 2 share windows starting at tokens 1..3 (a window fits
+    // inside the 10 common tokens iff start + 7 <= 10) → 3 shared chunks;
+    // doc 3 shares nothing
+    assert(got === Map((1L, 2L) -> 3L))
+  }
+
+  test("cluster canonicalization: chains and stars collapse to the component minimum") {
+    // star 1~3, 2~3: pairwise drop-id_b would keep {1, 2}; cluster
+    // canonicalization maps all three to component min 1
+    val star = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalizeClusters(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 10-node path converges (pointer jumping: O(log diameter) rounds)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val g2 = Dedup.canonicalizeClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("curation with clusterCanonical: only each near-dup cluster's minimum survives") {
+    val base = "the quick brown fox jumps over the lazy dog and then the day is done for all of us here"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " tail marker one"),
+      (3L, base + " tail marker one extra two"),
+      (50L, "a completely different document about trains and the schedules that they keep for the winter"))
+      .toDF("doc_id", "text")
+    val got = CurationPipeline.curate(corpus, "doc_id", "text",
+      CurationPipeline.Config(clusterCanonical = true))
+      .collect().map(_.getLong(0)).toSet
+    // 1~2~3 form one near-dup cluster → canonical 1 survives; 50 untouched
+    assert(got === Set(1L, 50L))
+  }
+
   test("bucket cost profile: exact in-bucket pair counts") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
       .toDF("id", "bucket")
