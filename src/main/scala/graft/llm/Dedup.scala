@@ -298,14 +298,21 @@ object Dedup {
     * detection between documents that are NOT near-dups overall).
     *
     * Scale shape: the only join is the chunk-hash equi-self-join — the
-    * LSH-band analog, never all-pairs — and both sides are the same
-    * plan, so the shuffle is planned once and reused (ReusedExchange).
-    * Quadratic per chunk bucket: pre-flight with
-    * [[Similarity.bucketCostProfile]] (q56 gates it).
+    * LSH-band analog, never all-pairs. The chunk table feeds BOTH join
+    * sides, so it is persisted by default (the signature-table trade:
+    * re-hashing the corpus twice costs more than spilling the chunk
+    * rows; CacheManager-aware, like [[nearDupPairs]]). Quadratic per
+    * chunk bucket: pre-flight with [[Similarity.bucketCostProfile]]
+    * (q56 gates it).
     */
   def chunkMatchPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 8): DataFrame = {
-    val chunks = chunkTable(docs, idCol, textCol, w)
+      w: Int = 8, persistChunks: Boolean = true): DataFrame = {
+    val chunks0 = chunkTable(docs, idCol, textCol, w)
+    val chunks =
+      if (persistChunks &&
+          chunks0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        chunks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else chunks0
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -332,9 +339,12 @@ object Dedup {
     */
   def canonicalizeClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persist the PROJECTED pairs, not the symmetric union: both union
+    // branches then read the cache, so the (possibly expensive) upstream
+    // pair chain runs exactly once
     val e = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // label sums are the convergence probe; decimal so the probe can't
     // overflow at corpus-scale id magnitudes
     def lblSum(df: DataFrame): java.math.BigDecimal =
@@ -365,7 +375,7 @@ object Dedup {
       prev = cur
       it += 1
     }
-    sym.unpersist()
+    e.unpersist()
     labels.select(col("id"), col("lbl").as("canonical_id"))
   }
 
