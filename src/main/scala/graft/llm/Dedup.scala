@@ -319,6 +319,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_chunks"))
   }
 
+  /** Cross-corpus contamination check (decontamination): training
+    * documents sharing at least one w-token-window fingerprint with an
+    * evaluation document, with the shared-chunk count per (train, eval)
+    * pair — the standard eval-leakage sweep a pretraining pipeline runs
+    * before a data release (verbatim n-gram overlap, the C4/GPT-3-style
+    * 8-gram decontamination rule).
+    *
+    * Scale shape: both sides are [[chunkTable]]s and the only join is
+    * the chunk-hash equi-join; the eval side is tiny next to the corpus
+    * (AQE broadcasts it), so the training corpus never shuffles —
+    * hashing it is the whole cost, one pass.
+    */
+  def crossCorpusChunkMatches(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    val a = chunkTable(train, idCol, textCol, w)
+    val b = chunkTable(evalSet, idCol, textCol, w)
+    a.as("a").join(b.as("b"), col("a.chunk") === col("b.chunk"))
+      .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
   /** Transitive canonicalization of a verified near-dup pair graph:
     * connected components by iterative min-label propagation. Every id
     * appearing in `pairs` maps to the MINIMUM id reachable through the

@@ -35,6 +35,22 @@ object Sampling {
     Dedup.hash32(id.cast("string")) % 100 < percent
   }
 
+  /** Deterministic stratified sample: the k hash-smallest rows of every
+    * stratum — a "random" but engine/run/retry-stable per-group sample
+    * (the distributed analog of `ORDER BY md5(id) LIMIT k` per group),
+    * the standard shape for balanced eval-set carving and per-domain
+    * inspection samples. One window shuffle on the stratum key; ties in
+    * the 32-bit hash break on the id, so the selection is total.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      stratumCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(Dedup.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   final case class PackedSequence(seq_id: String, doc_ids: Array[Long],
       n_docs: Int, total_tokens: Long)
 

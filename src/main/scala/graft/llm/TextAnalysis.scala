@@ -154,6 +154,43 @@ object TextAnalysis {
       size(array_distinct(sh)).cast("long").as("n_distinct_3grams"),
       repBp(sh).as("rep_bp"))
 
+  /** PII-style scrubbing patterns: plain alternation-free regexes over
+    * ASCII classes, so Java (Spark codegen) and RE2 (DuckDB oracle)
+    * agree byte-for-byte. Applied to the LOWERCASED text, in this
+    * order: emails first (they contain digits), then dotted IPv4s, then
+    * long digit runs (7+, the account/phone-number shape — IPv4 octets
+    * are too short to double-match).
+    */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongDigitsRe: String = "[0-9]{7,}"
+
+  /** Redacted text: each PII match replaced by its typed tag. The
+    * per-document match counts ([[redactionCounts]]) plus the redacted
+    * stream are what a curation job keeps; scrubbing is pure per-row
+    * regexp work — codegen'd, shuffle-free, linear at any corpus size.
+    */
+  def redact(text: Column): Column = {
+    val lowered = lower(text)
+    val e = regexp_replace(lowered, EmailRe, "<email>")
+    val i = regexp_replace(e, Ipv4Re, "<ip>")
+    regexp_replace(i, LongDigitsRe, "<num>")
+  }
+
+  /** (n_emails, n_ips, n_longnums) of the lowercased text, counted on
+    * the same cascade order as [[redact]] (IPs counted after emails are
+    * removed, digit runs after both).
+    */
+  def redactionCounts(text: Column): Seq[Column] = {
+    val lowered = lower(text)
+    val e = regexp_replace(lowered, EmailRe, "<email>")
+    val i = regexp_replace(e, Ipv4Re, "<ip>")
+    Seq(
+      size(regexp_extract_all(lowered, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(e, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(i, lit(LongDigitsRe), lit(0))).cast("long").as("n_longnums"))
+  }
+
   /** Characteristic character trigrams (over the canonical single-spaced
     * stream, so word-boundary trigrams like "he " count) for the n-gram
     * language-ID heuristic — the profile-overlap method, kept tiny like

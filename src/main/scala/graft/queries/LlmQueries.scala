@@ -94,6 +94,42 @@ object LlmQueries {
       Similarity.bucketCostProfile(
         Dedup.chunkTable(docsCorpus(s, dir), "doc_id", "text", w = 8), "chunk")),
 
+    // Eval-set decontamination: training docs sharing >= 1 8-token
+    // window with an eval document (the C4/GPT-3-style verbatim-overlap
+    // rule). The eval set is fragments of every 17th doc, so matches
+    // are guaranteed and the gate checks exact pair counts.
+    "q57_decontamination" -> ((s, dir) => {
+      val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val eval = train.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.crossCorpusChunkMatches(train, eval, "doc_id", "text", w = 8)
+    }),
+
+    // Deterministic stratified sampling: the k hash-smallest vectors of
+    // every label stratum — engine/run/retry-stable, never rand().
+    "q58_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "vec_id", "label", k = 7)
+        .select(col("vec_id"), col("label"), col("sample_rank"))),
+
+    // PII-style scrubbing: emails / IPv4s / long digit runs replaced by
+    // typed tags, with per-doc match counts. Injected PII on every 9th
+    // doc so the gate checks non-trivial counts; md5 of the redacted
+    // stream anchors the rewrite itself.
+    "q59_redaction" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com or ops@graft.io from 10.0.0.1 ref 1234567890")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(
+        col("doc_id") +:
+          TextAnalysis.redactionCounts(col("text")) :+
+          md5(TextAnalysis.redact(col("text"))).as("redacted_md5"): _*)
+    }),
+
     // Transitive near-dup canonicalization: every doc in the verified
     // pair graph labeled with its cluster's minimum id (min-label
     // propagation + pointer jumping — O(log diameter) equi-join rounds,
@@ -315,21 +351,21 @@ object LlmQueries {
     * list_reduce equals the init-0 fold because element hashes are
     * pre-reduced mod P).
     */
-  private def chunksSql(sourceRel: String, w: Int): String = {
+  private def chunksSql(sourceRel: String, w: Int, prefix: String = ""): String = {
     val B = graft.functions.WindowRollHash.B
     def fold(listExpr: String): String =
       s"list_reduce($listExpr, (a, h) -> (a * $B + h) % ${Dedup.P})"
-    s"""hs0 AS (SELECT doc_id,
+    s"""${prefix}hs0 AS (SELECT doc_id,
        |  list_transform(${toksSql("text")}, tk -> ${h32Sql("tk")} % ${Dedup.P}) AS hs
        |FROM $sourceRel),
-       |wins AS (SELECT doc_id,
+       |${prefix}wins AS (SELECT doc_id,
        |  CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
        |       WHEN len(hs) < $w THEN [${fold("hs")}]
        |       ELSE list_transform(range(0, len(hs) - ${w - 1}),
        |              i -> ${fold(s"list_slice(hs, i + 1, i + $w)")}) END AS win
-       |FROM hs0),
-       |chunks AS (SELECT doc_id, chunk
-       |  FROM wins, UNNEST(list_distinct(win)) AS u(chunk))""".stripMargin
+       |FROM ${prefix}hs0),
+       |${prefix}chunks AS (SELECT doc_id, chunk
+       |  FROM ${prefix}wins, UNNEST(list_distinct(win)) AS u(chunk))""".stripMargin
   }
 
   /** The s0→sg→bands chain from a (doc_id, sh) sets relation. */
@@ -418,6 +454,44 @@ object LlmQueries {
       s"""WITH corpus AS ($corpusSql),
          |${lshChainSql("corpus")}
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    "q57_decontamination" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id + 50000 AS doc_id, substr(text, 1, 200) AS text
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |${chunksSql("train", 8, "t_")},
+         |${chunksSql("ev", 8, "e_")}
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+         |FROM t_chunks a JOIN e_chunks b ON a.chunk = b.chunk
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q58_stratified_sample" ->
+      s"""SELECT vec_id, label, CAST(rk AS BIGINT) AS sample_rank FROM (
+         |  SELECT vec_id, label, row_number() OVER (PARTITION BY label
+         |    ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+         |  FROM embeddings)
+         |WHERE rk <= 7""".stripMargin,
+
+    "q59_redaction" -> {
+      import TextAnalysis.{EmailRe, Ipv4Re, LongDigitsRe}
+      s"""WITH corpus AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0
+         |       THEN text || ' contact bob@example.com or ops@graft.io from 10.0.0.1 ref 1234567890'
+         |       ELSE text END AS text
+         |FROM documents),
+         |l AS (SELECT doc_id, lower(text) AS lt FROM corpus),
+         |s1 AS (SELECT doc_id, lt,
+         |  regexp_replace(lt, '$EmailRe', '<email>', 'g') AS e FROM l),
+         |s2 AS (SELECT doc_id, lt, e,
+         |  regexp_replace(e, '$Ipv4Re', '<ip>', 'g') AS i FROM s1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lt, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(e, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(i, '$LongDigitsRe')) AS BIGINT) AS n_longnums,
+         |  md5(regexp_replace(i, '$LongDigitsRe', '<num>', 'g')) AS redacted_md5
+         |FROM s2""".stripMargin
+    },
 
     "q55_chunk_match_pairs" ->
       s"""WITH corpus AS ($corpusSql),

@@ -208,6 +208,46 @@ class LlmSpec extends SparkSuite {
     assert(bigSeqs.find(_.doc_ids.contains(1L)).get.n_docs === 1)
   }
 
+  test("redaction: cascade replaces emails, IPs, long digit runs; counts match") {
+    val df = Seq(
+      (1L, "Mail Bob@Example.COM or call 12345678 from 10.0.0.1 now"),
+      (2L, "nothing sensitive here 123456")) // 6 digits: below the 7+ run
+      .toDF("doc_id", "text")
+    val got = df.select(
+      col("doc_id") +: TextAnalysis.redactionCounts(col("text")) :+
+        TextAnalysis.redact(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, "mail <email> or call <num> from <ip> now")))
+    assert(got(2L) === ((0L, 0L, 0L, "nothing sensitive here 123456")))
+  }
+
+  test("stratified sample: k per stratum, deterministic, subset-stable") {
+    val df = (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("id", "stratum")
+    val got = Sampling.stratifiedSample(df, "id", "stratum", 5).collect()
+    assert(got.length === 20)
+    assert(got.groupBy(_.getInt(1)).forall(_._2.length === 5))
+    val again = Sampling.stratifiedSample(df, "id", "stratum", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(again.toSeq === got.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    // rank-k prefix property: the k=3 sample is a prefix of the k=5 one
+    val small = Sampling.stratifiedSample(df, "id", "stratum", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(got.map(_.getLong(0)).toSet))
+  }
+
+  test("decontamination: eval fragments match their source docs") {
+    val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val train = Seq((1L, t1), (2L, (1 to 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, (1 to 10).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusChunkMatches(train, eval, "doc_id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // eval doc = first 10 tokens of train doc 1 → windows at starts 1..3
+    assert(got === Map((1L, 100L) -> 3L))
+  }
+
   test("chunk match pairs: shared 8-token windows counted once per doc, disjoint docs absent") {
     val shared = (1 to 10).map(i => s"tok$i")
     val docs = Seq(
