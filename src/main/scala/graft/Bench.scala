@@ -20,8 +20,7 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def median3(a: Double, b: Double, c: Double): Double =
-    Seq(a, b, c).sorted.apply(1)
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,8 +41,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // SPARK_GRAFT_BENCH_RUNS=1 opts into single-pass timing for quick
-    // iteration; the round artifact uses the median-of-3 default.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // iteration; the round artifact uses the median-of-3 default. Clamped
+    // to >= 1 so a zero/negative typo can't turn an empty sample list
+    // into a per-query "failure" in the round artifact.
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -59,9 +60,7 @@ object Bench {
           run(SparkEntry.queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
-        timings(name) =
-          if (samples.size >= 3) median3(samples(0), samples(1), samples(2))
-          else samples.min
+        timings(name) = median(samples)
       } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"

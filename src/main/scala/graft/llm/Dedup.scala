@@ -138,7 +138,18 @@ object Dedup {
     */
   private[llm] def spreadForHashing(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df
+    // Any upstream exchange already spreads rows over >= target
+    // partitions (and under AQE, probing `.rdd` on a plan WITH
+    // exchanges would eagerly materialize those stages — running the
+    // upstream twice). Only shuffle-free scan chains reach the
+    // partition-count probe, where `.rdd` is pure planning: no stages,
+    // no job.
+    val hasExchange = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(col("id"))
   }
 
@@ -288,6 +299,11 @@ object Dedup {
       w: Int = 8): DataFrame = {
     val base = spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
     once(base, "__hs", TextAnalysis.tokenHashes(TextAnalysis.tokens(col("__text"))))
+      // tokenless documents (empty/punctuation-only) emit NO chunks:
+      // they would all collapse to the [0] sentinel fingerprint — a
+      // spurious cross-match between unrelated empty docs AND a
+      // quadratic mega-bucket in the pair join
+      .filter(size(col("__hs")) > 0)
       .transform(d => once(d, "__ch", graft.functions.WindowRollHash(col("__hs"), w)))
       .select(col("id"), explode(array_distinct(col("__ch"))).as("chunk"))
   }
@@ -356,10 +372,28 @@ object Dedup {
     * stops there or at `maxIters` (each round = one Spark job; bound it
     * rather than trust pathological graphs).
     *
+    * Ids must be integral (the label arithmetic and the overflow-safe
+    * convergence probe are numeric); string-keyed corpora should map ids
+    * first — a silent cast would turn non-numeric ids into NULL edges
+    * and the dedup into a no-op.
+    *
+    * The RETURNED frame is persisted (it is the loop's final state;
+    * rebuilding it would replay every round) — one-shot-job semantics,
+    * like the LSH signature table: a long-lived service consuming many
+    * graphs should unpersist results between batches.
+    *
     * @return (id, canonical_id) for every id in the graph
     */
   def canonicalizeClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    Seq("id_a", "id_b").foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val ok = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      require(ok(pairs.schema(c).dataType),
+        s"canonicalizeClusters requires integral ids; '$c' is " +
+          s"${pairs.schema(c).dataType.catalogString} — map ids to long first")
+    }
     // persist the PROJECTED pairs, not the symmetric union: both union
     // branches then read the cache, so the (possibly expensive) upstream
     // pair chain runs exactly once
@@ -367,9 +401,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // label sums are the convergence probe; decimal so the probe can't
-    // overflow at corpus-scale id magnitudes
+    // overflow at corpus-scale id magnitudes. An EMPTY graph (zero
+    // verified pairs — the ordinary clean-corpus case) sums to SQL NULL;
+    // normalize to zero so the first compareTo doesn't NPE and the loop
+    // exits at its immediate fixpoint.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("lbl"))

@@ -359,11 +359,11 @@ object LlmQueries {
        |  list_transform(${toksSql("text")}, tk -> ${h32Sql("tk")} % ${Dedup.P}) AS hs
        |FROM $sourceRel),
        |${prefix}wins AS (SELECT doc_id,
-       |  CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
-       |       WHEN len(hs) < $w THEN [${fold("hs")}]
+       |  CASE WHEN len(hs) < $w THEN [${fold("hs")}]
        |       ELSE list_transform(range(0, len(hs) - ${w - 1}),
        |              i -> ${fold(s"list_slice(hs, i + 1, i + $w)")}) END AS win
-       |FROM ${prefix}hs0),
+       |FROM ${prefix}hs0
+       |WHERE len(hs) > 0),
        |${prefix}chunks AS (SELECT doc_id, chunk
        |  FROM ${prefix}wins, UNNEST(list_distinct(win)) AS u(chunk))""".stripMargin
   }

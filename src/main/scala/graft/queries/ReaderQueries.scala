@@ -418,7 +418,18 @@ object ReaderQueries {
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .filter(col("day") >= "1995-01-01" && col("day") < "1995-04-01")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q54").toString
+      // A FIXED scratch path, recursively cleared up front: bench runs
+      // construct this query 4+ times per round, and a fresh
+      // createTempDirectory each time both leaks orphaned load targets
+      // and (audit appends) would grow n_audit_rows across invocations.
+      // Verify/bench drive queries sequentially, so no clash.
+      val tmpF = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-q54-gate")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmpF); tmpF.mkdirs()
+      val tmp = tmpF.getAbsolutePath
       graft.sinks.PartitionOverwriteSink.load(s, batch, "day",
         s"$tmp/t", s"$tmp/a", "orders_q54", "run1")
       graft.sinks.PartitionOverwriteSink.load(s, batch, "day",

@@ -277,6 +277,20 @@ class LlmSpec extends SparkSuite {
     assert(g2 === (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("cluster canonicalization: empty pair graph returns empty, non-integral ids fail fast") {
+    // zero verified pairs is the ordinary clean-corpus case — must exit
+    // at the immediate fixpoint, not NPE on a null label sum
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.canonicalizeClusters(empty).collect().isEmpty)
+    // string ids would silently cast to NULL edges; the contract is an
+    // analysis-time error telling the caller to map ids first
+    val strs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.canonicalizeClusters(strs)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("curation with clusterCanonical: only each near-dup cluster's minimum survives") {
     val base = "the quick brown fox jumps over the lazy dog and then the day is done for all of us here"
     val corpus = Seq(
