@@ -308,6 +308,62 @@ object Dedup {
       .select(col("id"), explode(array_distinct(col("__ch"))).as("chunk"))
   }
 
+  /** Per-document MinHash signature store: the compact (id, sig) state an
+    * incremental ingest pipeline persists between batches — `numSig`
+    * longs per document, so the store is a small fraction of corpus
+    * bytes and the historical corpus's TEXT need not be retained. Write
+    * this once per batch (partitioned however the warehouse likes) and
+    * feed it to [[incrementalNearDups]] on the next ingest.
+    */
+  def signatureTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numSig: Int = 12): DataFrame =
+    withShingleHashSet(
+        spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text"))),
+        "__text", "sh", k)
+      .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
+      .select(col("id"), col("sig"))
+
+  /** Incremental near-dup detection: a NEW ingest batch checked against
+    * the [[signatureTable]] of the existing corpus — the operator that
+    * makes dedup sustainable at 100 TB, where re-LSHing the full corpus
+    * on every ingest is not an option. Candidates come from banded-LSH
+    * collisions between batch bands and store bands; similarity is the
+    * signature agreement count (`n_sig_match` of `numSig` equal
+    * components — the estimator available when only signatures are
+    * retained; E[n_sig_match / numSig] = Jaccard, so `minMatch = 6` of
+    * 12 ≈ the J ≥ 1/2 verify of [[nearDupPairs]]).
+    *
+    * Scale shape: the store is never rebuilt — after the check the
+    * caller appends the batch's signature rows. Shuffle keys are
+    * (band, bv) for candidates, then the candidate ids for the two
+    * signature lookups; an ingest batch is small next to the store, so
+    * AQE broadcasts the batch side of each join. Never all-pairs.
+    *
+    * @param batchSigs (id, sig) of the incoming batch ([[signatureTable]])
+    * @param storeSigs (id, sig) of the existing corpus; id spaces must be
+    *   disjoint (the caller's ingest contract)
+    * @return (new_id, corpus_id, n_sig_match) with n_sig_match >= minMatch
+    */
+  def incrementalNearDups(batchSigs: DataFrame, storeSigs: DataFrame,
+      numSig: Int = 12, bandRows: Int = 2, minMatch: Int = 6): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val numBands = numSig / bandRows
+    def bands(t: DataFrame): DataFrame =
+      t.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
+        .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val cand = bands(batchSigs).as("n").join(bands(storeSigs).as("o"),
+        col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
+      .select(col("n.id").as("new_id"), col("o.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batchSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(storeSigs.select(col("id").as("corpus_id"), col("sig").as("sig_o")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        aggregate(zip_with(col("sig_n"), col("sig_o"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_sig_match"))
+      .filter(col("n_sig_match") >= minMatch)
+  }
+
   /** Cross-document chunk-match pairs: documents sharing at least one
     * w-token-window fingerprint, with the shared-chunk count — the
     * windowed rolling-hash dedup primitive (boilerplate/quotation

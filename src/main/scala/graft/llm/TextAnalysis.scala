@@ -217,4 +217,35 @@ object TextAnalysis {
       .when(fr >= de, lit("fr"))
       .otherwise(lit("de"))
   }
+
+  /** Top-k characteristic terms per document by tf-idf-style weighting,
+    * integer-exact: `score_ppm = (tf * 1_000_000 * n_docs) div df` — a
+    * monotone transform of tf·(N/df), so the RANKING equals real
+    * tf-idf's with idf = N/df, while every value stays integral and
+    * engine-exact. Ties break on the term string, so top-k is total.
+    *
+    * Scale shape: explode → (doc, term) count → term-level df join
+    * (shuffle on term; the vocabulary stays distributed) → a broadcast
+    * one-row corpus total → per-doc window top-k (partitioned by doc,
+    * never global). Nothing collects. ANSI overflow guard: the ppm
+    * product needs tf·N ≤ ~9e12 — beyond ~1e10 docs lower the scale
+    * constant (the ranking is scale-invariant).
+    */
+  def topTermsTfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = tf.select(countDistinct(col("id")).as("n_docs"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_ppm", expr("tf * 1000000 * n_docs div df"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("term_rank"))
+  }
 }

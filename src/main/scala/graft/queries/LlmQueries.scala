@@ -138,6 +138,31 @@ object LlmQueries {
     "q53_neardup_clusters" -> ((s, dir) =>
       Dedup.canonicalizeClusters(Dedup.nearDupPairs(docsCorpus(s, dir), "doc_id", "text"))),
 
+    // Incremental ingest dedup: a new batch (tail-modified copies of
+    // every 10th doc) checked against the SIGNATURE STORE of the
+    // existing corpus — candidates from band collisions, similarity
+    // from signature agreement (the store retains 12 longs per doc, not
+    // text). The 100 TB shape: the store appends, never rebuilds.
+    "q60_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text"))
+      Dedup.incrementalNearDups(
+        Dedup.signatureTable(batch, "doc_id", "text"),
+        Dedup.signatureTable(d, "doc_id", "text"))
+    }),
+
+    // Characteristic-terms extraction: top-3 terms per doc by integer
+    // tf-idf-style score (keyword tagging for corpus curation /
+    // search-index sidecars). Vocabulary stays distributed; ranking is
+    // total (score desc, term asc).
+    "q61_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsTfidf(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -533,6 +558,40 @@ object LlmQueries {
          |${lshBandsFromSetsSql(charNgramSetsSql("corpus", 5), numSig = 16, bandRows = 4)},
          |$candPairsSql
          |SELECT id_a, id_b, inter, uni FROM pairs WHERE inter * 2 >= uni""".stripMargin,
+
+    // Replays the store check over the union corpus (per-doc signatures
+    // are identical whichever relation computes them): new side =
+    // ids >= 10000, store side = the original documents.
+    "q60_incremental_dedup" -> {
+      val matchSum = (0 until 12)
+        .map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS ($corpusSql),
+         |${lshBandsFromSetsSql(wordSetsSql("corpus"))},
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |  WHERE a.doc_id < 10000 AND b.doc_id >= 10000),
+         |m AS (SELECT new_id, corpus_id,
+         |    CAST($matchSum AS BIGINT) AS n_sig_match
+         |  FROM cand
+         |  JOIN sg sa ON cand.corpus_id = sa.doc_id
+         |  JOIN sg sb ON cand.new_id = sb.doc_id)
+         |SELECT new_id, corpus_id, n_sig_match FROM m WHERE n_sig_match >= 6""".stripMargin
+    },
+
+    "q61_tfidf_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |scored AS (SELECT doc_id, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+         |    CAST((tf.tf * 1000000 * n_docs) // dfreq.df AS BIGINT) AS score_ppm
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, score_ppm,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_ppm DESC, term) AS BIGINT) AS term_rank
+         |FROM scored
+         |QUALIFY term_rank <= 3""".stripMargin,
 
     "q46_bpe_rolling" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks, lower(text) AS lt

@@ -75,6 +75,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q55/q57/q60: chunk-match, decontamination and incremental dedup never degrade to all-pairs") {
+    Seq("q55_chunk_match_pairs", "q57_decontamination", "q60_incremental_dedup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q must join on chunk/band keys, not all-pairs")
+      }
+  }
+
+  test("q61: tf-idf keeps the corpus total broadcast and the top-k window per-doc") {
+    val p = plan("q61_tfidf_terms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row corpus total must broadcast")
+    assert(!p.contains("CartesianProduct"), "no shuffled cross product")
+  }
+
   test("near-dup pre-hash spread is conditional: shuffles a 1-split source, skips a wide one") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta tok$i"))

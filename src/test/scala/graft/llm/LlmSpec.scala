@@ -277,6 +277,41 @@ class LlmSpec extends SparkSuite {
     assert(g2 === (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("incremental near-dups: batch vs signature store finds near/exact matches only") {
+    val store = Dedup.signatureTable(docs, "doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact text of 1/4
+      (102L, "entirely novel subject matter discussing oceans tides and the moon phases"))
+      .toDF("doc_id", "text")
+    val res = Dedup.incrementalNearDups(
+      Dedup.signatureTable(batch, "doc_id", "text"), store)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical text → identical signature → all 12 components match
+    assert(got((101L, 1L)) === 12L && got((101L, 4L)) === 12L)
+    // near-dup of 1 (doc 2) should also collide and agree on >= 6 components
+    assert(got.contains((101L, 2L)))
+    // the novel doc matches nothing in the store
+    assert(!got.keySet.exists(_._1 == 102L))
+  }
+
+  test("tf-idf top terms: each doc's unique term outranks the shared filler") {
+    val corpus = Seq(
+      (1L, "apple apple apple common common filler"),
+      (2L, "banana banana common common filler"),
+      (3L, "cherry common filler"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topTermsTfidf(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(4))).toMap
+    // rank 1 = the doc-unique term: tf * 1e6 * 3 / df with df=1 dominates
+    assert(got((1L, 1L))._1 === "apple" && got((1L, 1L))._2 === 9000000L)
+    assert(got((2L, 1L))._1 === "banana" && got((2L, 1L))._2 === 6000000L)
+    assert(got((3L, 1L))._1 === "cherry" && got((3L, 1L))._2 === 3000000L)
+    // rank 2 ties between common/filler resolve on the term string
+    assert(got((3L, 2L))._1 === "common")
+  }
+
   test("cluster canonicalization: empty pair graph returns empty, non-integral ids fail fast") {
     // zero verified pairs is the ordinary clean-corpus case — must exit
     // at the immediate fixpoint, not NPE on a null label sum
