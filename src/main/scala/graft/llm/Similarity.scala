@@ -161,4 +161,78 @@ object Similarity {
     */
   def lshBucket(vec: Column, numPlanes: Int = 4): Column =
     lshBucketFromQuantized(quantize(vec), numPlanes)
+
+  /** Deterministic Lloyd k-means assignment over quantized embeddings —
+    * the LEARNED bucket builder for [[bucketedTopK]] (IVF training):
+    * label buckets (q36) need labels and LSH buckets (q42) are
+    * data-independent; k-means cells adapt to the corpus.
+    *
+    * Engine-exact by construction: vectors quantize to integer
+    * milli-units; seeds are the `k` hash-smallest ids (never rand);
+    * distances are integer squared-L2; argmin ties break on centroid
+    * index; and recomputed centroid components are floor-divided
+    * integer means (order-free sums, so identical in any engine).
+    *
+    * Distributed shape — the MLlib pattern: each assignment pass is
+    * MAP-ONLY (centroids ride into codegen as k·dim literal constants;
+    * nothing joins), and each recompute is ONE shuffle keyed
+    * (cluster, pos) followed by a k·dim-row collect to rebuild the
+    * literals — the broadcast-centroid pattern, tiny and independent of
+    * corpus size. A cluster that loses all members keeps its previous
+    * centroid. `iters` is FIXED (no convergence probe) so cost is
+    * predictable and the oracle can unroll it.
+    *
+    * @return (id, cluster, dist_sq): final-round assignment and its
+    *   integer squared distance
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val q0 = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "qv", quantize(col("__v")))
+      .select(col("id"), col("qv"))
+    // consumed by the seed scan + every assignment/recompute pass —
+    // the signature-table trade (CacheManager-aware, like nearDupPairs)
+    val q =
+      if (q0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else q0
+    var centroids: IndexedSeq[Seq[Long]] = q
+      .withColumn("__h", Dedup.hash32(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    def assigned(): DataFrame = {
+      // argmin over k centroids as a struct array-min: struct ordering
+      // is lexicographic (dist, index), so ties pick the lowest index
+      val ds = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), array(c.map(lit): _*),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+          lit(i.toLong).as("c"))
+      }: _*)
+      Dedup.once(q, "__a", array_min(ds))
+        .select(col("id"), col("qv"),
+          col("__a.c").as("cluster"), col("__a.d").as("dist_sq"))
+    }
+    var out = assigned()
+    for (_ <- 2 to iters) {
+      val sums = out
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      centroids = centroids.zipWithIndex.map { case (prev, ci) =>
+        byCluster.get(ci.toLong) match {
+          case Some(rows) =>
+            // truncating division (Scala Long `/`), matching SQL integer
+            // division semantics on negative sums (DuckDB -7 // 2 = -3)
+            rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3)).toIndexedSeq
+          case None => prev
+        }
+      }
+      out = assigned()
+    }
+    out.select(col("id"), col("cluster"), col("dist_sq"))
+  }
 }

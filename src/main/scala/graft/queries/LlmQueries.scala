@@ -163,6 +163,15 @@ object LlmQueries {
         "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")),
 
+    // Deterministic k-means (2 Lloyd rounds, hash-smallest seeds): the
+    // LEARNED bucket builder for IVF search — assignment passes are
+    // map-only with centroid literals, recompute is one (cluster, pos)
+    // shuffle. Integer-exact end to end; the oracle unrolls both rounds.
+    "q62_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -577,6 +586,36 @@ object LlmQueries {
          |  JOIN sg sa ON cand.corpus_id = sa.doc_id
          |  JOIN sg sb ON cand.new_id = sb.doc_id)
          |SELECT new_id, corpus_id, n_sig_match FROM m WHERE n_sig_match >= 6""".stripMargin
+    },
+
+    // Unrolls both Lloyd rounds: seeds = 4 hash-smallest ids, round-1
+    // argmin (ties on centroid index), truncating-integer-mean
+    // recompute (empty clusters keep their centroid), round-2 argmin.
+    "q62_kmeans_assign" -> {
+      val h = h32Sql("CAST(id AS VARCHAR)")
+      def distSql(cvRel: String): String =
+        s"""CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+           |      i -> (q.qv[i] - $cvRel.qv[i]) * (q.qv[i] - $cvRel.qv[i]))) AS BIGINT)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+         |seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM q
+         |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
+         |d1 AS (SELECT q.id, q.qv, s.c, ${distSql("s")} AS dist
+         |  FROM q CROSS JOIN seeds s),
+         |a1 AS (SELECT id, qv, c AS cluster, dist FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1),
+         |sums AS (SELECT cluster, pos, SUM(qv[pos]) AS sv, COUNT(*) AS n
+         |  FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(pos)
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
+         |  FROM sums GROUP BY 1),
+         |cent AS (SELECT seeds.c, COALESCE(nc.qv, seeds.qv) AS qv
+         |  FROM seeds LEFT JOIN nc ON seeds.c = nc.c),
+         |d2 AS (SELECT q.id, s.c, ${distSql("s")} AS dist
+         |  FROM q CROSS JOIN cent s),
+         |a2 AS (SELECT id, c AS cluster, dist FROM d2
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)
+         |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist AS dist_sq
+         |FROM a2""".stripMargin
     },
 
     "q61_tfidf_terms" ->

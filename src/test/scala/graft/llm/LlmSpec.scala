@@ -312,6 +312,23 @@ class LlmSpec extends SparkSuite {
     assert(got((3L, 2L))._1 === "common")
   }
 
+  test("k-means: obvious clusters separate; assignment deterministic across runs") {
+    val vecs = Seq(
+      (1L, Array(10.0f, 10.0f)),
+      (2L, Array(10.5f, 9.5f)),
+      (3L, Array(-10.0f, -10.0f)),
+      (4L, Array(-9.5f, -10.5f)),
+      (5L, Array(-10.2f, -9.8f)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a(1L) === a(2L))
+    assert(a(3L) === a(4L) && a(4L) === a(5L))
+    assert(a(1L) !== a(3L))
+    assert(a === run()) // seeds/means are hash-derived, never rand
+  }
+
   test("cluster canonicalization: empty pair graph returns empty, non-integral ids fail fast") {
     // zero verified pairs is the ordinary clean-corpus case — must exit
     // at the immediate fixpoint, not NPE on a null label sum
