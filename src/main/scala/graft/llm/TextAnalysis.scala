@@ -231,6 +231,38 @@ object TextAnalysis {
     * product needs tf·N ≤ ~9e12 — beyond ~1e10 docs lower the scale
     * constant (the ranking is scale-invariant).
     */
+  /** Exact per-group value percentiles at HISTOGRAM cost — the corpus
+    * length-distribution profile (p50/p90/p99 token counts per
+    * language) a curation dashboard reads.
+    *
+    * Scale shape: the naive form (row_number over each group) sends
+    * every row through as many window partitions as there are groups —
+    * with 3 languages that is 3 tasks holding the corpus. Instead:
+    * one map-side-combinable groupBy collapses rows to a
+    * (group, value) histogram, and the window walks only the DISTINCT
+    * values per group (thousands, not billions). p-th percentile =
+    * the smallest value whose cumulative count reaches ceil(p·n/100)
+    * — integer arithmetic only, engine-exact (percentile_disc
+    * semantics).
+    *
+    * @return one row per group: (groupCol, n_rows, min_v, max_v, p<N>…)
+    */
+  def groupPercentiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, pcts: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in 1..100")
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("v"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    val aggs =
+      Seq(max(col("tot")).as("n_rows"), min(col("v")).as("min_v"), max(col("v")).as("max_v")) ++
+        pcts.map(p => min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"), col("v"))).as(s"p$p"))
+    h.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def topTermsTfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

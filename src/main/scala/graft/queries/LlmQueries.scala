@@ -172,6 +172,32 @@ object LlmQueries {
         k = 4, iters = 2)
         .withColumnRenamed("id", "vec_id")),
 
+    // The learned-IVF ANN loop closed end to end: k-means buckets from
+    // q62 become the bucket column of the bucketed top-k search. The
+    // slim (id, cluster) assignment joins back to the corpus once — at
+    // production scale it would be written as a partition column at
+    // ingest, making search map-side only.
+    "q63_ann_kmeans_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+      Similarity.bucketedTopK(emb.join(assign, Seq("vec_id")),
+        "vec_id", "embedding", "cluster", col("vec_id") % 50 === 0, 3)
+    }),
+
+    // Corpus length-distribution profile: exact p50/p90/p99 token
+    // counts per train/val/test split at HISTOGRAM cost — the window
+    // walks distinct lengths, never corpus rows, so a handful of
+    // groups don't become a handful of corpus-holding tasks. Composes
+    // the deterministic hash split (q49) with the percentile operator.
+    "q64_length_percentiles" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        Sampling.splitAssign(col("doc_id"),
+          Seq(("train", 90), ("val", 5), ("test", 5))).as("split"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      TextAnalysis.groupPercentiles(base, "split", "n_tokens")
+    }),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -431,6 +457,35 @@ object LlmQueries {
     s"""${lshBandsSql(sourceRel)},
        |$candPairsSql""".stripMargin
 
+  /** The CTE chain of the deterministic 2-round Lloyd spec (k = 4),
+    * ending at `a2` = (id, cluster, dist) with `q` = (id, qv) in scope
+    * — shared by the q62 gate and the q63 learned-IVF composition.
+    */
+  private val kmeansChainSql: String = {
+    val h = h32Sql("CAST(id AS VARCHAR)")
+    def distSql(cvRel: String): String =
+      s"""CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+         |      i -> (q.qv[i] - $cvRel.qv[i]) * (q.qv[i] - $cvRel.qv[i]))) AS BIGINT)""".stripMargin
+    s"""q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+       |seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM q
+       |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
+       |d1 AS (SELECT q.id, q.qv, s.c, ${distSql("s")} AS dist
+       |  FROM q CROSS JOIN seeds s),
+       |a1 AS (SELECT id, qv, c AS cluster, dist FROM d1
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1),
+       |sums AS (SELECT cluster, pos, SUM(qv[pos]) AS sv, COUNT(*) AS n
+       |  FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(pos)
+       |  GROUP BY 1, 2),
+       |nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
+       |  FROM sums GROUP BY 1),
+       |cent AS (SELECT seeds.c, COALESCE(nc.qv, seeds.qv) AS qv
+       |  FROM seeds LEFT JOIN nc ON seeds.c = nc.c),
+       |d2 AS (SELECT q.id, s.c, ${distSql("s")} AS dist
+       |  FROM q CROSS JOIN cent s),
+       |a2 AS (SELECT id, c AS cluster, dist FROM d2
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
+  }
+
   private val simhashW =
     (0 until 16).map(b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS w$b")
@@ -591,31 +646,48 @@ object LlmQueries {
     // Unrolls both Lloyd rounds: seeds = 4 hash-smallest ids, round-1
     // argmin (ties on centroid index), truncating-integer-mean
     // recompute (empty clusters keep their centroid), round-2 argmin.
-    "q62_kmeans_assign" -> {
-      val h = h32Sql("CAST(id AS VARCHAR)")
-      def distSql(cvRel: String): String =
-        s"""CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-           |      i -> (q.qv[i] - $cvRel.qv[i]) * (q.qv[i] - $cvRel.qv[i]))) AS BIGINT)""".stripMargin
-      s"""WITH q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
-         |seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM q
-         |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
-         |d1 AS (SELECT q.id, q.qv, s.c, ${distSql("s")} AS dist
-         |  FROM q CROSS JOIN seeds s),
-         |a1 AS (SELECT id, qv, c AS cluster, dist FROM d1
-         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1),
-         |sums AS (SELECT cluster, pos, SUM(qv[pos]) AS sv, COUNT(*) AS n
-         |  FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(pos)
-         |  GROUP BY 1, 2),
-         |nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
-         |  FROM sums GROUP BY 1),
-         |cent AS (SELECT seeds.c, COALESCE(nc.qv, seeds.qv) AS qv
-         |  FROM seeds LEFT JOIN nc ON seeds.c = nc.c),
-         |d2 AS (SELECT q.id, s.c, ${distSql("s")} AS dist
-         |  FROM q CROSS JOIN cent s),
-         |a2 AS (SELECT id, c AS cluster, dist FROM d2
-         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)
+    "q62_kmeans_assign" ->
+      s"""WITH $kmeansChainSql
          |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist AS dist_sq
-         |FROM a2""".stripMargin
+         |FROM a2""".stripMargin,
+
+    // The q62 chain's final assignment becomes the bucket of a
+    // q36-style in-bucket top-k.
+    "q63_ann_kmeans_bucketed" ->
+      s"""WITH $kmeansChainSql,
+         |qq AS (SELECT q.id AS query_id, a2.cluster, q.qv FROM q
+         |  JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0),
+         |cc AS (SELECT q.id AS neighbor_id, a2.cluster, q.qv AS cv FROM q
+         |  JOIN a2 ON q.id = a2.id),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qq.qv", "cc.cv")} AS dot,
+         |    ${dotSql("qq.qv", "qq.qv")} AS na,
+         |    ${dotSql("cc.cv", "cc.cv")} AS nb
+         |  FROM cc JOIN qq USING (cluster) WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Histogram percentiles: cumulative count over DISTINCT lengths per
+    // split; p-th = smallest value with cum >= ceil(p*n/100).
+    "q64_length_percentiles" -> {
+      def kth(p: Int): String = s"MIN(CASE WHEN cum >= (tot * $p + 99) // 100 THEN v END)"
+      s"""WITH t AS (SELECT
+         |    CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS v
+         |  FROM (SELECT text, ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)),
+         |hist AS (SELECT split, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+         |h AS (SELECT split, v, cnt,
+         |    SUM(cnt) OVER (PARTITION BY split ORDER BY v) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY split) AS tot
+         |  FROM hist)
+         |SELECT split, CAST(MAX(tot) AS BIGINT) AS n_rows,
+         |  MIN(v) AS min_v, MAX(v) AS max_v,
+         |  ${kth(50)} AS p50, ${kth(90)} AS p90, ${kth(99)} AS p99
+         |FROM h GROUP BY split""".stripMargin
     },
 
     "q61_tfidf_terms" ->

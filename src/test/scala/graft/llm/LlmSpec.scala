@@ -312,6 +312,18 @@ class LlmSpec extends SparkSuite {
     assert(got((3L, 2L))._1 === "common")
   }
 
+  test("group percentiles: histogram-exact p50/p90 with ceil rank semantics") {
+    val rows = (1L to 10L).map(i => ("a", i)) ++ Seq(("b", 100L), ("b", 200L), ("b", 300L))
+    val got = TextAnalysis.groupPercentiles(rows.toDF("grp", "v"), "grp", "v", Seq(50, 90))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // a: n=10 → p50 = 5th smallest = 5, p90 = 9th = 9
+    assert(got("a") === ((10L, 1L, 10L, 5L, 9L)))
+    // b: n=3 → p50 = ceil(1.5)=2nd = 200, p90 = ceil(2.7)=3rd = 300
+    assert(got("b") === ((3L, 100L, 300L, 200L, 300L)))
+  }
+
   test("k-means: obvious clusters separate; assignment deterministic across runs") {
     val vecs = Seq(
       (1L, Array(10.0f, 10.0f)),
