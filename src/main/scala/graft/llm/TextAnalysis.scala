@@ -231,6 +231,26 @@ object TextAnalysis {
     * product needs tf·N ≤ ~9e12 — beyond ~1e10 docs lower the scale
     * constant (the ranking is scale-invariant).
     */
+  /** C4-style line-level cleaning (Raffel et al. 2020's heuristics):
+    * keep a line only if it has ≥ 3 tokens, ends in terminal
+    * punctuation (`.` `!` `?` `"`), and contains no blocklisted
+    * fragment; a document survives if ≥ 3 lines remain. Pure
+    * higher-order Column ops — per-row, shuffle-free, codegen'd.
+    */
+  val C4Blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{")
+
+  def c4KeepLine(ln: Column): Column = {
+    val t = trim(ln)
+    val lt = lower(t)
+    size(tokens(t)) >= 3 &&
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+      C4Blocklist.map(b => !lt.contains(b)).reduce(_ && _)
+  }
+
+  /** The retained lines of a newline-separated document, in order. */
+  def c4CleanedLines(text: Column): Column =
+    filter(split(text, "\n"), ln => c4KeepLine(ln))
+
   /** Exact per-group value percentiles at HISTOGRAM cost — the corpus
     * length-distribution profile (p50/p90/p99 token counts per
     * language) a curation dashboard reads.

@@ -198,6 +198,24 @@ object LlmQueries {
       TextAnalysis.groupPercentiles(base, "split", "n_tokens")
     }),
 
+    // C4-style line cleaning: keep lines with >= 3 tokens ending in
+    // terminal punctuation and no blocklist hit; doc survives with
+    // >= 3 kept lines. The single-line testdata is line-structured
+    // first by a deterministic rewrite both engines replay (" table "
+    // starts a new line closing the previous with '.', " query "
+    // breaks a line unterminated, " slow " injects a blocklist word).
+    "q65_c4_line_clean" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          " table ", ".\n"), " query ", "\n"), " slow ", " javascript ").as("text"))
+      val base = Dedup.once(corpus, "__kept", TextAnalysis.c4CleanedLines(col("text")))
+      base.select(col("doc_id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(split(col("text"), "\n")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        (size(col("__kept")) >= 3).as("doc_kept"),
+        md5(concat_ws("\n", col("__kept"))).as("cleaned_md5"))
+    }),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -670,6 +688,29 @@ object LlmQueries {
          |             neighbor_id ASC) AS rank
          |  FROM j)
          |WHERE rank <= 3""".stripMargin,
+
+    "q65_c4_line_clean" -> {
+      val lineToks = "list_filter(string_split_regex(lower(trim(ln)), '[^a-z0-9]+'), x -> x <> '')"
+      s"""WITH corpus AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    ' table ', '.' || chr(10), 'g'), ' query ', chr(10), 'g'),
+         |    ' slow ', ' javascript ', 'g') AS text
+         |FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+         |k AS (SELECT doc_id, lines, list_filter(lines, ln ->
+         |    len($lineToks) >= 3
+         |    AND right(trim(ln), 1) IN ('.', '!', '?', '"')
+         |    AND NOT contains(lower(trim(ln)), 'javascript')
+         |    AND NOT contains(lower(trim(ln)), 'lorem ipsum')
+         |    AND NOT contains(lower(trim(ln)), '{')) AS kept
+         |  FROM l)
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+         |  len(kept) >= 3 AS doc_kept,
+         |  -- DuckDB array_to_string(empty, sep) is NULL, Spark concat_ws is ''
+         |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+         |FROM k""".stripMargin
+    },
 
     // Histogram percentiles: cumulative count over DISTINCT lengths per
     // split; p-th = smallest value with cum >= ceil(p*n/100).

@@ -312,6 +312,22 @@ class LlmSpec extends SparkSuite {
     assert(got((3L, 2L))._1 === "common")
   }
 
+  test("c4 line cleaning: short, unterminated, and blocklisted lines drop; order kept") {
+    val doc = Seq(
+      "the first good line stays here.",
+      "too short.",                       // < 3 tokens
+      "this line has no terminal punctuation",
+      "click here javascript required line.", // blocklist
+      "another keeper line ends well!",
+      "  padded keeper line survives trimming?  ").mkString("\n")
+    val got = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4CleanedLines(col("text")).as("kept"))
+      .head().getSeq[String](0)
+    assert(got === Seq("the first good line stays here.",
+      "another keeper line ends well!",
+      "  padded keeper line survives trimming?  "))
+  }
+
   test("group percentiles: histogram-exact p50/p90 with ceil rank semantics") {
     val rows = (1L to 10L).map(i => ("a", i)) ++ Seq(("b", 100L), ("b", 200L), ("b", 300L))
     val got = TextAnalysis.groupPercentiles(rows.toDF("grp", "v"), "grp", "v", Seq(50, 90))
