@@ -42,9 +42,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // SPARK_GRAFT_BENCH_RUNS=1 opts into single-pass timing for quick
     // iteration; the round artifact uses the median-of-3 default. Clamped
-    // to >= 1 so a zero/negative typo can't turn an empty sample list
-    // into a per-query "failure" in the round artifact.
-    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
+    // to >= 1 and parsed leniently so a typo'd value can't turn into an
+    // empty sample list or kill the run before any query executes.
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.trim.toIntOption).getOrElse(3))
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -143,11 +143,13 @@ object Dedup {
     // exchanges would eagerly materialize those stages — running the
     // upstream twice). Only shuffle-free scan chains reach the
     // partition-count probe, where `.rdd` is pure planning: no stages,
-    // no job.
-    val hasExchange = df.queryExecution.sparkPlan.find {
-      case _: org.apache.spark.sql.execution.exchange.Exchange => true
-      case _ => false
-    }.isDefined
+    // no job. The probe MUST look at executedPlan's rendering, not
+    // sparkPlan: EnsureRequirements inserts the exchanges of
+    // aggregation/window/join shapes only during executedPlan
+    // preparation (sparkPlan shows none), and under AQE the prepared
+    // plan is an AdaptiveSparkPlanExec LEAF whose inner (initial) plan
+    // a tree-find cannot reach — its toString renders it.
+    val hasExchange = df.queryExecution.executedPlan.toString.contains("Exchange")
     if (hasExchange) df
     else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(col("id"))

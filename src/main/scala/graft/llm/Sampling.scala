@@ -85,15 +85,14 @@ object Sampling {
     require(tokenBudget > 0, "tokenBudget must be positive")
     require(numGroups > 0, "numGroups must be positive")
     import org.apache.spark.sql.{Encoders, Row}
-    val groups = numGroups
     val withTokens = docs.select(
-      pmod(Dedup.hash32(col(idCol).cast("string")), lit(groups.toLong)).as("grp"),
+      pmod(Dedup.hash32(col(idCol).cast("string")), lit(numGroups.toLong)).as("grp"),
       col(idCol).cast("long").as("id"),
       TextAnalysis.tokenCount(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
     // repartition only CO-LOCATES groups (several hash groups may share a
     // Spark partition); the iterator resets at group boundaries, so the
     // output is independent of the physical partitioning.
-    val parted = withTokens.repartition(groups, col("grp"))
+    val parted = withTokens.repartition(numGroups, col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))
     parted.mapPartitions { (it: Iterator[Row]) =>
       // streaming greedy: O(current sequence) memory, not O(partition).

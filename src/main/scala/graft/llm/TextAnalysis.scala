@@ -218,19 +218,6 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
-  /** Top-k characteristic terms per document by tf-idf-style weighting,
-    * integer-exact: `score_ppm = (tf * 1_000_000 * n_docs) div df` — a
-    * monotone transform of tf·(N/df), so the RANKING equals real
-    * tf-idf's with idf = N/df, while every value stays integral and
-    * engine-exact. Ties break on the term string, so top-k is total.
-    *
-    * Scale shape: explode → (doc, term) count → term-level df join
-    * (shuffle on term; the vocabulary stays distributed) → a broadcast
-    * one-row corpus total → per-doc window top-k (partitioned by doc,
-    * never global). Nothing collects. ANSI overflow guard: the ppm
-    * product needs tf·N ≤ ~9e12 — beyond ~1e10 docs lower the scale
-    * constant (the ranking is scale-invariant).
-    */
   /** C4-style line-level cleaning (Raffel et al. 2020's heuristics):
     * keep a line only if it has ≥ 3 tokens, ends in terminal
     * punctuation (`.` `!` `?` `"`), and contains no blocklisted
@@ -283,6 +270,19 @@ object TextAnalysis {
     h.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Top-k characteristic terms per document by tf-idf-style weighting,
+    * integer-exact: `score_ppm = (tf * 1_000_000 * n_docs) div df` — a
+    * monotone transform of tf·(N/df), so the RANKING equals real
+    * tf-idf's with idf = N/df, while every value stays integral and
+    * engine-exact. Ties break on the term string, so top-k is total.
+    *
+    * Scale shape: explode → (doc, term) count → term-level df join
+    * (shuffle on term; the vocabulary stays distributed) → a broadcast
+    * one-row corpus total → per-doc window top-k (partitioned by doc,
+    * never global). Nothing collects. ANSI overflow guard: the ppm
+    * product needs tf·N ≤ ~9e12 — beyond ~1e10 docs lower the scale
+    * constant (the ranking is scale-invariant).
+    */
   def topTermsTfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

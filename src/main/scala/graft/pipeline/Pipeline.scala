@@ -77,14 +77,25 @@ object Pipeline {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, xs.size))
-      try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
-          def call(): B = f(x)
-        }))
-        .map { fut =>
-          try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }
-      finally pool.shutdown()
+      var failed = true
+      try {
+        val out = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(x)
+          }))
+          .map { fut =>
+            try fut.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+        failed = false
+        out
+      } finally {
+        // on failure, drop the queued units too — a graceful shutdown()
+        // would let thousands of pending parses keep burning the driver
+        // (and block JVM exit on the non-daemon workers) after the
+        // caller has already thrown
+        if (failed) pool.shutdownNow() else pool.shutdown()
+        ()
+      }
     }
 
   private sealed trait SniffUnit

@@ -418,12 +418,15 @@ object ReaderQueries {
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .filter(col("day") >= "1995-01-01" && col("day") < "1995-04-01")
-      // A FIXED scratch path, recursively cleared up front: bench runs
-      // construct this query 4+ times per round, and a fresh
+      // A PER-PROCESS fixed scratch path, recursively cleared up front:
+      // bench runs construct this query 4+ times per round, and a fresh
       // createTempDirectory each time both leaks orphaned load targets
       // and (audit appends) would grow n_audit_rows across invocations.
-      // Verify/bench drive queries sequentially, so no clash.
-      val tmpF = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-q54-gate")
+      // Suffixed with the Spark application id so a concurrent verify
+      // and bench on one host can't clear each other's gate mid-load;
+      // within one driver, queries run sequentially.
+      val tmpF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q54-gate-${s.sparkContext.applicationId}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
         f.delete(); ()
