@@ -107,5 +107,15 @@ class PlanSpec extends SparkSuite {
       persistSignatures = false).queryExecution.executedPlan.toString
     assert(!wide.contains("REPARTITION_BY_COL"),
       "a source with enough splits must not pay a pre-hash corpus shuffle")
+    // regression: aggregation/window shapes get their exchanges from
+    // EnsureRequirements during executedPlan preparation — sparkPlan
+    // shows none. A guard reading sparkPlan fell through to the
+    // AQE-eager .rdd probe AND (post-coalesce) added the repartition.
+    val shaped = graft.llm.Dedup.nearDupPairs(
+      docs.groupBy(col("doc_id")).agg(first(col("text")).as("text")),
+      "doc_id", "text", persistSignatures = false)
+      .queryExecution.executedPlan.toString
+    assert(!shaped.contains("REPARTITION_BY_COL"),
+      "planner-inserted exchanges must satisfy the spread guard")
   }
 }
