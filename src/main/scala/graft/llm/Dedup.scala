@@ -366,6 +366,54 @@ object Dedup {
       .filter(col("n_sig_match") >= minMatch)
   }
 
+  /** Streaming form of [[incrementalNearDups]]: a continuous document
+    * feed checked against the STATIC signature store — the ingest-path
+    * guard of a production pipeline (flag/drop near-dups of the
+    * historical corpus as documents arrive, then append the batch's
+    * signatures to the store between restarts).
+    *
+    * Structured-Streaming shape: signature computation is pure per-row
+    * expressions (micro-batch parallelism comes from the source — no
+    * spread heuristic, which would probe a batch plan and is undefined
+    * on streams); the band join is a STREAM-STATIC equi-join on
+    * (band, bv), planned once with the store on the static side; and
+    * the final `dropDuplicatesWithinWatermark` makes each flagged
+    * (id, corpus_id) pair emit exactly once with BOUNDED state (a pair
+    * colliding in several bands would otherwise emit per band).
+    *
+    * @param docs streaming frame with `idCol`, `textCol`, and event-time
+    *   `tsCol` (the watermark anchor)
+    * @param storeSigs static (id, sig) [[signatureTable]]
+    * @return streaming (id, corpus_id, n_sig_match, ts)
+    */
+  def streamNearDupsAgainstStore(docs: DataFrame, storeSigs: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      k: Int = 3, numSig: Int = 12, bandRows: Int = 2, minMatch: Int = 6,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val numBands = numSig / bandRows
+    val sigs = withShingleHashSet(
+        docs.withWatermark(tsCol, watermarkDelay)
+          .select(col(idCol).as("id"), col(tsCol).as("ts"), col(textCol).as("__text")),
+        "__text", "sh", k)
+      .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
+    val streamBands = sigs.select(col("id"), col("ts"), col("sig"),
+        explode(bandArray(numBands, bandRows)).as("bd"))
+      .select(col("id"), col("ts"), col("sig").as("sig_n"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val storeBands = storeSigs.select(col("id").as("corpus_id"), col("sig").as("sig_o"),
+        explode(bandArray(numBands, bandRows)).as("bd"))
+      .select(col("corpus_id"), col("sig_o"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    streamBands.join(storeBands, Seq("band", "bv"))
+      .select(col("id"), col("corpus_id"),
+        aggregate(zip_with(col("sig_n"), col("sig_o"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("n_sig_match"),
+        col("ts"))
+      .filter(col("n_sig_match") >= minMatch)
+      .dropDuplicatesWithinWatermark(Seq("id", "corpus_id"))
+  }
+
   /** Cross-document chunk-match pairs: documents sharing at least one
     * w-token-window fingerprint, with the shared-chunk count — the
     * windowed rolling-hash dedup primitive (boilerplate/quotation

@@ -146,6 +146,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flagging against the static signature store, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = graft.llm.Dedup.signatureTable(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark shuffles and partition pruning for scale"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.llm.Dedup.streamNearDupsAgainstStore(
+        mem.toDF().toDF("doc_id", "ts", "text"), store, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (101L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of store 1
+        (102L, Timestamp.valueOf("2024-01-01 10:00:30"),
+          "entirely novel subject matter discussing oceans tides and the moon phases"))
+      q.processAllAvailable()
+      // the same doc re-sent inside the watermark horizon: every (id,
+      // corpus_id) pair must still emit exactly once
+      mem.addData((101L, Timestamp.valueOf("2024-01-01 10:01:00"),
+        "the quick brown fox jumps over the lazy dog near the river bank today"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, corpus_id, n_sig_match FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === Map((101L, 1L) -> 12L)) // identical text: all 12 components agree
+    } finally q.stop()
+  }
+
   test("batch sessions split exactly on the gap boundary") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1),
