@@ -51,9 +51,23 @@ object Jdbc {
     def deleteRange(table: String, dateCol: String, from: String, to: String): String =
       s"""DELETE FROM $table WHERE "$dateCol" BETWEEN '$from' AND '$to'"""
 
-    /** K5 — single-day delete keyed on a timestamp column's date. */
+    /** K5 — single-day delete keyed on a timestamp column's date, in
+      * the reference's Postgres dialect (`to_char`,
+      * `reports_exporter_v0.83.py:1421-1434`). Untestable without PG;
+      * prefer [[deleteDayAnsi]] unless byte-for-byte reference parity
+      * of the emitted SQL matters.
+      */
     def deleteDay(table: String, tsCol: String, day: String): String =
       s"""DELETE FROM $table WHERE to_char("$tsCol", 'yyyy-mm-dd') = '$day'"""
+
+    /** K5 — the same single-day delete in portable ANSI form (CAST on
+      * both sides; Derby rejects the `DATE '...'` literal keyword):
+      * semantically identical on Postgres, and executable against
+      * embedded Derby — so THIS variant is live-tested (JdbcSpec),
+      * unlike the dialect-pinned [[deleteDay]].
+      */
+    def deleteDayAnsi(table: String, tsCol: String, day: String): String =
+      s"""DELETE FROM $table WHERE CAST("$tsCol" AS DATE) = CAST('$day' AS DATE)"""
 
     /** K5 — snapshot-scoped delete (occupancy: only today's snapshot). */
     def deleteSnapshotRange(table: String, dateCol: String, from: String, to: String,

@@ -60,6 +60,16 @@ class JdbcSpec extends SparkSuite {
     finally c.close()
   }
 
+  test("K5: the ANSI single-day delete executes against a live database") {
+    exec("""CREATE TABLE tday ("ts" TIMESTAMP, "id" INT)""",
+      """INSERT INTO tday VALUES ('2024-01-01 08:00:00', 1), ('2024-01-01 23:59:59', 2), ('2024-01-02 00:00:00', 3)""")
+    exec(Jdbc.Sql.deleteDayAnsi("tday", "ts", "2024-01-01"))
+    // both rows of the day go, regardless of time-of-day; midnight of
+    // the NEXT day survives (the reference's per-day BPD delete contract)
+    val rows = Jdbc.dimTable(spark, url, "tday").select("id").as[Int].collect().toSeq
+    assert(rows === Seq(3))
+  }
+
   test("K4-K6: partitionOverwriteLoad round-trips delete -> append -> audit on a live database") {
     exec(
       """CREATE TABLE tgt ("day" VARCHAR(10), "id" INT)""",
