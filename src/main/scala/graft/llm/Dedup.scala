@@ -143,17 +143,32 @@ object Dedup {
     // exchanges would eagerly materialize those stages — running the
     // upstream twice). Only shuffle-free scan chains reach the
     // partition-count probe, where `.rdd` is pure planning: no stages,
-    // no job. The probe MUST look at executedPlan's rendering, not
-    // sparkPlan: EnsureRequirements inserts the exchanges of
-    // aggregation/window/join shapes only during executedPlan
-    // preparation (sparkPlan shows none), and under AQE the prepared
-    // plan is an AdaptiveSparkPlanExec LEAF whose inner (initial) plan
-    // a tree-find cannot reach — its toString renders it.
-    val hasExchange = df.queryExecution.executedPlan.toString.contains("Exchange")
-    if (hasExchange) df
+    // no job. The probe MUST look at executedPlan, not sparkPlan:
+    // EnsureRequirements inserts the exchanges of aggregation/window/
+    // join shapes only during executedPlan preparation (sparkPlan shows
+    // none), and under AQE the prepared plan is an AdaptiveSparkPlanExec
+    // LEAF whose prepared inner plan a plain tree-find cannot reach —
+    // recurse into its initialPlan explicitly. Typed node match, not a
+    // toString scan: an identifier containing "Exchange" must not
+    // silently disable the spread.
+    if (hasExchange(df.queryExecution.executedPlan)) df
     else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(col("id"))
   }
+
+  /** True iff the prepared physical plan contains a shuffle or broadcast
+    * exchange, descending into AQE's wrapper (whose prepared plan hangs
+    * off the leaf as `initialPlan`). Subquery plans are not probed —
+    * missing one is the conservative direction (skip the spread).
+    */
+  private def hasExchange(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike   => true
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasExchange(a.initialPlan)
+      case _ => false
+    }
 
   /** Guard diagnostic for a near-dup run: per-band bucket-size stats of
     * the LSH shuffle. Candidate generation is quadratic IN EACH BUCKET,
@@ -341,15 +356,33 @@ object Dedup {
     * signature lookups; an ingest batch is small next to the store, so
     * AQE broadcasts the batch side of each join. Never all-pairs.
     *
-    * @param batchSigs (id, sig) of the incoming batch ([[signatureTable]])
-    * @param storeSigs (id, sig) of the existing corpus; id spaces must be
+    * @param batchSigs0 (id, sig) of the incoming batch ([[signatureTable]])
+    * @param storeSigs0 (id, sig) of the existing corpus; id spaces must be
     *   disjoint (the caller's ingest contract)
+    * @param persistInputs cache both signature frames for their two uses
+    *   here (skipped per-frame when the plan is already cached); pass
+    *   false to manage the lifecycle at the call site
     * @return (new_id, corpus_id, n_sig_match) with n_sig_match >= minMatch
     */
-  def incrementalNearDups(batchSigs: DataFrame, storeSigs: DataFrame,
-      numSig: Int = 12, bandRows: Int = 2, minMatch: Int = 6): DataFrame = {
+  def incrementalNearDups(batchSigs0: DataFrame, storeSigs0: DataFrame,
+      numSig: Int = 12, bandRows: Int = 2, minMatch: Int = 6,
+      persistInputs: Boolean = true): DataFrame = {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
+    // Each side is consumed twice (band explode for candidates, then the
+    // signature lookup join) — persist so a LIVE signatureTable argument
+    // computes its shingle+minhash once, not per consumer. CacheManager-
+    // aware like nearDupPairs: an already-cached plan is not re-persisted.
+    // A store read straight off parquet costs one extra scan if the
+    // caller opts out (persistInputs = false) and manages caching itself.
+    def pin(t: DataFrame): DataFrame = {
+      if (persistInputs &&
+          t.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t
+    }
+    val batchSigs = pin(batchSigs0)
+    val storeSigs = pin(storeSigs0)
     def bands(t: DataFrame): DataFrame =
       t.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
         .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))

@@ -156,37 +156,38 @@ object TextAnalysis {
 
   /** PII-style scrubbing patterns: plain alternation-free regexes over
     * ASCII classes, so Java (Spark codegen) and RE2 (DuckDB oracle)
-    * agree byte-for-byte. Applied to the LOWERCASED text, in this
-    * order: emails first (they contain digits), then dotted IPv4s, then
-    * long digit runs (7+, the account/phone-number shape — IPv4 octets
-    * are too short to double-match).
+    * agree byte-for-byte — including the inline `(?i)` flag, which both
+    * engines support, so the ORIGINAL text is scanned case-insensitively
+    * and never lowercased (a redacted stream retained as corpus text
+    * must keep its case). Order: emails first (they contain digits),
+    * then dotted IPv4s, then long digit runs (7+, the account/phone-
+    * number shape — IPv4 octets are too short to double-match).
     */
-  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val LongDigitsRe: String = "[0-9]{7,}"
 
-  /** Redacted text: each PII match replaced by its typed tag. The
-    * per-document match counts ([[redactionCounts]]) plus the redacted
-    * stream are what a curation job keeps; scrubbing is pure per-row
-    * regexp work — codegen'd, shuffle-free, linear at any corpus size.
+  /** Redacted text: each PII match replaced by its typed tag, all other
+    * characters (and their case) untouched. The per-document match
+    * counts ([[redactionCounts]]) plus the redacted stream are what a
+    * curation job keeps; scrubbing is pure per-row regexp work —
+    * codegen'd, shuffle-free, linear at any corpus size.
     */
   def redact(text: Column): Column = {
-    val lowered = lower(text)
-    val e = regexp_replace(lowered, EmailRe, "<email>")
+    val e = regexp_replace(text, EmailRe, "<email>")
     val i = regexp_replace(e, Ipv4Re, "<ip>")
     regexp_replace(i, LongDigitsRe, "<num>")
   }
 
-  /** (n_emails, n_ips, n_longnums) of the lowercased text, counted on
-    * the same cascade order as [[redact]] (IPs counted after emails are
-    * removed, digit runs after both).
+  /** (n_emails, n_ips, n_longnums) of the text, counted on the same
+    * cascade order as [[redact]] (IPs counted after emails are removed,
+    * digit runs after both).
     */
   def redactionCounts(text: Column): Seq[Column] = {
-    val lowered = lower(text)
-    val e = regexp_replace(lowered, EmailRe, "<email>")
+    val e = regexp_replace(text, EmailRe, "<email>")
     val i = regexp_replace(e, Ipv4Re, "<ip>")
     Seq(
-      size(regexp_extract_all(lowered, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(e, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       size(regexp_extract_all(i, lit(LongDigitsRe), lit(0))).cast("long").as("n_longnums"))
   }

@@ -200,12 +200,16 @@ object Pipeline {
     *   type — same isolation semantics, N driver round trips → 1. Keep
     *   the default (eager, reference-faithful per-sheet check) for small
     *   batches; flip it when input counts grow to the thousands.
+    * @param parallelism driver-pool width for BOTH fan-outs (classify and
+    *   the per-input reads) — the reads are usually the heavier phase, so
+    *   they get the same knob `classifyAll` exposes; 1 = sequential.
     */
   def run(spark: SparkSession, inputDir: String, exportDir: String, runStamp: String,
       trainHours: => DataFrame, history: => DataFrame,
       sortMode: Consolidate.SortMode = Consolidate.SortMode.Lexicographic,
-      batchedGuard: Boolean = false): RunResult = {
-    val (classified, unclassified) = classifyAll(spark, inputDir)
+      batchedGuard: Boolean = false,
+      parallelism: Int = DriverPoolParallelism): RunResult = {
+    val (classified, unclassified) = classifyAll(spark, inputDir, parallelism)
 
     val errors = Seq.newBuilder[InputError]
     val results = ReportType.all.flatMap { report =>
@@ -216,7 +220,7 @@ object Pipeline {
         // parses and per-input guard actions are the serial cost for a
         // workbook batch; order (and so the D1 fileOrd tiebreaker and
         // error attribution) is preserved by parMap.
-        val reads = parMap(mine.zipWithIndex.toSeq, DriverPoolParallelism) {
+        val reads = parMap(mine.zipWithIndex.toSeq, parallelism) {
           case (ci, ord) =>
             (ci, readInput(spark, ci, ord, trainHours, history,
               eagerEmptyGuard = !batchedGuard))

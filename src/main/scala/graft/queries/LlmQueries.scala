@@ -587,13 +587,12 @@ object LlmQueries {
          |       THEN text || ' contact bob@example.com or ops@graft.io from 10.0.0.1 ref 1234567890'
          |       ELSE text END AS text
          |FROM documents),
-         |l AS (SELECT doc_id, lower(text) AS lt FROM corpus),
-         |s1 AS (SELECT doc_id, lt,
-         |  regexp_replace(lt, '$EmailRe', '<email>', 'g') AS e FROM l),
-         |s2 AS (SELECT doc_id, lt, e,
+         |s1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$EmailRe', '<email>', 'g') AS e FROM corpus),
+         |s2 AS (SELECT doc_id, text, e,
          |  regexp_replace(e, '$Ipv4Re', '<ip>', 'g') AS i FROM s1)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(lt, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(e, '$Ipv4Re')) AS BIGINT) AS n_ips,
          |  CAST(len(regexp_extract_all(i, '$LongDigitsRe')) AS BIGINT) AS n_longnums,
          |  md5(regexp_replace(i, '$LongDigitsRe', '<num>', 'g')) AS redacted_md5

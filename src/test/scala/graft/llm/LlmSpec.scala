@@ -218,7 +218,9 @@ class LlmSpec extends SparkSuite {
         TextAnalysis.redact(col("text")).as("red"): _*)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
-    assert(got(1L) === ((1L, 1L, 1L, "mail <email> or call <num> from <ip> now")))
+    // case OUTSIDE matches is preserved; the email match itself is
+    // case-insensitive (ADVICE r5: redact must not lowercase the stream)
+    assert(got(1L) === ((1L, 1L, 1L, "Mail <email> or call <num> from <ip> now")))
     assert(got(2L) === ((0L, 0L, 0L, "nothing sensitive here 123456")))
   }
 

@@ -262,17 +262,26 @@ class PipelineSpec extends SparkSuite {
     assert(sequential._1.size === 6 && sequential._2.isEmpty)
     assert(sequential._1.forall(_.report == ReportType.Occupancy))
 
-    // the pool genuinely overlaps units: 8 sleeping units must finish well
-    // under the 1.6 s serial sum, on more than one thread
-    val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val t0 = System.nanoTime()
+    // the pool genuinely overlaps units — asserted STRUCTURALLY (peak
+    // observed in-flight count), not by wall-clock, which flakes under
+    // CI load (ADVICE r5). A latch forces every unit to be in flight at
+    // once before any may finish, so a sequential pool would deadlock
+    // the await (bounded by its timeout) rather than flakily pass.
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val allIn = new java.util.concurrent.CountDownLatch(8)
     val out = Pipeline.parMap((0 until 8).toSeq, 8) { i =>
-      threads.add(Thread.currentThread().getName); Thread.sleep(200); i * 2
+      val now = inFlight.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, now))
+      allIn.countDown()
+      // wait for full overlap; a 1-thread pool would time out here, and
+      // the peak assertion below fails loudly instead of hanging the suite
+      allIn.await(5, java.util.concurrent.TimeUnit.SECONDS)
+      inFlight.decrementAndGet()
+      i * 2
     }
-    val wallMs = (System.nanoTime() - t0) / 1e6
     assert(out === (0 until 8).map(_ * 2))
-    assert(threads.size > 1, "expected multiple pool threads")
-    assert(wallMs < 1200, s"pool wall-clock should beat the 1600 ms serial sum (was $wallMs ms)")
+    assert(peak.get() === 8, s"expected all 8 units concurrently in flight (peak was ${peak.get()})")
   }
 
   test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
