@@ -125,16 +125,30 @@ object PartitionOverwriteSink {
     * the streak structure (the reference warns on gaps, `:1321-1325`).
     *
     * @param dateCol a "yyyy-MM-dd"-formatted string or DATE column
+    * @param filesPerDay output files per day partition. A partitionBy
+    *   write WITHOUT co-location opens one file per (task, day) — N
+    *   tasks × D days of tiny files, the classic small-files failure
+    *   (at a 1000-executor scale-out that is literally millions of
+    *   files per load). The default repartitions on the day, so each
+    *   day is written by exactly one task as one well-sized file; raise
+    *   it when single days are too large for one task — rows then
+    *   spread over a deterministic day-bucket key (hash of the row, no
+    *   rand(): retries must not reshuffle data between committed files).
     */
   def load(spark: SparkSession, df: DataFrame, dateCol: String,
       targetDir: String, auditDir: String, table: String, runStamp: String,
-      user: String = "graft"): LoadReport = {
+      user: String = "graft", filesPerDay: Int = 1): LoadReport = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
     // The frame is consumed by two actions (write + streak collect);
     // persist so the upstream chain runs once, release before returning.
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      pinned.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
+      val colocated =
+        if (filesPerDay == 1) pinned.repartition(col(dateCol))
+        else pinned.repartition(col(dateCol),
+          pmod(hash(pinned.columns.map(col).toIndexedSeq: _*), lit(filesPerDay)))
+      colocated.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
 
       // G1 — streaks over the loaded days; tiny (O(days)) driver list.
       val streakRows = DateStreaks(pinned.select(to_date(col(dateCol)).as("d")), "d")
