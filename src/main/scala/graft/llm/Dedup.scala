@@ -608,4 +608,45 @@ object Dedup {
     * distance ≤ t). bit_count is a single codegen'd instruction.
     */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Corpus-level repeated-line removal (the RefinedWeb/CCNet boilerplate
+    * filter): any line occurring in more than `maxDocs` DISTINCT
+    * documents is dropped from EVERY document — navigation chrome,
+    * cookie banners, and license footers repeat across pages; prose does
+    * not. Complements [[graft.llm.TextAnalysis.c4CleanedLines]] (per-doc
+    * heuristics, no corpus context) and [[chunkMatchPairs]] (token-window
+    * near-dup PAIRS; this removes exact units corpus-wide).
+    *
+    * Shuffle shape, corpus-scale: lines explode once and every cross-doc
+    * key is the 8-byte line hash — never the line text twice. One
+    * distinct + count on the hash (line-frequency table, reusable as a
+    * between-runs store like [[signatureTable]]), one hash-keyed join
+    * back, one groupBy(id) to reassemble documents in line order. A
+    * 32-bit collision conflates two lines' counts (over-removal, never
+    * corruption); a production corpus would widen the key to 64/128 bits
+    * with the same plan.
+    *
+    * @return one row per document: (id, n_lines, n_removed, cleaned) with
+    *   `cleaned` the surviving lines re-joined by newline in input order
+    */
+  def repeatedLineRemoval(docs: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int = 1): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", hash32(col("line")))
+    val counts = lines.select(col("lh"), col("id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
+    lines.join(counts, Seq("lh"))
+      .withColumn("keep", col("n_docs") <= maxDocs)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+              s => s.getField("keep")),
+            s => s.getField("line"))).as("cleaned"))
+  }
 }

@@ -51,6 +51,41 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Temperature-weighted source mixing: per-group quotas ∝ √n_g (the
+    * α = 1/2 point of the nᵅ upsampling curve used to rebalance
+    * multilingual / multi-source pretraining corpora — small sources are
+    * upweighted relative to their raw share, large ones damped), filled
+    * by each group's hash-smallest documents ([[stratifiedSample]]'s
+    * selection, so a group's sample is a stable prefix as quotas grow).
+    *
+    * quota_g = perSqrt · ⌊√n_g⌋, integer-exact in any engine: ⌊·⌋ of a
+    * correctly-rounded IEEE sqrt is exact for n < 2⁵² (non-squares sit
+    * ≥ 1/(2√n) from an integer — astronomically wider than an ulp; exact
+    * squares have exact sqrts).
+    *
+    * Shuffle shape: one count aggregation (rows = |groups|, broadcast
+    * back) + one window shuffle on the group key. A mega-group is a
+    * window-skew case — the same per-group cost profile as
+    * [[stratifiedSample]], not a join explosion.
+    *
+    * @param perSqrt documents kept per unit of √n_g — the mixing "scale
+    *   knob" (total sample size ≈ perSqrt · Σ√n_g)
+    * @return sampled rows: df's columns + (n_group, quota, sample_rank)
+    */
+  def temperatureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, perSqrt: Int): org.apache.spark.sql.DataFrame = {
+    require(perSqrt > 0, "perSqrt must be positive")
+    val quotas = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+      .withColumn("quota",
+        floor(sqrt(col("n_group").cast("double"))).cast("long") * perSqrt)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("sample_rank") <= col("quota"))
+  }
+
   final case class PackedSequence(seq_id: String, doc_ids: Array[Long],
       n_docs: Int, total_tokens: Long)
 

@@ -235,4 +235,63 @@ object Similarity {
     }
     out.select(col("id"), col("cluster"), col("dist_sq"))
   }
+
+  /** SemDeDup-style semantic deduplication (the embedding analog of the
+    * MinHash near-dup pipeline): deterministic k-means cells become the
+    * buckets of an in-cluster cosine near-dup pair join, the pair graph
+    * closes transitively ([[Dedup.canonicalizeClusters]] — min-label
+    * propagation, direction-independent), and each semantic group keeps
+    * exactly one representative, its minimum id.
+    *
+    * Scale contract: never all-pairs — candidate pairs exist only inside
+    * a k-means cell, so pre-flight [[bucketCostProfile]] on the
+    * assignment before a large run exactly as q52 gates q38 (an
+    * over-coarse k makes a cell quadratic-dominant; raise k). Every
+    * stage is integer-exact (quantized vectors, integer cross-multiplied
+    * cosine test, integer centroid means), so the keep set is bit-stable
+    * across engines, runs, and retries.
+    *
+    * @return one row per input vector: (idCol, cluster, canonical_id,
+    *   kept) — kept = 1 iff this id is its group's representative
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, num: Int = 19, den: Int = 20): DataFrame = {
+    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+      .select(col("id").as(idCol), col("cluster"))
+    val bucketed = emb.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
+    val pairs = cosineNearDupPairs(bucketed, idCol, vecCol, "cluster", num, den)
+      .select(col("id_a"), col("id_b"))
+    val canon = Dedup.canonicalizeClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    assign.join(canon, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .withColumn("kept",
+        when(col("canonical_id") === col(idCol), 1L).otherwise(0L))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the vector-
+    * compression step of a memory-bound ANN index (4 bytes/dim float →
+    * 1 byte/dim + one scale): per-vector scale = max |component| of the
+    * milli-unit integer vector, q8_i = (v_i · 127) div scale. Both
+    * engines' integral division truncates toward zero (Spark `div`,
+    * DuckDB `//`: −7/2 = −3), so codes are bit-stable cross-engine; a
+    * zero vector takes scale 1 (all-zero codes) rather than divide by
+    * zero. Pure per-row projection: codegen'd, shuffle-free, linear.
+    *
+    * @return (idCol, qv, scale, q8): the milli-unit vector, its scale,
+    *   and q8 an array<long> of codes in [−127, 127]; reconstruction is
+    *   q8_i · scale / 127 milli-units (so |qv_i·127 − q8_i·scale| is the
+    *   exact integer error in 1/127-milli-units)
+    */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = Dedup.once(emb.select(col(idCol), col(vecCol)), "__qv",
+      quantize(col(vecCol)))
+    // the scale feeds every lane's division — materialize it once
+    // (same CollapseProject barrier as the signature pipelines)
+    Dedup.once(base, "__sc",
+        greatest(array_max(transform(col("__qv"), x => abs(x))), lit(1L)))
+      .select(col(idCol), col("__qv").as("qv"), col("__sc").as("scale"),
+        expr("transform(__qv, x -> (x * 127L) div __sc)").as("q8"))
+  }
 }

@@ -216,6 +216,72 @@ object LlmQueries {
         md5(concat_ws("\n", col("__kept"))).as("cleaned_md5"))
     }),
 
+    // SemDeDup: deterministic k-means cells bucket an in-cluster cosine
+    // near-dup pair join (never all-pairs), the pair graph closes
+    // transitively, and each semantic group keeps its minimum id.
+    // Copies of every 25th vector are planted so the keep decision is
+    // non-trivial; the oracle replays k-means + pairs + a recursive
+    // reachability closure.
+    "q66_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val src = e.unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(src, "vec_id", "embedding",
+        k = 4, iters = 2, num = 19, den = 20)
+    }),
+
+    // Temperature mixing: per-source quotas ∝ √n (the α = 1/2 corpus
+    // rebalance), filled by each source's hash-smallest documents.
+    "q67_source_mixing" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", perSqrt = 2)
+        .select(col("doc_id"), col("source"), col("n_group"), col("quota"),
+          col("sample_rank"))),
+
+    // int8 vector compression, anchored by integer scalars: sum of
+    // codes, max |code| (≤ 127 by construction), and the exact
+    // reconstruction error in 1/127-milli-units.
+    "q68_int8_quantization" -> ((s, dir) =>
+      Similarity.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q8"), lit(0L), _ + _).as("sum_q8"),
+          array_max(transform(col("q8"), x => abs(x))).as("max_abs_q8"),
+          aggregate(zip_with(col("qv"), col("q8"),
+            (v, q) => abs(v * 127 - q * col("scale"))), lit(0L), _ + _).as("recon_err"))),
+
+    // Corpus-level repeated-line removal: lines planted as boilerplate
+    // on every 3rd/7th doc repeat across documents and are dropped from
+    // all of them; organic lines (the " table "-split fragments) stay.
+    "q69_repeated_lines" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), " table ", "\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nall rights reserved")).otherwise(lit(""))).as("text"))
+      Dedup.repeatedLineRemoval(corpus, "doc_id", "text", maxDocs = 2)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5"))
+    }),
+
+    // As-of join: each purchase matched to its user's latest
+    // prior-or-equal signup — merged-stream running window, ONE shuffle
+    // on user_id, no per-key range explosion. DuckDB replays it with
+    // its native ASOF LEFT JOIN.
+    "q70_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      graft.operators.AsOfJoin(purchases, signups, "user_id", "ts", Seq("signup_id"))
+        .select(col("event_id"), col("user_id"), col("signup_id"),
+          (unix_micros(col("ts")) - unix_micros(col("__matched_ts"))).as("lag_us"))
+    }),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -479,12 +545,15 @@ object LlmQueries {
     * ending at `a2` = (id, cluster, dist) with `q` = (id, qv) in scope
     * — shared by the q62 gate and the q63 learned-IVF composition.
     */
-  private val kmeansChainSql: String = {
+  /** @param src relation with (vec_id, embedding) — `embeddings` for the
+    *   q62/q63 gates; q66 feeds a copies-planted union CTE
+    */
+  private def kmeansChainSql(src: String = "embeddings"): String = {
     val h = h32Sql("CAST(id AS VARCHAR)")
     def distSql(cvRel: String): String =
       s"""CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
          |      i -> (q.qv[i] - $cvRel.qv[i]) * (q.qv[i] - $cvRel.qv[i]))) AS BIGINT)""".stripMargin
-    s"""q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+    s"""q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM $src),
        |seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM q
        |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
        |d1 AS (SELECT q.id, q.qv, s.c, ${distSql("s")} AS dist
@@ -664,14 +733,14 @@ object LlmQueries {
     // argmin (ties on centroid index), truncating-integer-mean
     // recompute (empty clusters keep their centroid), round-2 argmin.
     "q62_kmeans_assign" ->
-      s"""WITH $kmeansChainSql
+      s"""WITH ${kmeansChainSql()}
          |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster, dist AS dist_sq
          |FROM a2""".stripMargin,
 
     // The q62 chain's final assignment becomes the bucket of a
     // q36-style in-bucket top-k.
     "q63_ann_kmeans_bucketed" ->
-      s"""WITH $kmeansChainSql,
+      s"""WITH ${kmeansChainSql()},
          |qq AS (SELECT q.id AS query_id, a2.cluster, q.qv FROM q
          |  JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0),
          |cc AS (SELECT q.id AS neighbor_id, a2.cluster, q.qv AS cv FROM q
@@ -710,6 +779,98 @@ object LlmQueries {
          |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_md5
          |FROM k""".stripMargin
     },
+
+    // k-means over the copies-planted union, in-cluster integer-cosine
+    // pairs (19/20 threshold: dot²·400 ≥ na·nb·361), then the same
+    // recursive reachability closure as q53 for min-id canonicalization.
+    "q66_semantic_dedup" ->
+      s"""WITH RECURSIVE semsrc AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |${kmeansChainSql("semsrc")},
+         |v AS (SELECT q.id, q.qv, a2.cluster FROM q JOIN a2 ON q.id = a2.id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${dotSql("a.qv", "b.qv")} AS dot,
+         |    ${dotSql("a.qv", "a.qv")} AS na,
+         |    ${dotSql("b.qv", "b.qv")} AS nb
+         |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id),
+         |verified AS (SELECT id_a, id_b FROM pr
+         |  WHERE dot > 0 AND dot * dot * 400 >= na * nb * 361),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM verified
+         |          UNION ALL SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |canon AS (SELECT id, CAST(LEAST(id, MIN(r)) AS BIGINT) AS canonical_id
+         |  FROM reach GROUP BY id)
+         |SELECT v.id AS vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+         |  COALESCE(canon.canonical_id, v.id) AS canonical_id,
+         |  CAST(CASE WHEN COALESCE(canon.canonical_id, v.id) = v.id
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM v LEFT JOIN canon ON v.id = canon.id""".stripMargin,
+
+    "q67_source_mixing" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) * 2 AS BIGINT) AS quota
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, n_group, quota, CAST(rk AS BIGINT) AS sample_rank
+         |FROM r JOIN c USING (source) WHERE rk <= quota""".stripMargin,
+
+    // Truncating integer division on both sides (DuckDB `//` and Spark
+    // `div` both round toward zero), so codes agree bit for bit.
+    "q68_int8_quantization" ->
+      s"""WITH v AS (SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
+         |sc AS (SELECT vec_id, qv,
+         |    GREATEST(list_max(list_transform(qv, x -> abs(x))), 1) AS scale FROM v),
+         |t AS (SELECT vec_id, qv, scale,
+         |    list_transform(qv, x -> (x * 127) // scale) AS q8 FROM sc)
+         |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
+         |  CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+         |  CAST(list_max(list_transform(q8, x -> abs(x))) AS BIGINT) AS max_abs_q8,
+         |  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |    i -> abs(qv[i] * 127 - q8[i] * scale))) AS BIGINT) AS recon_err
+         |FROM t""".stripMargin,
+
+    // Line-frequency table on the 32-bit line hash (the key the Spark
+    // plan shuffles), then per-doc reassembly in position order;
+    // string_agg skips the removed (NULL-mapped) lines.
+    "q69_repeated_lines" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |  regexp_replace(text, ' table ', chr(10), 'g')
+         |  || CASE WHEN doc_id % 3 = 0
+         |       THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0
+         |       THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+         |FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus),
+         |e AS (SELECT doc_id, i AS pos, lines[i] AS ln
+         |  FROM l, UNNEST(range(1, len(lines) + 1)) AS t(i)),
+         |h AS (SELECT doc_id, pos, ln, ${h32Sql("ln")} AS lh FROM e),
+         |c AS (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+         |k AS (SELECT h.doc_id, h.pos, h.ln, c.nd FROM h JOIN c USING (lh))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN nd > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(CASE WHEN nd <= 2 THEN ln END, chr(10) ORDER BY pos), ''))
+         |    AS cleaned_md5
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the spec; the Spark plan reaches
+    // the same matches with a merged-stream running window. The right
+    // side is pre-deduped to one row per (user_id, ts) in both engines.
+    "q70_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |s0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, s0.signup_id,
+         |  epoch_us(p.ts) - epoch_us(s0.ts) AS lag_us
+         |FROM p ASOF LEFT JOIN s0
+         |  ON p.user_id = s0.user_id AND p.ts >= s0.ts""".stripMargin,
 
     // Histogram percentiles: cumulative count over DISTINCT lengths per
     // split; p-th = smallest value with cum >= ceil(p*n/100).

@@ -466,4 +466,66 @@ class LlmSpec extends SparkSuite {
     val head = Multimodal.sampleHead(assets, 4).select("head_hex").as[String].collect()
     assert(head.forall(_.length === 8))
   }
+
+  test("semantic dedup: exact copies collapse to min id transitively; distinct vectors survive") {
+    // 1 ≈ 2 ≈ 3 (copies: closure must chain them all to 1), 10/11 distinct
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, num = 19, den = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((1L, 1L)))
+    assert(got(2L) === ((1L, 0L)))
+    assert(got(3L) === ((1L, 0L)))
+    assert(got(10L)._2 === 1L && got(11L)._2 === 1L)
+    assert(got.values.count(_._2 == 1L) === 3)
+  }
+
+  test("temperature sample: quota = perSqrt * isqrt(n); sample is the stratified prefix") {
+    // group a: 9 rows -> isqrt 3, quota 6; group b: 2 rows -> isqrt 1, quota 2
+    val df = ((0L until 9L).map(i => (i, "a")) ++ Seq((100L, "b"), (101L, "b")))
+      .toDF("id", "src")
+    val got = Sampling.temperatureSample(df, "id", "src", perSqrt = 2)
+      .select(col("id"), col("src"), col("n_group"), col("quota"), col("sample_rank"))
+      .collect()
+    val byGroup = got.groupBy(_.getString(1))
+    assert(byGroup("a").length === 6 && byGroup("b").length === 2)
+    assert(got.forall(r => r.getLong(4) <= r.getLong(3)))
+    // the same group's k-smaller stratified sample is a prefix of the quota fill
+    val prefix = Sampling.stratifiedSample(df.filter(col("src") === "a"), "id", "src", 3)
+      .select("id").as[Long].collect().toSet
+    assert(prefix.subsetOf(byGroup("a").map(_.getLong(0)).toSet))
+  }
+
+  test("int8 quantization: truncation toward zero, bounded codes, zero vector safe") {
+    val emb = Seq(
+      (1L, Array(0.003f, -0.003f, 0.001f)),   // qv = [3, -3, 1], scale 3
+      (2L, Array(0.0f, 0.0f, 0.0f)))          // zero vector: scale clamps to 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getSeq[Long](3))).toMap
+    // (1*127) div 3 = 42 and (-3*127) div 3 = -127: toward-zero like DuckDB //
+    assert(got(1L) === ((3L, Seq(127L, -127L, 42L))))
+    assert(got(2L) === ((1L, Seq(0L, 0L, 0L))))
+  }
+
+  test("repeated line removal: corpus-frequent lines drop everywhere, order preserved") {
+    val docs = Seq(
+      (1L, "alpha one\ncommon footer\nalpha two"),
+      (2L, "beta one\ncommon footer"),
+      (3L, "gamma one\ncommon footer\ngamma two"),
+      (4L, "delta solo")).toDF("doc_id", "text")
+    val got = Dedup.repeatedLineRemoval(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 1L, "alpha one\nalpha two")))
+    assert(got(2L) === ((2L, 1L, "beta one")))
+    assert(got(3L) === ((3L, 1L, "gamma one\ngamma two")))
+    assert(got(4L) === ((1L, 0L, "delta solo")))
+  }
 }

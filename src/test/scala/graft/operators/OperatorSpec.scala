@@ -207,4 +207,48 @@ class OperatorSpec extends SparkSuite {
     assert(keep(Consolidate.SortMode.Lexicographic) === "9")  // "9" > "7" > "10"
     assert(keep(Consolidate.SortMode.Numeric) === "10")
   }
+
+  // ------------------------------------------------------------ AsOfJoin
+
+  test("as-of join: greatest right ts <= left ts per key, equal ts matches, no prior is null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),  // between r1 and r2 -> r1
+      (2L, 7L, ts("2024-01-01 12:00:00")),  // exactly at r2 -> r2 (<= semantics)
+      (3L, 7L, ts("2024-01-01 08:00:00")),  // before everything -> null
+      (4L, 8L, ts("2024-01-01 12:00:00")))  // other key, after its only right row
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 09:00:00")),
+      (102L, 7L, ts("2024-01-01 12:00:00")),
+      (103L, 8L, ts("2024-01-01 00:30:00")))
+      .toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id"))
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("val_id"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.toString))).toMap
+    assert(got(1L) === ((Some(101L), Some("2024-01-01 09:00:00.0"))))
+    assert(got(2L) === ((Some(102L), Some("2024-01-01 12:00:00.0"))))
+    assert(got(3L) === ((None, None)))
+    assert(got(4L) === ((Some(103L), Some("2024-01-01 00:30:00.0"))))
+  }
+
+  test("as-of join agrees with the per-row reference on random data and keeps all left rows") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val leftRows = (0 until 120).map(i => (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(600))))
+    val rightRows = (0 until 60).map(i => (1000L + i, rnd.nextInt(6).toLong, t(rnd.nextInt(600))))
+    // unique (key, ts) on the right: keep max id (the operator contract)
+    val rightDedup = rightRows.groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toSeq
+    val got = AsOfJoin(
+        leftRows.toDF("event_id", "user_id", "ts"),
+        rightDedup.toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id")),
+        "user_id", "ts", Seq("val_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got.size === leftRows.size)
+    leftRows.foreach { case (id, k, lts) =>
+      val expect = rightDedup.filter(r => r._2 == k && !r._3.after(lts))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+      assert(got(id) === expect, s"left row $id")
+    }
+  }
 }
