@@ -301,4 +301,54 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"),
         col("score_ppm"), col("term_rank"))
   }
+
+  /** Corpus-global top-k n-gram frequency table — the vocabulary /
+    * boilerplate-inspection artifact of a curation run (the global
+    * complement of the per-document [[topTermsTfidf]]): occurrence and
+    * document counts per token n-gram, highest-frequency k rows.
+    *
+    * Scale shape: grams explode once, the count is a distributed
+    * (gram)-keyed aggregation with map-side partials, and the global
+    * top-k is `orderBy(...).limit(k)` — Spark plans TakeOrdered (per-
+    * partition heaps + a k-row driver merge), so only k rows ever leave
+    * the executors; the vocabulary itself never collects. Total tie
+    * order (count desc, gram asc) keeps the k-th boundary deterministic.
+    */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 40): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val grams = Dedup.once(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(col("id"), explode(Dedup.shingles(col("__toks"), n)).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_total"), count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Transparent linear quality score — the model-based-filter SHAPE
+    * (a fasttext-style quality classifier is a weighted feature sum at
+    * inference) with auditable fixed integer weights over the standard
+    * ratio features:
+    *
+    *   score = 3·stop_bp + alpha_bp − 2·punct_bp − rep_bp
+    *
+    * Basis-point features in, long out — engine-exact, codegen'd,
+    * shuffle-free. The weights and threshold are the transparent stub
+    * for a learned model (swap in learned weights, keep the plan); the
+    * operator is the shape, not the model.
+    *
+    * @param sh the document's materialized 3-shingle array (list, not
+    *   set — [[repBp]]'s input)
+    */
+  def qualityScore(text: Column, toks: Column, sh: Column): Column = {
+    val nChars = length(text).cast("long")
+    val nPunct = (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("long")
+    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    lit(3L) * basisPoints(stopwordCount(toks, EnStop), tokenCount(toks)) +
+      basisPoints(nAlpha, nChars) -
+      lit(2L) * basisPoints(nPunct, nChars) -
+      repBp(sh)
+  }
 }

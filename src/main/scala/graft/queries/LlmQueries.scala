@@ -282,6 +282,27 @@ object LlmQueries {
           (unix_micros(col("ts")) - unix_micros(col("__matched_ts"))).as("lag_us"))
     }),
 
+    // Corpus-global top-40 3-gram frequency table (the vocabulary /
+    // boilerplate inspection artifact): distributed gram counts, then
+    // TakeOrdered — only the k winners ever leave the executors.
+    "q72_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, k = 40)),
+
+    // Linear quality filter: transparent integer-weight scorer over the
+    // ratio features (the learned-model slot of a curation pipeline —
+    // swap weights, keep the plan), thresholded at 9000 bp.
+    "q73_quality_filter" -> ((s, dir) => {
+      val base = Dedup.once(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "__toks", TextAnalysis.tokens(col("text")))
+        .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+      base.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), col("__toks"), col("__sh3")).as("score"))
+        .withColumn("kept", when(col("score") >= 9000, 1L).otherwise(0L))
+    }),
+
     // Language ID, quality stats, fingerprint.
     "q33_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -871,6 +892,38 @@ object LlmQueries {
          |  epoch_us(p.ts) - epoch_us(s0.ts) AS lag_us
          |FROM p ASOF LEFT JOIN s0
          |  ON p.user_id = s0.user_id AND p.ts >= s0.ts""".stripMargin,
+
+    "q72_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest($shinglesSql) AS gram FROM t)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1
+         |ORDER BY n_total DESC, gram LIMIT 40""".stripMargin,
+
+    // Mirrors qualityScore's weights: 3·stop_bp + alpha_bp − 2·punct_bp
+    // − rep_bp, every feature floor(·10000/den) integer basis points.
+    "q73_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, text, toks, $shinglesSql AS sh3 FROM t),
+         |f AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop,
+         |  CAST(len(sh3) AS BIGINT) AS n_sh,
+         |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_dsh
+         |FROM s),
+         |sc AS (SELECT doc_id,
+         |  3 * (CASE WHEN n_toks = 0 THEN 0 ELSE CAST(FLOOR(n_stop * 10000.0 / n_toks) AS BIGINT) END)
+         |  + (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_alpha * 10000.0 / n_chars) AS BIGINT) END)
+         |  - 2 * (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_punct * 10000.0 / n_chars) AS BIGINT) END)
+         |  - (CASE WHEN n_sh = 0 THEN 0 ELSE CAST(FLOOR((n_sh - n_dsh) * 10000.0 / n_sh) AS BIGINT) END) AS score
+         |FROM f)
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score >= 9000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sc""".stripMargin,
 
     // Histogram percentiles: cumulative count over DISTINCT lengths per
     // split; p-th = smallest value with cum >= ceil(p*n/100).

@@ -450,6 +450,27 @@ object ReaderQueries {
           countDistinct(col("operation")).as("n_ops")))
     }),
 
+    // Deterministic sharded export gated end-to-end: write → read back →
+    // per-shard stats, so the gate checks what the sink actually WROTE.
+    // Shard membership is the portable md5-prefix hash mod 8, which the
+    // oracle recomputes straight from the source table; the suite
+    // additionally asserts one-sorted-file-per-shard layout.
+    "q71_sharded_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      // per-process scratch (q54's pattern): Overwrite mode replaces
+      // content, the app-id suffix isolates concurrent gate runs
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q71-gate-${s.sparkContext.applicationId}").getAbsolutePath
+      graft.sinks.ShardedExport.write(docs, "doc_id", tmp, 8)
+      s.read.parquet(tmp)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // S4 — exact-header classification with drop-nulls-before-compare
     // (driver-side decision surfaced as a one-row-per-case relation).
     "q26_classifier" -> ((s, dir) => {
@@ -488,6 +509,15 @@ object ReaderQueries {
         |  CAST(COUNT(DISTINCT day) * 2 AS BIGINT) AS n_audit_rows,
         |  CAST(1 AS BIGINT) AS n_ops
         |FROM sel""".stripMargin,
+
+    "q71_sharded_export" ->
+      """SELECT
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q21_occupancy_reader" ->
       s"""WITH $occCoercedSql

@@ -528,4 +528,28 @@ class LlmSpec extends SparkSuite {
     assert(got(3L) === ((3L, 1L, "gamma one\ngamma two")))
     assert(got(4L) === ((1L, 0L, "delta solo")))
   }
+
+  test("top n-grams: occurrence vs doc counts, total tie order at the k boundary") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"), // "alpha beta gamma" twice in one doc
+      (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(corpus, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head === (("alpha beta gamma", 3L, 2L))) // 3 occurrences, 2 docs
+    // ties (all n_total = 1) resolve ascending by gram text
+    assert(got.drop(1).map(_._1).toSeq === got.drop(1).map(_._1).sorted.toSeq)
+  }
+
+  test("quality score: weight formula matches a hand computation") {
+    // "the cat sat" + "!!": toks [the,cat,sat], n_chars 13, n_punct 2,
+    // n_alpha 9, stop 1/3 -> 3333bp, alpha 6923bp, punct 1538bp, rep 0
+    val df = Seq((1L, "the cat sat!!")).toDF("doc_id", "text")
+    val base = Dedup.once(df, "__toks", TextAnalysis.tokens(col("text")))
+      .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+    val score = base.select(
+      TextAnalysis.qualityScore(col("text"), col("__toks"), col("__sh3")).as("s"))
+      .as[Long].head()
+    assert(score === 3L * 3333 + 6923 - 2L * 1538 - 0)
+  }
 }

@@ -403,4 +403,37 @@ class PipelineSpec extends SparkSuite {
     // audit: one row per day per run
     assert(spark.read.parquet(s"$audit/a").count() === 4)
   }
+
+  test("sharded export: one sorted file per shard, membership portable, rewrite byte-identical") {
+    import graft.sinks.ShardedExport
+    val out = tmpDir("graft-shards")
+    val df = (0L until 200L).map(i => (i, s"p$i")).toDF("id", "payload")
+    ShardedExport.write(df, "id", s"$out/e", 4)
+    val dirs = new java.io.File(s"$out/e").listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.map(_.getName).sorted.toSeq === (0 until 4).map(i => s"shard=$i"))
+    // exactly one data file per shard (the co-location contract)
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1, d.getName)
+    }
+    // membership = portable hash, contents sorted by id within each file
+    val expectShard = df
+      .select(col("id"), (graft.llm.Dedup.hash32(col("id").cast("string")) % 4).as("es"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 4).foreach { k =>
+      val ids = spark.read.parquet(s"$out/e/shard=$k").select("id").as[Long].collect()
+      assert(ids.sorted.toSeq === ids.toSeq, s"shard $k not sorted")
+      assert(ids.forall(expectShard(_) === k.toLong), s"shard $k has a misplaced id")
+    }
+    // a rewrite of the same frame reproduces the same bytes per shard
+    // (keyed by shard DIRECTORY — data file names share a part number
+    // when AQE coalesces the small shards into one task)
+    def shardBytes(): Map[String, Seq[Byte]] =
+      new java.io.File(s"$out/e").listFiles().filter(_.getName.startsWith("shard="))
+        .map(d => d.getName -> java.nio.file.Files.readAllBytes(
+          d.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath).toSeq)
+        .toMap
+    val before = shardBytes()
+    ShardedExport.write(df, "id", s"$out/e", 4)
+    assert(shardBytes() === before, "shard bytes changed on rewrite")
+  }
 }
