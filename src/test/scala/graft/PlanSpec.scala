@@ -118,4 +118,29 @@ class PlanSpec extends SparkSuite {
     assert(!shaped.contains("REPARTITION_BY_COL"),
       "planner-inserted exchanges must satisfy the spread guard")
   }
+
+  test("q70: as-of join is one keyed window, never a range nested-loop") {
+    val p = plan("q70_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not plan a range join explosion")
+    assert(p.contains("Window"), "expected the merged-stream running window")
+    // exactly one exchange on the join key (__k); the only other
+    // exchange is the right side's (user_id, ts) dedup aggregation
+    val keyExchanges = "hashpartitioning\\(__k".r.findAllIn(p).size
+    assert(keyExchanges === 1, s"expected one key exchange, saw $keyExchanges:\n$p")
+  }
+
+  test("q66/q72: semantic dedup and top n-grams never degrade to all-pairs or a global sort-all") {
+    val sem = plan("q66_semantic_dedup")
+    assert(!sem.contains("CartesianProduct") && !sem.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup pairs must stay inside k-means cells")
+    val top = plan("q72_top_ngrams")
+    assert(top.contains("TakeOrderedAndProject"),
+      "global top-k must be TakeOrdered (per-partition heaps), not a full sort")
+  }
+
+  test("q73: quality filter is a shuffle-free scan-project") {
+    val p = plan("q73_quality_filter")
+    assert(!p.contains("Exchange"), "per-row scoring must not shuffle")
+  }
 }
