@@ -235,7 +235,47 @@ object Relational {
       Sketches.heavyHitters(
         Tables.lineitem(s, dir).select((col("l_suppkey") % 13).as("bucket")),
         "bucket", minSupport = 0.07)
-    })
+    }),
+
+    // Time-RANGE window (not rows): per event, count + exact-cents sum of
+    // the user's events in the trailing hour, peers at equal timestamps
+    // included on both engines. The ordering key is integer microseconds
+    // (rangeBetween needs a numeric frame); one shuffle on the user key.
+    "q74_rolling_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          sum(col("v")).over(w).as("sum_cents_hour"))
+    }),
+
+    // Pivot: per-user event-type count matrix with the value set pinned
+    // (never inferred — a distinct-scan at 100 TB, and unstable columns).
+    // Cells coalesce to 0: Spark pivot yields NULL for absent groups
+    // where a FILTERed COUNT gives 0.
+    "q75_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
+    // CUBE rollup lattice over (status, priority): all four grouping
+    // sets in ONE pass (map-side expansion, one shuffle), with
+    // grouping_id disambiguating subtotal rows from data nulls.
+    "q76_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().as("gid")))
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -409,6 +449,35 @@ object Relational {
       """WITH b AS (SELECT l_suppkey % 13 AS bucket FROM lineitem),
         |t AS (SELECT CAST(CEIL(COUNT(*) * 0.07) AS BIGINT) AS thr FROM b)
         |SELECT bucket, COUNT(*) AS cnt FROM b
-        |GROUP BY 1 HAVING COUNT(*) >= (SELECT thr FROM t)""".stripMargin
+        |GROUP BY 1 HAVING COUNT(*) >= (SELECT thr FROM t)""".stripMargin,
+
+    // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
+    // range frame (both inclusive, peers included on both engines).
+    "q74_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_hour,
+        |  CAST(SUM(v) OVER w AS BIGINT) AS sum_cents_hour
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q75_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // GROUPING(a, b) bit order (first arg most significant) matches
+    // Spark's grouping_id() for cube(a, b).
+    "q76_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   )
 }
