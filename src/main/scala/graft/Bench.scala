@@ -14,9 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - failures are never swallowed: a throwing query is reported in a
   *    `failures` map, its timing omitted, and the process exits nonzero —
   *    a broken query previously recorded a tiny wall time and read as a
-  *    speedup.
+  *    speedup;
+  *  - the artifact self-diagnoses contention (VERDICT r6 item 1): a fixed
+  *    calibration query is timed before the suite and again after. Its cost
+  *    is data-size-fixed, so the two measurements should agree; sustained
+  *    co-tenant load (the failure mode median-of-3 cannot defend against —
+  *    it inflated three of six round artifacts 3-8×) skews at least one.
+  *    The JSON carries `"calibration":[t0,t1]` and `"contended":true` when
+  *    they disagree by more than 2×, so a forged number can never silently
+  *    drive a verdict.
   */
 object Bench {
+  /** Fixed probe for the contention self-diagnosis. q20 (top-k orders) is
+    * small, stable, and has been in every round artifact since r1.
+    */
+  private val CalibrationQuery = "q20_topk_orders"
+
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -47,6 +60,22 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.trim.toIntOption).getOrElse(3))
 
+    // Calibration probe: warmup once, then median-of-3. Same methodology as
+    // the timed queries so the two calibration points differ only by when
+    // they ran, never by how.
+    def calibrate(): Option[Double] =
+      SparkEntry.queries.get(CalibrationQuery).flatMap { q =>
+        try {
+          run(q(spark, sfDir))
+          Some(median((1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            run(q(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }))
+        } catch { case _: Throwable => None }
+      }
+
+    val calBefore = calibrate()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
@@ -70,6 +99,8 @@ object Bench {
       }
     }
 
+    val calAfter = calibrate()
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -79,7 +110,17 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    val calJson = (calBefore, calAfter) match {
+      case (Some(t0), Some(t1)) =>
+        val contended = math.max(t0, t1) > 2.0 * math.min(t0, t1)
+        if (contended)
+          System.err.println(
+            f"[bench] WARNING: calibration drifted $t0%.3fs -> $t1%.3fs (>2x); " +
+              "artifact timings are contention-suspect — re-run on an idle machine")
+        s""","calibration":[$t0,$t1],"contended":$contended"""
+      case _ => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs$calJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size}/${names.size} queries FAILED")

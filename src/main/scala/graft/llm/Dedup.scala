@@ -156,10 +156,15 @@ object Dedup {
     else df.repartition(col("id"))
   }
 
-  /** True iff the prepared physical plan contains a shuffle or broadcast
-    * exchange, descending into AQE's wrapper (whose prepared plan hangs
-    * off the leaf as `initialPlan`). Subquery plans are not probed —
-    * missing one is the conservative direction (skip the spread).
+  /** True iff probing `.rdd` on the prepared physical plan could run a
+    * job: it contains a shuffle/broadcast exchange (descending into AQE's
+    * wrapper, whose prepared plan hangs off the leaf as `initialPlan`) OR
+    * any subquery — `SparkPlan.prepare()` submits subquery jobs even when
+    * the subquery itself is exchange-free. Polarity of a miss: a missed
+    * exchange does NOT skip the spread — it sends the plan on to the
+    * `.rdd` partition probe, which would execute those stages, exactly
+    * what this guard exists to prevent; hence the conservative
+    * any-subquery test rather than recursing for exchanges only.
     */
   private def hasExchange(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     p.exists {
@@ -168,7 +173,7 @@ object Dedup {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         hasExchange(a.initialPlan)
       case _ => false
-    }
+    } || p.subqueriesAll.nonEmpty
 
   /** Guard diagnostic for a near-dup run: per-band bucket-size stats of
     * the LSH shuffle. Candidate generation is quadratic IN EACH BUCKET,
@@ -273,14 +278,7 @@ object Dedup {
     val base0 = sets
       .transform(d => once(d, "sig", minhash(col("sh"), numSig)))
       .select(col("id"), col("sh"), col("sig"))
-    // storageLevel consults the session's CacheManager: if an identical
-    // plan is already cached (warmup run, an enclosing pipeline), reuse it
-    // instead of issuing a duplicate persist (which would only warn).
-    val base =
-      if (persistSignatures &&
-          base0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else base0
+    val base = if (persistSignatures) Caching.pin(base0) else base0
 
     val bands = base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
@@ -361,7 +359,12 @@ object Dedup {
     *   disjoint (the caller's ingest contract)
     * @param persistInputs cache both signature frames for their two uses
     *   here (skipped per-frame when the plan is already cached); pass
-    *   false to manage the lifecycle at the call site
+    *   false to manage the lifecycle at the call site. The caches outlive
+    *   this call (the returned frame's plan reads them), so a LONG-LIVED
+    *   ingest service calling this per batch must release them after
+    *   materializing the result — `Caching.release(batchSigs0)` /
+    *   `release(storeSigs0)` — or cached partitions accumulate for the
+    *   life of the app.
     * @return (new_id, corpus_id, n_sig_match) with n_sig_match >= minMatch
     */
   def incrementalNearDups(batchSigs0: DataFrame, storeSigs0: DataFrame,
@@ -370,19 +373,12 @@ object Dedup {
     require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
     val numBands = numSig / bandRows
     // Each side is consumed twice (band explode for candidates, then the
-    // signature lookup join) — persist so a LIVE signatureTable argument
-    // computes its shingle+minhash once, not per consumer. CacheManager-
-    // aware like nearDupPairs: an already-cached plan is not re-persisted.
-    // A store read straight off parquet costs one extra scan if the
-    // caller opts out (persistInputs = false) and manages caching itself.
-    def pin(t: DataFrame): DataFrame = {
-      if (persistInputs &&
-          t.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t
-    }
-    val batchSigs = pin(batchSigs0)
-    val storeSigs = pin(storeSigs0)
+    // signature lookup join) — pin so a LIVE signatureTable argument
+    // computes its shingle+minhash once, not per consumer. A store read
+    // straight off parquet costs one extra scan if the caller opts out
+    // (persistInputs = false) and manages caching itself.
+    val batchSigs = if (persistInputs) Caching.pin(batchSigs0) else batchSigs0
+    val storeSigs = if (persistInputs) Caching.pin(storeSigs0) else storeSigs0
     def bands(t: DataFrame): DataFrame =
       t.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
         .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
@@ -463,11 +459,7 @@ object Dedup {
   def chunkMatchPairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8, persistChunks: Boolean = true): DataFrame = {
     val chunks0 = chunkTable(docs, idCol, textCol, w)
-    val chunks =
-      if (persistChunks &&
-          chunks0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        chunks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else chunks0
+    val chunks = if (persistChunks) Caching.pin(chunks0) else chunks0
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -518,13 +510,16 @@ object Dedup {
     *
     * The RETURNED frame is persisted (it is the loop's final state;
     * rebuilding it would replay every round) — one-shot-job semantics,
-    * like the LSH signature table: a long-lived service consuming many
-    * graphs should unpersist results between batches.
+    * like the LSH signature table. The returned DataFrame IS the release
+    * handle: a long-lived service consuming many graphs calls
+    * `Caching.release(result)` (equivalently `result.unpersist()`)
+    * between batches. All persists go through [[Caching.pin]], so a
+    * repeated invocation of the same graph REUSES the prior run's cached
+    * rounds instead of logging duplicate-persist warnings.
     *
     * @return (id, canonical_id) for every id in the graph
     */
   def canonicalizeClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     Seq("id_a", "id_b").foreach { c =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val ok = Set[org.apache.spark.sql.types.DataType](
@@ -533,11 +528,11 @@ object Dedup {
         s"canonicalizeClusters requires integral ids; '$c' is " +
           s"${pairs.schema(c).dataType.catalogString} — map ids to long first")
     }
-    // persist the PROJECTED pairs, not the symmetric union: both union
+    // pin the PROJECTED pairs, not the symmetric union: both union
     // branches then read the cache, so the (possibly expensive) upstream
     // pair chain runs exactly once
-    val e = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = Caching.pin(
+      pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b")))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // label sums are the convergence probe; decimal so the probe can't
     // overflow at corpus-scale id magnitudes. An EMPTY graph (zero
@@ -547,10 +542,9 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var labels = sym.groupBy(col("a").as("id"))
+    var labels = Caching.pin(sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))
-      .select(col("id"), least(col("id"), col("nb")).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), least(col("id"), col("nb")).as("lbl")))
     var prev = lblSum(labels)
     var it = 0
     var done = false
@@ -562,18 +556,18 @@ object Dedup {
         .select(col("id"), least(col("lbl"), col("nlbl")).as("l0"))
       // pointer-jump (path halving): also take the label's own label —
       // every label IS a node id, so this is a self-join on the table
-      val m2 = m1.join(labels.select(col("id").as("l0"), col("lbl").as("jlbl")), Seq("l0"), "left")
-        .select(col("id"), least(col("l0"), coalesce(col("jlbl"), col("l0"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m2 = Caching.pin(
+        m1.join(labels.select(col("id").as("l0"), col("lbl").as("jlbl")), Seq("l0"), "left")
+          .select(col("id"), least(col("l0"), coalesce(col("jlbl"), col("l0"))).as("lbl")))
       val cur = lblSum(m2) // materializes m2 before the old cache drops
       val old = labels
       labels = m2
-      old.unpersist()
+      Caching.release(old)
       done = cur.compareTo(prev) == 0
       prev = cur
       it += 1
     }
-    e.unpersist()
+    Caching.release(e)
     labels.select(col("id"), col("lbl").as("canonical_id"))
   }
 
@@ -617,14 +611,20 @@ object Dedup {
     * heuristics, no corpus context) and [[chunkMatchPairs]] (token-window
     * near-dup PAIRS; this removes exact units corpus-wide).
     *
-    * Shuffle shape, corpus-scale: lines explode once and every cross-doc
-    * key is the 8-byte line hash — never the line text twice. One
-    * distinct + count on the hash (line-frequency table, reusable as a
-    * between-runs store like [[signatureTable]]), one hash-keyed join
-    * back, one groupBy(id) to reassemble documents in line order. A
-    * 32-bit collision conflates two lines' counts (over-removal, never
-    * corruption); a production corpus would widen the key to 64/128 bits
-    * with the same plan.
+    * Shuffle shape, corpus-scale: the corpus TEXT shuffles exactly ONCE
+    * (the unavoidable groupBy(id) reassembly). Cross-doc frequency is
+    * counted on the 8-byte line hash only (distinct + count — a
+    * line-frequency table reusable as a between-runs store like
+    * [[signatureTable]]), then filtered to the VIOLATORS
+    * (`n_docs > maxDocs`) — tiny by construction, since only boilerplate
+    * repeats across documents — and broadcast back onto the lines, so
+    * the join-back moves no corpus bytes at all. (Before r7 the
+    * join-back was a full hash-keyed shuffle of the line text — 2× the
+    * corpus's shuffle bytes; AQE would broadcast the post-agg side at
+    * small scale, but the violator filter makes it guaranteed at any
+    * scale.) A 32-bit collision conflates two lines' counts
+    * (over-removal, never corruption); a production corpus would widen
+    * the key to 64/128 bits with the same plan.
     *
     * @return one row per document: (id, n_lines, n_removed, cleaned) with
     *   `cleaned` the surviving lines re-joined by newline in input order
@@ -635,10 +635,12 @@ object Dedup {
     val lines = docs
       .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", hash32(col("line")))
-    val counts = lines.select(col("lh"), col("id")).distinct()
+    val violators = lines.select(col("lh"), col("id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
-    lines.join(counts, Seq("lh"))
-      .withColumn("keep", col("n_docs") <= maxDocs)
+      .filter(col("n_docs") > maxDocs)
+      .select(col("lh"), lit(true).as("__viol"))
+    lines.join(broadcast(violators), Seq("lh"), "left")
+      .withColumn("keep", col("__viol").isNull)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),

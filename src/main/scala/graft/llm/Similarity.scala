@@ -192,11 +192,13 @@ object Similarity {
         "qv", quantize(col("__v")))
       .select(col("id"), col("qv"))
     // consumed by the seed scan + every assignment/recompute pass —
-    // the signature-table trade (CacheManager-aware, like nearDupPairs)
-    val q =
-      if (q0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else q0
+    // the signature-table trade. Pinned, not raw-persisted: the bench's
+    // warmup/timed passes and q66's reuse of the q62 chain re-invoke this
+    // exact plan, and the pin guard reuses the existing cache instead of
+    // logging a duplicate-persist warning. The returned frame's plan reads
+    // q, so the cache outlives the call (one-shot semantics; a long-lived
+    // service releases it via Caching.release on the same projection).
+    val q = Caching.pin(q0)
     var centroids: IndexedSeq[Seq[Long]] = q
       .withColumn("__h", Dedup.hash32(col("id").cast("string")))
       .orderBy(col("__h"), col("id")).limit(k)

@@ -155,15 +155,19 @@ object TextAnalysis {
       repBp(sh).as("rep_bp"))
 
   /** PII-style scrubbing patterns: plain alternation-free regexes over
-    * ASCII classes, so Java (Spark codegen) and RE2 (DuckDB oracle)
-    * agree byte-for-byte — including the inline `(?i)` flag, which both
-    * engines support, so the ORIGINAL text is scanned case-insensitively
-    * and never lowercased (a redacted stream retained as corpus text
-    * must keep its case). Order: emails first (they contain digits),
-    * then dotted IPv4s, then long digit runs (7+, the account/phone-
-    * number shape — IPv4 octets are too short to double-match).
+    * EXPLICIT ASCII classes, so Java (Spark codegen) and RE2 (DuckDB
+    * oracle) agree byte-for-byte. Case-insensitivity is spelled
+    * `[a-zA-Z]`, never the inline `(?i)` flag: Java folds `(?i)[a-z]`
+    * ASCII-only while RE2 folds Unicode (U+212A KELVIN SIGN matches), so
+    * the flag is only parity-safe for ASCII text — the explicit classes
+    * are engine-neutral for ALL input. The ORIGINAL text is scanned
+    * (never lowercased: a redacted stream retained as corpus text must
+    * keep its case). Order: emails first (they contain digits), then
+    * dotted IPv4s, then long digit runs (7+, the account/phone-number
+    * shape — IPv4 octets are too short to double-match).
     */
-  val EmailRe: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe: String =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Re: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val LongDigitsRe: String = "[0-9]{7,}"
 

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   *    keep the max id — [[graft.operators.KeepLastDedup]] is the
   *    general tool); duplicate right timestamps are ambiguous in ANY
   *    engine's as-of, so the contract is explicit here.
+  *
+  * NULL semantics (the DuckDB ASOF convention — NULLs never match):
+  * right rows with a null key or null timestamp are dropped before the
+  * merge (a null timestamp would sort FIRST in the merged window and
+  * spuriously "match" null-ts left rows); left rows always pass through,
+  * and a left row with a null timestamp sorts before every surviving
+  * right row in its key, so it emerges unmatched (null payload).
   */
 object AsOfJoin {
 
@@ -43,13 +50,17 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
     require(!leftCols.contains("__matched_ts"), "left may not contain __matched_ts")
+    require(!valueCols.contains("__matched_ts"),
+      "valueCols may not contain __matched_ts (it is the reserved matched-timestamp slot)")
     val payload: Column = struct(
       col(tsCol).as("__matched_ts") +: valueCols.map(col): _*)
     val l = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(right.select(payload).schema.head.dataType).as("__rv"))
-    val r = right.select(
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
       lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
       payload.as("__rv"))
@@ -65,5 +76,71 @@ object AsOfJoin {
       leftCols.map(c => col("__lrow").getField(c).as(c)) ++
         valueCols.map(c => col("__m").getField(c).as(c)) :+
         col("__m").getField("__matched_ts").as("__matched_ts"): _*)
+  }
+
+  /** Timestamp as an order-preserving long for the binary search: micros
+    * for timestamps (lossless — Spark's internal representation), plain
+    * cast for integral types.
+    */
+  private def tsAsLong(dt: org.apache.spark.sql.types.DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c)
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"broadcast as-of needs a timestamp or integral time column, got ${other.catalogString}")
+    }
+  }
+
+  /** Broadcast as-of join — the complement of [[apply]] for a
+    * DIMENSION-sized right side (config history, price list, exchange
+    * rates): the right side collapses to one row per key holding its
+    * full sorted timestamp history as two aligned arrays, broadcasts,
+    * and each left row binary-searches its key's timestamp array
+    * ([[graft.functions.SortedCountLe]], O(log h) per row). The big left
+    * side is NEVER shuffled and never sorted — the merged-stream form
+    * ([[apply]]) costs one full left shuffle + in-partition sort, which
+    * is the right plan when BOTH sides are large but pure waste when the
+    * right side fits in a broadcast. Same ≤-tie contract, same NULL
+    * semantics (null-key/ts right rows dropped; null-ts left rows
+    * unmatched), same unique-per-(key, ts) right-side contract as
+    * [[apply]].
+    *
+    * Scale shape: the only exchange in the plan is the right side's
+    * per-key aggregation (dimension-sized); the left side's scan feeds
+    * the broadcast hash join directly. A key's history rides the
+    * broadcast as one row, so the broadcast budget is
+    * O(keys · avg history · payload width) — the caller's contract that
+    * "right is dimension-sized", exactly as with any broadcast dim join.
+    *
+    * @return left.* + valueCols + `__matched_ts`, as [[apply]]
+    */
+  def broadcastAsOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    require(!leftCols.contains("__matched_ts"), "left may not contain __matched_ts")
+    require(!valueCols.contains("__matched_ts"),
+      "valueCols may not contain __matched_ts (it is the reserved matched-timestamp slot)")
+    val rTs = right.schema(tsCol).dataType
+    val payload: Column = struct(
+      col(tsCol).as("__matched_ts") +: valueCols.map(col): _*)
+    // one row per key: ascending (ts, payload) history split into two
+    // aligned arrays (struct sort orders by the leading __t; right rows
+    // are unique per (key, ts) by contract, so the order is total)
+    val dim = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sort_array(collect_list(struct(
+        tsAsLong(rTs, col(tsCol)).as("__t"), payload.as("__p")))).as("__h"))
+      .select(col("__k"), col("__h.__t").as("__ts_arr"), col("__h.__p").as("__val_arr"))
+    val probe = tsAsLong(left.schema(tsCol).dataType, col(tsCol))
+    val idx = graft.functions.SortedCountLe(col("__ts_arr"), probe)
+    val m = when(col("__i") > 0, element_at(col("__val_arr"), col("__i")))
+    left.join(broadcast(dim), col(keyCol) === col("__k"), "left")
+      .withColumn("__i", idx)
+      .select(
+        leftCols.map(col) ++
+          valueCols.map(c => m.getField(c).as(c)) :+
+          m.getField("__matched_ts").as("__matched_ts"): _*)
   }
 }

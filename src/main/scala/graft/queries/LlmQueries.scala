@@ -282,6 +282,23 @@ object LlmQueries {
           (unix_micros(col("ts")) - unix_micros(col("__matched_ts"))).as("lag_us"))
     }),
 
+    // Broadcast as-of join: same semantics as q70, but the right side
+    // (per-user signup history) collapses to sorted per-key arrays and
+    // broadcasts — the big left side is never shuffled or sorted
+    // (binary-search probe per purchase). Same DuckDB ASOF spec.
+    "q77_asof_broadcast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      graft.operators.AsOfJoin.broadcastAsOf(
+          purchases, signups, "user_id", "ts", Seq("signup_id"))
+        .select(col("event_id"), col("user_id"), col("signup_id"),
+          (unix_micros(col("ts")) - unix_micros(col("__matched_ts"))).as("lag_us"))
+    }),
+
     // Corpus-global top-40 3-gram frequency table (the vocabulary /
     // boilerplate inspection artifact): distributed gram counts, then
     // TakeOrdered — only the k winners ever leave the executors.
@@ -851,10 +868,10 @@ object LlmQueries {
          |t AS (SELECT vec_id, qv, scale,
          |    list_transform(qv, x -> (x * 127) // scale) AS q8 FROM sc)
          |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
-         |  CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+         |  CAST(COALESCE(list_sum(q8), 0) AS BIGINT) AS sum_q8,
          |  CAST(list_max(list_transform(q8, x -> abs(x))) AS BIGINT) AS max_abs_q8,
-         |  CAST(list_sum(list_transform(range(1, len(qv) + 1),
-         |    i -> abs(qv[i] * 127 - q8[i] * scale))) AS BIGINT) AS recon_err
+         |  CAST(COALESCE(list_sum(list_transform(range(1, len(qv) + 1),
+         |    i -> abs(qv[i] * 127 - q8[i] * scale))), 0) AS BIGINT) AS recon_err
          |FROM t""".stripMargin,
 
     // Line-frequency table on the 32-bit line hash (the key the Spark
@@ -884,6 +901,20 @@ object LlmQueries {
     // the same matches with a merged-stream running window. The right
     // side is pre-deduped to one row per (user_id, ts) in both engines.
     "q70_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |s0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, s0.signup_id,
+         |  epoch_us(p.ts) - epoch_us(s0.ts) AS lag_us
+         |FROM p ASOF LEFT JOIN s0
+         |  ON p.user_id = s0.user_id AND p.ts >= s0.ts""".stripMargin,
+
+    // Same ASOF spec as q70 — the Spark side reaches it via the
+    // broadcast sorted-array + binary-search plan instead of the
+    // merged-stream window, so the two gates pin both physical forms to
+    // one semantics.
+    "q77_asof_broadcast" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events
          |  WHERE event_type = 'purchase'),
          |s0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id

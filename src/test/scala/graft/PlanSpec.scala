@@ -130,6 +130,32 @@ class PlanSpec extends SparkSuite {
     assert(keyExchanges === 1, s"expected one key exchange, saw $keyExchanges:\n$p")
   }
 
+  test("q77: broadcast as-of never shuffles or sorts the left side") {
+    val p = plan("q77_asof_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "the history dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "broadcast as-of must not fall back to the merged-stream shape")
+    // exchange inventory: exactly two hash exchanges, both on the right
+    // side — the (user_id, ts) signup dedup and the per-key history
+    // aggregation (the __k alias collapses to user_id in the optimized
+    // plan). A shuffled left side would add a third. Window/SortMergeJoin
+    // absence above excludes the merged-stream fallback shapes.
+    val exchanges = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected the two right-side exchanges only, saw $exchanges:\n$p")
+  }
+
+  test("q69: repeated-line join-back broadcasts the violator set (text shuffles once)") {
+    val p = plan("q69_repeated_lines")
+    assert(p.contains("BroadcastHashJoin"),
+      "the violator set must broadcast onto the lines")
+    // corpus text shuffles exactly once: the groupBy(id) reassembly. The
+    // frequency chain shuffles only the 8-byte line hash.
+    val textShuffles = "Exchange hashpartitioning\\(id#".r.findAllIn(p).size
+    assert(textShuffles <= 1,
+      s"line text must shuffle at most once (reassembly), saw $textShuffles:\n$p")
+  }
+
   test("q66/q72: semantic dedup and top n-grams never degrade to all-pairs or a global sort-all") {
     val sem = plan("q66_semantic_dedup")
     assert(!sem.contains("CartesianProduct") && !sem.contains("BroadcastNestedLoopJoin"),
