@@ -50,6 +50,42 @@ object LlmQueries {
       |SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Planted media fixture for the header-decode gate (q78): every third
+    * doc a minimal-but-VALID PNG (signature + IHDR), every third a
+    * minimal JPEG (SOI, a COM segment the scanner must skip, SOF0, EOI),
+    * the rest raw utf-8. Dimensions derive from the id, so the DuckDB
+    * oracle recomputes them arithmetically while the Spark side must
+    * actually parse the bytes it planted.
+    */
+  private def u32be(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private[graft] def mediaAsset(id: Long): Multimodal.Asset = (id % 3) match {
+    case 0 =>
+      val w = id % 2000 + 1
+      val h = id % 997 + 1
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+        u32be(w) ++ u32be(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ // bit depth, color type, compression, filter, interlace
+        Array[Byte](0, 0, 0, 0)       // CRC slot (not validated by the header parse)
+      Multimodal.Asset(id, "image", sig ++ ihdr)
+    case 1 =>
+      val w = id % 500 + 17
+      val h = id % 700 + 9
+      val bytes =
+        Array(0xff, 0xd8).map(_.toByte) ++                      // SOI
+        Array(0xff, 0xfe, 0, 4, 'h', 'i').map(_.toByte) ++      // COM segment (must be skipped)
+        Array(0xff, 0xc0, 0, 17, 8).map(_.toByte) ++            // SOF0, len 17, precision 8
+        Array(((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3.toByte) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++      // 3 component specs
+        Array(0xff, 0xd9).map(_.toByte)                         // EOI
+      Multimodal.Asset(id, "image", bytes)
+    case _ =>
+      Multimodal.Asset(id, "text", s"doc $id".getBytes("UTF-8"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -478,6 +514,17 @@ object LlmQueries {
         length(col("content")).cast("long").as("n_bytes"),
         md5(col("content")).as("content_hash"),
         col("head_hex"))
+    }),
+
+    // REAL header decode: PNG IHDR / JPEG SOF dimensions parsed from the
+    // payload bytes (dependency-free), over planted fixtures whose
+    // dimensions the oracle recomputes arithmetically from the id.
+    "q78_media_headers" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as(org.apache.spark.sql.Encoders.scalaLong)
+      val assets = ids.map(mediaAsset(_))(
+        org.apache.spark.sql.Encoders.product[Multimodal.Asset]).toDF()
+      Multimodal.headerMeta(assets).toDF()
     })
   )
 
@@ -1196,6 +1243,23 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash,
         |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents""".stripMargin,
+
+    // The planted sizes: PNG = 8 sig + 25 IHDR chunk = 33 bytes; JPEG =
+    // 2 SOI + 6 COM + 19 SOF0 + 2 EOI = 29; text = 'doc ' || id. The
+    // dimension formulas mirror mediaAsset's planting exactly — the
+    // Spark side must parse them back out of the bytes.
+    "q78_media_headers" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'text' ELSE 'image' END AS kind,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 29
+        |       ELSE 4 + length(CAST(doc_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 2000 + 1
+        |       WHEN 1 THEN doc_id % 500 + 17 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 997 + 1
+        |       WHEN 1 THEN doc_id % 700 + 9 END AS INTEGER) AS height
         |FROM documents""".stripMargin
   )
 }

@@ -467,6 +467,55 @@ class LlmSpec extends SparkSuite {
     assert(head.forall(_.length === 8))
   }
 
+  test("header decode: PNG IHDR and JPEG SOF dimensions parse; malformed bytes degrade safely") {
+    import graft.llm.Multimodal.HeaderDecoder.decode
+    import graft.queries.LlmQueries.mediaAsset
+    // planted fixtures round-trip (multi-byte big-endian dims included)
+    assert(decode(mediaAsset(1999 * 3).content) === (("png", Some(1999 * 3 % 2000 + 1), Some(1999 * 3 % 997 + 1))))
+    assert(decode(mediaAsset(601).content) === (("jpeg", Some(601 % 500 + 17), Some(601 % 700 + 9))))
+    assert(decode(mediaAsset(5).content) === (("unknown", None, None)))
+    // truncated PNG (signature only, IHDR outside the bytes)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(decode(sig) === (("unknown", None, None)))
+    // zero-dimension PNG is invalid per spec → png with null dims
+    val zero = mediaAsset(0).content.clone()
+    java.util.Arrays.fill(zero, 16, 24, 0.toByte)
+    assert(decode(zero) === (("png", None, None)))
+    // JPEG: SOS before any SOF → no dimensions; corrupt segment length → safe
+    val sos = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(decode(sos) === (("jpeg", None, None)))
+    val corrupt = Array(0xff, 0xd8, 0xff, 0xfe, 0x00, 0x01).map(_.toByte)
+    assert(decode(corrupt) === (("jpeg", None, None)))
+    // fill bytes before the SOF marker are tolerated
+    val jp = mediaAsset(601).content
+    val filled = jp.take(8) ++ Array(0xff.toByte) ++ jp.drop(8)
+    assert(decode(filled) === (("jpeg", Some(601 % 500 + 17), Some(601 % 700 + 9))))
+    assert(decode(Array.empty[Byte]) === (("unknown", None, None)))
+  }
+
+  test("pin/release lifecycle: repeated pins reuse the cache; release empties it") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalizeClusters(pairs)
+    assert(labels.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+      "the loop-final frame is returned pinned")
+    // a second invocation of the SAME graph must reuse the cached rounds
+    // (pin guard), not issue duplicate persists — and still be correct
+    val again = Dedup.canonicalizeClusters(pairs)
+    assert(again.collect().toSet === labels.collect().toSet)
+    Caching.release(labels)
+    assert(labels.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "release must drop the cache entry")
+    // release is a safe no-op on a never-pinned frame
+    Caching.release(pairs)
+    // pin on an already-cached plan does not re-persist (no-throw, same level)
+    val p1 = Caching.pin(pairs.select(col("id_a")))
+    val lvl = p1.storageLevel
+    val p2 = Caching.pin(pairs.select(col("id_a")))
+    assert(p2.storageLevel === lvl)
+    Caching.release(p1)
+    assert(p2.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("semantic dedup: exact copies collapse to min id transitively; distinct vectors survive") {
     // 1 ≈ 2 ≈ 3 (copies: closure must chain them all to 1), 10/11 distinct
     val emb = Seq(

@@ -433,7 +433,27 @@ class PipelineSpec extends SparkSuite {
           d.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath).toSeq)
         .toMap
     val before = shardBytes()
-    ShardedExport.write(df, "id", s"$out/e", 4)
+    val manifest = ShardedExport.write(df, "id", s"$out/e", 4)
     assert(shardBytes() === before, "shard bytes changed on rewrite")
+    // manifest: entries match the written files (rows from read-back,
+    // bytes and md5 from the actual data files) and round-trip via
+    // readManifest; a loader can verify integrity without decoding
+    // parquet
+    assert(manifest.map(_.shard) === Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_.n_rows).sum === 200L)
+    (0 until 4).foreach { k =>
+      val readRows = spark.read.parquet(s"$out/e/shard=$k").count()
+      assert(manifest(k).n_rows === readRows, s"manifest rows off for shard $k")
+      val file = new java.io.File(s"$out/e/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(manifest(k).n_bytes === file.length(), s"manifest bytes off for shard $k")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(java.nio.file.Files.readAllBytes(file.toPath))
+        .map(b => f"$b%02x").mkString
+      assert(manifest(k).md5 === hex, s"manifest md5 off for shard $k")
+    }
+    assert(ShardedExport.readManifest(spark, s"$out/e") === manifest)
+    // the manifest file must be invisible to a directory read
+    assert(spark.read.parquet(s"$out/e").count() === 200L)
   }
 }

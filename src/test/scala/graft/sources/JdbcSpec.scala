@@ -70,6 +70,40 @@ class JdbcSpec extends SparkSuite {
     assert(rows === Seq(3))
   }
 
+  test("K5: PG-dialect deleteDay and ANSI deleteDayAnsi select the same day-set (Spark SQL referee)") {
+    import org.apache.spark.sql.functions.{col, expr, to_timestamp}
+    // No PG server exists here, so the PG-only `to_char` predicate cannot
+    // run live; instead both builders' WHERE clauses are evaluated over
+    // ONE timestamp fixture with Spark SQL as the referee (to_char ->
+    // date_format, PG 'mm' month code -> Java 'MM'). Divergence between
+    // the two predicates on any boundary row fails here — pinning both
+    // SQL forms to the same day partition.
+    val fixture = Seq(
+      (1L, "2024-03-09 23:59:59.999"), // day before, last ms
+      (2L, "2024-03-10 00:00:00.0"),   // midnight opens the day
+      (3L, "2024-03-10 12:34:56.789"),
+      (4L, "2024-03-10 23:59:59.999"), // last ms of the day
+      (5L, "2024-03-11 00:00:00.0"),   // next midnight is NOT the day
+      (6L, "2024-02-29 10:00:00.0"),   // leap day
+      (7L, "2023-12-31 23:59:59.999")  // year boundary
+    ).toDF("id", "s").select(col("id"), to_timestamp(col("s")).as("ts"))
+    def whereClause(sql: String): String = sql.split(" WHERE ", 2)(1)
+    def asSparkPredicate(w: String): String = w
+      .replace("to_char(", "date_format(")
+      .replace("'yyyy-mm-dd'", "'yyyy-MM-dd'")
+      .replace("\"ts\"", "ts")
+    def daySet(sqlBuilder: (String, String, String) => String, day: String): Set[Long] =
+      fixture.filter(expr(asSparkPredicate(whereClause(sqlBuilder("t", "ts", day)))))
+        .select("id").as[Long].collect().toSet
+    for (day <- Seq("2024-03-10", "2024-02-29", "2023-12-31", "2024-03-11")) {
+      val pg = daySet(Jdbc.Sql.deleteDay, day)
+      val ansi = daySet(Jdbc.Sql.deleteDayAnsi, day)
+      assert(pg === ansi, s"dialects diverge on $day")
+    }
+    assert(daySet(Jdbc.Sql.deleteDay, "2024-03-10") === Set(2L, 3L, 4L))
+    assert(daySet(Jdbc.Sql.deleteDayAnsi, "2024-03-11") === Set(5L))
+  }
+
   test("K4-K6: partitionOverwriteLoad round-trips delete -> append -> audit on a live database") {
     exec(
       """CREATE TABLE tgt ("day" VARCHAR(10), "id" INT)""",
