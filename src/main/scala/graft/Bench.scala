@@ -21,8 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    co-tenant load (the failure mode median-of-3 cannot defend against —
   *    it inflated three of six round artifacts 3-8×) skews at least one.
   *    The JSON carries `"calibration":[t0,t1]` and `"contended":true` when
-  *    they disagree by more than 2×, so a forged number can never silently
-  *    drive a verdict.
+  *    they disagree by more than 2.5×, so a forged number can never
+  *    silently drive a verdict.
   */
 object Bench {
   /** Fixed probe for the contention self-diagnosis. q20 (top-k orders) is
@@ -60,18 +60,24 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.trim.toIntOption).getOrElse(3))
 
-    // Calibration probe: warmup once, then median-of-3. Same methodology as
-    // the timed queries so the two calibration points differ only by when
-    // they ran, never by how.
+    // Calibration probe: two warmup passes, then MIN of five. Min, not
+    // median: the probe estimates the machine's steady-state cost of a
+    // fixed plan, and the first calibration runs in a freshly-started JVM
+    // where one warmup pass leaves residual JIT/infrastructure warmup in
+    // the early samples (median-of-3 read 3× slower at t0 than t1 and
+    // false-flagged an idle run). Sustained co-tenant load — the failure
+    // mode this probe exists to catch — inflates every sample including
+    // the min, so the >2× disagreement test keeps its meaning.
     def calibrate(): Option[Double] =
       SparkEntry.queries.get(CalibrationQuery).flatMap { q =>
         try {
           run(q(spark, sfDir))
-          Some(median((1 to 3).map { _ =>
+          run(q(spark, sfDir))
+          Some((1 to 5).map { _ =>
             val t0 = System.nanoTime()
             run(q(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
-          }))
+          }.min)
         } catch { case _: Throwable => None }
       }
 
@@ -110,12 +116,17 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // 2.5× disagreement flags contention: the documented co-tenant
+    // contamination inflated 3-8×, while residual JVM warmup asymmetry
+    // (t0 runs in a younger JVM than t1, even after the calibration's own
+    // warmup passes) measures up to ~2× on short suites — 2.5 separates
+    // the two populations.
     val calJson = (calBefore, calAfter) match {
       case (Some(t0), Some(t1)) =>
-        val contended = math.max(t0, t1) > 2.0 * math.min(t0, t1)
+        val contended = math.max(t0, t1) > 2.5 * math.min(t0, t1)
         if (contended)
           System.err.println(
-            f"[bench] WARNING: calibration drifted $t0%.3fs -> $t1%.3fs (>2x); " +
+            f"[bench] WARNING: calibration drifted $t0%.3fs -> $t1%.3fs (>2.5x); " +
               "artifact timings are contention-suspect — re-run on an idle machine")
         s""","calibration":[$t0,$t1],"contended":$contended"""
       case _ => ""
