@@ -487,6 +487,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_chunks"))
   }
 
+  /** Bloom-prefiltered decontamination: identical results to
+    * [[crossCorpusChunkMatches]] (the eval side's absence of false
+    * negatives + the exact confirm join guarantee it), but the training
+    * corpus is probed against a driver-built Bloom filter of the eval
+    * fingerprints BEFORE anything joins — so at 100 TB the corpus's
+    * non-matching chunks (virtually all of them) die inside the scan's
+    * whole-stage codegen instead of shuffling to an equi-join.
+    *
+    * Why not just let AQE broadcast the eval side? A broadcast hash join
+    * still streams every train chunk row through the join operator and,
+    * more importantly, an exact broadcast SET of 10^8-10^9 eval n-gram
+    * fingerprints (8 B + hash-table overhead each) blows the broadcast
+    * limit, while the Bloom filter at the same cardinality and 1% fpp is
+    * ~1.2 GB worst-case and single-digit MB at typical eval sizes — it is
+    * the standard scale trick (Spark's own runtime row-level filtering
+    * uses the identical mechanism; this version works on an arbitrary
+    * pre-aggregated fingerprint table rather than a join key).
+    *
+    * Lifecycle: the eval chunk table is pinned (consumed twice — filter
+    * build + confirm join) with one-shot-job semantics, like the LSH
+    * signature table in [[nearDupPairs]]; a long-lived service sweeping
+    * many corpora against one eval set should build the eval
+    * [[chunkTable]] itself, manage its cache, and run this sweep's two
+    * stages directly.
+    *
+    * @param fpp false-positive rate of the prefilter — a COST knob only
+    *   (extra confirm-join input), never a correctness one
+    * @return (train_id, eval_id, n_shared_chunks), exactly
+    *   [[crossCorpusChunkMatches]]
+    */
+  def bloomDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, w: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val evalChunks = Caching.pin(chunkTable(evalSet, idCol, textCol, w))
+    // one tiny job: distinct fingerprint count sizes the filter optimally
+    val nEval = math.max(evalChunks.count(), 1L)
+    val bloom = evalChunks.stat.bloomFilter("chunk", nEval, fpp)
+    val trainChunks = chunkTable(train, idCol, textCol, w)
+      .filter(graft.functions.BloomContainsLong(col("chunk"), bloom))
+    trainChunks.as("a").join(evalChunks.as("b"), col("a.chunk") === col("b.chunk"))
+      .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+  }
+
+  /** Per-document novelty profile: how much of each document's w-token
+    * fingerprint set appears NOWHERE else in the corpus. The memorization
+    * /duplication lens a data release reads next to the dedup sweep —
+    * low-novelty documents are templated/boilerplate even when no single
+    * pair crossed the near-dup threshold.
+    *
+    * Scale shape: one corpus-wide chunk-frequency aggregate (map-side
+    * combinable, fingerprints only — text never leaves the first
+    * projection) joined back to the per-doc chunk table on the chunk
+    * hash, then a per-doc count-aggregate. Both shuffles move (id, hash)
+    * pairs, never text. The chunk table is pinned (consumed by the
+    * frequency agg and the join-back); lifecycle contract as
+    * [[incrementalNearDups]].
+    *
+    * @return (id, n_chunks, n_unique_chunks, novelty_ppm) — ppm is
+    *   integer-exact across engines (floor of the million-scaled ratio;
+    *   n_chunks >= 1 by construction since tokenless docs emit no chunks)
+    */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val chunks = Caching.pin(chunkTable(docs, idCol, textCol, w))
+    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique_chunks"))
+      .withColumn("novelty_ppm",
+        floor(col("n_unique_chunks") * 1000000L / col("n_chunks")).cast("long"))
+  }
+
   /** Transitive canonicalization of a verified near-dup pair graph:
     * connected components by iterative min-label propagation. Every id
     * appearing in `pairs` maps to the MINIMUM id reachable through the

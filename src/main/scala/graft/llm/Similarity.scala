@@ -199,26 +199,45 @@ object Similarity {
     // q, so the cache outlives the call (one-shot semantics; a long-lived
     // service releases it via Caching.release on the same projection).
     val q = Caching.pin(q0)
+    val centroids = kmeansFitQuantized(q, k, iters)
+    assignQuantized(q, centroids).select(col("id"), col("cluster"), col("dist_sq"))
+  }
+
+  /** argmin of `vec` (array<long>) over centroid literals as a struct
+    * array-min: struct ordering is lexicographic (dist, index), so ties
+    * pick the lowest index. Map-only — the assignment side of k-means,
+    * PQ encode, and IVF routing all reduce to this one shape.
+    */
+  private def assignStruct(vec: Column, centroids: IndexedSeq[Seq[Long]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(vec, array(c.map(lit): _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+        lit(i.toLong).as("c"))
+    }: _*))
+
+  private def assignQuantized(q: DataFrame,
+      centroids: IndexedSeq[Seq[Long]]): DataFrame =
+    Dedup.once(q, "__a", assignStruct(col("qv"), centroids))
+      .select(col("id"), col("qv"),
+        col("__a.c").as("cluster"), col("__a.d").as("dist_sq"))
+
+  /** Deterministic Lloyd training over a quantized (id, qv) frame:
+    * h32-smallest seeds, `iters − 1` (assign → integer-mean recompute)
+    * rounds. Returns the FINAL centroids — assignment against them is a
+    * separate map-only projection, so a caller training m codebooks (PQ)
+    * pays one scan per round per codebook but encodes everything in a
+    * single final pass. Driver state is k·dim longs per collect — bounded
+    * by the codebook, never by data.
+    */
+  private[llm] def kmeansFitQuantized(q: DataFrame, k: Int,
+      iters: Int): IndexedSeq[Seq[Long]] = {
     var centroids: IndexedSeq[Seq[Long]] = q
       .withColumn("__h", Dedup.hash32(col("id").cast("string")))
       .orderBy(col("__h"), col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
-    def assigned(): DataFrame = {
-      // argmin over k centroids as a struct array-min: struct ordering
-      // is lexicographic (dist, index), so ties pick the lowest index
-      val ds = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("qv"), array(c.map(lit): _*),
-            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
-          lit(i.toLong).as("c"))
-      }: _*)
-      Dedup.once(q, "__a", array_min(ds))
-        .select(col("id"), col("qv"),
-          col("__a.c").as("cluster"), col("__a.d").as("dist_sq"))
-    }
-    var out = assigned()
     for (_ <- 2 to iters) {
-      val sums = out
+      val sums = assignQuantized(q, centroids)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -233,9 +252,8 @@ object Similarity {
           case None => prev
         }
       }
-      out = assigned()
     }
-    out.select(col("id"), col("cluster"), col("dist_sq"))
+    centroids
   }
 
   /** SemDeDup-style semantic deduplication (the embedding analog of the
@@ -295,5 +313,55 @@ object Similarity {
         greatest(array_max(transform(col("__qv"), x => abs(x))), lit(1L)))
       .select(col(idCol), col("__qv").as("qv"), col("__sc").as("scale"),
         expr("transform(__qv, x -> (x * 127L) div __sc)").as("q8"))
+  }
+
+  /** Product quantization encode — the codebook compression behind
+    * IVF-PQ indexes (Jégou et al. 2011's PQ step): the D-dim vector
+    * splits into `m` contiguous subspaces of D/m dims, each subspace
+    * gets its own deterministic k-means codebook
+    * ([[kmeansFitQuantized]] on the sliced vectors — same seeds-by-h32,
+    * same integer means), and a vector's code is the m-tuple of its
+    * nearest sub-centroids. Storage per vector drops from D·8 B to
+    * m·⌈log2 k⌉ bits + shared codebooks (m·k·(D/m) longs — driver/
+    * broadcast-sized, never data-sized).
+    *
+    * Scale shape: training costs (iters−1) scans per codebook over the
+    * PINNED quantized frame (slices recompute from cache); ENCODING is
+    * one map-only projection computing all m argmins per row — at 100 TB
+    * the encode pass is the whole cost and it is a pure scan-project.
+    * Everything is integer-exact (quantized milli-units, integer
+    * squared distances, integer centroid means), so codes and the
+    * reconstruction error are bit-stable across engines.
+    *
+    * @return (idCol, codes array<long> of length m, recon_err — the sum
+    *   over subspaces of the integer squared distance to the chosen
+    *   sub-centroid, i.e. the exact PQ reconstruction error of the
+    *   quantized vector)
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(m > 0 && k > 0 && iters > 0, "m, k and iters must be positive")
+    val q0 = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "qv", quantize(col("__v")))
+      .select(col("id"), col("qv"))
+    val q = Caching.pin(q0)
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val books = (0 until m).map { j =>
+      kmeansFitQuantized(
+        q.select(col("id"), slice(col("qv"), j * sub + 1, sub).as("qv")),
+        k, iters)
+    }
+    // one barrier materializes all m (dist, code) argmin structs, then
+    // codes/err project from it without re-evaluating the k·m distances
+    val pq = array((0 until m).map { j =>
+      assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
+    }: _*)
+    Dedup.once(q, "__pq", pq)
+      .select(col("id").as(idCol),
+        transform(col("__pq"), s => s.getField("c")).as("codes"),
+        aggregate(transform(col("__pq"), s => s.getField("d")),
+          lit(0L), _ + _).as("recon_err"))
   }
 }

@@ -243,6 +243,55 @@ object TextAnalysis {
   def c4CleanedLines(text: Column): Column =
     filter(split(text, "\n"), ln => c4KeepLine(ln))
 
+  // ------------------------------------------------------------- HTML
+
+  /** Case-insensitive literal spelled as explicit `[cC]` classes — the
+    * engine-neutral form (see the `(?i)` note on the PII patterns).
+    */
+  private def ci(word: String): String =
+    word.map(c => s"[${c.toLower}${c.toUpper}]").mkString
+
+  /** WET-style HTML-to-text extraction patterns. Engine-neutral subset
+    * only: explicit classes, non-greedy quantifiers, and a leading
+    * `(?s)` — all of which Java (Spark codegen) and RE2 (DuckDB oracle)
+    * implement with identical leftmost-shortest semantics; no
+    * lookaround (RE2 has none) and no inline `(?i)`.
+    */
+  val ScriptRe: String = s"(?s)<${ci("script")}[^>]*>.*?</${ci("script")}[ \\t\\r\\n]*>"
+  val StyleRe: String = s"(?s)<${ci("style")}[^>]*>.*?</${ci("style")}[ \\t\\r\\n]*>"
+  val HtmlCommentRe: String = "(?s)<!--.*?-->"
+  val TagRe: String = "<[^>]*>"
+  val WsRunRe: String = "[ \\t\\r\\n]+"
+
+  /** The five entities every extractor must decode (the XML set plus
+    * nbsp), decoded AFTER tag stripping, `&amp;` strictly last so
+    * double-escaped input unescapes one level, as a real extractor does.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML/boilerplate-to-text extraction (the WET step of a web-corpus
+    * pipeline): drop script/style/comment blocks wholesale, strip the
+    * remaining tags, decode the core entities, collapse whitespace runs,
+    * trim. Pure per-row string work — codegen'd, shuffle-free, linear at
+    * any corpus size; the heavy regexes run once per document, never per
+    * token. This feeds [[c4CleanedLines]]/[[qualityProfile]], which
+    * expect plain text.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, ScriptRe, " "),
+        StyleRe, " "),
+      HtmlCommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, WsRunRe, " "))
+  }
+
   /** Exact per-group value percentiles at HISTOGRAM cost — the corpus
     * length-distribution profile (p50/p90/p99 token counts per
     * language) a curation dashboard reads.

@@ -50,6 +50,20 @@ object LlmQueries {
       |SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** q81's markup fixture, shared verbatim by the Spark concat and the
+    * oracle's `||` chain: script content with raw `<`/`>`/`&&` (the
+    * block regex must swallow it), a comment, a MIXED-CASE tag, and the
+    * six core entities including a double-escape (`&amp;lt;` must decode
+    * to `&lt;`, not `<`). No single quotes (SQL literal hygiene).
+    */
+  private val HtmlFixPre = "<html><head><title>Doc "
+  private val HtmlFixMid1 =
+    "</title><style type=\"text/css\">p { color: #333; }</style></head><body><!-- nav bar --><h1>"
+  private val HtmlFixMid2 =
+    "</h1><script type=\"text/javascript\">var t = 1 < 2 && 2 > 1; // <tricky></script><p>"
+  private val HtmlFixPost =
+    "</p><P CLASS=\"x\">Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;keep</P></body></html>"
+
   /** Planted media fixture for the header-decode gate (q78): every third
     * doc a minimal-but-VALID PNG (signature + IHDR), every third a
     * minimal JPEG (SOI, a COM segment the scanner must skip, SOF0, EOI),
@@ -525,7 +539,53 @@ object LlmQueries {
       val assets = ids.map(mediaAsset(_))(
         org.apache.spark.sql.Encoders.product[Multimodal.Asset]).toDF()
       Multimodal.headerMeta(assets).toDF()
-    })
+    }),
+
+    // Bloom-prefiltered decontamination: identical SPEC to q57 (the fpp
+    // knob only adds confirm-join input, never results — the oracle is
+    // the plain exact-overlap SQL), but the training corpus dies against
+    // a driver-built Bloom filter inside the scan before anything joins.
+    // Distinct eval fixture (every 13th doc's 300-char head) so q57 and
+    // q79 gate independently.
+    "q79_bloom_decontamination" -> ((s, dir) => {
+      val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val eval = train.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          substring(col("text"), 1, 300).as("text"))
+      Dedup.bloomDecontaminate(train, eval, "doc_id", "text", w = 8)
+    }),
+
+    // WET-style HTML extraction: each doc wrapped in markup with
+    // script/style/comment blocks, mixed-case tags and entities; the
+    // gate hash-checks the extracted text byte-for-byte (md5 + length
+    // + head) against DuckDB running the same engine-neutral patterns.
+    "q81_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit(HtmlFixPre), col("doc_id").cast("string"), lit(HtmlFixMid1),
+        col("source"), lit(HtmlFixMid2), col("text"), lit(HtmlFixPost))
+      val t = TextAnalysis.htmlToText(html)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(t).as("text_md5"),
+        length(t).cast("long").as("n_chars_x"),
+        substring(t, 1, 40).as("head"))
+    }),
+
+    // Per-doc fingerprint novelty: the memorization/boilerplate lens —
+    // share of each doc's 8-token windows appearing nowhere else in the
+    // corpus (the planted duplicates make every 10th doc's profile
+    // collapse to 0 unique).
+    "q82_chunk_novelty" -> ((s, dir) =>
+      Dedup.noveltyProfile(docsCorpus(s, dir), "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("n_unique_chunks"), col("novelty_ppm"))),
+
+    // Product quantization: 4 per-subspace deterministic codebooks over
+    // the 64-dim vectors; codes + exact integer reconstruction error.
+    // The oracle unrolls all four 2-round Lloyd chains on the slices.
+    "q83_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 4, k = 4, iters = 2))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -655,6 +715,38 @@ object LlmQueries {
        |d2 AS (SELECT q.id, s.c, ${distSql("s")} AS dist
        |  FROM q CROSS JOIN cent s),
        |a2 AS (SELECT id, c AS cluster, dist FROM d2
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
+  }
+
+  /** One subspace's deterministic 2-round Lloyd chain for the PQ gate
+    * (q83): identical shape to [[kmeansChainSql]] but reading the
+    * `[j·sub+1, (j+1)·sub]` slice of a shared `q` (id, qv) relation,
+    * every CTE prefixed `p{j}_`. Seeds are the h32-smallest ids — the
+    * SAME ids in every subspace, exactly like the Spark trainer. k = 4.
+    */
+  private def pqChainSql(j: Int, sub: Int): String = {
+    val h = h32Sql("CAST(id AS VARCHAR)")
+    val p = s"p${j}_"
+    def dist(aRel: String, bRel: String): String =
+      s"""CAST(list_sum(list_transform(range(1, len($aRel.qv) + 1),
+         |      i -> ($aRel.qv[i] - $bRel.qv[i]) * ($aRel.qv[i] - $bRel.qv[i]))) AS BIGINT)""".stripMargin
+    s"""${p}q AS (SELECT id, list_slice(qv, ${j * sub + 1}, ${(j + 1) * sub}) AS qv FROM q),
+       |${p}seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM ${p}q
+       |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
+       |${p}d1 AS (SELECT q.id, q.qv, s.c, ${dist("q", "s")} AS dist
+       |  FROM ${p}q q CROSS JOIN ${p}seeds s),
+       |${p}a1 AS (SELECT id, qv, c AS cluster, dist FROM ${p}d1
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1),
+       |${p}sums AS (SELECT cluster, pos, SUM(qv[pos]) AS sv, COUNT(*) AS n
+       |  FROM ${p}a1, UNNEST(range(1, len(qv) + 1)) AS t(pos)
+       |  GROUP BY 1, 2),
+       |${p}nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
+       |  FROM ${p}sums GROUP BY 1),
+       |${p}cent AS (SELECT s.c, COALESCE(n.qv, s.qv) AS qv
+       |  FROM ${p}seeds s LEFT JOIN ${p}nc n ON s.c = n.c),
+       |${p}d2 AS (SELECT q.id, s.c, ${dist("q", "s")} AS dist
+       |  FROM ${p}q q CROSS JOIN ${p}cent s),
+       |${p}a2 AS (SELECT id, c AS cluster, dist FROM ${p}d2
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
   }
 
@@ -1260,6 +1352,64 @@ object LlmQueries {
         |       WHEN 1 THEN doc_id % 500 + 17 END AS INTEGER) AS width,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 997 + 1
         |       WHEN 1 THEN doc_id % 700 + 9 END AS INTEGER) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Same exact-overlap spec as q57 — the Bloom prefilter is invisible
+    // to results (no false negatives; positives re-checked by the join).
+    "q79_bloom_decontamination" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id + 90000 AS doc_id, substr(text, 1, 300) AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${chunksSql("train", 8, "t_")},
+         |${chunksSql("ev", 8, "e_")}
+         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+         |FROM t_chunks a JOIN e_chunks b ON a.chunk = b.chunk
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q81_html_extract" -> {
+      import TextAnalysis.{HtmlCommentRe, ScriptRe, StyleRe, TagRe, WsRunRe}
+      val entityChain = TextAnalysis.HtmlEntities.foldLeft("x") {
+        case (acc, (ent, ch)) =>
+          val chSql = if (ch == "'") "''''" else s"'$ch'"
+          s"replace($acc, '$ent', $chSql)"
+      }
+      s"""WITH fix AS (SELECT doc_id,
+         |  '$HtmlFixPre' || CAST(doc_id AS VARCHAR) || '$HtmlFixMid1' || source ||
+         |  '$HtmlFixMid2' || text || '$HtmlFixPost' AS html FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(html, '$ScriptRe', ' ', 'g') AS x FROM fix),
+         |s2 AS (SELECT doc_id, regexp_replace(x, '$StyleRe', ' ', 'g') AS x FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(x, '$HtmlCommentRe', ' ', 'g') AS x FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(x, '$TagRe', ' ', 'g') AS x FROM s3),
+         |s5 AS (SELECT doc_id, $entityChain AS x FROM s4),
+         |ex AS (SELECT doc_id, trim(regexp_replace(x, '$WsRunRe', ' ', 'g')) AS t FROM s5)
+         |SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars_x,
+         |  substr(t, 1, 40) AS head
+         |FROM ex""".stripMargin
+    },
+
+    "q82_chunk_novelty" ->
+      s"""WITH corpus AS ($corpusSql),
+         |${chunksSql("corpus", 8)},
+         |freq AS (SELECT chunk, COUNT(*) AS n_docs FROM chunks GROUP BY 1)
+         |SELECT c.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_chunks,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |       * 1000000 / COUNT(*)) AS BIGINT) AS novelty_ppm
+         |FROM chunks c JOIN freq f ON c.chunk = f.chunk
+         |GROUP BY 1""".stripMargin,
+
+    "q83_pq_encode" ->
+      s"""WITH q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+         |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")}
+         |SELECT q.id AS vec_id,
+         |  [p0_a2.cluster, p1_a2.cluster, p2_a2.cluster, p3_a2.cluster] AS codes,
+         |  CAST(p0_a2.dist + p1_a2.dist + p2_a2.dist + p3_a2.dist AS BIGINT) AS recon_err
+         |FROM q
+         |JOIN p0_a2 ON q.id = p0_a2.id
+         |JOIN p1_a2 ON q.id = p1_a2.id
+         |JOIN p2_a2 ON q.id = p2_a2.id
+         |JOIN p3_a2 ON q.id = p3_a2.id""".stripMargin
   )
 }

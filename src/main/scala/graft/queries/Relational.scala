@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.enrich.Enrichment
 import graft.functions.EtlFunctions._
-import graft.operators.{Cleaning, Consolidate, DateStreaks, KeepLastDedup}
+import graft.operators.{Cleaning, Consolidate, DateStreaks, KeepLastDedup, StableIds}
 
 /** Relational operator inventory (SURVEY.md §2.3-2.7) expressed over the
   * driver's TPC-H-ish testdata, each with a DuckDB oracle.
@@ -275,7 +275,16 @@ object Relational {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("sum_cents"),
-          grouping_id().as("gid")))
+          grouping_id().as("gid"))),
+
+    // Contiguous global row ids in key order WITHOUT the Exchange
+    // SinglePartition the naive row_number()-over-ORDER-BY window plans
+    // (PlanSpec pins that absence): range partition + local sort +
+    // per-partition offset arithmetic — every stage parallel.
+    "q80_stable_ids" -> ((s, dir) =>
+      StableIds.byKey(
+        Tables.orders(s, dir).select(col("o_orderkey")),
+        numPartitions = 8, col("o_orderkey")))
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -478,6 +487,11 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q80_stable_ids" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
+        |FROM orders""".stripMargin
   )
 }

@@ -169,4 +169,26 @@ class PlanSpec extends SparkSuite {
     val p = plan("q73_quality_filter")
     assert(!p.contains("Exchange"), "per-row scoring must not shuffle")
   }
+
+  test("q79: the training side is bloom-prefiltered before any join; no all-pairs") {
+    val p = plan("q79_bloom_decontamination")
+    assert(p.contains("bloom_contains_long"),
+      "train chunks must die against the Bloom filter inside the scan stage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join")
+  }
+
+  test("q83: PQ encode plans as a shuffle-free scan-project (codebooks are driver literals)") {
+    val p = plan("q83_pq_encode")
+    assert(!p.contains("Exchange"),
+      "the encode pass must be map-only — at 100 TB it IS the operator:\n" + p)
+  }
+
+  test("q80: stable ids never funnel through a single partition") {
+    val p = plan("q80_stable_ids")
+    assert(!p.contains("SinglePartition"),
+      "global ids must not plan the naive one-task window:\n" + p)
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "expected the range repartition that makes partition order = key order")
+  }
 }

@@ -110,4 +110,22 @@ class NativeExpressionsSpec extends SparkSuite {
       Seq(1L).toDF("n").select(Md5Prefix32(col("n"))).collect()
     }
   }
+
+  test("bloom_contains_long: zero false negatives, bounded false positives, null-safe") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(1000, 0.01)
+    (0L until 2000L by 2).foreach(bloom.putLong) // the even numbers < 2000
+    val got = spark.range(4000)
+      .filter(BloomContainsLong(col("id"), bloom))
+      .as[Long].collect().toSet
+    (0L until 2000L by 2).foreach(v => assert(got(v), s"false negative on $v"))
+    val fp = got.count(v => v % 2 != 0 || v >= 2000)
+    assert(fp <= 200, s"false-positive count $fp far above the 1% design rate")
+    val nulls = Seq[Option[Long]](Some(4L), None).toDF("v")
+      .select(BloomContainsLong(col("v"), bloom)).collect()
+    assert(nulls(0).getBoolean(0) && nulls(1).isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s").select(BloomContainsLong(col("s"), bloom)).collect()
+    }
+  }
 }

@@ -601,4 +601,65 @@ class LlmSpec extends SparkSuite {
       .as[Long].head()
     assert(score === 3L * 3333 + 6923 - 2L * 1538 - 0)
   }
+
+  test("bloom decontamination equals the exact-overlap spec at any fpp") {
+    val evalSet = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river"),
+      (102L, "totally disjoint evaluation sentence with its own unique tokens here"))
+      .toDF("doc_id", "text")
+    val want = Dedup.crossCorpusChunkMatches(docs, evalSet, "doc_id", "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture must produce true overlap")
+    // fpp is a cost knob only: a sloppy 50% filter and a tight 1% one
+    // must return byte-identical results (no false negatives; positives
+    // are re-checked by the confirm join)
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.bloomDecontaminate(docs, evalSet, "doc_id", "text", w = 8, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"fpp=$fpp")
+    }
+  }
+
+  test("htmlToText: blocks die wholesale, tags strip any case, entities decode one level, whitespace collapses") {
+    val cases = Seq(
+      ("<html><body><script>var x = 1 < 2 && 2 > 1;</script><p>Hello   world</p></body></html>",
+        "Hello world"),
+      ("<STYLE>p { color: red }</STYLE>A<!-- hidden\ncomment -->B", "A B"),
+      ("Tom &amp; Jerry &amp;lt;keep &lt;x&gt; &quot;q&quot;&nbsp;&#39;s&#39;",
+        "Tom & Jerry &lt;keep <x> \"q\" 's'"),
+      ("<ScRiPt a=b>junk <inner> junk</sCrIpT  >tail", "tail"),
+      ("  plain\ttext\r\nonly  ", "plain text only"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("pqEncode: m codes in [0,k), non-negative integer error, identical vectors share codes") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i % 5) * 10 + d).toFloat)))
+    val out = Similarity.pqEncode(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m = 2, k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(out.length === 40)
+    out.foreach { case (_, codes, err) =>
+      assert(codes.length === 2 && codes.forall(c => c >= 0 && c < 3))
+      assert(err >= 0L)
+    }
+    // vectors are identical mod 5 → identical codes and identical error
+    out.groupBy(_._1 % 5).values.foreach { g =>
+      assert(g.map(t => (t._2, t._3)).distinct.size === 1)
+    }
+  }
+
+  test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
+    val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1 and 4 are byte-identical: every window shared
+    assert(out(1L)._2 === 0L && out(1L)._3 === 0L)
+    assert(out(4L)._2 === 0L && out(4L)._3 === 0L)
+    // doc 3 shares no 8-token window with anything
+    assert(out(3L)._2 === out(3L)._1 && out(3L)._3 === 1000000L)
+    // doc 2 (near-dup of 1) shares its head windows but not its tail
+    assert(out(2L)._2 > 0L && out(2L)._2 < out(2L)._1)
+  }
 }

@@ -251,4 +251,34 @@ class OperatorSpec extends SparkSuite {
       assert(got(id) === expect, s"left row $id")
     }
   }
+
+  // ----------------------------------------------------------- StableIds
+
+  test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
+    // id*37 % 1000 is a bijection on 0..999 — shuffled unique keys
+    val df = spark.range(1000).select((col("id") * 37 % 1000).as("k")).repartition(7)
+    val (out, release) = StableIds.byKeyReleasable(df, numPartitions = 5, col("k"))
+    val rows = out.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq === (0L until 1000L))
+    assert(rows.map(_._2).toSeq === (1L to 1000L), "ids must follow key order")
+    release()
+  }
+
+  test("StableIds: tie groups get contiguous id intervals, intervals ordered by key") {
+    val df = (0 until 500).map(i => i % 7).toDF("k").repartition(9)
+    val (out, release) = StableIds.byKeyReleasable(df, numPartitions = 3, col("k"))
+    val byKey = out.collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+    val intervals = byKey.toSeq.sortBy(_._1).map { case (k, rs) =>
+      val ids = rs.map(_._2).sorted
+      assert(ids.last - ids.head + 1 === ids.length, s"ids of key $k not contiguous")
+      (k, ids.head, ids.last)
+    }
+    assert(intervals.map(_._2).head === 1L)
+    intervals.sliding(2).foreach {
+      case Seq((_, _, hiA), (_, loB, _)) => assert(loB === hiA + 1)
+      case _ =>
+    }
+    assert(intervals.last._3 === 500L)
+    release()
+  }
 }
