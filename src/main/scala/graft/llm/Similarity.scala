@@ -340,6 +340,24 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, k: Int = 4, iters: Int = 2): DataFrame = {
+    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
+    // one barrier materializes all m (dist, code) argmin structs, then
+    // codes/err project from it without re-evaluating the k·m distances
+    val pq = array(books.indices.map { j =>
+      assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
+    }: _*)
+    Dedup.once(q, "__pq", pq)
+      .select(col("id").as(idCol),
+        transform(col("__pq"), s => s.getField("c")).as("codes"),
+        aggregate(transform(col("__pq"), s => s.getField("d")),
+          lit(0L), _ + _).as("recon_err"))
+  }
+
+  /** Shared PQ setup: the pinned quantized frame, subspace width, and
+    * the m trained codebooks.
+    */
+  private def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): (DataFrame, Int, IndexedSeq[IndexedSeq[Seq[Long]]]) = {
     require(m > 0 && k > 0 && iters > 0, "m, k and iters must be positive")
     val q0 = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
         "qv", quantize(col("__v")))
@@ -351,17 +369,57 @@ object Similarity {
     val books = (0 until m).map { j =>
       kmeansFitQuantized(
         q.select(col("id"), slice(col("qv"), j * sub + 1, sub).as("qv")),
-        k, iters)
+        k, iters).toIndexedSeq
     }
-    // one barrier materializes all m (dist, code) argmin structs, then
-    // codes/err project from it without re-evaluating the k·m distances
-    val pq = array((0 until m).map { j =>
-      assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
-    }: _*)
-    Dedup.once(q, "__pq", pq)
-      .select(col("id").as(idCol),
-        transform(col("__pq"), s => s.getField("c")).as("codes"),
-        aggregate(transform(col("__pq"), s => s.getField("d")),
-          lit(0L), _ + _).as("recon_err"))
+    (q, sub, books.toIndexedSeq)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * query loop of an IVF-PQ index (Jégou et al. 2011): candidates carry
+    * only their m-byte codes; a query's distance to a candidate is the
+    * sum over subspaces of the EXACT distance from the query's slice to
+    * the candidate's chosen sub-centroid. The corpus's raw vectors are
+    * never touched at query time — this is why PQ indexes fit in memory
+    * at corpus sizes where float vectors cannot.
+    *
+    * Scale shape: codes are one map-only projection over the corpus
+    * (like [[pqEncode]]); the query side broadcasts (queries and
+    * codebooks are both tiny); scoring is per-(candidate, query) integer
+    * arithmetic against codebook LITERALS inside codegen — no lookup
+    * join, no shuffle of corpus vectors. This is the brute-force-scan
+    * baseline of PQ search (the honest q35 analog); compose with k-means
+    * cell routing (q63's shape) for the IVF-restricted variant.
+    *
+    * @return (query_id, neighbor_id, adc_dist, rank) — rank by ascending
+    *   integer ADC distance, ties to the smaller neighbor id
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, m: Int = 4, k: Int = 4, iters: Int = 2,
+      topK: Int = 10): DataFrame = {
+    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
+    val cand = Dedup.once(q,
+        "__pq", array(books.indices.map { j =>
+          assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
+        }: _*))
+      .select(col("id").as("neighbor_id"),
+        transform(col("__pq"), s => s.getField("c")).as("codes"))
+    val queries = Dedup.once(
+        emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+        "qqv", quantize(col("__v")))
+      .select(col("query_id"), col("qqv"))
+    val adc = books.indices.map { j =>
+      val bookLit = array(books(j).map(c => array(c.map(lit): _*)): _*)
+      aggregate(zip_with(
+        slice(col("qqv"), j * sub + 1, sub),
+        element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1),
+        (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+    }.reduce(_ + _)
+    val scored = cand.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
   }
 }

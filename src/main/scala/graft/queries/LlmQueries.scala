@@ -585,7 +585,14 @@ object LlmQueries {
     // The oracle unrolls all four 2-round Lloyd chains on the slices.
     "q83_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
-        m = 4, k = 4, iters = 2))
+        m = 4, k = 4, iters = 2)),
+
+    // ADC top-k over the PQ codes (the IVF-PQ query loop): every 50th
+    // vector queries the code table; distances are exact integer sums of
+    // query-slice-to-centroid distances — raw corpus vectors untouched.
+    "q84_pq_adc_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, m = 4, k = 4, iters = 2, topK = 10))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1410,6 +1417,38 @@ object LlmQueries {
          |JOIN p0_a2 ON q.id = p0_a2.id
          |JOIN p1_a2 ON q.id = p1_a2.id
          |JOIN p2_a2 ON q.id = p2_a2.id
-         |JOIN p3_a2 ON q.id = p3_a2.id""".stripMargin
+         |JOIN p3_a2 ON q.id = p3_a2.id""".stripMargin,
+
+    "q84_pq_adc_topk" -> {
+      def adcDist(j: Int): String =
+        s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
+           |      i -> (qs.s$j[i] - b$j.qv[i]) * (qs.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+         |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")},
+         |cand AS (SELECT q.id AS neighbor_id,
+         |    p0_a2.cluster AS c0, p1_a2.cluster AS c1,
+         |    p2_a2.cluster AS c2, p3_a2.cluster AS c3
+         |  FROM q
+         |  JOIN p0_a2 ON q.id = p0_a2.id
+         |  JOIN p1_a2 ON q.id = p1_a2.id
+         |  JOIN p2_a2 ON q.id = p2_a2.id
+         |  JOIN p3_a2 ON q.id = p3_a2.id),
+         |qs AS (SELECT id AS query_id,
+         |    ${(0 until 4).map(j => s"list_slice(qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
+         |  FROM q WHERE id % 50 = 0),
+         |scored AS (SELECT qs.query_id, cand.neighbor_id,
+         |    ${(0 until 4).map(j => adcDist(j)).mkString(" +\n    ")} AS adc_dist
+         |  FROM cand CROSS JOIN qs
+         |  JOIN p0_cent b0 ON b0.c = cand.c0
+         |  JOIN p1_cent b1 ON b1.c = cand.c1
+         |  JOIN p2_cent b2 ON b2.c = cand.c2
+         |  JOIN p3_cent b3 ON b3.c = cand.c3
+         |  WHERE cand.neighbor_id <> qs.query_id)
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin
+    }
   )
 }

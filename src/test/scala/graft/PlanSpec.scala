@@ -184,6 +184,16 @@ class PlanSpec extends SparkSuite {
       "the encode pass must be map-only — at 100 TB it IS the operator:\n" + p)
   }
 
+  test("q84: ADC scoring broadcasts the query side and never shuffles corpus vectors") {
+    val p = plan("q84_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the query side must broadcast (the intended scan × tiny-queries cross)")
+    assert(!p.contains("CartesianProduct"), "no shuffled all-pairs")
+    // the only exchange is the per-query top-k window on (tiny) scored rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
+  }
+
   test("q80: stable ids never funnel through a single partition") {
     val p = plan("q80_stable_ids")
     assert(!p.contains("SinglePartition"),

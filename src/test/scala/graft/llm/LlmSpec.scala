@@ -651,6 +651,28 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("pqAdcTopK: contiguous ranks, monotone distances, twin ADC equals own recon error") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i % 5) * 10 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val reconErr = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val top = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        col("vec_id") < 5, m = 2, k = 3, iters = 2, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.map(_._1).distinct.sorted.toSeq === (0L until 5L))
+    top.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to byRank.length), s"ranks of query $q")
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sorted.toSeq,
+        s"distances of query $q must be non-decreasing in rank")
+      // vec q+5 is q's exact twin: same codes, so the asymmetric distance
+      // to it is exactly q's own reconstruction error
+      assert(rows.find(_._2 === q + 5).map(_._3) === Some(reconErr(q)),
+        s"twin ADC distance of query $q")
+    }
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
