@@ -93,7 +93,10 @@ object GraftExtensions {
     (new FunctionIdentifier("window_roll_hash"),
       new ExpressionInfo(classOf[WindowRollHash].getName, "window_roll_hash"),
       (children: Seq[Expression]) => WindowRollHash(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("zorder64"),
+      new ExpressionInfo(classOf[ZOrder64].getName, "zorder64"),
+      (children: Seq[Expression]) => ZOrder64(children.head, children(1))))
 
   /** Idempotent registration on a live session (for sessions not built
     * with the extensions conf).

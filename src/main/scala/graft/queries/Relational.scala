@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.enrich.Enrichment
 import graft.functions.EtlFunctions._
-import graft.operators.{Cleaning, Consolidate, DateStreaks, KeepLastDedup, StableIds}
+import graft.operators.{Cleaning, Consolidate, DateStreaks, IntervalJoin, KeepLastDedup, StableIds}
 
 /** Relational operator inventory (SURVEY.md §2.3-2.7) expressed over the
   * driver's TPC-H-ish testdata, each with a DuckDB oracle.
@@ -284,7 +284,31 @@ object Relational {
     "q80_stable_ids" -> ((s, dir) =>
       StableIds.byKey(
         Tables.orders(s, dir).select(col("o_orderkey")),
-        numPartitions = 8, col("o_orderkey")))
+        numPartitions = 8, col("o_orderkey"))),
+
+    // SCD-2 validity-window lookup as a grid-bucketed EQUI-join (never a
+    // range nested-loop — PlanSpec pins that). Fixture: every 20th event
+    // opens a 2-hour window on its user; overlaps multi-match, gaps drop.
+    "q85_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val iv = ev.filter(col("event_id") % 20 === 0)
+        .select((col("event_id") + 1000000L).as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      IntervalJoin.byGrid(pts, iv, "user_id", "ts", "start_ts", "end_ts",
+          cellMicros = 3600L * 1000000L, rightCols = Seq("interval_id"))
+        .select(col("event_id"), col("user_id"), col("interval_id"))
+    }),
+
+    // Morton (z-order) layout key: sorting a write by this one column
+    // co-locates rows close in BOTH dimensions, tightening per-file
+    // min/max stats on both — the lakehouse multi-column clustering
+    // trick. Gate hashes every interleaved value against the oracle's
+    // arithmetic bit expansion.
+    "q86_zorder_key" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.ZOrder64(col("o_custkey"), col("o_orderkey")).as("zval")))
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -492,6 +516,22 @@ object Relational {
     "q80_stable_ids" ->
       """SELECT o_orderkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
+        |FROM orders""".stripMargin,
+
+    "q85_interval_join" ->
+      """WITH pts AS (SELECT event_id, user_id, ts FROM events),
+        |iv AS (SELECT event_id + 1000000 AS interval_id, user_id,
+        |    ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT p.event_id, p.user_id, i.interval_id
+        |FROM pts p JOIN iv i ON p.user_id = i.user_id
+        |  AND i.start_ts <= p.ts AND p.ts < i.end_ts""".stripMargin,
+
+    "q86_zorder_key" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(list_sum(list_transform(range(0, 31),
+        |    i -> (((o_custkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
+        |       + (((o_orderkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zval
         |FROM orders""".stripMargin
   )
 }

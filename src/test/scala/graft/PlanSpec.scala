@@ -194,6 +194,12 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
   }
 
+  test("q85: interval join is a grid-bucketed equi-join, never a range nested-loop") {
+    val p = plan("q85_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the containment predicate must ride an equi-join on (key, cell):\n" + p)
+  }
+
   test("q80: stable ids never funnel through a single partition") {
     val p = plan("q80_stable_ids")
     assert(!p.contains("SinglePartition"),

@@ -111,6 +111,41 @@ class NativeExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("zorder64 equals the per-bit reference, masks to 31 bits, and is null-safe") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val gen = Gen.listOfN(300, Gen.zip(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    val cases = gen.apply(Gen.Parameters.default, Seed(21L)).get
+    cases.foreach { case (a, b) =>
+      assert(ZOrder64.compute(a, b) === ref(a & 0x7fffffffL, b & 0x7fffffffL))
+    }
+    val rows = Seq((Option(3L), Option(5L)), (None, Option(1L))).toDF("a", "b")
+      .select(ZOrder64(col("a"), col("b"))).collect()
+    assert(rows(0).getLong(0) === ref(3, 5) && rows(1).isNullAt(0))
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT zorder64(1L, 1L) AS z").as[Long].head() === 3L)
+  }
+
+  test("z-order layout bounds BOTH dimensions per chunk where a lexicographic sort bounds one") {
+    val pts = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val rows = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder64(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sorted by z, every 256-row chunk is one 16x16 quadrant: both
+    // dimensions bounded — this is exactly why per-file min/max stats
+    // stay tight on both columns after a z-ordered write
+    rows.sortBy(_._3).grouped(256).foreach { chunk =>
+      assert(chunk.map(_._1).max - chunk.map(_._1).min <= 15)
+      assert(chunk.map(_._2).max - chunk.map(_._2).min <= 15)
+    }
+    // the lexicographic layout leaves the second dimension unbounded
+    val lex = rows.sortBy(t => (t._1, t._2)).take(256)
+    assert(lex.map(_._2).max - lex.map(_._2).min === 63)
+  }
+
   test("bloom_contains_long: zero false negatives, bounded false positives, null-safe") {
     import org.apache.spark.util.sketch.BloomFilter
     val bloom = BloomFilter.create(1000, 0.01)

@@ -252,6 +252,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------- IntervalJoin
+
+  test("interval join agrees with the per-row reference: multi-match overlaps, half-open bounds, empty windows dropped") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val pts = (0 until 150).map(i => (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(600))))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(600)
+      // some empty (len 0) and some long windows; overlaps guaranteed
+      (1000L + i, rnd.nextInt(5).toLong, t(s), t(math.min(600, s + rnd.nextInt(4) * 45)))
+    }
+    val got = IntervalJoin.byGrid(
+        pts.toDF("event_id", "user_id", "ts"),
+        ivs.toDF("interval_id", "user_id", "start_ts", "end_ts")
+          .select(col("user_id"), col("start_ts"), col("end_ts"), col("interval_id")),
+        "user_id", "ts", "start_ts", "end_ts",
+        cellMicros = 30L * 60 * 1000000, rightCols = Seq("interval_id"))
+      .select(col("event_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, pk, pts0) <- pts
+      (iid, ik, s, e) <- ivs
+      if pk == ik && !pts0.before(s) && pts0.before(e)
+    } yield (pid, iid)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce matches")
+  }
+
   // ----------------------------------------------------------- StableIds
 
   test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
