@@ -10,7 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    work for scan-shaped queries);
   *  - the reported number is the MEDIAN of three timed passes — a single
   *    pass let one noisy co-tenant forge a 3-14× "regression" (or hide a
-  *    real one) in two successive round artifacts (VERDICT r4);
+  *    real one) in two successive round artifacts (VERDICT r4); the
+  *    per-query MIN is stamped alongside (`queries_min`) because a
+  *    co-tenant burst shorter than the whole query window inflates the
+  *    median but rarely all three passes — a query whose median ≫ min
+  *    is contention-suspect even when every calibration checkpoint
+  *    around it read clean (observed in r7: a burst fit entirely inside
+  *    one query's three passes between two flat checkpoints);
   *  - failures are never swallowed: a throwing query is reported in a
   *    `failures` map, its timing omitted, and the process exits nonzero —
   *    a broken query previously recorded a tiny wall time and read as a
@@ -93,6 +99,7 @@ object Bench {
       }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val minTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.zipWithIndex.foreach { case (name, i) =>
       // Per-query warmup immediately before its timed runs: a single global
@@ -107,6 +114,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         timings(name) = median(samples)
+        minTimings(name) = samples.min
       } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
@@ -123,6 +131,7 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qmins = minTimings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     // 2.5× max/min spread across the checkpoint series flags contention:
@@ -136,7 +145,7 @@ object Bench {
             "(>2.5x); artifact timings are contention-suspect — re-run on an idle machine")
       s""","calibration":[${probes.mkString(",")}],"contended":$contended"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs$calJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"failures":$fs$calJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size}/${names.size} queries FAILED")
