@@ -615,7 +615,7 @@ object Dedup {
     // normalize to zero so the first compareTo doesn't NPE and the loop
     // exits at its immediate fixpoint.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var labels = Caching.pin(sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -242,6 +242,46 @@ object TextAnalysis {
   /** The retained lines of a newline-separated document, in order. */
   def c4CleanedLines(text: Column): Column =
     filter(split(text, "\n"), ln => c4KeepLine(ln))
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitter every RAG-indexing / long-document-training pipeline runs
+    * before embedding or packing: chunk i covers tokens
+    * `[i·stride, i·stride + size)` of the canonical token stream, where
+    * `stride = size − overlap`; the tail chunk may be shorter; a
+    * document shorter than one chunk yields exactly one. Chunk count is
+    * `max(1, ⌈(n − overlap) / stride⌉)` — no start inside the previous
+    * chunk's overlap tail, so every chunk contributes new tokens.
+    *
+    * Pure per-row explode (tokenize once behind a `once` barrier, slice
+    * per chunk) — shuffle-free, codegen'd, linear in corpus tokens at
+    * any scale. Tokenless documents yield no rows (mirrored by the
+    * oracle), exactly like [[graft.llm.Dedup.chunkTable]].
+    *
+    * @return (id, chunk_idx, n_tokens, chunk_text) — one row per chunk,
+    *   chunk_text the space-joined canonical tokens
+    */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val base = graft.llm.Dedup.once(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) > 0)
+    // integer div (never `/`: Column division routes through double)
+    val nChunks = greatest(
+      expr(s"(size(__toks) - $overlap + ${stride - 1}) div $stride"), lit(1L))
+    base
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)).as("__sl"))
+      .select(col("id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__sl")).cast("long").as("n_tokens"),
+        array_join(col("__sl"), " ").as("chunk_text"))
+  }
 
   // ------------------------------------------------------------- HTML
 

@@ -51,7 +51,7 @@ object IntervalJoin {
           col("l.__cell") === col("r.__cell") &&
           col(s"r.$startCol") <= col(s"l.$tsCol") &&
           col(s"l.$tsCol") < col(s"r.$endCol"))
-      .select(left.columns.map(c => col(s"l.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"l.$c")) ++
         rightCols.map(c => col(s"r.$c")): _*)
   }
 }

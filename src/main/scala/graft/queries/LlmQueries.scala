@@ -592,7 +592,15 @@ object LlmQueries {
     // query-slice-to-centroid distances — raw corpus vectors untouched.
     "q84_pq_adc_topk" -> ((s, dir) =>
       Similarity.pqAdcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, m = 4, k = 4, iters = 2, topK = 10))
+        queryPred = col("vec_id") % 50 === 0, m = 4, k = 4, iters = 2, topK = 10)),
+
+    // RAG/context-window chunking: 32-token chunks, 8-token overlap over
+    // the canonical token stream; gate hashes every chunk's text.
+    "q87_token_chunks" -> ((s, dir) =>
+      TextAnalysis.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
+          size = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1449,6 +1457,20 @@ object LlmQueries {
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 10""".stripMargin
-    }
+    },
+
+    // size 32, overlap 8 -> stride 24; DuckDB list_slice clamps
+    // out-of-range bounds exactly like Spark's slice(length) cap, and
+    // `//` floor-division equals truncation on these positive counts.
+    "q87_token_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |    list_slice(toks, i * 24 + 1, i * 24 + 32) AS sl
+         |  FROM nz, UNNEST(range(0, GREATEST((n - 8 + 23) // 24, 1))) AS u(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(sl) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(sl, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin
   )
 }

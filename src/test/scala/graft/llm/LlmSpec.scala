@@ -673,6 +673,22 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("tokenChunks: stride/overlap arithmetic, short docs keep one chunk, empty docs vanish") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, size 8 overlap 3 -> 2 chunks
+      (2L, "x y z"),               // shorter than one chunk -> exactly 1
+      (3L, " .,!? "))              // tokenless -> no rows
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenChunks(fixture, "doc_id", "text", size = 8, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq === Seq(
+      (0L, 8L, "a b c d e f g h"),
+      (1L, 5L, "f g h i j"))) // starts at stride 5: 3-token overlap, short tail
+    assert(rows.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((0L, 3L, "x y z")))
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
