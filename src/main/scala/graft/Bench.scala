@@ -121,7 +121,12 @@ object Bench {
           failures(name) = msg
           System.err.println(s"[bench] FAILED $name — $msg")
       }
-      if ((i + 1) % 10 == 0 || i == names.size - 1) checkpoint()
+      // Short (filtered) suites would otherwise reach only the single
+      // end-of-run checkpoint, where max/min spread is vacuously 1.0 and
+      // `contended` can never trip — force a midpoint probe so even a
+      // 2-query scale-curve run carries a real spread measurement.
+      val ckEvery = if (names.size < 10) math.max(1, names.size / 2) else 10
+      if ((i + 1) % ckEvery == 0 || i == names.size - 1) checkpoint()
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -137,7 +142,12 @@ object Bench {
     // 2.5× max/min spread across the checkpoint series flags contention:
     // the documented co-tenant contamination inflated 3-8×, while an
     // idle machine's warmed-JVM probe spread stays well under 2×.
-    val calJson = if (probes.nonEmpty) {
+    // A single-probe series cannot measure spread: emit explicit nulls so
+    // consumers can tell "clean" from "unmeasurable" (a 1-query run's
+    // max/min is always 1.0 and would read as a clean artifact).
+    val calJson = if (probes.size < 2) {
+      s""","calibration":null,"contended":null"""
+    } else if (probes.nonEmpty) {
       val contended = probes.max > 2.5 * probes.min
       if (contended)
         System.err.println(

@@ -559,7 +559,9 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique_chunks"))
       .withColumn("novelty_ppm",
-        floor(col("n_unique_chunks") * 1000000L / col("n_chunks")).cast("long"))
+        // integer `div`, never `/`: double division is only exact while
+        // n_unique_chunks * 1e6 stays under 2^53 — div holds to Long range
+        expr("(n_unique_chunks * CAST(1000000 AS BIGINT)) div n_chunks"))
   }
 
   /** Transitive canonicalization of a verified near-dup pair graph:

@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   * exceed double's 2^53 integer range — same pitfall as the events ns
   * conversion). Empty windows (`end <= start`) can contain no point under
   * half-open semantics and are dropped before exploding.
+  *
+  * Sentinel guard: each interval's exploded cell range is CLAMPED to the
+  * point side's observed [min, max] cell — an SCD-2 dimension routinely
+  * carries open-ended "current" rows with sentinel end dates
+  * (9999-12-31), which at cellMicros=1h would otherwise explode to ~70M
+  * cells PER ROW. Clamping is exact: a (point, interval) pair meets only
+  * in the point's own cell, which by definition lies inside the observed
+  * point range, so cells outside it can never produce a match. The
+  * bounds are a 1-row min/max aggregate collected on the driver and
+  * folded into the explode as LITERALS (the k-means-centroid pattern:
+  * driver state bounded by a constant, never by data) — a broadcast
+  * bounds join would survive Catalyst only as a nested loop, which this
+  * operator's plan contract forbids. Composition is therefore eager by
+  * one tiny job (min/max over the pruned ts column).
   */
 object IntervalJoin {
 
@@ -41,11 +55,23 @@ object IntervalJoin {
     require(cellMicros > 0, "cellMicros must be positive")
     val pts = left.withColumn("__cell",
       expr(s"unix_micros(`$tsCol`) div $cellMicros"))
-    val iv = right
-      .filter(col(endCol) > col(startCol))
-      .withColumn("__cell", explode(expr(
-        s"sequence(unix_micros(`$startCol`) div $cellMicros, " +
-          s"(unix_micros(`$endCol`) - 1) div $cellMicros)")))
+    val boundsRow =
+      pts.agg(min(col("__cell")).as("__cmin"), max(col("__cell")).as("__cmax")).head()
+    val nonEmpty = right.filter(col(endCol) > col(startCol))
+    // empty point side: no cell can match — keep the schema, drop the rows
+    val iv = if (boundsRow.isNullAt(0)) {
+      nonEmpty.filter(lit(false)).withColumn("__cell", lit(0L))
+    } else {
+      nonEmpty
+        .withColumn("__lo", greatest(
+          expr(s"unix_micros(`$startCol`) div $cellMicros"),
+          lit(boundsRow.getLong(0))))
+        .withColumn("__hi", least(
+          expr(s"(unix_micros(`$endCol`) - 1) div $cellMicros"),
+          lit(boundsRow.getLong(1))))
+        .filter(col("__lo") <= col("__hi"))
+        .withColumn("__cell", explode(expr("sequence(__lo, __hi)")))
+    }
     pts.as("l").join(iv.as("r"),
         col(s"l.$keyCol") === col(s"r.$keyCol") &&
           col("l.__cell") === col("r.__cell") &&

@@ -62,6 +62,15 @@ object StableIds {
     // numPartitions result rows: partial agg collapses each partition to 1
     val counts = ranged.groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // monotonically_increasing_id's per-partition counter is 33 bits; a
+    // range partition beyond 2^33 rows would silently wrap localIdx and
+    // corrupt every id after it — fail loudly instead (the fix is more
+    // partitions, checked here because the counts are already on the driver)
+    counts.find(_._2 >= (1L << 33)).foreach { case (p, n) =>
+      throw new IllegalArgumentException(
+        s"StableIds: range partition $p holds $n rows (>= 2^33, the id stamp's " +
+          s"per-partition capacity) — raise numPartitions above ${numPartitions}")
+    }
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = (p, acc); acc += n; o }
     val offsetOf = element_at(

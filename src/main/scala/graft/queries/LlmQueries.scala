@@ -583,9 +583,15 @@ object LlmQueries {
     // Product quantization: 4 per-subspace deterministic codebooks over
     // the 64-dim vectors; codes + exact integer reconstruction error.
     // The oracle unrolls all four 2-round Lloyd chains on the slices.
+    // The gate flattens the codes array to one scalar column per
+    // subspace: the driver's hash harness sorts result columns in
+    // pandas, where list cells are unhashable (r7's q83 err).
     "q83_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
-        m = 4, k = 4, iters = 2)),
+          m = 4, k = 4, iters = 2)
+        .select(Seq(col("vec_id")) ++
+          (0 until 4).map(j => element_at(col("codes"), j + 1).as(s"code_$j")) ++
+          Seq(col("recon_err")): _*)),
 
     // ADC top-k over the PQ codes (the IVF-PQ query loop): every 50th
     // vector queries the code table; distances are exact integer sums of
@@ -1410,8 +1416,8 @@ object LlmQueries {
          |SELECT c.doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
          |  CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_chunks,
-         |  CAST(FLOOR(CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |       * 1000000 / COUNT(*)) AS BIGINT) AS novelty_ppm
+         |  CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |       * 1000000 // COUNT(*) AS novelty_ppm
          |FROM chunks c JOIN freq f ON c.chunk = f.chunk
          |GROUP BY 1""".stripMargin,
 
@@ -1419,7 +1425,7 @@ object LlmQueries {
       s"""WITH q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
          |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")}
          |SELECT q.id AS vec_id,
-         |  [p0_a2.cluster, p1_a2.cluster, p2_a2.cluster, p3_a2.cluster] AS codes,
+         |  ${(0 until 4).map(j => s"CAST(p${j}_a2.cluster AS BIGINT) AS code_$j").mkString(",\n         |  ".stripMargin)},
          |  CAST(p0_a2.dist + p1_a2.dist + p2_a2.dist + p3_a2.dist AS BIGINT) AS recon_err
          |FROM q
          |JOIN p0_a2 ON q.id = p0_a2.id

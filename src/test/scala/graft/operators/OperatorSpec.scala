@@ -279,6 +279,44 @@ class OperatorSpec extends SparkSuite {
     assert(want.nonEmpty, "fixture must produce matches")
   }
 
+  test("interval join clamps sentinel open-ended windows to the observed point range") {
+    // a 9999-12-31 'current' SCD-2 row at 1h cells is ~70M grid cells if
+    // exploded raw — with the clamp it costs <= the point range (~10 cells)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, 7L, t("2024-01-01 02:30:00")),
+      (2L, 7L, t("2024-01-01 08:30:00")),
+      (3L, 9L, t("2024-01-01 05:00:00")))
+    val ivs = Seq(
+      (100L, 7L, t("2024-01-01 00:00:00"), t("2024-01-01 06:00:00")),
+      // open-ended current row: sentinel end date
+      (101L, 7L, t("2024-01-01 06:00:00"), t("9999-12-31 00:00:00")),
+      // sentinel window on a key with no points in range after clamping
+      (102L, 9L, t("2030-01-01 00:00:00"), t("9999-12-31 00:00:00")))
+    val got = IntervalJoin.byGrid(
+        pts.toDF("event_id", "user_id", "ts"),
+        ivs.toDF("interval_id", "user_id", "start_ts", "end_ts")
+          .select(col("user_id"), col("start_ts"), col("end_ts"), col("interval_id")),
+        "user_id", "ts", "start_ts", "end_ts",
+        cellMicros = 3600L * 1000000, rightCols = Seq("interval_id"))
+      .select(col("event_id"), col("interval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 101L)))
+  }
+
+  test("interval join with an empty point side returns empty, not an explode of every window") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq.empty[(Long, Long, java.sql.Timestamp)]
+    val ivs = Seq((100L, 7L, t("2024-01-01 00:00:00"), t("9999-12-31 00:00:00")))
+    val got = IntervalJoin.byGrid(
+      pts.toDF("event_id", "user_id", "ts"),
+      ivs.toDF("interval_id", "user_id", "start_ts", "end_ts"),
+      "user_id", "ts", "start_ts", "end_ts",
+      cellMicros = 3600L * 1000000, rightCols = Seq("interval_id"))
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("event_id", "user_id", "ts", "interval_id"))
+  }
+
   // ----------------------------------------------------------- StableIds
 
   test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
