@@ -280,15 +280,7 @@ object Dedup {
       .select(col("id"), col("sh"), col("sig"))
     val base = if (persistSignatures) Caching.pin(base0) else base0
 
-    val bands = base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
-
-    // Shuffle key = (band, band-value): docs only meet inside a bucket.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bandCandidatePairs(base, numBands, bandRows)
 
     val withSets = cand
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -298,6 +290,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), inter.as("inter"),
         (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter).as("uni"))
       .filter(col("inter") * minJacDen >= col("uni") * minJacNum)
+  }
+
+  /** Banded candidate generation from a pinned (id, ..., sig) table:
+    * explode each signature into its (band, band-value) buckets; docs
+    * meet ONLY inside a bucket (shuffle key = (band, bv)) — never
+    * all-pairs. Shared by the pair verify and the calibration table.
+    */
+  private def bandCandidatePairs(base: DataFrame, numBands: Int,
+      bandRows: Int): DataFrame = {
+    val bands = base.select(col("id"), explode(bandArray(numBands, bandRows)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash estimator calibration over the LSH candidate pairs: for
+    * each candidate, the signature-agreement estimate of Jaccard next
+    * to the EXACT Jaccard of the shingle sets — the measured answer to
+    * "how many signature components does this corpus need". The
+    * estimator's expectation is E[agree/numSig] = J; a systematic gap
+    * on a real corpus means the shingle/band configuration (not the
+    * threshold) needs tuning. Run on a sample before committing a 100 TB
+    * sweep to a signature width.
+    *
+    * Scale shape: identical to [[nearDupPairs]] — banded candidate
+    * generation (never all-pairs), two id-keyed lookups back into the
+    * pinned signature table; the calibration arithmetic is per-pair
+    * codegen. Integer ppm on both engines (floor div).
+    *
+    * @return (id_a, id_b, sig_agree, inter, uni, est_ppm, jac_ppm);
+    *   jac_ppm is NULL when both sets are empty (uni = 0)
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numSig: Int = 12, bandRows: Int = 2): DataFrame = {
+    require(numSig % bandRows == 0, "numSig must be a multiple of bandRows")
+    val sets = withShingleHashSet(
+      spreadForHashing(docs.select(col(idCol).as("id"), col(textCol).as("__text"))),
+      "__text", "sh", k)
+    val base = Caching.pin(
+      sets.transform(d => once(d, "sig", minhash(col("sh"), numSig)))
+        .select(col("id"), col("sh"), col("sig")))
+    val cand = bandCandidatePairs(base, numSig / bandRows, bandRows)
+    val withBoth = cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    withBoth
+      .select(col("id_a"), col("id_b"), agree.as("sig_agree"), inter.as("inter"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter).as("uni"))
+      .withColumn("est_ppm", expr(s"(sig_agree * 1000000) div $numSig"))
+      .withColumn("jac_ppm",
+        when(col("uni") > 0, expr("(inter * 1000000) div uni")))
+  }
+
+  /** Corpus snapshot diff — the CDC step of an incremental pipeline:
+    * classify every document id across two snapshots as added / removed
+    * / changed / unchanged by content hash. Downstream incremental
+    * stages (signature stores, embedding caches, shard rewrites)
+    * reprocess exactly `added ∪ changed` and retire `removed` — never
+    * the full corpus.
+    *
+    * Scale shape: the content hash is computed INSIDE each snapshot's
+    * scan projection (text never shuffles); the only movement is one
+    * hash-keyed shuffle of (id, hash) per side into the full outer
+    * join. At 100 TB of text this moves ~50 bytes per doc.
+    *
+    * @return (id, old_hash, new_hash, status) — hashes NULL on the
+    *   absent side
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
+    val n = newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
   }
 
   /** Chunk fingerprint table: one row per (id, DISTINCT w-token-window

@@ -116,6 +116,38 @@ object Similarity {
       sum(col("bucket_size")).as("n_rows"),
       sum(expr("bucket_size * (bucket_size - 1) div 2")).as("pair_cost"))
 
+  /** Recall@k of an approximate ANN result against exact ground truth —
+    * the "measure, don't guess" gate for every bucketed/IVF/LSH search:
+    * bucketing buys its speed by skipping candidates, and this is the
+    * number that says what that skipping cost. Run it on a sampled query
+    * set (ground truth is brute-force, so the sample — not the corpus —
+    * bounds its cost) before trusting a bucketing scheme at scale.
+    *
+    * Both inputs are `(query_id, neighbor_id, rank, ...)` frames (the
+    * [[bruteForceTopK]] / [[bucketedTopK]] shape). Truth rows beyond
+    * rank k are ignored, so callers can reuse a deeper ground-truth run.
+    *
+    * Scale shape: inputs are |queries|·k rows — the join and the
+    * per-query aggregate shuffle on query_id and never touch corpus
+    * vectors. recall_ppm is integer-exact (million-scaled floor div).
+    *
+    * @return (query_id, n_truth, n_hits, recall_ppm); n_truth can be
+    *   < k when the corpus has fewer than k valid neighbors
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val truth = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div n_truth"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside buckets: pairs (a < b)
     * sharing a bucket whose cosine ≥ num/den, decided by INTEGER
     * cross-multiplication on the quantized vectors — no float compare:

@@ -606,7 +606,40 @@ object LlmQueries {
       TextAnalysis.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
           size = 32, overlap = 8)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
-          md5(col("chunk_text")).as("chunk_md5")))
+          md5(col("chunk_text")).as("chunk_md5"))),
+
+    // ANN recall@3 of the label-bucketed search (q36's config) against
+    // brute-force ground truth (q35's config at the same k) — the
+    // measured answer to what bucket-restriction costs in quality.
+    "q89_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 50 === 0
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 3),
+        Similarity.bucketedTopK(emb, "vec_id", "embedding", "label", pred, 3),
+        k = 3)
+    }),
+
+    // Corpus snapshot CDC diff: two derived snapshots (docs dropped on
+    // each side, every 5th doc revised) classified added / removed /
+    // changed / unchanged by content hash — text never shuffles.
+    "q90_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("old_hash"), col("new_hash"),
+          col("status"))
+    }),
+
+    // MinHash estimator calibration on the LSH candidate pairs: the
+    // 12-component signature-agreement estimate next to exact Jaccard.
+    "q91_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashCalibration(docsCorpus(s, dir), "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1477,6 +1510,70 @@ object LlmQueries {
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |  CAST(len(sl) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(sl, ' ')) AS chunk_md5
-         |FROM ch""".stripMargin
+         |FROM ch""".stripMargin,
+
+    "q89_ann_recall" -> {
+      val cosRank =
+        """row_number() OVER (PARTITION BY query_id
+          |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+          |             neighbor_id ASC) AS rank""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, label, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, label, ${quantSql("embedding")} AS cv FROM embeddings),
+         |exj AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, $cosRank FROM exj) WHERE rank <= 3),
+         |apj AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c JOIN q USING (label) WHERE neighbor_id <> query_id),
+         |ap AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |  SELECT *, $cosRank FROM apj) WHERE rank <= 3)
+         |SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) AS n_hits,
+         |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) * 1000000
+         |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q90_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS old_hash
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |n AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT COALESCE(o.id, n.id) AS doc_id, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.id = n.id""".stripMargin,
+
+    "q91_minhash_estimate" -> {
+      val agree = (0 until 12)
+        .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS ($corpusSql),
+         |${lshBandsSql("corpus")},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |    CAST($agree AS BIGINT) AS sig_agree,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+         |  FROM cand JOIN sg sa ON cand.id_a = sa.doc_id
+         |  JOIN sg sb ON cand.id_b = sb.doc_id)
+         |SELECT id_a, id_b, sig_agree, inter, uni,
+         |  sig_agree * 1000000 // 12 AS est_ppm,
+         |  CASE WHEN uni > 0 THEN inter * 1000000 // uni END AS jac_ppm
+         |FROM j""".stripMargin
+    }
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.enrich.Enrichment
 import graft.functions.EtlFunctions._
-import graft.operators.{Cleaning, Consolidate, DateStreaks, IntervalJoin, KeepLastDedup, StableIds}
+import graft.operators.{Cleaning, Consolidate, DateStreaks, IntervalJoin, KeepLastDedup, Scd2, StableIds}
 
 /** Relational operator inventory (SURVEY.md §2.3-2.7) expressed over the
   * driver's TPC-H-ish testdata, each with a DuckDB oracle.
@@ -308,7 +308,22 @@ object Relational {
     // arithmetic bit expansion.
     "q86_zorder_key" -> ((s, dir) =>
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-        graft.functions.ZOrder64(col("o_custkey"), col("o_orderkey")).as("zval")))
+        graft.functions.ZOrder64(col("o_custkey"), col("o_orderkey")).as("zval"))),
+
+    // SCD-2 history build — the producer of q85's interval side: the
+    // event stream becomes per-user validity windows (half-open, gap-free
+    // tiling; open current row; last-writer-wins on equal timestamps).
+    // One hash shuffle on the key; both window passes share it. Validity
+    // bounds surface as epoch micros (the no-raw-timestamp contract).
+    "q88_scd2_build" -> ((s, dir) =>
+      Scd2.build(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+          "user_id", "ts", Seq("event_type"), "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("version"), col("is_current")))
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -532,6 +547,17 @@ object Relational {
         |  CAST(list_sum(list_transform(range(0, 31),
         |    i -> (((o_custkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
         |       + (((o_orderkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zval
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q88_scd2_build" ->
+      """WITH dd AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_type FROM dd WHERE rn = 1)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM ch""".stripMargin
   )
 }

@@ -200,6 +200,22 @@ class PlanSpec extends SparkSuite {
       "the containment predicate must ride an equi-join on (key, cell):\n" + p)
   }
 
+  test("q88: both SCD-2 window passes share one hash exchange on the key") {
+    val p = plan("q88_scd2_build")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected the key shuffle to be reused, saw $exchanges:\n$p")
+    assert(!p.contains("SinglePartition"), "no global-window funnel")
+  }
+
+  test("q90: snapshot diff hashes inside the scan projection — text never shuffles") {
+    val p = plan("q90_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the join moves (id, md5) pairs only: no exchange carries the text column
+    val shuffleLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text")),
+      s"text must be reduced to a hash before any shuffle:\n$p")
+  }
+
   test("q80: stable ids never funnel through a single partition") {
     val p = plan("q80_stable_ids")
     assert(!p.contains("SinglePartition"),

@@ -689,6 +689,45 @@ class LlmSpec extends SparkSuite {
       Seq((0L, 3L, "x y z")))
   }
 
+  test("annRecall: hit/miss arithmetic, truth beyond k ignored, integer ppm") {
+    val exact = Seq(
+      (10L, 1L, 1L), (10L, 2L, 2L), (10L, 3L, 3L), (10L, 4L, 4L), // rank 4 ignored at k=3
+      (20L, 5L, 1L), (20L, 6L, 2L)) // short truth list (n_truth = 2)
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (10L, 2L, 1L), (10L, 9L, 2L), (10L, 3L, 3L), // 2 of 3 truth hit
+      (20L, 7L, 1L), (20L, 8L, 2L)) // 0 hits
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.annRecall(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) === ((3L, 2L, 666666L)))
+    assert(out(20L) === ((2L, 0L, 0L)))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classification by content hash") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("minhashCalibration: exact dup estimates full agreement and exact J=1; estimate tracks Jaccard") {
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // docs 1 and 4 are byte-identical: every signature component agrees,
+    // exact Jaccard is exactly 1.0
+    val (agree14, _, _, est14, jac14) = out((1L, 4L))
+    assert(agree14 === 12L && est14 === 1000000L && jac14 === 1000000L)
+    // the near-dup pair surfaces with high (but not necessarily full)
+    // agreement and sub-1.0 exact Jaccard
+    val (agree12, inter12, uni12, _, jac12) = out((1L, 2L))
+    assert(agree12 >= 6L && inter12 < uni12 && jac12 < 1000000L && jac12 > 500000L)
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

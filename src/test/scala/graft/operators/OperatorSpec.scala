@@ -317,6 +317,50 @@ class OperatorSpec extends SparkSuite {
     assert(got.columns.toSeq === Seq("event_id", "user_id", "ts", "interval_id"))
   }
 
+  // ----------------------------------------------------------------- Scd2
+
+  test("Scd2.build: gap-free half-open tiling, last-writer-wins on equal ts, one current row per key") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, t("2024-01-01 00:00:00"), "a", 10L),
+      (1L, t("2024-01-02 00:00:00"), "b", 11L),
+      // simultaneous change: seq 13 must win over 12
+      (1L, t("2024-01-03 00:00:00"), "stale", 12L),
+      (1L, t("2024-01-03 00:00:00"), "c", 13L),
+      (2L, t("2024-01-05 00:00:00"), "x", 14L))
+      .toDF("key", "ts", "attr", "seq")
+    val rows = Scd2.build(changes, "key", "ts", Seq("attr"), "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5)))
+    val k1 = rows.filter(_._1 == 1L).sortBy(_._5)
+    assert(k1.map(_._2).toSeq === Seq("a", "b", "c"), "last writer wins within equal ts")
+    assert(k1.map(_._5).toSeq === Seq(1L, 2L, 3L))
+    // half-open tiling: each valid_to equals the next valid_from
+    assert(k1.init.map(_._4).toSeq === k1.tail.map(r => Some(r._3)).toSeq)
+    assert(k1.count(_._6) === 1 && k1.last._6, "exactly the final row is current")
+    val k2 = rows.filter(_._1 == 2L)
+    assert(k2.map(r => (r._2, r._4, r._5, r._6)).toSeq === Seq(("x", None, 1L, true)))
+  }
+
+  test("Scd2.build feeds IntervalJoin: points resolve to the validity window containing them") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, t("2024-01-01 00:00:00"), "v1", 1L),
+      (1L, t("2024-01-10 00:00:00"), "v2", 2L))
+      .toDF("key", "ts", "attr", "seq")
+    val dim = Scd2.build(changes, "key", "ts", Seq("attr"), "seq")
+      // interval join needs closed windows: clamp the open current row
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit(t("2024-02-01 00:00:00"))))
+    val pts = Seq((100L, 1L, t("2024-01-05 12:00:00")), (101L, 1L, t("2024-01-20 12:00:00")))
+      .toDF("event_id", "key", "ts")
+    val got = IntervalJoin.byGrid(pts, dim, "key", "ts", "valid_from", "valid_to",
+        cellMicros = 24L * 3600 * 1000000, rightCols = Seq("attr"))
+      .select(col("event_id"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((100L, "v1"), (101L, "v2")))
+  }
+
   // ----------------------------------------------------------- StableIds
 
   test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
