@@ -364,6 +364,79 @@ object TextAnalysis {
     h.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Corpus-relative quality gate: keep rows whose `valueCol` is at or
+    * above the corpus's exact `pct`-th percentile — the adaptive form of
+    * a fixed-threshold filter (q73's `>= 9000`), for when the policy is
+    * "drop the worst quarter" rather than an absolute score. Absolute
+    * thresholds silently change meaning as the corpus mix drifts; the
+    * percentile form keeps the retention rate pinned.
+    *
+    * Scale shape: the threshold reuses [[groupPercentiles]]' histogram
+    * plan under a constant group — a map-side-combinable aggregate
+    * collapses the corpus to its DISTINCT values (scores are
+    * basis-point-bounded integers, so thousands of rows, not billions)
+    * before the single-partition cumulative walk; the driver collects
+    * ONE long, folded into the filter as a literal (the k-means-centroid
+    * pattern), so the kept-side plan is a pure codegen'd scan filter.
+    * Ties at the threshold are kept (documented: retention can exceed
+    * 1 − pct/100 by the threshold tie mass).
+    *
+    * @param valueCol an integral (long) column
+    */
+  def keepAbovePercentile(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      pct: Int): org.apache.spark.sql.DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct in 1..100")
+    val thr = groupPercentiles(
+        df.select(lit(1).as("__g"), col(valueCol)), "__g", valueCol, Seq(pct))
+      .select(col(s"p$pct")).collect().headOption.map(_.getLong(0))
+    thr match {
+      case Some(t) => df.filter(col(valueCol) >= lit(t))
+      case None    => df // empty corpus: nothing to threshold, stays empty
+    }
+  }
+
+  /** Per-source data card — the release-notes table of a curation run:
+    * document/token volumes, token-length percentiles, language share,
+    * and exact-duplicate exposure per source. The first artifact a
+    * dataset audit asks for and the first place source-level anomalies
+    * (a crawler gone wrong, a double-ingested dump) surface.
+    *
+    * Scale shape: one pinned pass computes tokens/lang/md5 in the scan
+    * projection; duplicate exposure joins against a corpus-wide
+    * (hash, count) aggregate — hash-only shuffles, text never leaves
+    * stage one; percentiles ride [[groupPercentiles]]' histogram (the
+    * per-source distinct-length table, not the corpus). All derived
+    * ratios are integer-exact (floor div / ppm).
+    *
+    * @return one row per source: (source, n_docs, n_tokens, n_en,
+    *   n_dup_docs, p50_toks, p90_toks, mean_toks, dup_ppm)
+    */
+  def sourceDataCard(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String): org.apache.spark.sql.DataFrame = {
+    val base = Caching.pin(Dedup.once(
+        docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+          col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(col("source"), col("id"),
+        tokenCount(col("__toks")).as("n_toks"),
+        langGuess(col("__toks")).as("lang"),
+        md5(col("__text")).as("h")))
+    val freq = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    val aggs = base.join(freq, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val pcts = groupPercentiles(
+        base.select(col("source"), col("n_toks")), "source", "n_toks", Seq(50, 90))
+      .select(col("source"), col("p50").as("p50_toks"), col("p90").as("p90_toks"))
+    aggs.join(pcts, Seq("source"))
+      .withColumn("mean_toks", expr("n_tokens div n_docs"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf-style weighting,
     * integer-exact: `score_ppm = (tf * 1_000_000 * n_docs) div df` — a
     * monotone transform of tf·(N/df), so the RANKING equals real

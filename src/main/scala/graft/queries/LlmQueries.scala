@@ -50,6 +50,29 @@ object LlmQueries {
       |SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** The t→s→f→sc CTE chain ending at sc = (doc_id, score): the
+    * qualityScore mirror (3·stop_bp + alpha_bp − 2·punct_bp − rep_bp)
+    * shared by the q73 fixed-threshold gate and the q92 percentile gate.
+    */
+  private def qualityScoreChainSql: String =
+    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks, $shinglesSql AS sh3 FROM t),
+       |f AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |  CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop,
+       |  CAST(len(sh3) AS BIGINT) AS n_sh,
+       |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_dsh
+       |FROM s),
+       |sc AS (SELECT doc_id,
+       |  3 * (CASE WHEN n_toks = 0 THEN 0 ELSE CAST(FLOOR(n_stop * 10000.0 / n_toks) AS BIGINT) END)
+       |  + (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_alpha * 10000.0 / n_chars) AS BIGINT) END)
+       |  - 2 * (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_punct * 10000.0 / n_chars) AS BIGINT) END)
+       |  - (CASE WHEN n_sh = 0 THEN 0 ELSE CAST(FLOOR((n_sh - n_dsh) * 10000.0 / n_sh) AS BIGINT) END) AS score
+       |FROM f)""".stripMargin
+
   /** q81's markup fixture, shared verbatim by the Spark concat and the
     * oracle's `||` chain: script content with raw `<`/`>`/`&&` (the
     * block regex must swallow it), a comment, a MIXED-CASE tag, and the
@@ -639,7 +662,28 @@ object LlmQueries {
     // MinHash estimator calibration on the LSH candidate pairs: the
     // 12-component signature-agreement estimate next to exact Jaccard.
     "q91_minhash_estimate" -> ((s, dir) =>
-      Dedup.minhashCalibration(docsCorpus(s, dir), "doc_id", "text"))
+      Dedup.minhashCalibration(docsCorpus(s, dir), "doc_id", "text")),
+
+    // Corpus-relative quality gate: q73's scorer, but the threshold is
+    // the corpus's exact median (retention pinned, not the score scale).
+    "q92_quality_threshold" -> ((s, dir) => {
+      val base = Dedup.once(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "__toks", TextAnalysis.tokens(col("text")))
+        .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+      val scored = base.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), col("__toks"), col("__sh3")).as("score"))
+      TextAnalysis.keepAbovePercentile(scored, "score", 50)
+    }),
+
+    // Per-source data card over a corpus with planted same-source exact
+    // dups: volumes, length percentiles, language share, dup exposure.
+    "q93_source_datacard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source")))
+      TextAnalysis.sourceDataCard(corpus, "doc_id", "text", "source")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1128,23 +1172,7 @@ object LlmQueries {
     // Mirrors qualityScore's weights: 3·stop_bp + alpha_bp − 2·punct_bp
     // − rep_bp, every feature floor(·10000/den) integer basis points.
     "q73_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
-         |s AS (SELECT doc_id, text, toks, $shinglesSql AS sh3 FROM t),
-         |f AS (SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |  CAST(len(toks) AS BIGINT) AS n_toks,
-         |  CAST(len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop,
-         |  CAST(len(sh3) AS BIGINT) AS n_sh,
-         |  CAST(len(list_distinct(sh3)) AS BIGINT) AS n_dsh
-         |FROM s),
-         |sc AS (SELECT doc_id,
-         |  3 * (CASE WHEN n_toks = 0 THEN 0 ELSE CAST(FLOOR(n_stop * 10000.0 / n_toks) AS BIGINT) END)
-         |  + (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_alpha * 10000.0 / n_chars) AS BIGINT) END)
-         |  - 2 * (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(FLOOR(n_punct * 10000.0 / n_chars) AS BIGINT) END)
-         |  - (CASE WHEN n_sh = 0 THEN 0 ELSE CAST(FLOOR((n_sh - n_dsh) * 10000.0 / n_sh) AS BIGINT) END) AS score
-         |FROM f)
+      s"""WITH ${qualityScoreChainSql}
          |SELECT doc_id, score,
          |  CAST(CASE WHEN score >= 9000 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM sc""".stripMargin,
@@ -1574,6 +1602,50 @@ object LlmQueries {
          |  sig_agree * 1000000 // 12 AS est_ppm,
          |  CASE WHEN uni > 0 THEN inter * 1000000 // uni END AS jac_ppm
          |FROM j""".stripMargin
+    },
+
+    // Threshold = exact median of the score distribution (histogram
+    // walk, same integer formula as q64); ties at the threshold kept.
+    "q92_quality_threshold" ->
+      s"""WITH ${qualityScoreChainSql},
+         |hist AS (SELECT score AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+         |h AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum,
+         |    SUM(cnt) OVER () AS tot FROM hist),
+         |thr AS (SELECT MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS t FROM h)
+         |SELECT doc_id, score FROM sc, thr WHERE score >= thr.t""".stripMargin,
+
+    "q93_source_datacard" -> {
+      val en = s"len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)}))"
+      val fr = s"len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)}))"
+      val de = s"len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)}))"
+      s"""WITH c AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT source, doc_id, text, ${toksSql("text")} AS toks FROM c),
+         |b AS (SELECT source, doc_id, md5(text) AS h,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CASE WHEN $en >= $fr AND $en >= $de THEN 'en'
+         |         WHEN $fr >= $de THEN 'fr' ELSE 'de' END AS lang
+         |  FROM t),
+         |fq AS (SELECT h, COUNT(*) AS n_copies FROM b GROUP BY 1),
+         |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |    CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM b JOIN fq USING (h) GROUP BY 1),
+         |hist AS (SELECT source, n_toks AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM b GROUP BY 1, 2),
+         |h AS (SELECT source, v, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY source) AS tot FROM hist),
+         |pc AS (SELECT source,
+         |    MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_toks,
+         |    MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_toks
+         |  FROM h GROUP BY 1)
+         |SELECT ag.source, n_docs, n_tokens, n_en, n_dup_docs, p50_toks, p90_toks,
+         |  n_tokens // n_docs AS mean_toks,
+         |  n_dup_docs * 1000000 // n_docs AS dup_ppm
+         |FROM ag JOIN pc USING (source)""".stripMargin
     }
   )
 }

@@ -728,6 +728,39 @@ class LlmSpec extends SparkSuite {
     assert(agree12 >= 6L && inter12 < uni12 && jac12 < 1000000L && jac12 > 500000L)
   }
 
+  test("keepAbovePercentile: exact-median threshold, ties kept, empty input stays empty") {
+    val scored = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L), (5L, 50L))
+      .toDF("id", "score")
+    // distinct-value histogram: cum(10)=1, cum(20)=2, cum(30)=4, cum(50)=5;
+    // p50 needs cum >= 3 -> threshold 30; both ties at 30 survive
+    val kept = TextAnalysis.keepAbovePercentile(scored, "score", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 5L))
+    val none = TextAnalysis.keepAbovePercentile(scored.filter(lit(false)), "score", 50)
+    assert(none.count() === 0)
+  }
+
+  test("sourceDataCard: volumes, language share, dup exposure, and percentiles per source") {
+    val corpus = Seq(
+      (1L, "the quick brown fox is on the hill today", "web"),
+      (2L, "the quick brown fox is on the hill today", "web"), // exact dup in-source
+      (3L, "one two three", "web"),
+      (4L, "le chat et le chien et la maison de la ville", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDataCard(corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getLong(1) === 3L, "n_docs")
+    assert(web.getLong(2) === 9L + 9L + 3L, "n_tokens")
+    assert(web.getLong(3) === 3L, "n_en (all-stopword heuristic)")
+    assert(web.getLong(4) === 2L, "both copies of the dup count as exposed")
+    assert(web.getLong(5) === 9L, "p50 of (3,9,9)")
+    assert(web.getLong(7) === 7L, "mean_toks = 21 div 3")
+    assert(web.getLong(8) === 666666L, "dup_ppm = 2e6 div 3")
+    val books = out("books")
+    assert(books.getLong(1) === 1L && books.getLong(4) === 0L)
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
