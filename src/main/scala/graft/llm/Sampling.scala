@@ -86,6 +86,40 @@ object Sampling {
       .filter(col("sample_rank") <= col("quota"))
   }
 
+  /** Deterministic epoch upsampling — [[temperatureSample]]'s dual: fill
+    * every group (source) to EXACTLY `quota` rows by whole-epoch
+    * repetition plus a hash-prefix partial epoch (the standard LLM-mix
+    * move for small high-quality sources: run them for multiple epochs
+    * rather than let big sources drown them; a group larger than the
+    * quota downsamples to its hash-smallest `quota` rows, so the output
+    * mix is flat by construction). Never `rand()`: the copy count of a
+    * row is a pure function of (id, group size, quota), stable across
+    * runs, retries, and engines.
+    *
+    * Scale shape: one window shuffle on the group key for the fill rank,
+    * a broadcast of the per-group counts (one row per source), and a
+    * per-row `sequence` explode bounded by ⌈quota/n_group⌉ — no driver
+    * state beyond the broadcast, no global sort.
+    *
+    * @return input columns + (n_group, n_copies, epoch); one row per
+    *   (row, epoch 0..n_copies-1); per-group row total = quota exactly
+    */
+  def epochUpsample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, quota: Long): org.apache.spark.sql.DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("fill_rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(groupCol))
+      .withColumn("n_copies", expr(
+        s"($quota div n_group) + IF(fill_rank <= $quota % n_group, 1L, 0L)"))
+      .filter(col("n_copies") > 0) // oversized groups: unpicked rows drop
+      .withColumn("epoch",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")))
+      .drop("fill_rank")
+  }
+
   final case class PackedSequence(seq_id: String, doc_ids: Array[Long],
       n_docs: Int, total_tokens: Long)
 

@@ -683,7 +683,31 @@ object LlmQueries {
       val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source")))
       TextAnalysis.sourceDataCard(corpus, "doc_id", "text", "source")
-    })
+    }),
+
+    // Per-source percent-rank + quartile of token length — the window
+    // calibration pair (percent_rank/ntile class) in integer ppm; one
+    // shuffle on the source key, never a global window.
+    "q94_source_percentrank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(TextAnalysis.tokens(col("text"))).as("n_toks"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_toks").asc, col("doc_id").asc)
+      base
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("pr_ppm", expr(
+          "CASE WHEN __n > 1 THEN ((rnk - 1) * 1000000) div (__n - 1) ELSE 0 END"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .drop("__n")
+    }),
+
+    // Deterministic epoch upsampling to a flat 100-docs-per-source mix:
+    // whole epochs + hash-prefix partial epoch, never rand().
+    "q95_epoch_upsample" -> ((s, dir) =>
+      Sampling.epochUpsample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", quota = 100L))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1646,6 +1670,33 @@ object LlmQueries {
          |  n_tokens // n_docs AS mean_toks,
          |  n_dup_docs * 1000000 // n_docs AS dup_ppm
          |FROM ag JOIN pc USING (source)""".stripMargin
-    }
+    },
+
+    "q94_source_percentrank" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_toks FROM documents),
+         |r AS (SELECT source, doc_id, n_toks,
+         |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+         |    CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |  FROM t WINDOW w AS (PARTITION BY source ORDER BY n_toks ASC, doc_id ASC))
+         |SELECT source, doc_id, n_toks, rnk,
+         |  CASE WHEN n_src > 1 THEN ((rnk - 1) * 1000000) // (n_src - 1) ELSE 0 END AS pr_ppm,
+         |  quartile
+         |FROM r""".stripMargin,
+
+    "q95_epoch_upsample" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents),
+         |n AS (SELECT r.doc_id, r.source, c.n_group,
+         |    (100 // c.n_group) + CASE WHEN r.rk <= 100 % c.n_group THEN 1 ELSE 0 END AS n_copies
+         |  FROM r JOIN c USING (source))
+         |SELECT doc_id, source, n_group, CAST(n_copies AS BIGINT) AS n_copies,
+         |  CAST(epoch AS BIGINT) AS epoch
+         |FROM n, UNNEST(range(0, n_copies)) AS u(epoch)
+         |WHERE n_copies > 0""".stripMargin
   )
 }

@@ -761,6 +761,25 @@ class LlmSpec extends SparkSuite {
     assert(books.getLong(1) === 1L && books.getLong(4) === 0L)
   }
 
+  test("epochUpsample: every group lands on the exact quota; oversized groups downsample") {
+    val rows = ((1 to 3).map(i => (i.toLong, "small")) ++
+      (10 to 21).map(i => (i.toLong, "big"))).toDF("id", "src")
+    val out = Sampling.epochUpsample(rows, "id", "src", quota = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("small").length === 8, "3 docs fill an 8-quota via epochs")
+    assert(bySrc("big").length === 8, "12 docs downsample to the quota")
+    // small: 8 = 3 full copies * 2 epochs + 2 partial; copy counts are 3/3/2
+    assert(bySrc("small").groupBy(_._2).values.map(_.length).toSeq.sorted === Seq(2, 3, 3))
+    // epochs are contiguous from 0 per row
+    bySrc("small").groupBy(_._2).values.foreach { copies =>
+      assert(copies.map(_._4).sorted.toSeq === (0L until copies.length.toLong))
+    }
+    // big: one epoch each, hash-smallest 8 of 12 picked, n_copies stamped 1
+    assert(bySrc("big").forall(r => r._3 === 1L && r._4 === 0L))
+    assert(bySrc("big").map(_._2).distinct.length === 8)
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
