@@ -216,6 +216,19 @@ class PlanSpec extends SparkSuite {
       s"text must be reduced to a hash before any shuffle:\n$p")
   }
 
+  test("q92: the percentile-thresholded keep side is a pure scan filter — no exchange at all") {
+    val p = plan("q92_quality_threshold")
+    assert(!p.contains("Exchange"),
+      "threshold must fold in as a literal; the kept-side plan is scan+filter:\n" + p)
+  }
+
+  test("q95: epoch upsampling is one keyed window plus a broadcast quota join") {
+    val p = plan("q95_epoch_upsample")
+    assert(p.contains("BroadcastHashJoin"), "per-group counts must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"), "no global window")
+  }
+
   test("q80: stable ids never funnel through a single partition") {
     val p = plan("q80_stable_ids")
     assert(!p.contains("SinglePartition"),
