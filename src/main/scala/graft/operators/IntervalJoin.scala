@@ -49,6 +49,36 @@ object IntervalJoin {
     * @return inner join: every left column, then `rightCols`; one row per
     *   (point, containing interval)
     */
+  /** Broadcast variant — the usual SCD-2 case where the interval side is
+    * DIMENSION-sized (config history, price lists): per-key interval
+    * arrays broadcast to every task and the big point side NEVER
+    * shuffles, sorts, or explodes (the complement of [[byGrid]], exactly
+    * as the broadcast as-of join complements the merged-stream as-of).
+    *
+    * Per-row probe cost is O(intervals of that key) via a codegen'd
+    * higher-order `filter` over the broadcast array — fine for
+    * dimension-shaped history depths (tens to thousands per key); for
+    * interval sides at fact scale use [[byGrid]]. Same semantics:
+    * half-open `[start, end)`, overlaps multi-match, gaps drop, empty
+    * windows never match.
+    */
+  def broadcastByKey(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      rightCols: Seq[String]): DataFrame = {
+    val dim = right
+      .filter(col(endCol) > col(startCol))
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(
+        Seq(col(startCol).as("__s"), col(endCol).as("__e")) ++
+          rightCols.map(col): _*)).as("__ivs"))
+    val hits = filter(col("__ivs"),
+      s => s.getField("__s") <= col(tsCol) && col(tsCol) < s.getField("__e"))
+    left.join(broadcast(dim), Seq(keyCol))
+      .withColumn("__hit", explode(hits))
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => col(s"__hit.$c").as(c)): _*)
+  }
+
   def byGrid(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, startCol: String, endCol: String,
       cellMicros: Long, rightCols: Seq[String]): DataFrame = {

@@ -310,6 +310,21 @@ object Relational {
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
         graft.functions.ZOrder64(col("o_custkey"), col("o_orderkey")).as("zval"))),
 
+    // Broadcast interval join — the dimension-sized SCD-2 case: per-key
+    // interval arrays broadcast; the big point side never shuffles
+    // (PlanSpec pins that). Same fixture and oracle as q85.
+    "q96_interval_broadcast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val iv = ev.filter(col("event_id") % 20 === 0)
+        .select((col("event_id") + 1000000L).as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      IntervalJoin.broadcastByKey(pts, iv, "user_id", "ts", "start_ts", "end_ts",
+          rightCols = Seq("interval_id"))
+        .select(col("event_id"), col("user_id"), col("interval_id"))
+    }),
+
     // SCD-2 history build — the producer of q85's interval side: the
     // event stream becomes per-user validity windows (half-open, gap-free
     // tiling; open current row; last-writer-wins on equal timestamps).
@@ -337,6 +352,15 @@ object Relational {
       when(col("o_totalprice") < 1000, lit(null)).otherwise(col("o_totalprice")).as("tp"))
 
   // ---------------------------------------------------------------- oracles
+
+  private val intervalJoinOracleSql =
+    """WITH pts AS (SELECT event_id, user_id, ts FROM events),
+      |iv AS (SELECT event_id + 1000000 AS interval_id, user_id,
+      |    ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+      |  FROM events WHERE event_id % 20 = 0)
+      |SELECT p.event_id, p.user_id, i.interval_id
+      |FROM pts p JOIN iv i ON p.user_id = i.user_id
+      |  AND i.start_ts <= p.ts AND p.ts < i.end_ts""".stripMargin
 
   private val derivedNullSql =
     """SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -533,14 +557,10 @@ object Relational {
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
         |FROM orders""".stripMargin,
 
-    "q85_interval_join" ->
-      """WITH pts AS (SELECT event_id, user_id, ts FROM events),
-        |iv AS (SELECT event_id + 1000000 AS interval_id, user_id,
-        |    ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
-        |  FROM events WHERE event_id % 20 = 0)
-        |SELECT p.event_id, p.user_id, i.interval_id
-        |FROM pts p JOIN iv i ON p.user_id = i.user_id
-        |  AND i.start_ts <= p.ts AND p.ts < i.end_ts""".stripMargin,
+    "q85_interval_join" -> intervalJoinOracleSql,
+
+    // identical semantics to q85 — only the physical strategy differs
+    "q96_interval_broadcast" -> intervalJoinOracleSql,
 
     "q86_zorder_key" ->
       """SELECT o_orderkey, o_custkey,

@@ -229,6 +229,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), "no global window")
   }
 
+  test("q96: broadcast interval join never shuffles the point side") {
+    val p = plan("q96_interval_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dimension intervals must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"only the dimension aggregation may shuffle, saw $exchanges:\n$p")
+  }
+
   test("q80: stable ids never funnel through a single partition") {
     val p = plan("q80_stable_ids")
     assert(!p.contains("SinglePartition"),

@@ -279,6 +279,28 @@ class OperatorSpec extends SparkSuite {
     assert(want.nonEmpty, "fixture must produce matches")
   }
 
+  test("broadcast interval join equals byGrid on the random fixture (overlaps, half-open, empty windows)") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val pts = (0 until 150).map(i => (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(600))))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(600)
+      (1000L + i, rnd.nextInt(5).toLong, t(s), t(math.min(600, s + rnd.nextInt(4) * 45)))
+    }
+    val ptsDf = pts.toDF("event_id", "user_id", "ts")
+    val ivsDf = ivs.toDF("interval_id", "user_id", "start_ts", "end_ts")
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("interval_id"))
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      f.select(col("event_id"), col("interval_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val broadcastRes = run(IntervalJoin.broadcastByKey(
+      ptsDf, ivsDf, "user_id", "ts", "start_ts", "end_ts", Seq("interval_id")))
+    val gridRes = run(IntervalJoin.byGrid(
+      ptsDf, ivsDf, "user_id", "ts", "start_ts", "end_ts",
+      cellMicros = 30L * 60 * 1000000, Seq("interval_id")))
+    assert(broadcastRes === gridRes)
+    assert(broadcastRes.nonEmpty)
+  }
+
   test("interval join clamps sentinel open-ended windows to the observed point range") {
     // a 9999-12-31 'current' SCD-2 row at 1h cells is ~70M grid cells if
     // exploded raw — with the clamp it costs <= the point range (~10 cells)
