@@ -86,4 +86,61 @@ class PropertySpec extends SparkSuite {
       assert(g === e4 * 115 / 1000000.0, s"input $x")
     }
   }
+
+  test("property: Scd2.build tiles each key's timeline — gap-free, overlap-free, one current row") {
+    val changeGen = for {
+      key <- Gen.choose(0L, 9L)
+      ts <- tsGen
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (key, ts, v)
+    val cases = sample(Gen.listOfN(400, changeGen)).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+    val rows = graft.operators.Scd2
+      .build(cases.toDF("key", "ts", "attr", "seq"), "key", "ts", Seq("attr"), "seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (key, krows0) =>
+      val krows = krows0.sortBy(_._5)
+      // versions are 1..n
+      assert(krows.map(_._5).toSeq === (1L to krows.length.toLong), s"key $key")
+      // tiling: valid_to(i) == valid_from(i+1); exactly the last is open/current
+      krows.init.zip(krows.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"key $key gap/overlap at version ${a._5}")
+        assert(!a._6)
+      }
+      assert(krows.last._4.isEmpty && krows.last._6, s"key $key current row")
+      // last-writer-wins: each surviving row carries the max-seq attr of its (key, ts)
+      val model = cases.filter(_._1 == key).groupBy(_._2).map { case (ts, g) =>
+        ts -> g.maxBy(_._4)._3
+      }
+      krows.foreach { r =>
+        assert(model(r._3) === r._2, s"key $key ts ${r._3}")
+      }
+      assert(krows.length === model.size, s"key $key row count")
+    }
+  }
+
+  test("property: epochUpsample emits exactly quota rows per group with contiguous epochs") {
+    val rowGen = for { key <- Gen.oneOf("a", "b", "c"); id <- Gen.choose(0L, 4999L) } yield (key, id)
+    val cases = sample(Gen.listOfN(300, rowGen)).distinct
+    val quota = 40L
+    val out = graft.llm.Sampling
+      .epochUpsample(cases.toDF("src", "id"), "id", "src", quota)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length.toLong === quota, s"group $src must land on the quota")
+      g.groupBy(_._2).values.foreach { copies =>
+        assert(copies.map(_._4).sorted.toSeq === (0L until copies.length.toLong),
+          s"group $src epochs must be contiguous from 0")
+        assert(copies.forall(_._3 === copies.length.toLong), "n_copies stamp")
+      }
+      val n = cases.count(_._1 == src).toLong
+      val spread = g.groupBy(_._2).values.map(_.length).toSet
+      // copy counts differ by at most one between rows of a group (or the
+      // group downsampled and every picked row appears once)
+      assert(spread.size <= 2 && (spread.max - spread.min) <= 1, s"group $src spread $spread")
+      if (n >= quota) assert(spread === Set(1))
+    }
+  }
 }
