@@ -139,6 +139,54 @@ object EventStreams {
         Encoders.product[SessionState], Encoders.product[ClosedSession])
   }
 
+  final case class Scd2Change(key: Long, ts: java.sql.Timestamp, attr: String, seq: Long)
+  final case class Scd2State(tsMs: Long, attr: String, seq: Long)
+  final case class ClosedVersion(key: Long, attr: String, valid_from_ms: Long,
+      valid_to_ms: Long)
+
+  /** Streaming SCD-2 maintenance — the incremental form of
+    * [[graft.operators.Scd2.build]]: each key's CURRENT version lives in
+    * the state store; a newer change CLOSES it (emitting the finished
+    * validity window exactly once, Append mode) and becomes the new
+    * current row. The closed-version stream unioned with a state
+    * snapshot is the full dimension at any instant.
+    *
+    * Ordering contract: within a micro-batch changes sort by (ts, seq);
+    * equal-ts changes apply last-writer-wins WITHOUT closing a window
+    * (they are the same instant — matching the batch operator). ACROSS
+    * batches a change older than the key's current version is DROPPED:
+    * re-opening history would mean re-emitting corrected windows, which
+    * Append-mode exactly-once cannot express — replay the batch builder
+    * for late-data corrections (the standard lambda split).
+    *
+    * State: one (ts, attr, seq) row per key — the dimension's own
+    * cardinality, which is exactly what any SCD-2 store must hold;
+    * NoTimeout because a dimension key's current version never expires.
+    */
+  def scd2Stream(changes: Dataset[Scd2Change]): Dataset[ClosedVersion] = {
+    val f: (Long, Iterator[Scd2Change], GroupState[Scd2State]) => Iterator[ClosedVersion] =
+      (key, it, state) => {
+        val sorted = it.toSeq.sortBy(c => (c.ts.getTime, c.seq))
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[ClosedVersion]
+        sorted.foreach { c =>
+          val t = c.ts.getTime
+          if (st == null) st = Scd2State(t, c.attr, c.seq)
+          else if (t == st.tsMs) {
+            if (c.seq >= st.seq) st = Scd2State(t, c.attr, c.seq)
+          } else if (t > st.tsMs) {
+            closed += ClosedVersion(key, st.attr, st.tsMs, t)
+            st = Scd2State(t, c.attr, c.seq)
+          } // else: older than current -> dropped (see ordering contract)
+        }
+        if (st != null) state.update(st)
+        closed.result().iterator
+      }
+    changes.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(f)(
+        Encoders.product[Scd2State], Encoders.product[ClosedVersion])
+  }
+
   /** Streaming exact-dedup at ingest: drop rows whose key re-appears
     * within the watermark horizon (`dropDuplicatesWithinWatermark`) —
     * the streaming form of the batch exact dedup with BOUNDED state:

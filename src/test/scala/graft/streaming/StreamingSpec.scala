@@ -93,6 +93,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD-2: newer changes close windows exactly once; equal-ts last-writer; late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Scd2Change]
+    def ch(k: Long, t: String, a: String, s: Long) =
+      Scd2Change(k, Timestamp.valueOf(t), a, s)
+    def ms(t: String) = Timestamp.valueOf(t).getTime
+    val q = scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.sql(
+        "SELECT key, attr, valid_from_ms, valid_to_ms FROM scd2_out ORDER BY key, valid_from_ms")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+      // batch 1: two versions in one batch -> v1 closes immediately
+      mem.addData(ch(1, "2024-01-01 00:00:00", "v1", 1), ch(1, "2024-01-03 00:00:00", "v2", 2))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, "v1", ms("2024-01-01 00:00:00"), ms("2024-01-03 00:00:00"))))
+
+      // batch 2: same-ts higher-seq overwrites the open version without
+      // closing a window; a later change then closes the OVERWRITTEN attr
+      mem.addData(ch(1, "2024-01-03 00:00:00", "v2b", 3))
+      q.processAllAvailable()
+      assert(rows().size === 1)
+      mem.addData(ch(1, "2024-01-05 00:00:00", "v3", 4))
+      q.processAllAvailable()
+      assert(rows() === Seq(
+        (1L, "v1", ms("2024-01-01 00:00:00"), ms("2024-01-03 00:00:00")),
+        (1L, "v2b", ms("2024-01-03 00:00:00"), ms("2024-01-05 00:00:00"))))
+
+      // a change older than the current version drops (ordering contract)
+      mem.addData(ch(1, "2024-01-02 00:00:00", "late", 5))
+      q.processAllAvailable()
+      assert(rows().size === 2)
+
+      // independent keys keep independent state
+      mem.addData(ch(2, "2024-01-01 00:00:00", "x", 1))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == 2L) === 0) // still open, nothing emitted
+    } finally q.stop()
+  }
+
   test("streaming dedup: repeated keys within the watermark dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
