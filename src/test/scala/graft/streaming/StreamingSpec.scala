@@ -134,6 +134,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD-2 equals the batch builder's closed rows on in-order data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // unique (key, ts) pairs, fed to the stream in ts order (the contract)
+    val changes = rnd.shuffle((0 until 60).toList).zipWithIndex.map { case (slot, i) =>
+      Scd2Change(slot % 5L, Timestamp.valueOf(f"2024-01-01 ${slot / 60}%02d:${slot % 60}%02d:00"),
+        s"v$i", i.toLong)
+    }.sortBy(_.ts.getTime)
+    val mem = MemoryStream[Scd2Change]
+    val q = scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_xval").outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = changes.splitAt(30)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT key, attr, valid_from_ms, valid_to_ms FROM scd2_xval")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      import spark.implicits._
+      val batch = graft.operators.Scd2
+        .build(changes.toDF("key", "ts", "attr", "seq"), "key", "ts", Seq("attr"), "seq")
+        .filter(!col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 60 - 5, "every key leaves exactly one open current row")
+    } finally q.stop()
+  }
+
   test("streaming dedup: repeated keys within the watermark dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
