@@ -148,12 +148,12 @@ object Sampling {
     */
   val DefaultPackGroups: Int = 256
 
-  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, tokenBudget: Long,
-      numGroups: Int = DefaultPackGroups): org.apache.spark.sql.Dataset[PackedSequence] = {
-    require(tokenBudget > 0, "tokenBudget must be positive")
-    require(numGroups > 0, "numGroups must be positive")
-    import org.apache.spark.sql.{Encoders, Row}
+  /** Shared packing prep: (grp, id, n_tokens) co-located by hash group
+    * and sorted (grp, id) within partitions — the deterministic input
+    * order both [[packSequences]] and [[packedSpans]] stream over.
+    */
+  private def packPrep(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numGroups: Int): org.apache.spark.sql.DataFrame = {
     val withTokens = docs.select(
       pmod(Dedup.hash32(col(idCol).cast("string")), lit(numGroups.toLong)).as("grp"),
       col(idCol).cast("long").as("id"),
@@ -161,8 +161,17 @@ object Sampling {
     // repartition only CO-LOCATES groups (several hash groups may share a
     // Spark partition); the iterator resets at group boundaries, so the
     // output is independent of the physical partitioning.
-    val parted = withTokens.repartition(numGroups, col("grp"))
+    withTokens.repartition(numGroups, col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))
+  }
+
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tokenBudget: Long,
+      numGroups: Int = DefaultPackGroups): org.apache.spark.sql.Dataset[PackedSequence] = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    val parted = packPrep(docs, idCol, textCol, numGroups)
     parted.mapPartitions { (it: Iterator[Row]) =>
       // streaming greedy: O(current sequence) memory, not O(partition).
       // seq_id = the sequence's FIRST doc id: every document belongs to
@@ -197,5 +206,45 @@ object Sampling {
         }
       }
     }(Encoders.product[PackedSequence])
+  }
+
+  final case class PackedSpan(seq_id: String, doc_id: Long, start_tok: Long,
+      end_tok: Long)
+
+  /** Per-document token boundaries inside [[packSequences]]' sequences —
+    * the span table a training loader needs for attention masking /
+    * example separation within each packed row (`[start_tok, end_tok)`
+    * in the sequence's token stream; spans tile the sequence with no
+    * gaps in packing order). Same greedy walk, same determinism
+    * contract, one row per document instead of one per sequence.
+    */
+  def packedSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tokenBudget: Long,
+      numGroups: Int = DefaultPackGroups): org.apache.spark.sql.Dataset[PackedSpan] = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    val parted = packPrep(docs, idCol, textCol, numGroups)
+    parted.mapPartitions { (it: Iterator[Row]) =>
+      new Iterator[PackedSpan] {
+        private var curGrp = -1L
+        private var run = 0L
+        private var seqStart = -1L
+        def hasNext: Boolean = it.hasNext
+        def next(): PackedSpan = {
+          val r = it.next()
+          require(!r.isNullAt(1),
+            s"packedSpans: id column '$idCol' must be non-null and castable to long")
+          val (grp, id, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          if (seqStart < 0 || grp != curGrp || run + n > tokenBudget) {
+            seqStart = id; run = 0L
+          }
+          curGrp = grp
+          val s = PackedSpan(s"s$seqStart", id, run, run + n)
+          run += n
+          s
+        }
+      }
+    }(Encoders.product[PackedSpan])
   }
 }

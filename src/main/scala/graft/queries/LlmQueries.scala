@@ -707,7 +707,13 @@ object LlmQueries {
     "q95_epoch_upsample" -> ((s, dir) =>
       Sampling.epochUpsample(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
-        "doc_id", "source", quota = 100L))
+        "doc_id", "source", quota = 100L)),
+
+    // Per-document token spans inside q51's packed sequences — the
+    // attention-mask boundary table (spans tile each sequence).
+    "q97_packed_spans" -> ((s, dir) =>
+      Sampling.packedSpans(Tables.documents(s, dir), "doc_id", "text",
+        tokenBudget = 512, numGroups = 32).toDF())
   )
 
   // ---------------------------------------------------------------- oracles
@@ -907,6 +913,30 @@ object LlmQueries {
          |  CAST(COUNT(*) AS INTEGER) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM acc GROUP BY seq_start""".stripMargin,
+
+    // Same recursive replay as q51; `run` after a doc is its exclusive
+    // end offset, so its span is [run - n_tokens, run).
+    "q97_packed_spans" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT ${h32Sql("CAST(doc_id AS VARCHAR)")} % 32 AS grp, doc_id,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT grp, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM t),
+         |acc AS (
+         |  SELECT grp, rn, doc_id, n_tokens, n_tokens AS run, doc_id AS seq_start
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.grp, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN acc.run + r.n_tokens > 512 THEN r.n_tokens
+         |         ELSE acc.run + r.n_tokens END,
+         |    CASE WHEN acc.run + r.n_tokens > 512 THEN r.doc_id
+         |         ELSE acc.seq_start END
+         |  FROM acc JOIN r ON r.grp = acc.grp AND r.rn = acc.rn + 1)
+         |SELECT 's' || CAST(seq_start AS VARCHAR) AS seq_id, doc_id,
+         |  CAST(run - n_tokens AS BIGINT) AS start_tok,
+         |  CAST(run AS BIGINT) AS end_tok
+         |FROM acc""".stripMargin,
 
     "q30_exact_dedup" ->
       """WITH corpus AS (

@@ -780,6 +780,29 @@ class LlmSpec extends SparkSuite {
     assert(bySrc("big").map(_._2).distinct.length === 8)
   }
 
+  test("packedSpans tile each sequence and reconcile with packSequences exactly") {
+    val fixture = (1L to 40L).map(i => (i, ("tok " * (i % 13 + 1).toInt).trim)).toDF("doc_id", "text")
+    val spans = Sampling.packedSpans(fixture, "doc_id", "text",
+        tokenBudget = 20, numGroups = 4)
+      .collect().map(s => (s.seq_id, s.doc_id, s.start_tok, s.end_tok))
+    val seqs = Sampling.packSequences(fixture, "doc_id", "text",
+        tokenBudget = 20, numGroups = 4)
+      .collect().map(p => p.seq_id -> p).toMap
+    assert(spans.map(_._2).sorted.toSeq === (1L to 40L), "every doc has exactly one span")
+    spans.groupBy(_._1).foreach { case (seqId, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"$seqId starts at 0")
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 === b._3, s"$seqId spans must tile without gaps")
+      }
+      val p = seqs(seqId)
+      assert(sorted.last._4 === p.total_tokens, s"$seqId total")
+      assert(sorted.map(_._2).toSeq === p.doc_ids.toSeq.sorted, s"$seqId members")
+      assert(sorted.forall(s => s._4 - s._3 > 0), "spans are non-empty")
+    }
+    assert(spans.groupBy(_._1).keySet === seqs.keySet)
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
