@@ -90,6 +90,29 @@ object Similarity {
     ranked(c.join(broadcast(q), Seq("bucket")).filter(col("neighbor_id") =!= col("query_id")), k)
   }
 
+  /** Hard-negative mining — per query, the top-k most similar vectors
+    * with a DIFFERENT label (contrastive/embedding-training data prep:
+    * the negatives that actually move the loss are the near-miss ones).
+    * Bucket-restricted exactly like [[bucketedTopK]]: pass a geometric
+    * bucket (k-means cell / LSH plane), and cross-label near neighbors
+    * are found because cells come from geometry, not labels — the same
+    * IVF machinery answers both the recall query and the mining query.
+    *
+    * Scale shape: identical to [[bucketedTopK]] (broadcast query side,
+    * bucket-keyed join, per-query top-k window); the label filter is a
+    * per-pair codegen predicate on broadcast-carried columns, adding
+    * zero shuffle.
+    */
+  def hardNegativesTopK(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val q = querySide(emb, idCol, vecCol, queryPred,
+      Seq(bucketCol -> "bucket", labelCol -> "__ql"))
+    val c = candSide(emb, idCol, vecCol,
+      Seq(bucketCol -> "bucket", labelCol -> "__cl"))
+    ranked(c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id") && col("__cl") =!= col("__ql")), k)
+  }
+
   /** Generic bucket-size pre-flight for ANY bucket-restricted pair/probe
     * join ([[cosineNearDupPairs]], [[bucketedTopK]]): per-bucket row
     * counts, cheap (one partial-aggregated shuffle on the bucket key —

@@ -713,7 +713,18 @@ object LlmQueries {
     // attention-mask boundary table (spans tile each sequence).
     "q97_packed_spans" -> ((s, dir) =>
       Sampling.packedSpans(Tables.documents(s, dir), "doc_id", "text",
-        tokenBudget = 512, numGroups = 32).toDF())
+        tokenBudget = 512, numGroups = 32).toDF()),
+
+    // Hard-negative mining: per query, nearest different-label vectors
+    // inside its learned-IVF cell (q63's buckets, a label-mismatch
+    // predicate on top) — contrastive-training data prep.
+    "q98_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+      Similarity.hardNegativesTopK(emb.join(assign, Seq("vec_id")),
+        "vec_id", "embedding", "cluster", "label", col("vec_id") % 50 === 0, 3)
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -913,6 +924,29 @@ object LlmQueries {
          |  CAST(COUNT(*) AS INTEGER) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM acc GROUP BY seq_start""".stripMargin,
+
+    // q63's learned-IVF chain plus the label-mismatch predicate.
+    "q98_hard_negatives" ->
+      s"""WITH ${kmeansChainSql()},
+         |qq AS (SELECT q.id AS query_id, a2.cluster, e.label AS q_label, q.qv FROM q
+         |  JOIN a2 ON q.id = a2.id
+         |  JOIN embeddings e ON q.id = e.vec_id
+         |  WHERE q.id % 50 = 0),
+         |cc AS (SELECT q.id AS neighbor_id, a2.cluster, e.label AS c_label, q.qv AS cv FROM q
+         |  JOIN a2 ON q.id = a2.id
+         |  JOIN embeddings e ON q.id = e.vec_id),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qq.qv", "cc.cv")} AS dot,
+         |    ${dotSql("qq.qv", "qq.qv")} AS na,
+         |    ${dotSql("cc.cv", "cc.cv")} AS nb
+         |  FROM cc JOIN qq USING (cluster)
+         |  WHERE neighbor_id <> query_id AND c_label <> q_label)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 3""".stripMargin,
 
     // Same recursive replay as q51; `run` after a doc is its exclusive
     // end offset, so its span is [run - n_tokens, run).

@@ -803,6 +803,20 @@ class LlmSpec extends SparkSuite {
     assert(spans.groupBy(_._1).keySet === seqs.keySet)
   }
 
+  test("hardNegativesTopK: same-label and cross-bucket vectors excluded, negatives ranked by cosine") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a", 0L),
+      (2L, Array(0.9f, 0.1f), "a", 0L), // same label: excluded however close
+      (3L, Array(0.8f, 0.2f), "b", 0L), // nearest different-label
+      (4L, Array(0.0f, 1.0f), "b", 0L), // far different-label
+      (5L, Array(0.99f, 0.01f), "c", 1L)) // other bucket: invisible
+      .toDF("vec_id", "embedding", "label", "bucket")
+    val out = Similarity.hardNegativesTopK(emb, "vec_id", "embedding",
+        "bucket", "label", col("vec_id") === 1L, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._2).toSeq === Seq((3L, 1L), (4L, 2L)))
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
