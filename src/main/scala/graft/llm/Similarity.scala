@@ -452,29 +452,92 @@ object Similarity {
       queryPred: Column, m: Int = 4, k: Int = 4, iters: Int = 2,
       topK: Int = 10): DataFrame = {
     val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
-    val cand = Dedup.once(q,
-        "__pq", array(books.indices.map { j =>
-          assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
-        }: _*))
+    val cand = Dedup.once(q, "__pq", pqCodesStructs(books, sub))
       .select(col("id").as("neighbor_id"),
         transform(col("__pq"), s => s.getField("c")).as("codes"))
     val queries = Dedup.once(
         emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
         "qqv", quantize(col("__v")))
       .select(col("query_id"), col("qqv"))
-    val adc = books.indices.map { j =>
+    val scored = cand.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
+    adcRanked(scored, topK)
+  }
+
+  /** The m per-subspace (dist, code) argmin structs of a row's `qv` —
+    * the encode projection shared by [[pqAdcTopK]] and [[ivfPqTopK]].
+    */
+  private def pqCodesStructs(books: IndexedSeq[IndexedSeq[Seq[Long]]],
+      sub: Int): Column =
+    array(books.indices.map { j =>
+      assignStruct(slice(col("qv"), j * sub + 1, sub), books(j))
+    }: _*)
+
+  /** Integer ADC distance of a query's `qqv` slices to a candidate's
+    * `codes` against codebook LITERALS — pure codegen arithmetic, no
+    * lookup join.
+    */
+  private def adcDist(books: IndexedSeq[IndexedSeq[Seq[Long]]], sub: Int): Column =
+    books.indices.map { j =>
       val bookLit = array(books(j).map(c => array(c.map(lit): _*)): _*)
       aggregate(zip_with(
         slice(col("qqv"), j * sub + 1, sub),
         element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1),
         (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
     }.reduce(_ + _)
-    val scored = cand.crossJoin(broadcast(queries))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+
+  private def adcRanked(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Composed IVF-PQ search — the flagship ANN shape at 100 TB (Jégou
+    * et al. 2011 assembled end to end): a COARSE deterministic k-means
+    * quantizer ([[kmeansFitQuantized]] on the full vectors, q62's
+    * trainer) routes every vector to a cell, PQ codebooks compress the
+    * residual-free vectors to m codes ([[pqEncode]]'s projection), and
+    * a query ADC-scores ONLY the codes inside its own cell — never the
+    * whole code table (nprobe = 1; a multi-cell probe would union the
+    * query row over its n nearest cells before the same join).
+    *
+    * Scale shape: both trainings are constant-bounded driver state
+    * (cells·D + m·k·D/m centroid longs); the corpus pays one map-only
+    * encode projection (cell + codes in a single pass over the pinned
+    * quantized frame); the query side broadcasts; the candidate join is
+    * a cell-keyed EQUI-join (plan-asserted — never all-pairs), so
+    * per-query work is its cell's population, not the corpus. At 100 TB
+    * the code table would persist as a cell-partitioned layout, making
+    * the search a partition-pruned scan; [[pqAdcTopK]] remains the
+    * honest full-scan baseline and [[annRecall]] (q100) measures what
+    * cell-pruning + quantization together cost in quality.
+    *
+    * @return (query_id, neighbor_id, adc_dist, rank) — rank by ascending
+    *   integer ADC distance within the query's cell, ties to the smaller
+    *   neighbor id
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topK: Int = 10): DataFrame = {
+    require(cells > 0, "cells must be positive")
+    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
+    val coarse = kmeansFitQuantized(q, cells, iters)
+    // one pass over the pinned quantized frame computes the coarse cell
+    // AND all m sub-codes (the barrier materializes the argmin structs)
+    val cand = Dedup.once(q, "__pq", pqCodesStructs(books, sub))
+      .select(col("id").as("neighbor_id"),
+        assignStruct(col("qv"), coarse).getField("c").as("cell"),
+        transform(col("__pq"), s => s.getField("c")).as("codes"))
+    val queries = Dedup.once(
+        emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+        "qqv", quantize(col("__v")))
+      .select(col("query_id"), col("qqv"),
+        assignStruct(col("qqv"), coarse).getField("c").as("cell"))
+    val scored = cand.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
+    adcRanked(scored, topK)
   }
 }

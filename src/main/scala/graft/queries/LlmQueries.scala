@@ -724,6 +724,28 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("cluster"))
       Similarity.hardNegativesTopK(emb.join(assign, Seq("vec_id")),
         "vec_id", "embedding", "cluster", "label", col("vec_id") % 50 === 0, 3)
+    }),
+
+    // Composed IVF-PQ search — q63's learned coarse cells routing q84's
+    // ADC loop: per query, integer ADC over ONLY the codes in its own
+    // k-means cell (nprobe=1), never the full code table.
+    "q99_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, cells = 4, m = 4, k = 4,
+        iters = 2, topK = 10)),
+
+    // Measured recall@10 of the composed IVF-PQ search against exact
+    // brute-force cosine ground truth — the combined quality cost of
+    // cell-pruning + code quantization, the number a deployment tunes
+    // nprobe/m against.
+    "q100_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 50 === 0
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10),
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
+          cells = 4, m = 4, k = 4, iters = 2, topK = 10),
+        k = 10)
     })
   )
 
@@ -887,6 +909,40 @@ object LlmQueries {
        |  FROM ${p}q q CROSS JOIN ${p}cent s),
        |${p}a2 AS (SELECT id, c AS cluster, dist FROM ${p}d2
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
+  }
+
+  /** The composed IVF-PQ CTE chain shared by the q99 gate and the q100
+    * recall gate: the coarse k-means cells ([[kmeansChainSql]]'s `a2`)
+    * route each query to its own cell, and ADC scores only the PQ codes
+    * ([[pqChainSql]] ×4) inside it. Ends at `scored` =
+    * (query_id, neighbor_id, adc_dist) with `q` (id, qv) in scope.
+    */
+  private def ivfPqChainSql: String = {
+    def adcDist(j: Int): String =
+      s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
+         |      i -> (qs.s$j[i] - b$j.qv[i]) * (qs.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+    s"""${kmeansChainSql()},
+       |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")},
+       |cand AS (SELECT q.id AS neighbor_id, a2.cluster AS cell,
+       |    p0_a2.cluster AS c0, p1_a2.cluster AS c1,
+       |    p2_a2.cluster AS c2, p3_a2.cluster AS c3
+       |  FROM q
+       |  JOIN a2 ON q.id = a2.id
+       |  JOIN p0_a2 ON q.id = p0_a2.id
+       |  JOIN p1_a2 ON q.id = p1_a2.id
+       |  JOIN p2_a2 ON q.id = p2_a2.id
+       |  JOIN p3_a2 ON q.id = p3_a2.id),
+       |qs AS (SELECT q.id AS query_id, a2.cluster AS cell,
+       |    ${(0 until 4).map(j => s"list_slice(q.qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
+       |  FROM q JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0),
+       |scored AS (SELECT qs.query_id, cand.neighbor_id,
+       |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
+       |  FROM cand JOIN qs ON cand.cell = qs.cell
+       |  JOIN p0_cent b0 ON b0.c = cand.c0
+       |  JOIN p1_cent b1 ON b1.c = cand.c1
+       |  JOIN p2_cent b2 ON b2.c = cand.c2
+       |  JOIN p3_cent b3 ON b3.c = cand.c3
+       |  WHERE cand.neighbor_id <> qs.query_id)""".stripMargin
   }
 
   private val simhashW =
@@ -1613,6 +1669,41 @@ object LlmQueries {
          |  FROM scored)
          |WHERE rk <= 10""".stripMargin
     },
+
+    // q63's coarse cells routing q84's ADC loop (shared chain).
+    "q99_ivfpq_topk" ->
+      s"""WITH $ivfPqChainSql
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin,
+
+    // The q99 chain as the approx side of the q89-shaped recall compare:
+    // exact cosine top-10 ground truth LEFT JOIN the IVF-PQ top-10.
+    "q100_ivfpq_recall" ->
+      s"""WITH $ivfPqChainSql,
+         |ap AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 10),
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
+         |    ${dotSql("cq.qv", "c.qv")} AS dot,
+         |    ${dotSql("cq.qv", "cq.qv")} AS na,
+         |    ${dotSql("c.qv", "c.qv")} AS nb
+         |  FROM q c, cq WHERE c.id <> cq.query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM exj) WHERE rank <= 10)
+         |SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) AS n_hits,
+         |  CAST(SUM(COALESCE(ap.hit, 0)) AS BIGINT) * 1000000
+         |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
 
     // size 32, overlap 8 -> stride 24; DuckDB list_slice clamps
     // out-of-range bounds exactly like Spark's slice(length) cap, and

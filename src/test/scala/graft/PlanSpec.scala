@@ -245,4 +245,15 @@ class PlanSpec extends SparkSuite {
     assert(p.toLowerCase.contains("rangepartitioning"),
       "expected the range repartition that makes partition order = key order")
   }
+
+  test("q99: composed IVF-PQ is a cell-keyed equi-join — no full-code-table scan per query") {
+    val p = plan("q99_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "queries must broadcast and meet candidates on the cell key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a query must never ADC-score the whole code table (that is q84's baseline):\n" + p)
+    // the only exchange is the per-query rank window on (tiny) scored rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
+  }
 }
