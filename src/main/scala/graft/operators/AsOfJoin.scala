@@ -116,11 +116,21 @@ object AsOfJoin {
     * @return left.* + valueCols + `__matched_ts`, as [[apply]]
     */
   def broadcastAsOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      maxBroadcastRows: Long = IntervalJoin.MaxBroadcastRowsDefault): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
     require(!leftCols.contains("__matched_ts"), "left may not contain __matched_ts")
     require(!valueCols.contains("__matched_ts"),
       "valueCols may not contain __matched_ts (it is the reserved matched-timestamp slot)")
+    // Pre-flight guard (the IntervalJoin.broadcastByKey contract, same
+    // rationale): "right is dimension-sized" previously failed as an OOM
+    // deep in the job; one tiny count job now fails it fast instead.
+    val n = right.count()
+    require(n <= maxBroadcastRows,
+      s"history side has $n rows > maxBroadcastRows=$maxBroadcastRows: " +
+        "broadcastAsOf is for DIMENSION-sized histories; use the " +
+        "merged-stream AsOfJoin.apply for fact-sized ones, or raise " +
+        "maxBroadcastRows if the broadcast budget genuinely allows it")
     val rTs = right.schema(tsCol).dataType
     val payload: Column = struct(
       col(tsCol).as("__matched_ts") +: valueCols.map(col): _*)

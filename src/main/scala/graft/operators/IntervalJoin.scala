@@ -38,9 +38,19 @@ import org.apache.spark.sql.functions._
   * driver state bounded by a constant, never by data) — a broadcast
   * bounds join would survive Catalyst only as a nested loop, which this
   * operator's plan contract forbids. Composition is therefore eager by
-  * one tiny job (min/max over the pruned ts column).
+  * one tiny job (min/max over the pruned ts column) — unless the caller
+  * supplies `boundsHint` (see [[byGrid]]), which keeps the DAG fully
+  * lazy.
   */
 object IntervalJoin {
+
+  /** Default ceiling for [[broadcastByKey]]'s interval-side pre-flight:
+    * 5M interval rows ≈ a few hundred MB broadcast at typical payload
+    * widths — comfortably dimension-shaped, far below executor budgets,
+    * and far above any real config/price history. Override per call when
+    * the deployment's broadcast budget is known.
+    */
+  val MaxBroadcastRowsDefault: Long = 5000000L
 
   /** @param left   point side: `keyCol`, `tsCol` (+ carried columns)
     * @param right  interval side: `keyCol`, `startCol`, `endCol`, and
@@ -61,10 +71,34 @@ object IntervalJoin {
     * interval sides at fact scale use [[byGrid]]. Same semantics:
     * half-open `[start, end)`, overlaps multi-match, gaps drop, empty
     * windows never match.
+    *
+    * Pre-flight guard: "dimension-sized" is a caller contract whose
+    * violation previously surfaced as an executor/driver OOM deep in the
+    * job — composition now COUNTS the interval side (one tiny job on a
+    * dimension; the fail-fast trade, like [[byGrid]]'s bounds job) and
+    * rejects anything above `maxBroadcastRows` with a pointer to the
+    * shuffle variant. Reserved names: `__s`/`__e` (struct fields) and
+    * `__ivs`/`__hit` (intermediates) may appear in neither `rightCols`
+    * nor the left frame — previously a `rightCols` entry named `__s`
+    * silently resolved to the wrong field.
     */
   def broadcastByKey(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, startCol: String, endCol: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      maxBroadcastRows: Long = MaxBroadcastRowsDefault): DataFrame = {
+    val reserved = Set("__s", "__e", "__ivs", "__hit")
+    require(!rightCols.exists(reserved.contains),
+      s"rightCols may not use the reserved names ${reserved.toSeq.sorted.mkString("/")}")
+    require(!left.columns.exists(reserved.contains),
+      s"left may not contain the reserved columns ${reserved.toSeq.sorted.mkString("/")}")
+    require(!rightCols.exists(left.columns.toSet),
+      "rightCols must not collide with left's columns")
+    val n = right.count()
+    require(n <= maxBroadcastRows,
+      s"interval side has $n rows > maxBroadcastRows=$maxBroadcastRows: " +
+        "broadcastByKey is for DIMENSION-sized interval sides; use " +
+        "IntervalJoin.byGrid for fact-sized ones, or raise maxBroadcastRows " +
+        "if the broadcast budget genuinely allows it")
     val dim = right
       .filter(col(endCol) > col(startCol))
       .groupBy(col(keyCol))
@@ -79,28 +113,54 @@ object IntervalJoin {
         rightCols.map(c => col(s"__hit.$c").as(c)): _*)
   }
 
+  /** Grid-bucketed variant for FACT-sized interval sides (see the object
+    * scaladoc for the cell mechanics and the sentinel clamp).
+    *
+    * EAGER unless `boundsHint` is given: composing the join runs one tiny
+    * min/max job over the point side's (pruned) timestamp column to
+    * clamp sentinel intervals — so an uncached `left` is scanned once at
+    * composition and again at execution, composition fails on a
+    * streaming left, and the snapshot goes stale if the left frame is
+    * non-deterministic between composition and execution (a point
+    * arriving OUTSIDE the snapshot range would be silently unmatched).
+    * Callers who know their time range pass `boundsHint = Some((loMicros,
+    * hiMicros))` — epoch-micros bounds that must COVER every left
+    * timestamp — and the whole DAG stays lazy with the hint folded in as
+    * the same literals the eager path would have collected.
+    */
   def byGrid(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, startCol: String, endCol: String,
-      cellMicros: Long, rightCols: Seq[String]): DataFrame = {
+      cellMicros: Long, rightCols: Seq[String],
+      boundsHint: Option[(Long, Long)] = None): DataFrame = {
     require(cellMicros > 0, "cellMicros must be positive")
     val pts = left.withColumn("__cell",
       expr(s"unix_micros(`$tsCol`) div $cellMicros"))
-    val boundsRow =
-      pts.agg(min(col("__cell")).as("__cmin"), max(col("__cell")).as("__cmax")).head()
+    // cell bounds for the sentinel clamp: from the hint (lazy) or the
+    // one-row min/max job (eager). Scala Long division truncates toward
+    // zero exactly like Spark's `div`, and both are monotone, so a hint
+    // covering the timestamps covers the cells.
+    val cellBounds: Option[(Long, Long)] = boundsHint match {
+      case Some((lo, hi)) =>
+        require(lo <= hi, s"boundsHint lo=$lo must be <= hi=$hi")
+        Some((lo / cellMicros, hi / cellMicros))
+      case None =>
+        val r = pts.agg(min(col("__cell")).as("__cmin"),
+          max(col("__cell")).as("__cmax")).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
     val nonEmpty = right.filter(col(endCol) > col(startCol))
     // empty point side: no cell can match — keep the schema, drop the rows
-    val iv = if (boundsRow.isNullAt(0)) {
-      nonEmpty.filter(lit(false)).withColumn("__cell", lit(0L))
-    } else {
-      nonEmpty
-        .withColumn("__lo", greatest(
-          expr(s"unix_micros(`$startCol`) div $cellMicros"),
-          lit(boundsRow.getLong(0))))
-        .withColumn("__hi", least(
-          expr(s"(unix_micros(`$endCol`) - 1) div $cellMicros"),
-          lit(boundsRow.getLong(1))))
-        .filter(col("__lo") <= col("__hi"))
-        .withColumn("__cell", explode(expr("sequence(__lo, __hi)")))
+    val iv = cellBounds match {
+      case None =>
+        nonEmpty.filter(lit(false)).withColumn("__cell", lit(0L))
+      case Some((cmin, cmax)) =>
+        nonEmpty
+          .withColumn("__lo", greatest(
+            expr(s"unix_micros(`$startCol`) div $cellMicros"), lit(cmin)))
+          .withColumn("__hi", least(
+            expr(s"(unix_micros(`$endCol`) - 1) div $cellMicros"), lit(cmax)))
+          .filter(col("__lo") <= col("__hi"))
+          .withColumn("__cell", explode(expr("sequence(__lo, __hi)")))
     }
     pts.as("l").join(iv.as("r"),
         col(s"l.$keyCol") === col(s"r.$keyCol") &&

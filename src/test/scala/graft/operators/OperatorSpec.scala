@@ -326,6 +326,73 @@ class OperatorSpec extends SparkSuite {
     assert(got === Set((1L, 100L), (2L, 101L)))
   }
 
+  test("byGrid with boundsHint stays lazy and plans identically to the eager bounds job") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, 7L, t("2024-01-01 02:30:00")),
+      (2L, 7L, t("2024-01-01 08:30:00")))
+    val ivs = Seq(
+      (100L, 7L, t("2024-01-01 00:00:00"), t("2024-01-01 06:00:00")),
+      (101L, 7L, t("2024-01-01 06:00:00"), t("9999-12-31 00:00:00")))
+    val ptsDf = pts.toDF("event_id", "user_id", "ts")
+    val ivsDf = ivs.toDF("interval_id", "user_id", "start_ts", "end_ts")
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("interval_id"))
+    def micros(s: String) = t(s).getTime * 1000L
+    val eager = IntervalJoin.byGrid(ptsDf, ivsDf, "user_id", "ts",
+      "start_ts", "end_ts", cellMicros = 3600L * 1000000, Seq("interval_id"))
+    // the hint covering exactly the observed range folds to the SAME
+    // clamp literals the eager job collects — plan-identical
+    val hinted = IntervalJoin.byGrid(ptsDf, ivsDf, "user_id", "ts",
+      "start_ts", "end_ts", cellMicros = 3600L * 1000000, Seq("interval_id"),
+      boundsHint = Some((micros("2024-01-01 02:30:00"), micros("2024-01-01 08:30:00"))))
+    assert(hinted.queryExecution.optimizedPlan
+      .sameResult(eager.queryExecution.optimizedPlan),
+      "hinted plan must equal the eager-bounds plan")
+    // a wider (covering, not exact) hint still returns the same rows
+    val wide = IntervalJoin.byGrid(ptsDf, ivsDf, "user_id", "ts",
+      "start_ts", "end_ts", cellMicros = 3600L * 1000000, Seq("interval_id"),
+      boundsHint = Some((micros("2023-06-01 00:00:00"), micros("2024-06-01 00:00:00"))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("interval_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(wide) === rows(eager))
+    assert(rows(eager) === Set((1L, 100L), (2L, 101L)))
+  }
+
+  test("broadcastByKey rejects reserved names and fact-sized interval sides") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq((1L, 7L, t("2024-01-01 02:30:00"))).toDF("event_id", "user_id", "ts")
+    val ivs = Seq((100L, 7L, t("2024-01-01 00:00:00"), t("2024-01-02 00:00:00")),
+        (101L, 7L, t("2024-01-02 00:00:00"), t("2024-01-03 00:00:00")))
+      .toDF("interval_id", "user_id", "start_ts", "end_ts")
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.broadcastByKey(pts, ivs.withColumnRenamed("interval_id", "__s"),
+        "user_id", "ts", "start_ts", "end_ts", Seq("__s"))
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.broadcastByKey(pts.withColumn("__hit", lit(1)), ivs,
+        "user_id", "ts", "start_ts", "end_ts", Seq("interval_id"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[IllegalArgumentException] {
+      IntervalJoin.broadcastByKey(pts, ivs, "user_id", "ts", "start_ts", "end_ts",
+        Seq("interval_id"), maxBroadcastRows = 1L)
+    }
+    assert(e3.getMessage.contains("byGrid"), "must point to the shuffle variant")
+  }
+
+  test("broadcastAsOf rejects fact-sized history sides with a pointer to the merged-stream form") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 7L, t("2024-01-01 02:30:00"))).toDF("event_id", "key", "ts")
+    val hist = Seq((7L, t("2024-01-01 00:00:00"), "a"), (7L, t("2024-01-01 01:00:00"), "b"))
+      .toDF("key", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.broadcastAsOf(left, hist, "key", "ts", Seq("v"), maxBroadcastRows = 1L)
+    }
+    assert(e.getMessage.contains("AsOfJoin.apply"), "must point to the shuffle variant")
+  }
+
   test("interval join with an empty point side returns empty, not an explode of every window") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val pts = Seq.empty[(Long, Long, java.sql.Timestamp)]
