@@ -96,10 +96,24 @@ object Sampling {
     * row is a pure function of (id, group size, quota), stable across
     * runs, retries, and engines.
     *
-    * Scale shape: one window shuffle on the group key for the fill rank,
-    * a broadcast of the per-group counts (one row per source), and a
-    * per-row `sequence` explode bounded by ⌈quota/n_group⌉ — no driver
-    * state beyond the broadcast, no global sort.
+    * Precondition (as [[packSequences]]): `idCol` values must be
+    * NON-NULL and UNIQUE within their group — the fill order ties on
+    * (hash32(id), id), so duplicate ids make "which copy receives the
+    * partial-epoch extra" arbitrary, and null ids hash to null and are
+    * deterministically treated as never-in-the-partial-epoch.
+    *
+    * Scale shape: only the `r = quota % n_group` hash-smallest rows of
+    * each group need an exact fill rank, so the rank window runs over a
+    * PRE-FILTERED candidate set instead of the corpus: a per-(group,
+    * high-16-hash-bits) histogram (map-side-combinable; ≤ 65536 rows per
+    * group) yields the smallest bucket cutoff whose cumulative count
+    * reaches r, and rows hashing above the cutoff — provably outside the
+    * top r, since the (hash, id) order refines the bucket order — take
+    * the whole-epoch copy count directly. Window input shrinks from
+    * n_group to ≈ r + n_group/65536 per group (the q92 histogram-
+    * threshold idiom, keyed per group); the explode stays bounded by
+    * ⌈quota/n_group⌉; the trade is a second pruned scan of `df` for the
+    * union of the ranked and pruned branches.
     *
     * @return input columns + (n_group, n_copies, epoch); one row per
     *   (row, epoch 0..n_copies-1); per-group row total = quota exactly
@@ -107,17 +121,43 @@ object Sampling {
   def epochUpsample(df: org.apache.spark.sql.DataFrame, idCol: String,
       groupCol: String, quota: Long): org.apache.spark.sql.DataFrame = {
     require(quota > 0, "quota must be positive")
+    val h = Dedup.hash32(col(idCol).cast("string"))
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-      .orderBy(Dedup.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("fill_rank", row_number().over(w).cast("long"))
+    // smallest high-bits bucket whose cumulative count reaches r: every
+    // row of the group's top-r hashes at or below it (no row for groups
+    // with r == 0 — nobody needs an exact rank there)
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__hb"))
+    val cutoff = df.select(col(groupCol), shiftright(h, 16).as("__hb"))
+      .groupBy(col(groupCol), col("__hb")).agg(count(lit(1)).as("__c"))
       .join(broadcast(counts), Seq(groupCol))
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .filter(expr(s"$quota % n_group > 0") && col("__cum") >= expr(s"$quota % n_group"))
+      .groupBy(col(groupCol)).agg(min(col("__hb")).as("__thr"))
+    val base = df.withColumn("__h", h)
+      .join(broadcast(counts), Seq(groupCol))
+      .join(broadcast(cutoff), Seq(groupCol), "left")
+    // null-safe candidate test: null __thr (r == 0) and null hash (null
+    // id) both land in the pruned branch
+    val isCandidate = coalesce(
+      col("__thr").isNotNull && shiftright(col("__h"), 16) <= col("__thr"),
+      lit(false))
+    val wFill = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    // candidates are a PREFIX of the group's (hash, id) order, so ranks
+    // within the filtered set equal ranks within the full group
+    val ranked = base.filter(isCandidate)
+      .withColumn("fill_rank", row_number().over(wFill).cast("long"))
       .withColumn("n_copies", expr(
         s"($quota div n_group) + IF(fill_rank <= $quota % n_group, 1L, 0L)"))
+      .drop("fill_rank")
+    val pruned = base.filter(!isCandidate)
+      .withColumn("n_copies", expr(s"$quota div n_group"))
+    ranked.unionByName(pruned)
       .filter(col("n_copies") > 0) // oversized groups: unpicked rows drop
       .withColumn("epoch",
         explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")))
-      .drop("fill_rank")
+      .drop("__h", "__thr")
   }
 
   final case class PackedSequence(seq_id: String, doc_ids: Array[Long],

@@ -379,7 +379,10 @@ object TextAnalysis {
     * ONE long, folded into the filter as a literal (the k-means-centroid
     * pattern), so the kept-side plan is a pure codegen'd scan filter.
     * Ties at the threshold are kept (documented: retention can exceed
-    * 1 − pct/100 by the threshold tie mass).
+    * 1 − pct/100 by the threshold tie mass). NULL scores never pass the
+    * gate: an all-null `valueCol` yields no threshold (the percentile of
+    * an empty value set) and the result is empty rather than an NPE —
+    * null rows cannot satisfy any "at or above" policy.
     *
     * @param valueCol an integral (long) column
     */
@@ -388,10 +391,14 @@ object TextAnalysis {
     require(pct >= 1 && pct <= 100, "pct in 1..100")
     val thr = groupPercentiles(
         df.select(lit(1).as("__g"), col(valueCol)), "__g", valueCol, Seq(pct))
-      .select(col(s"p$pct")).collect().headOption.map(_.getLong(0))
+      .select(col(s"p$pct")).collect().headOption
+      .filter(!_.isNullAt(0)) // all-null values: one row, null percentile
+      .map(_.getLong(0))
     thr match {
       case Some(t) => df.filter(col(valueCol) >= lit(t))
-      case None    => df // empty corpus: nothing to threshold, stays empty
+      // empty corpus (stays empty) or all-null scores (nothing can be
+      // at-or-above a threshold that does not exist)
+      case None    => df.filter(col(valueCol).isNotNull)
     }
   }
 

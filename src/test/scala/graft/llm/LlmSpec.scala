@@ -740,6 +740,18 @@ class LlmSpec extends SparkSuite {
     assert(none.count() === 0)
   }
 
+  test("keepAbovePercentile: all-null scores yield empty, not an NPE; null rows never pass") {
+    val allNull = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("score", lit(null).cast("long"))
+    assert(TextAnalysis.keepAbovePercentile(allNull, "score", 50).count() === 0)
+    // a null row alongside real scores is dropped by the gate, never kept
+    val mixed = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "score")
+    val kept = TextAnalysis.keepAbovePercentile(mixed, "score", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L))
+  }
+
   test("sourceDataCard: volumes, language share, dup exposure, and percentiles per source") {
     val corpus = Seq(
       (1L, "the quick brown fox is on the hill today", "web"),
@@ -778,6 +790,38 @@ class LlmSpec extends SparkSuite {
     // big: one epoch each, hash-smallest 8 of 12 picked, n_copies stamped 1
     assert(bySrc("big").forall(r => r._3 === 1L && r._4 === 0L))
     assert(bySrc("big").map(_._2).distinct.length === 8)
+  }
+
+  test("epochUpsample: hash-cutoff pre-filter bounds the rank window without changing the output") {
+    // the naive reference: rank EVERY row of the group (the pre-r9 shape)
+    def naive(df: org.apache.spark.sql.DataFrame, quota: Long) = {
+      val counts = df.groupBy(col("src")).agg(count(lit(1)).as("n_group"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        .orderBy(Dedup.hash32(col("id").cast("string")).asc, col("id").asc)
+      df.withColumn("fill_rank", row_number().over(w).cast("long"))
+        .join(broadcast(counts), Seq("src"))
+        .withColumn("n_copies", expr(
+          s"($quota div n_group) + IF(fill_rank <= $quota % n_group, 1L, 0L)"))
+        .filter(col("n_copies") > 0)
+        .withColumn("epoch", explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")))
+        .drop("fill_rank")
+    }
+    val rows = ((1 to 7).map(i => (i.toLong, "a")) ++
+      (100 to 160).map(i => (i.toLong, "b")) ++
+      (200 to 203).map(i => (i.toLong, "c"))).toDF("id", "src")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // quotas hitting all regimes: downsample (b), upsample w/ partial
+    // epoch (a: 17 = 2*7+3; c: 17 = 4*4+1), and r=0 exact-division
+    for (q <- Seq(17L, 8L, 61L)) {
+      val got = Sampling.epochUpsample(rows, "id", "src", q).collect().map(key).toSet
+      val want = naive(rows, q).collect().map(key).toSet
+      assert(got === want, s"quota=$q must equal the full-rank reference")
+    }
+    // the rank window must sit above the cutoff pre-filter, not the corpus
+    val plan = Sampling.epochUpsample(rows, "id", "src", 17L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__thr"), "expected the hash-cutoff pre-filter in the plan")
   }
 
   test("packedSpans tile each sequence and reconcile with packSequences exactly") {
