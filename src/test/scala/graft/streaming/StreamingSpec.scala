@@ -163,6 +163,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD-2 dimension drives stream-static point-in-time enrichment (CDC in, enrichment out)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    def ch(k: Long, t: String, a: String, s: Long) =
+      Scd2Change(k, Timestamp.valueOf(t), a, s)
+    // phase 1: a CDC change feed maintains the dimension incrementally;
+    // a final per-key sentinel close-out turns the closed-version stream
+    // into the COMPLETE dimension (the documented "closed ∪ state
+    // snapshot" contract, with the snapshot realized as sentinel closes)
+    val realChanges = Seq(
+      ch(1, "2024-01-01 00:00:00", "p10", 1), ch(1, "2024-01-03 00:00:00", "p11", 2),
+      ch(1, "2024-01-06 00:00:00", "p12", 3),
+      ch(2, "2024-01-02 00:00:00", "q20", 4), ch(2, "2024-01-05 00:00:00", "q21", 5))
+    val sentinels = Seq(ch(1, "9999-01-01 00:00:00", "__closed", 99),
+      ch(2, "9999-01-01 00:00:00", "__closed", 99))
+    val mem = MemoryStream[Scd2Change]
+    val dimQ = scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_dim").outputMode(OutputMode.Append).start()
+    val ptsQ = try {
+      val (b1, b2) = realChanges.splitAt(3)
+      mem.addData(b1: _*); dimQ.processAllAvailable()
+      mem.addData(b2: _*); dimQ.processAllAvailable()
+      mem.addData(sentinels: _*); dimQ.processAllAvailable()
+
+      // phase 2: the maintained dimension (now a static table) enriches a
+      // STREAM of points via the broadcast interval join — left never
+      // shuffles, the state-derived windows broadcast per micro-batch
+      val dim = spark.table("scd2_dim")
+        .select(col("key").as("user_id"), col("attr"),
+          expr("timestamp_millis(valid_from_ms)").as("valid_from"),
+          expr("timestamp_millis(valid_to_ms)").as("valid_to"))
+      val pmem = MemoryStream[Event]
+      val enrichedQ = graft.operators.IntervalJoin.broadcastByKey(
+          pmem.toDF().select(col("event_id"), col("user_id"), col("ts")),
+          dim, "user_id", "ts", "valid_from", "valid_to", Seq("attr"))
+        .writeStream.format("memory").queryName("scd2_enriched")
+        .outputMode(OutputMode.Append).start()
+      val points = Seq(
+        ev(100, "2024-01-02 12:00:00", 1), // inside p10's window
+        ev(101, "2024-01-04 12:00:00", 1), // inside p11's window
+        ev(102, "2024-02-01 00:00:00", 1), // after last real change: current version
+        ev(103, "2023-12-01 00:00:00", 1), // before first change: unmatched
+        ev(104, "2024-01-02 12:00:00", 2), // q20
+        ev(105, "2024-01-01 00:00:00", 3)) // unknown key: unmatched
+      pmem.addData(points.take(3): _*); enrichedQ.processAllAvailable()
+      pmem.addData(points.drop(3): _*); enrichedQ.processAllAvailable()
+      val streamed = spark.sql("SELECT event_id, attr FROM scd2_enriched")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === Set((100L, "p10"), (101L, "p11"), (102L, "p12"), (104L, "q20")))
+
+      // cross-validate: the batch composition (Scd2.build over the same
+      // feed + the same broadcast interval join) enriches identically
+      val batchDim = graft.operators.Scd2
+        .build((realChanges ++ sentinels).toDF("key", "ts", "attr", "seq"),
+          "key", "ts", Seq("attr"), "seq")
+        .filter(!col("is_current"))
+        .select(col("key").as("user_id"), col("attr"),
+          col("valid_from"), col("valid_to"))
+      val batchEnriched = graft.operators.IntervalJoin.broadcastByKey(
+          points.toDF().select(col("event_id"), col("user_id"), col("ts")),
+          batchDim, "user_id", "ts", "valid_from", "valid_to", Seq("attr"))
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(batchEnriched === streamed,
+        "stream-maintained and batch-built dimensions must enrich identically")
+      enrichedQ
+    } finally dimQ.stop()
+    ptsQ.stop()
+  }
+
   test("streaming dedup: repeated keys within the watermark dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
