@@ -404,19 +404,23 @@ object TextAnalysis {
 
   /** Per-source data card — the release-notes table of a curation run:
     * document/token volumes, token-length percentiles, language share,
-    * and exact-duplicate exposure per source. The first artifact a
-    * dataset audit asks for and the first place source-level anomalies
-    * (a crawler gone wrong, a double-ingested dump) surface.
+    * exact-duplicate exposure, quality-score percentiles, and
+    * redaction-match exposure per source. The first artifact a dataset
+    * audit asks for and the first place source-level anomalies surface
+    * (a crawler gone wrong, a double-ingested dump, a source whose
+    * quality distribution collapsed, a PII-heavy feed).
     *
-    * Scale shape: one pinned pass computes tokens/lang/md5 in the scan
-    * projection; duplicate exposure joins against a corpus-wide
-    * (hash, count) aggregate — hash-only shuffles, text never leaves
-    * stage one; percentiles ride [[groupPercentiles]]' histogram (the
-    * per-source distinct-length table, not the corpus). All derived
-    * ratios are integer-exact (floor div / ppm).
+    * Scale shape: one pinned pass computes tokens/lang/md5/quality/
+    * redaction counts in the scan projection; duplicate exposure joins
+    * against a corpus-wide (hash, count) aggregate — hash-only shuffles,
+    * text never leaves stage one; token and quality percentiles ride
+    * [[groupPercentiles]]' histogram (per-source DISTINCT values, not
+    * the corpus). All derived ratios are integer-exact (floor div /
+    * ppm / basis points).
     *
     * @return one row per source: (source, n_docs, n_tokens, n_en,
-    *   n_dup_docs, p50_toks, p90_toks, mean_toks, dup_ppm)
+    *   n_dup_docs, p50_toks, p90_toks, mean_toks, dup_ppm, p50_quality,
+    *   p90_quality, n_email_matches, n_ip_matches, n_num_matches)
     */
   def sourceDataCard(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String): org.apache.spark.sql.DataFrame = {
@@ -424,10 +428,13 @@ object TextAnalysis {
         docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
           col(textCol).as("__text")),
         "__toks", tokens(col("__text")))
-      .select(col("source"), col("id"),
+      .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+      .select(Seq(col("source"), col("id"),
         tokenCount(col("__toks")).as("n_toks"),
         langGuess(col("__toks")).as("lang"),
-        md5(col("__text")).as("h")))
+        md5(col("__text")).as("h"),
+        qualityScore(col("__text"), col("__toks"), col("__sh3")).as("qscore")) ++
+        redactionCounts(col("__text")): _*))
     val freq = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
     val aggs = base.join(freq, Seq("h"))
       .groupBy(col("source"))
@@ -435,13 +442,24 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_emails")).as("n_email_matches"),
+        sum(col("n_ips")).as("n_ip_matches"),
+        sum(col("n_longnums")).as("n_num_matches"))
     val pcts = groupPercentiles(
         base.select(col("source"), col("n_toks")), "source", "n_toks", Seq(50, 90))
       .select(col("source"), col("p50").as("p50_toks"), col("p90").as("p90_toks"))
-    aggs.join(pcts, Seq("source"))
+    val qpcts = groupPercentiles(
+        base.select(col("source"), col("qscore")), "source", "qscore", Seq(50, 90))
+      .select(col("source"),
+        col("p50").as("p50_quality"), col("p90").as("p90_quality"))
+    aggs.join(pcts, Seq("source")).join(qpcts, Seq("source"))
       .withColumn("mean_toks", expr("n_tokens div n_docs"))
       .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_en"),
+        col("n_dup_docs"), col("p50_toks"), col("p90_toks"), col("mean_toks"),
+        col("dup_ppm"), col("p50_quality"), col("p90_quality"),
+        col("n_email_matches"), col("n_ip_matches"), col("n_num_matches"))
   }
 
   /** Top-k characteristic terms per document by tf-idf-style weighting,

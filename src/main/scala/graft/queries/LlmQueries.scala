@@ -54,8 +54,11 @@ object LlmQueries {
     * qualityScore mirror (3·stop_bp + alpha_bp − 2·punct_bp − rep_bp)
     * shared by the q73 fixed-threshold gate and the q92 percentile gate.
     */
-  private def qualityScoreChainSql: String =
-    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+  /** @param src relation with (doc_id, text) — `documents` for the
+    *   q73/q92 gates; q93 feeds its planted-dups corpus CTE
+    */
+  private def qualityScoreChainSql(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM $src),
        |s AS (SELECT doc_id, text, toks, $shinglesSql AS sh3 FROM t),
        |f AS (SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -1316,7 +1319,7 @@ object LlmQueries {
     // Mirrors qualityScore's weights: 3·stop_bp + alpha_bp − 2·punct_bp
     // − rep_bp, every feature floor(·10000/den) integer basis points.
     "q73_quality_filter" ->
-      s"""WITH ${qualityScoreChainSql}
+      s"""WITH ${qualityScoreChainSql()}
          |SELECT doc_id, score,
          |  CAST(CASE WHEN score >= 9000 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM sc""".stripMargin,
@@ -1786,7 +1789,7 @@ object LlmQueries {
     // Threshold = exact median of the score distribution (histogram
     // walk, same integer formula as q64); ties at the threshold kept.
     "q92_quality_threshold" ->
-      s"""WITH ${qualityScoreChainSql},
+      s"""WITH ${qualityScoreChainSql()},
          |hist AS (SELECT score AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
          |h AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum,
          |    SUM(cnt) OVER () AS tot FROM hist),
@@ -1794,24 +1797,40 @@ object LlmQueries {
          |SELECT doc_id, score FROM sc, thr WHERE score >= thr.t""".stripMargin,
 
     "q93_source_datacard" -> {
+      import TextAnalysis.{EmailRe, Ipv4Re, LongDigitsRe}
       val en = s"len(list_intersect(toks, ${sqlList(TextAnalysis.EnStop)}))"
       val fr = s"len(list_intersect(toks, ${sqlList(TextAnalysis.FrStop)}))"
       val de = s"len(list_intersect(toks, ${sqlList(TextAnalysis.DeStop)}))"
+      // the quality chain (t/s/f/sc -> (doc_id, score)) reads the planted
+      // corpus; its `t` doubles as the shared tokenized relation
       s"""WITH c AS (SELECT doc_id, text, source FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 10 = 0),
-         |t AS (SELECT source, doc_id, text, ${toksSql("text")} AS toks FROM c),
-         |b AS (SELECT source, doc_id, md5(text) AS h,
+         |${qualityScoreChainSql("c")},
+         |b AS (SELECT c.source, t.doc_id, md5(t.text) AS h,
          |    CAST(len(toks) AS BIGINT) AS n_toks,
          |    CASE WHEN $en >= $fr AND $en >= $de THEN 'en'
          |         WHEN $fr >= $de THEN 'fr' ELSE 'de' END AS lang
-         |  FROM t),
+         |  FROM t JOIN c ON t.doc_id = c.doc_id),
+         |rd1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$EmailRe', '<email>', 'g') AS e FROM c),
+         |rd AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(e, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(
+         |      regexp_replace(e, '$Ipv4Re', '<ip>', 'g'), '$LongDigitsRe')) AS BIGINT) AS n_longnums
+         |  FROM rd1),
          |fq AS (SELECT h, COUNT(*) AS n_copies FROM b GROUP BY 1),
          |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
          |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
          |    CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
          |  FROM b JOIN fq USING (h) GROUP BY 1),
+         |rda AS (SELECT b.source,
+         |    CAST(SUM(rd.n_emails) AS BIGINT) AS n_email_matches,
+         |    CAST(SUM(rd.n_ips) AS BIGINT) AS n_ip_matches,
+         |    CAST(SUM(rd.n_longnums) AS BIGINT) AS n_num_matches
+         |  FROM rd JOIN b USING (doc_id) GROUP BY 1),
          |hist AS (SELECT source, n_toks AS v, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM b GROUP BY 1, 2),
          |h AS (SELECT source, v, cnt,
@@ -1820,11 +1839,22 @@ object LlmQueries {
          |pc AS (SELECT source,
          |    MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_toks,
          |    MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_toks
-         |  FROM h GROUP BY 1)
+         |  FROM h GROUP BY 1),
+         |qhist AS (SELECT b.source, sc.score AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM sc JOIN b USING (doc_id) GROUP BY 1, 2),
+         |qh AS (SELECT source, v, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY source) AS tot FROM qhist),
+         |qpc AS (SELECT source,
+         |    MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_quality,
+         |    MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_quality
+         |  FROM qh GROUP BY 1)
          |SELECT ag.source, n_docs, n_tokens, n_en, n_dup_docs, p50_toks, p90_toks,
          |  n_tokens // n_docs AS mean_toks,
-         |  n_dup_docs * 1000000 // n_docs AS dup_ppm
-         |FROM ag JOIN pc USING (source)""".stripMargin
+         |  n_dup_docs * 1000000 // n_docs AS dup_ppm,
+         |  p50_quality, p90_quality,
+         |  n_email_matches, n_ip_matches, n_num_matches
+         |FROM ag JOIN pc USING (source) JOIN qpc USING (source) JOIN rda USING (source)""".stripMargin
     },
 
     "q94_source_percentrank" ->

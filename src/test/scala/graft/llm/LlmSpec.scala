@@ -752,25 +752,42 @@ class LlmSpec extends SparkSuite {
     assert(!kept.contains(2L))
   }
 
-  test("sourceDataCard: volumes, language share, dup exposure, and percentiles per source") {
+  test("sourceDataCard: volumes, language share, dup exposure, percentiles, quality, redaction") {
     val corpus = Seq(
       (1L, "the quick brown fox is on the hill today", "web"),
       (2L, "the quick brown fox is on the hill today", "web"), // exact dup in-source
-      (3L, "one two three", "web"),
+      (3L, "one two three contact bob@example.com from 10.0.0.1 ref 1234567890", "web"),
       (4L, "le chat et le chien et la maison de la ville", "books"))
       .toDF("doc_id", "text", "source")
     val out = TextAnalysis.sourceDataCard(corpus, "doc_id", "text", "source")
       .collect().map(r => r.getString(0) -> r).toMap
     val web = out("web")
     assert(web.getLong(1) === 3L, "n_docs")
-    assert(web.getLong(2) === 9L + 9L + 3L, "n_tokens")
+    assert(web.getLong(2) === 9L + 9L + 14L, "n_tokens (email/IP split on punctuation)")
     assert(web.getLong(3) === 3L, "n_en (all-stopword heuristic)")
     assert(web.getLong(4) === 2L, "both copies of the dup count as exposed")
-    assert(web.getLong(5) === 9L, "p50 of (3,9,9)")
-    assert(web.getLong(7) === 7L, "mean_toks = 21 div 3")
+    assert(web.getLong(5) === 9L, "p50 of (9,9,14)")
+    assert(web.getLong(7) === 10L, "mean_toks = 32 div 3")
     assert(web.getLong(8) === 666666L, "dup_ppm = 2e6 div 3")
+    // quality percentiles: the dup pair shares one score, so web's p50
+    // (rank 2 of 3) is always the pair's score and p90 is the max;
+    // expected values computed via the scorer itself rather than
+    // duplicating the formula
+    val scored = Seq(
+        (1L, "the quick brown fox is on the hill today"),
+        (3L, "one two three contact bob@example.com from 10.0.0.1 ref 1234567890"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text"),
+        TextAnalysis.tokens(col("text")),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(web.getLong(9) === scored(1L), "p50_quality = the dup pair's score (rank 2 of 3)")
+    assert(web.getLong(10) === math.max(scored(1L), scored(3L)), "p90_quality = max of 3")
+    // redaction exposure: one email, one IPv4, one long digit run in web
+    assert(web.getLong(11) === 1L && web.getLong(12) === 1L && web.getLong(13) === 1L)
     val books = out("books")
     assert(books.getLong(1) === 1L && books.getLong(4) === 0L)
+    assert(books.getLong(11) === 0L && books.getLong(12) === 0L && books.getLong(13) === 0L)
   }
 
   test("epochUpsample: every group lands on the exact quota; oversized groups downsample") {
