@@ -52,7 +52,9 @@ object Xlsx {
     * order once sheets have been deleted/reordered — the r:id
     * relationship is the only correct mapping).
     */
-  def sheetRefs(path: String): Seq[SheetRef] = withZip(path) { zip =>
+  def sheetRefs(path: String): Seq[SheetRef] = withZip(path)(sheetRefsOf)
+
+  private def sheetRefsOf(zip: ZipFile): Seq[SheetRef] = {
     val rels: Map[String, String] = {
       val e = zip.getEntry("xl/_rels/workbook.xml.rels")
       if (e == null) Map.empty
@@ -95,21 +97,57 @@ object Xlsx {
   /** Read one sheet (by workbook order index) as all-string rows (empty
     * cells are null), up to `maxRows` rows.
     */
-  def readSheet(path: String, sheetIndex: Int, maxRows: Int = Int.MaxValue): Seq[Seq[String]] = {
-    val refs = sheetRefs(path)
+  def readSheet(path: String, sheetIndex: Int, maxRows: Int = Int.MaxValue): Seq[Seq[String]] =
+    withZip(path) { zip => readSheetOf(zip, sheetIndex, maxRows, path) }
+
+  private def readSheetOf(zip: ZipFile, sheetIndex: Int, maxRows: Int,
+      label: String): Seq[Seq[String]] = {
+    val refs = sheetRefsOf(zip)
     require(sheetIndex >= 0 && sheetIndex < refs.length,
-      s"sheet index $sheetIndex out of range (${refs.length} sheets) in $path")
-    withZip(path) { zip =>
-      val shared = readSharedStrings(zip)
-      val dateStyles = readDateStyles(zip)
-      val date1904 = readDate1904(zip)
-      val entry = Option(zip.getEntry(refs(sheetIndex).part))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no sheet part ${refs(sheetIndex).part} in $path"))
-      val in = zip.getInputStream(entry)
-      try parseSheet(in, shared, dateStyles, date1904, maxRows)
-      finally in.close()
-    }
+      s"sheet index $sheetIndex out of range (${refs.length} sheets) in $label")
+    val shared = readSharedStrings(zip)
+    val dateStyles = readDateStyles(zip)
+    val date1904 = readDate1904(zip)
+    val entry = Option(zip.getEntry(refs(sheetIndex).part))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sheet part ${refs(sheetIndex).part} in $label"))
+    val in = zip.getInputStream(entry)
+    try parseSheet(in, shared, dateStyles, date1904, maxRows)
+    finally in.close()
+  }
+
+  /** Parse a whole workbook from its raw bytes — the executor-side entry
+    * point of the distributed read ([[XlsxDistributed]]): bytes arrive
+    * from a `binaryFile` scan, land in an executor-local temp file (the
+    * zip central directory needs random access, which `ZipInputStream`
+    * cannot give), and every sheet parses through the same StAX path as
+    * the driver-side read. Workbook-sized memory by design — the xlsx
+    * format itself is workbook-sized (shared-string pool).
+    *
+    * @return one entry per sheet in workbook order:
+    *   (sheet name, sheet index, all-string rows)
+    */
+  private[sources] def parseWorkbookBytes(label: String, bytes: Array[Byte],
+      maxRows: Int = Int.MaxValue): Seq[(String, Int, Seq[Seq[String]])] = {
+    val tmp = java.nio.file.Files.createTempFile("graft-xlsx", ".zip")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      withZip(tmp.toString) { zip =>
+        val refs = sheetRefsOf(zip)
+        val shared = readSharedStrings(zip)
+        val dateStyles = readDateStyles(zip)
+        val date1904 = readDate1904(zip)
+        refs.zipWithIndex.map { case (ref, i) =>
+          Option(zip.getEntry(ref.part)) match {
+            case None => (ref.name, i, Seq.empty[Seq[String]])
+            case Some(entry) =>
+              val in = zip.getInputStream(entry)
+              try (ref.name, i, parseSheet(in, shared, dateStyles, date1904, maxRows))
+              finally in.close()
+          }
+        }
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** All-string DataFrame of the sheet body below `headerIdx`, with the

@@ -150,4 +150,59 @@ class XlsxSpec extends SparkSuite {
     assert(occ.kept.count() === 2)
     assert(occ.kept.select("od").as[String].collect().toSet === Set("AB", "CD"))
   }
+
+  test("distributed xlsx: executor-side parse equals the driver-side reader per sheet") {
+    val dir = Files.createTempDirectory("graft-xlsx-dist").toString
+    writeXlsx(s"$dir/a.xlsx",
+      Seq(Seq(("s", "0"), ("n", "42")), Seq(("str", "x"), ("d", "45292.5"))),
+      sharedStrings = Seq("hello"))
+    writeXlsx(s"$dir/b.xlsx",
+      Seq(Seq(("str", "only"), (null, null), ("n", "7"))),
+      sharedStrings = Seq.empty)
+    val got = XlsxDistributed.readRaw(spark, s"$dir/*.xlsx")
+      .collect()
+      .map(r => (new java.io.File(new java.net.URI(r.path)).getName,
+        r.sheet, r.row_idx, r.cells.toList))
+      .toSet
+    val want = Seq("a.xlsx", "b.xlsx").flatMap { f =>
+      Xlsx.readSheet(s"$dir/$f", 0).zipWithIndex.map { case (cells, ri) =>
+        (f, "Report", ri.toLong, cells.toList)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._4.contains("hello")), "shared strings resolve on executors")
+    assert(got.exists(_._4.exists(c => c != null && c.startsWith("2024-01-01"))),
+      "date-styled serials render on executors")
+  }
+
+  test("distributed xlsx: per-sheet classification gathers one report's bodies across the batch") {
+    val dir = Files.createTempDirectory("graft-xlsx-dist2").toString
+    val header = Schemas.occupancy.header
+    def dataRow(date: String, od: String): Seq[(String, String)] =
+      (0 until 24).map { i =>
+        val v = Map(0 -> date, 1 -> od, 5 -> "T1", 6 -> "C1", 14 -> "5", 8 -> "q")
+          .getOrElse(i, "1")
+        ("str", v)
+      }
+    // two classifiable workbooks (one with a junk preamble row) and one
+    // unclassifiable one that must contribute nothing
+    writeXlsx(s"$dir/r1.xlsx",
+      Seq(Seq(("str", "junk above")), header.map(h => ("str", h)),
+        dataRow("2024-01-01 00:00:00", "AB")),
+      sharedStrings = Seq.empty)
+    writeXlsx(s"$dir/r2.xlsx",
+      Seq(header.map(h => ("str", h)),
+        dataRow("2024-01-02 00:00:00", "CD"),
+        dataRow("2024-01-03 00:00:00", "EF")),
+      sharedStrings = Seq.empty)
+    writeXlsx(s"$dir/noise.xlsx",
+      Seq(Seq(("str", "not"), ("str", "a"), ("str", "report"))),
+      sharedStrings = Seq.empty)
+    val got = XlsxDistributed.readClassified(spark, s"$dir/*.xlsx",
+      ReportType.Occupancy)
+    assert(got.schema === Schemas.occupancy.allStringStruct)
+    assert(got.count() === 3)
+    val ods = got.select(got.columns(1)).as[String].collect().toSet
+    assert(ods === Set("AB", "CD", "EF"))
+  }
 }
