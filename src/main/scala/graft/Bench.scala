@@ -184,9 +184,13 @@ object Bench {
       // between two probes is invisible to the bracket rule, and the r9
       // retime demo showed a 45 s burst slipping entirely inside one
       // 10-query gap — at ~0.25 s per probe the 98-query suite pays ~5 s
-      // for double the bracket resolution.
+      // for double the bracket resolution. The FIRST probe still waits
+      // for ten real queries (the r8 young-JVM rule): moving it to query
+      // 5 produced a smoothly declining 0.243→0.079 s series on an IDLE
+      // box — JIT warmup, not load — tripping `contended` falsely.
       val ckEvery = if (names.size < 10) math.max(1, names.size / 2) else 5
-      if ((i + 1) % ckEvery == 0 || i == names.size - 1) checkpoint()
+      val jvmWarmed = names.size < 10 || (i + 1) >= 10
+      if (jvmWarmed && ((i + 1) % ckEvery == 0 || i == names.size - 1)) checkpoint()
     }
 
     // Self-remediation pass: re-time contention-suspect queries once the
