@@ -263,13 +263,16 @@ object Similarity {
     * pick the lowest index. Map-only — the assignment side of k-means,
     * PQ encode, and IVF routing all reduce to this one shape.
     */
-  private def assignStruct(vec: Column, centroids: IndexedSeq[Seq[Long]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+  private def assignStructArray(vec: Column, centroids: IndexedSeq[Seq[Long]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(zip_with(vec, array(c.map(lit): _*),
           (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
         lit(i.toLong).as("c"))
-    }: _*))
+    }: _*)
+
+  private def assignStruct(vec: Column, centroids: IndexedSeq[Seq[Long]]): Column =
+    array_min(assignStructArray(vec, centroids))
 
   private def assignQuantized(q: DataFrame,
       centroids: IndexedSeq[Seq[Long]]): DataFrame =
@@ -499,9 +502,15 @@ object Similarity {
     * quantizer ([[kmeansFitQuantized]] on the full vectors, q62's
     * trainer) routes every vector to a cell, PQ codebooks compress the
     * residual-free vectors to m codes ([[pqEncode]]'s projection), and
-    * a query ADC-scores ONLY the codes inside its own cell — never the
-    * whole code table (nprobe = 1; a multi-cell probe would union the
-    * query row over its n nearest cells before the same join).
+    * a query ADC-scores ONLY the codes inside its `nprobe` nearest
+    * cells — never the whole code table. `nprobe` is THE recall/cost
+    * knob of a deployed IVF index: each extra probed cell adds ~1/cells
+    * of the corpus to the query's candidate set and recovers neighbors
+    * that fell across the cell boundary ([[annRecall]] over nprobe=1 vs
+    * 2 is the gated curve, q102). nprobe = 1 routes by plain argmin;
+    * nprobe > 1 sorts the (dist, cell) structs and explodes the first n
+    * — the query row fans out over its cells BEFORE the same cell-keyed
+    * equi-join, so the plan stays all-equi-join at any nprobe.
     *
     * Scale shape: both trainings are constant-bounded driver state
     * (cells·D + m·k·D/m centroid longs); the corpus pays one map-only
@@ -520,8 +529,10 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
-      iters: Int = 2, topK: Int = 10): DataFrame = {
+      iters: Int = 2, topK: Int = 10, nprobe: Int = 1): DataFrame = {
     require(cells > 0, "cells must be positive")
+    require(nprobe >= 1 && nprobe <= cells,
+      s"nprobe must be in [1, cells=$cells], got $nprobe")
     val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
     val coarse = kmeansFitQuantized(q, cells, iters)
     // one pass over the pinned quantized frame computes the coarse cell
@@ -530,11 +541,20 @@ object Similarity {
       .select(col("id").as("neighbor_id"),
         assignStruct(col("qv"), coarse).getField("c").as("cell"),
         transform(col("__pq"), s => s.getField("c")).as("codes"))
-    val queries = Dedup.once(
-        emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
-        "qqv", quantize(col("__v")))
-      .select(col("query_id"), col("qqv"),
-        assignStruct(col("qqv"), coarse).getField("c").as("cell"))
+    val qBase = Dedup.once(
+      emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+      "qqv", quantize(col("__v")))
+    // (query, neighbor) stays unique at nprobe > 1: each neighbor lives
+    // in exactly one cell and the exploded query rows are distinct cells
+    val queries =
+      if (nprobe == 1)
+        qBase.select(col("query_id"), col("qqv"),
+          assignStruct(col("qqv"), coarse).getField("c").as("cell"))
+      else
+        qBase.select(col("query_id"), col("qqv"),
+          explode(transform(
+            slice(array_sort(assignStructArray(col("qqv"), coarse)), 1, nprobe),
+            s => s.getField("c"))).as("cell"))
     val scored = cand.join(broadcast(queries), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))

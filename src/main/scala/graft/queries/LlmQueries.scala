@@ -749,6 +749,38 @@ object LlmQueries {
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
           cells = 4, m = 4, k = 4, iters = 2, topK = 10),
         k = 10)
+    }),
+
+    // Multi-probe IVF-PQ: each query fans out over its 2 nearest coarse
+    // cells before the same cell-keyed equi-join — the recall/cost knob
+    // of a deployed IVF index (q99 is the nprobe=1 point).
+    "q101_ivfpq_nprobe2" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, cells = 4, m = 4, k = 4,
+        iters = 2, topK = 10, nprobe = 2)),
+
+    // The measured nprobe→recall curve (micro-averaged recall@10 vs
+    // brute-force truth at nprobe = 1 and 2) — the artifact a deployment
+    // reads to set nprobe: each extra probed cell buys back the
+    // neighbors that fell across the cell boundary at ~1/cells of the
+    // corpus in added ADC work.
+    "q102_ivfpq_recall_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 50 === 0
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10)
+      def point(np: Int): DataFrame =
+        Similarity.annRecall(truth,
+            Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
+              cells = 4, m = 4, k = 4, iters = 2, topK = 10, nprobe = np),
+            k = 10)
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("n_truth")).as("total_truth"),
+            sum(col("n_hits")).as("total_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("total_truth"), col("total_hits"),
+            expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
+      point(1).unionByName(point(2))
     })
   )
 
@@ -914,16 +946,15 @@ object LlmQueries {
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
   }
 
-  /** The composed IVF-PQ CTE chain shared by the q99 gate and the q100
-    * recall gate: the coarse k-means cells ([[kmeansChainSql]]'s `a2`)
-    * route each query to its own cell, and ADC scores only the PQ codes
-    * ([[pqChainSql]] ×4) inside it. Ends at `scored` =
-    * (query_id, neighbor_id, adc_dist) with `q` (id, qv) in scope.
+  /** The training + candidate CTEs shared by every composed-IVF-PQ gate
+    * (q99/q100/q101/q102): the coarse k-means cells ([[kmeansChainSql]]
+    * — `a2` is argmin routing, `d2` the full query-to-centroid distance
+    * table multi-probe ranks over) plus the 4 PQ codebooks
+    * ([[pqChainSql]]) and one candidate row per corpus vector. Ends at
+    * `cand` = (neighbor_id, cell, c0..c3) with `q`, `d2`, `p*_cent` in
+    * scope.
     */
-  private def ivfPqChainSql: String = {
-    def adcDist(j: Int): String =
-      s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
-         |      i -> (qs.s$j[i] - b$j.qv[i]) * (qs.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+  private def ivfPqBaseSql: String =
     s"""${kmeansChainSql()},
        |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")},
        |cand AS (SELECT q.id AS neighbor_id, a2.cluster AS cell,
@@ -934,19 +965,37 @@ object LlmQueries {
        |  JOIN p0_a2 ON q.id = p0_a2.id
        |  JOIN p1_a2 ON q.id = p1_a2.id
        |  JOIN p2_a2 ON q.id = p2_a2.id
-       |  JOIN p3_a2 ON q.id = p3_a2.id),
-       |qs AS (SELECT q.id AS query_id, a2.cluster AS cell,
+       |  JOIN p3_a2 ON q.id = p3_a2.id)""".stripMargin
+
+  /** `qs$tag`/`scored$tag` CTEs for one probe width: each query routed
+    * to its `nprobe` nearest cells (rank over `d2` ordered (dist, c) —
+    * exactly the struct-min / array_sort tiebreak of the Scala side),
+    * then ADC against only those cells' codes. (query, neighbor) stays
+    * unique at any nprobe because a neighbor lives in exactly one cell.
+    */
+  private def ivfPqScoredSql(nprobe: Int, tag: String = ""): String = {
+    def adcDist(j: Int): String =
+      s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
+         |      i -> (qs$tag.s$j[i] - b$j.qv[i]) * (qs$tag.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+    s"""qs$tag AS (SELECT q.id AS query_id, r.c AS cell,
        |    ${(0 until 4).map(j => s"list_slice(q.qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
-       |  FROM q JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0),
-       |scored AS (SELECT qs.query_id, cand.neighbor_id,
+       |  FROM q JOIN (SELECT id, c FROM d2
+       |    QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) <= $nprobe) r
+       |    ON q.id = r.id
+       |  WHERE q.id % 50 = 0),
+       |scored$tag AS (SELECT qs$tag.query_id, cand.neighbor_id,
        |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
-       |  FROM cand JOIN qs ON cand.cell = qs.cell
+       |  FROM cand JOIN qs$tag ON cand.cell = qs$tag.cell
        |  JOIN p0_cent b0 ON b0.c = cand.c0
        |  JOIN p1_cent b1 ON b1.c = cand.c1
        |  JOIN p2_cent b2 ON b2.c = cand.c2
        |  JOIN p3_cent b3 ON b3.c = cand.c3
-       |  WHERE cand.neighbor_id <> qs.query_id)""".stripMargin
+       |  WHERE cand.neighbor_id <> qs$tag.query_id)""".stripMargin
   }
+
+  /** The nprobe=1 chain of the q99/q100 gates, ending at `scored`. */
+  private def ivfPqChainSql: String =
+    s"$ivfPqBaseSql,\n${ivfPqScoredSql(1)}"
 
   private val simhashW =
     (0 until 16).map(b =>
@@ -1707,6 +1756,54 @@ object LlmQueries {
          |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
          |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+
+    // The shared IVF-PQ chain with rank-over-d2 routing widened to the
+    // query's 2 nearest cells.
+    "q101_ivfpq_nprobe2" ->
+      s"""WITH $ivfPqBaseSql,
+         |${ivfPqScoredSql(2, "2")}
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored2)
+         |WHERE rk <= 10""".stripMargin,
+
+    // Both probe widths against the q100-shaped brute-force truth,
+    // micro-averaged per width.
+    "q102_ivfpq_recall_curve" -> {
+      def point(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+           |  CAST(COUNT(*) AS BIGINT) AS total_truth,
+           |  CAST(SUM(COALESCE(ap$np.hit, 0)) AS BIGINT) AS total_hits,
+           |  CAST(SUM(COALESCE(ap$np.hit, 0)) AS BIGINT) * 1000000
+           |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+           |FROM ex LEFT JOIN ap$np USING (query_id, neighbor_id)""".stripMargin
+      def ap(np: Int): String =
+        s"""ap$np AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+           |  FROM scored$np) WHERE rk <= 10)""".stripMargin
+      s"""WITH $ivfPqBaseSql,
+         |${ivfPqScoredSql(1, "1")},
+         |${ivfPqScoredSql(2, "2")},
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
+         |    ${dotSql("cq.qv", "c.qv")} AS dot,
+         |    ${dotSql("cq.qv", "cq.qv")} AS na,
+         |    ${dotSql("c.qv", "c.qv")} AS nb
+         |  FROM q c, cq WHERE c.id <> cq.query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM exj) WHERE rank <= 10),
+         |${ap(1)},
+         |${ap(2)}
+         |${point(1)}
+         |UNION ALL
+         |${point(2)}""".stripMargin
+    },
 
     // size 32, overlap 8 -> stride 24; DuckDB list_slice clamps
     // out-of-range bounds exactly like Spark's slice(length) cap, and

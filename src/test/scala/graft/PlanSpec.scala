@@ -256,4 +256,14 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
   }
+
+  test("q101: multi-probe IVF-PQ stays all-equi-join — the query fan-out precedes the cell join") {
+    val p = plan("q101_ivfpq_nprobe2")
+    assert(p.contains("BroadcastHashJoin"),
+      "exploded query×cell rows must still broadcast onto the cell key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "nprobe > 1 must widen the candidate set by cell fan-out, never by a scan:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
+  }
 }

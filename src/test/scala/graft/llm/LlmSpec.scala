@@ -673,6 +673,31 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK: nprobe=cells equals the full-scan ADC baseline; candidates widen monotonically") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 % 13) * 10 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def topAt(np: Int) = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        col("vec_id") < 5, cells = 3, m = 2, k = 3, iters = 2, topK = 8, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // probing every cell excludes nothing → identical rows (dists, ranks,
+    // tiebreaks) to the honest full-scan baseline
+    val full = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        col("vec_id") < 5, m = 2, k = 3, iters = 2, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(topAt(3).toSet === full.toSet)
+    // each extra probed cell can only add candidates: per-query result
+    // counts are non-decreasing in nprobe (capped by topK)
+    def counts(np: Int) = topAt(np).groupBy(_._1).view.mapValues(_.length).toMap
+    val (c1, c2) = (counts(1), counts(2))
+    c1.foreach { case (q, n) => assert(c2.getOrElse(q, 0) >= n, s"query $q shrank") }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+        cells = 3, nprobe = 4)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
   test("tokenChunks: stride/overlap arithmetic, short docs keep one chunk, empty docs vanish") {
     val fixture = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, size 8 overlap 3 -> 2 chunks
