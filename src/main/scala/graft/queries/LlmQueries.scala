@@ -781,6 +781,36 @@ object LlmQueries {
             col("total_truth"), col("total_hits"),
             expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
       point(1).unionByName(point(2))
+    }),
+
+    // Residual IVF-PQ (the true Jégou form): PQ codebooks train on
+    // vector − coarse-centroid residuals, spending the code budget on
+    // within-cell detail instead of re-describing cell structure.
+    "q103_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryPred = col("vec_id") % 50 === 0, cells = 4,
+        m = 4, k = 4, iters = 2, topK = 10)),
+
+    // The residual analog of q102's curve — same corpus, same params,
+    // so q102-vs-q104 is the measured answer to "what does residual
+    // encoding buy at each probe width".
+    "q104_ivfpq_residual_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 50 === 0
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10)
+      def point(np: Int): DataFrame =
+        Similarity.annRecall(truth,
+            Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pred,
+              cells = 4, m = 4, k = 4, iters = 2, topK = 10, nprobe = np),
+            k = 10)
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("n_truth")).as("total_truth"),
+            sum(col("n_hits")).as("total_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("total_truth"), col("total_hits"),
+            expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
+      point(1).unionByName(point(2))
     })
   )
 
@@ -916,17 +946,18 @@ object LlmQueries {
 
   /** One subspace's deterministic 2-round Lloyd chain for the PQ gate
     * (q83): identical shape to [[kmeansChainSql]] but reading the
-    * `[j·sub+1, (j+1)·sub]` slice of a shared `q` (id, qv) relation,
+    * `[j·sub+1, (j+1)·sub]` slice of a shared `srcRel` (id, qv)
+    * relation — `q` for raw-vector PQ, `res` for the residual chain —
     * every CTE prefixed `p{j}_`. Seeds are the h32-smallest ids — the
     * SAME ids in every subspace, exactly like the Spark trainer. k = 4.
     */
-  private def pqChainSql(j: Int, sub: Int): String = {
+  private def pqChainSql(j: Int, sub: Int, srcRel: String = "q"): String = {
     val h = h32Sql("CAST(id AS VARCHAR)")
     val p = s"p${j}_"
     def dist(aRel: String, bRel: String): String =
       s"""CAST(list_sum(list_transform(range(1, len($aRel.qv) + 1),
          |      i -> ($aRel.qv[i] - $bRel.qv[i]) * ($aRel.qv[i] - $bRel.qv[i]))) AS BIGINT)""".stripMargin
-    s"""${p}q AS (SELECT id, list_slice(qv, ${j * sub + 1}, ${(j + 1) * sub}) AS qv FROM q),
+    s"""${p}q AS (SELECT id, list_slice(qv, ${j * sub + 1}, ${(j + 1) * sub}) AS qv FROM $srcRel),
        |${p}seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM ${p}q
        |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
        |${p}d1 AS (SELECT q.id, q.qv, s.c, ${dist("q", "s")} AS dist
@@ -996,6 +1027,54 @@ object LlmQueries {
   /** The nprobe=1 chain of the q99/q100 gates, ending at `scored`. */
   private def ivfPqChainSql: String =
     s"$ivfPqBaseSql,\n${ivfPqScoredSql(1)}"
+
+  /** RESIDUAL IVF-PQ training + candidates (q103/q104): same coarse
+    * cells, but the PQ codebooks train on `res` = (id, cell,
+    * qv − centroid[cell]) instead of raw `q` — [[pqChainSql]] re-runs
+    * its per-subspace Lloyd over the residual relation unchanged. Ends
+    * at `rcand` with `q`, `d2`, `cent`, `p*_cent` in scope.
+    */
+  private def ivfPqResidualBaseSql: String =
+    s"""${kmeansChainSql()},
+       |res AS (SELECT q.id, a2.cluster AS cell,
+       |    list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] - cent.qv[i]) AS qv
+       |  FROM q JOIN a2 ON q.id = a2.id JOIN cent ON cent.c = a2.cluster),
+       |${(0 until 4).map(j => pqChainSql(j, 16, "res")).mkString(",\n")},
+       |rcand AS (SELECT res.id AS neighbor_id, res.cell,
+       |    p0_a2.cluster AS c0, p1_a2.cluster AS c1,
+       |    p2_a2.cluster AS c2, p3_a2.cluster AS c3
+       |  FROM res
+       |  JOIN p0_a2 ON res.id = p0_a2.id
+       |  JOIN p1_a2 ON res.id = p1_a2.id
+       |  JOIN p2_a2 ON res.id = p2_a2.id
+       |  JOIN p3_a2 ON res.id = p3_a2.id)""".stripMargin
+
+  /** `qs$tag`/`scored$tag` for residual IVF-PQ at one probe width: the
+    * query's residual is re-derived against EACH probed cell's centroid
+    * (exactly the Scala side's per-(query, cell) projection).
+    */
+  private def ivfPqResidualScoredSql(nprobe: Int, tag: String = ""): String = {
+    def adcDist(j: Int): String =
+      s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
+         |      i -> (qs$tag.s$j[i] - b$j.qv[i]) * (qs$tag.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+    s"""qs$tag AS (SELECT query_id, cell,
+       |    ${(0 until 4).map(j => s"list_slice(rqv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
+       |  FROM (SELECT q.id AS query_id, r.c AS cell,
+       |      list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] - cent.qv[i]) AS rqv
+       |    FROM q JOIN (SELECT id, c FROM d2
+       |      QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) <= $nprobe) r
+       |      ON q.id = r.id
+       |    JOIN cent ON cent.c = r.c
+       |    WHERE q.id % 50 = 0)),
+       |scored$tag AS (SELECT qs$tag.query_id, rcand.neighbor_id,
+       |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
+       |  FROM rcand JOIN qs$tag ON rcand.cell = qs$tag.cell
+       |  JOIN p0_cent b0 ON b0.c = rcand.c0
+       |  JOIN p1_cent b1 ON b1.c = rcand.c1
+       |  JOIN p2_cent b2 ON b2.c = rcand.c2
+       |  JOIN p3_cent b3 ON b3.c = rcand.c3
+       |  WHERE rcand.neighbor_id <> qs$tag.query_id)""".stripMargin
+  }
 
   private val simhashW =
     (0 until 16).map(b =>
@@ -1787,6 +1866,52 @@ object LlmQueries {
       s"""WITH $ivfPqBaseSql,
          |${ivfPqScoredSql(1, "1")},
          |${ivfPqScoredSql(2, "2")},
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
+         |    ${dotSql("cq.qv", "c.qv")} AS dot,
+         |    ${dotSql("cq.qv", "cq.qv")} AS na,
+         |    ${dotSql("c.qv", "c.qv")} AS nb
+         |  FROM q c, cq WHERE c.id <> cq.query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM exj) WHERE rank <= 10),
+         |${ap(1)},
+         |${ap(2)}
+         |${point(1)}
+         |UNION ALL
+         |${point(2)}""".stripMargin
+    },
+
+    // The residual chain with argmin (nprobe=1) routing.
+    "q103_ivfpq_residual" ->
+      s"""WITH $ivfPqResidualBaseSql,
+         |${ivfPqResidualScoredSql(1)}
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin,
+
+    // q102's curve with the residual scored CTEs swapped in.
+    "q104_ivfpq_residual_recall" -> {
+      def point(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  CAST(COUNT(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+           |  CAST(COUNT(*) AS BIGINT) AS total_truth,
+           |  CAST(SUM(COALESCE(ap$np.hit, 0)) AS BIGINT) AS total_hits,
+           |  CAST(SUM(COALESCE(ap$np.hit, 0)) AS BIGINT) * 1000000
+           |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+           |FROM ex LEFT JOIN ap$np USING (query_id, neighbor_id)""".stripMargin
+      def ap(np: Int): String =
+        s"""ap$np AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+           |  FROM scored$np) WHERE rk <= 10)""".stripMargin
+      s"""WITH $ivfPqResidualBaseSql,
+         |${ivfPqResidualScoredSql(1, "1")},
+         |${ivfPqResidualScoredSql(2, "2")},
          |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
          |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
          |    ${dotSql("cq.qv", "c.qv")} AS dot,

@@ -257,6 +257,16 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
   }
 
+  test("q103: residual IVF-PQ keeps the cell-keyed equi-join — residuals are centroid-literal arithmetic, not a lookup join") {
+    val p = plan("q103_ivfpq_residual")
+    assert(p.contains("BroadcastHashJoin"),
+      "residual queries must still broadcast onto the cell key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "residual subtraction must happen in-projection, never via a centroid join:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
+  }
+
   test("q101: multi-probe IVF-PQ stays all-equi-join — the query fan-out precedes the cell join") {
     val p = plan("q101_ivfpq_nprobe2")
     assert(p.contains("BroadcastHashJoin"),

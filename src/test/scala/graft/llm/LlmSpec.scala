@@ -698,6 +698,37 @@ class LlmSpec extends SparkSuite {
     assert(e.getMessage.contains("nprobe"))
   }
 
+  test("ivfPqResidualTopK: twin achieves the minimal ADC distance, deterministic, candidates widen with nprobe") {
+    // pairs of exact-duplicate vectors: i and i+20 are twins
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i % 20) * 9 + d * 3).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def topAt(np: Int) = Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        col("vec_id") < 5, cells = 3, m = 2, k = 3, iters = 2, topK = 8, nprobe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = topAt(1)
+    // a twin shares cell and residual exactly → its codes are the argmin
+    // for the query's own residual, so its ADC distance (= the query's
+    // residual reconstruction error) is the global minimum — no other
+    // candidate's chosen sub-centroids can sit closer
+    (0L until 5L).foreach { q =>
+      val rows = got.filter(_._1 == q)
+      val twin = rows.find(_._2 == q + 20)
+      assert(twin.nonEmpty, s"query $q: twin ${q + 20} missing from top-k")
+      assert(twin.get._3 === rows.map(_._3).min,
+        s"query $q: twin must achieve the minimal ADC distance, got $twin of ${rows.toSeq}")
+    }
+    assert(topAt(1).toSet === got.toSet, "re-running the search must reproduce it")
+    val c1 = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val c2 = topAt(2).groupBy(_._1).view.mapValues(_.length).toMap
+    c1.foreach { case (q, n) => assert(c2.getOrElse(q, 0) >= n, s"query $q shrank") }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        col("vec_id") < 5, cells = 2, nprobe = 3)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
   test("tokenChunks: stride/overlap arithmetic, short docs keep one chunk, empty docs vanish") {
     val fixture = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens, size 8 overlap 3 -> 2 chunks
