@@ -811,7 +811,26 @@ object LlmQueries {
             col("total_truth"), col("total_hits"),
             expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
       point(1).unionByName(point(2))
-    })
+    }),
+
+    // Sketch-based distinct profiling, calibrated: at 100 TB the
+    // per-source distinct-document count runs as approx_count_distinct
+    // (HLL++ — fixed-size mergeable registers, one map-side pass, no
+    // distinct shuffle of the keys themselves), and this gate measures
+    // its error against the exact count on the same data (the q91
+    // minhash-calibration pattern). HLL is hash-based and register
+    // merge is a commutative max, so the estimate is deterministic for
+    // a given column regardless of partitioning — the oracle pins the
+    // exact side and asserts the 5% bound held.
+    "q106_approx_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("exact_distinct"),
+          approx_count_distinct(col("doc_id"), 0.02).as("__approx"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("__approx") - col("exact_distinct")) * 100 <=
+            col("exact_distinct") * 5).as("within_5pct")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1111,6 +1130,15 @@ object LlmQueries {
          |  CAST(COUNT(*) AS INTEGER) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM acc GROUP BY seq_start""".stripMargin,
+
+    // The oracle pins the exact count and asserts Spark's HLL estimate
+    // stayed inside the 5% bound (rsd = 0.02): a drifting sketch
+    // hash-mismatches on the boolean.
+    "q106_approx_distinct" ->
+      """SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_5pct
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->

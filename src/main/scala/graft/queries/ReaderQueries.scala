@@ -471,6 +471,58 @@ object ReaderQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Schema-drift read: two shard generations written with different
+    // schemas (gen 2 gained `lang`), reconciled by a mergeSchema footer
+    // union — absent columns read as NULL, row data never rewritten.
+    // The gate writes the drifted corpus, reads it back merged, and
+    // aggregates per source; the oracle recomputes from `documents`
+    // with lang masked on gen-1 rows — they agree only if the merged
+    // read NULL-fills exactly the gen-1 rows and loses nothing.
+    "q105_schema_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmpF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q105-gate-${s.sparkContext.applicationId}")
+      val tmp = tmpF.getAbsolutePath
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      graft.sources.SchemaDrift.readMerged(s, tmp)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("lang")).as("n_lang_rows"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // Small-file compaction gated end-to-end: fragment the corpus into
+    // 64 tiny files, compact to ~1 MB outputs (a metadata-sized job —
+    // coalesce, zero shuffles), and aggregate the READ-BACK rows; the
+    // oracle recomputes from the source table, so agreement proves the
+    // rewrite lost and changed nothing. The `compacted` flag
+    // self-asserts that the file count actually dropped.
+    "q107_compaction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tmpF = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q107-gate-${s.sparkContext.applicationId}")
+      val tmp = tmpF.getAbsolutePath
+      docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+      val stats = graft.sinks.Compaction.compact(s, s"$tmp/frag",
+        s"$tmp/packed", targetBytes = 1L << 20)
+      graft.sinks.Compaction.readCompacted(s, s"$tmp/packed")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("compacted", lit(stats.outputFiles < stats.inputFiles))
+    }),
+
     // S4 — exact-header classification with drop-nulls-before-compare
     // (driver-side decision surfaced as a one-row-per-case relation).
     "q26_classifier" -> ((s, dir) => {
@@ -509,6 +561,27 @@ object ReaderQueries {
         |  CAST(COUNT(DISTINCT day) * 2 AS BIGINT) AS n_audit_rows,
         |  CAST(1 AS BIGINT) AS n_ops
         |FROM sel""".stripMargin,
+
+    "q105_schema_drift" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(lang) AS BIGINT) AS n_lang_rows,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q107_compaction" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  TRUE AS compacted
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q71_sharded_export" ->
       """SELECT

@@ -1,0 +1,76 @@
+package graft.sinks
+
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100 TB corpus needs: streaming ingest, per-day partition overwrites,
+  * and sharded exports all fragment a table into files far below the
+  * scan-efficient size (a 100 MB row-group reads at full parquet
+  * throughput; a 100 KB file pays its open/footer/seek cost per scan
+  * task AND bloats the driver's file index). Compaction rewrites a
+  * fragmented directory into ~`targetBytes` outputs without changing a
+  * row.
+  *
+  * Shape: one distributed read, zero shuffles — `coalesce(n)` only
+  * merges input splits into fewer tasks (narrow dependency); rows are
+  * never exchanged. `n` is sized from the directory's LISTED bytes (a
+  * driver-side metadata walk, no data read), so the job's output files
+  * land near the target regardless of how badly the input is
+  * fragmented. The rewrite goes to a fresh directory, not in place:
+  * readers of the old path are never broken mid-job, and the swap (an
+  * atomic rename, or a catalog pointer flip at scale) happens only
+  * after the new layout is fully written — crash-safe by construction.
+  *
+  * Limits, stated: coalesce cannot SPLIT an oversized input file (use
+  * a sort/layout rewrite like the z-order path for that), and byte
+  * sizing assumes compression ratios comparable across files of one
+  * table — true for homogeneous corpus shards, the case this serves.
+  */
+object Compaction {
+
+  final case class CompactionStats(
+      inputFiles: Long, inputBytes: Long, outputFiles: Long, outputBytes: Long)
+
+  /** List `dir` recursively (metadata only): (file count, total bytes)
+    * of data files, ignoring `_`-prefixed bookkeeping (_SUCCESS,
+    * _manifest.json).
+    */
+  def dirStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(dir), true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** Rewrite the parquet directory `inDir` into `outDir` as
+    * ~`targetBytes` files (default 128 MB). Returns before/after stats;
+    * the caller swaps `outDir` into place once satisfied.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(new URI(outDir).getPath != new URI(inDir).getPath,
+      "compact writes a NEW directory; in-place rewrite would break concurrent readers")
+    val (inFiles, inBytes) = dirStats(spark, inDir)
+    val n = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    val (outFiles, outBytes) = dirStats(spark, outDir)
+    CompactionStats(inFiles, inBytes, outFiles, outBytes)
+  }
+
+  /** The read side after a compact-and-swap: just the new directory.
+    * Exposed so call sites document the swap discipline in one place.
+    */
+  def readCompacted(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}
