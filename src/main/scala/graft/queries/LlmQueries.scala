@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -830,7 +830,40 @@ object LlmQueries {
           approx_count_distinct(col("doc_id"), 0.02).as("__approx"))
         .select(col("source"), col("exact_distinct"),
           (abs(col("__approx") - col("exact_distinct")) * 100 <=
-            col("exact_distinct") * 5).as("within_5pct")))
+            col("exact_distinct") * 5).as("within_5pct"))),
+
+    // CDC batch apply — q90's write-side complement: a change LOG
+    // (upserts, deletes, inserts, and per-key op churn where only the
+    // highest-seq op may win) rolled into the current snapshot. The
+    // oracle recomputes the expected final state from `documents`
+    // directly, so the gate proves keep-last collapse, delete
+    // semantics, insert-of-absent-key, and payload replacement all at
+    // once — any mis-applied op changes a row hash.
+    "q108_cdc_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val snap = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("text"), col("source"))
+      def batch(pred: Column, seq: Long, op: String, text: Column) =
+        d.filter(pred).select(col("doc_id"), lit(seq).as("seq"),
+          lit(op).as("op"),
+          (if (op == "delete") lit(null).cast("string") else text).as("text"),
+          (if (op == "delete") lit(null).cast("string") else col("source")).as("source"))
+      val changes =
+        batch(col("doc_id") % 5 === 0, 1L, "upsert",
+            concat(col("text"), lit(" rev2")))                       // revisions
+          .unionByName(batch(col("doc_id") % 10 === 3, 1L, "upsert", col("text"))) // inserts
+          .unionByName(batch(col("doc_id") % 10 === 7, 1L, "delete", col("text"))) // deletes
+          // churn: upsert then delete → net delete
+          .unionByName(batch(col("doc_id") % 20 === 1, 1L, "upsert",
+            concat(col("text"), lit(" revA"))))
+          .unionByName(batch(col("doc_id") % 20 === 1, 2L, "delete", col("text")))
+          // churn: delete then upsert → net revised row
+          .unionByName(batch(col("doc_id") % 20 === 11, 1L, "delete", col("text")))
+          .unionByName(batch(col("doc_id") % 20 === 11, 2L, "upsert",
+            concat(col("text"), lit(" rev3"))))
+      graft.operators.CdcApply.rollForward(snap, changes, Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("text_hash"), col("source"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1139,6 +1172,18 @@ object LlmQueries {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
         |  TRUE AS within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Expected final state, recomputed directly: snapshot was %10<>3;
+    // net-deletes are %10=7 and the %20=1 churn keys; %10=3 re-inserted
+    // at original text; revisions " rev2" (%5=0) and " rev3" (%20=11).
+    "q108_cdc_apply" ->
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |           WHEN doc_id % 20 = 11 THEN text || ' rev3'
+        |           ELSE text END) AS text_hash,
+        |  source
+        |FROM documents
+        |WHERE doc_id % 10 <> 7 AND doc_id % 20 <> 1""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->
