@@ -863,6 +863,24 @@ object LlmQueries {
             concat(col("text"), lit(" rev3"))))
       graft.operators.CdcApply.rollForward(snap, changes, Seq("doc_id"))
         .select(col("doc_id"), md5(col("text")).as("text_hash"), col("source"))
+    }),
+
+    // Link-graph centrality: 3 rounds of integer-ppm PageRank over a
+    // deterministic synthetic link graph (each doc links to three
+    // affine-modular neighbors — doc_ids are contiguous 0..N-1, so
+    // every target exists). DuckDB replays the identical unrolled
+    // rounds; Long-sum arithmetic makes the ranks bit-equal under any
+    // partitioning. The one driver scalar is N (the modulus — also in
+    // the oracle's subquery), never data.
+    "q109_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val n = d.count()
+      def gen(a: Int, b: Int) = d.select(col("doc_id").as("src"),
+        ((col("doc_id") * a + b) % n).as("dst"))
+      val edges = gen(31, 7).unionByName(gen(17, 3)).unionByName(gen(13, 11))
+      graft.operators.LinkGraph.pageRank(
+          d.select(col("doc_id").as("id")), edges, iters = 3)
+        .select(col("id").as("doc_id"), col("rank_ppm"))
     })
   )
 
@@ -1184,6 +1202,32 @@ object LlmQueries {
         |  source
         |FROM documents
         |WHERE doc_id % 10 <> 7 AND doc_id % 20 <> 1""".stripMargin,
+
+    // Identical unrolled integer-ppm rounds; // is integer division on
+    // BIGINT operands, matching Spark's `div` on positive values.
+    "q109_pagerank" -> {
+      def round(i: Int): String = {
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS id, SUM($p.r // e.d) AS s
+           |  FROM edges e JOIN $p ON e.src = $p.id GROUP BY 1),
+           |r$i AS (SELECT nodes.id,
+           |    CAST(150000 + (850000 * COALESCE(c$i.s, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM nodes LEFT JOIN c$i ON nodes.id = c$i.id)"""
+      }
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT COUNT(*) AS c FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id*31+7) % (SELECT c FROM nn) AS dst FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id*17+3) % (SELECT c FROM nn) FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id*13+11) % (SELECT c FROM nn) FROM documents),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY 1),
+         |edges AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg ON e0.src = deg.src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id AS doc_id, r AS rank_ppm FROM r3""".stripMargin
+    },
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->
