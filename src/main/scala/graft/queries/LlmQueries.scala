@@ -881,6 +881,38 @@ object LlmQueries {
       graft.operators.LinkGraph.pageRank(
           d.select(col("doc_id").as("id")), edges, iters = 3)
         .select(col("id").as("doc_id"), col("rank_ppm"))
+    }),
+
+    // Quantile-sketch calibration (q106's pattern for percentiles): at
+    // 100 TB a per-source median runs as percentile_approx (bounded-size
+    // mergeable GK summaries — no sort, no full shuffle of values), and
+    // this gate measures the sketch against the exact rank it claims:
+    // the approx value's rank interval [cnt_lt+1, cnt_le] must sit
+    // within ±5% of the true median rank (accuracy=100 guarantees ±1%,
+    // so the band is robust, not vacuous). The exact LOWER median — a
+    // rank-selected integer, no interpolated doubles — is pinned by the
+    // oracle; the sketch's own value never leaves the job.
+    "q110_percentile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      val ap = d.groupBy(col("source"))
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("__apx"))
+      val stats = d.join(broadcast(ap), Seq("source"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars") <= col("__apx"), 1L).otherwise(0L)).as("__le"),
+          sum(when(col("n_chars") < col("__apx"), 1L).otherwise(0L)).as("__lt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val med = d.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("source"), col("n_chars").as("exact_median_lo"))
+      med.join(stats, Seq("source"))
+        .select(col("source"), col("n_rows"), col("exact_median_lo"),
+          (col("__le") * 100 >= col("n_rows") * 45 &&
+            col("__lt") * 100 <= col("n_rows") * 55).as("within_rank_bound"))
     })
   )
 
@@ -1228,6 +1260,19 @@ object LlmQueries {
          |${round(3)}
          |SELECT id AS doc_id, r AS rank_ppm FROM r3""".stripMargin
     },
+
+    // Exact lower median by rank selection (ties broken by doc_id,
+    // mirrored in the Spark window); the sketch bound is pinned TRUE.
+    "q110_percentile_sketch" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n_chars AS BIGINT) AS exact_median_lo,
+        |  TRUE AS within_rank_bound
+        |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->
