@@ -913,6 +913,33 @@ object LlmQueries {
         .select(col("source"), col("n_rows"), col("exact_median_lo"),
           (col("__le") * 100 >= col("n_rows") * 45 &&
             col("__lt") * 100 <= col("n_rows") * 55).as("within_rank_bound"))
+    }),
+
+    // Cross-source contamination matrix: which SOURCE PAIRS share
+    // verbatim 8-token windows, and how much of the smaller side's
+    // distinct-chunk vocabulary the overlap covers (containment, ppm).
+    // The corpus-level view of q57's doc-level decontamination — the
+    // artifact that tells a mixture designer two feeds are secretly the
+    // same crawl. Scale shape: per-source DISTINCT (source, chunk)
+    // first, so the chunk equi-join's per-key fan-out is capped at
+    // #sources (never doc-count); totals are a source-sized broadcast.
+    "q111_contamination_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val sc = Dedup.chunkTable(d, "doc_id", "text", w = 8)
+        .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .select(col("source"), col("chunk")).distinct()
+      val tot = sc.groupBy(col("source")).agg(count(lit(1)).as("t"))
+      val pairs = sc.select(col("source").as("src_a"), col("chunk"))
+        .join(sc.select(col("source").as("src_b"), col("chunk")), Seq("chunk"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_chunks"))
+      pairs
+        .join(broadcast(tot.select(col("source").as("src_a"), col("t").as("__ta"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"), col("t").as("__tb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared_chunks"),
+          expr("(shared_chunks * 1000000) div least(__ta, __tb)").as("containment_ppm"))
     })
   )
 
@@ -1273,6 +1300,20 @@ object LlmQueries {
         |  CAST(n_chars AS BIGINT) AS exact_median_lo,
         |  TRUE AS within_rank_bound
         |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
+
+    "q111_contamination_matrix" ->
+      s"""WITH
+         |${chunksSql("documents", 8)},
+         |sc AS (SELECT DISTINCT d.source, c.chunk
+         |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id),
+         |tot AS (SELECT source, COUNT(*) AS t FROM sc GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+         |  FROM sc a JOIN sc b ON a.chunk = b.chunk AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_chunks,
+         |  CAST((shared * 1000000) // LEAST(ta.t, tb.t) AS BIGINT) AS containment_ppm
+         |FROM p JOIN tot ta ON p.src_a = ta.source
+         |       JOIN tot tb ON p.src_b = tb.source""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->
