@@ -338,7 +338,30 @@ object Relational {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("valid_from")).as("valid_from_us"),
           unix_micros(col("valid_to")).as("valid_to_us"),
-          col("version"), col("is_current")))
+          col("version"), col("is_current"))),
+
+    // Schema-on-read JSON extraction: the event payload column parsed
+    // with an EXPLICIT schema (from_json → codegen'd JsonToStructs, a
+    // per-row projection — never schema inference, which is a full
+    // pre-scan at 100 TB and unstable under drift). Malformed payloads
+    // (injected on every 13th event — leading garbage; Jackson tolerates
+    // TRAILING bytes after a closed object) must yield NULL fields,
+    // never a job failure: the gate counts parsed-vs-total per type so
+    // a parser that crashed, skipped, or mis-nulled shows up in three
+    // columns at once.
+    "q112_json_extract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")).as("props"))
+      ev.withColumn("__p", from_json(col("props"), lit("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("__p.k")).as("n_parsed"),
+          sum(col("__p.k")).as("sum_k"),
+          min(col("__p.k")).as("min_k"),
+          max(col("__p.k")).as("max_k"))
+    })
   )
 
   /** Shared derived-null input: testdata has no nulls, so P2/A3 queries
@@ -578,6 +601,22 @@ object Relational {
         |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
-        |FROM ch""".stripMargin
+        |FROM ch""".stripMargin,
+
+    // The fixture's payloads are exactly {"k": N}, so a regex replay is
+    // spec-equivalent; injected-garbage rows are pinned NULL.
+    "q112_json_extract" ->
+      """WITH p AS (SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL
+        |         ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |    END AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(k) AS BIGINT) AS n_parsed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM p GROUP BY 1""".stripMargin
   )
 }
