@@ -276,4 +276,35 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected only the rank window's exchange, saw $exchanges:\n$p")
   }
+
+  test("q108: CDC apply anti-joins the snapshot against broadcast batch keys") {
+    val p = plan("q108_cdc_apply")
+    assert(p.contains("LeftAnti"), "survivors must come from an anti-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "a dimension-sized change batch must broadcast, so the snapshot never shuffles:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q109: PageRank rounds are keyed equi-joins; nothing funnels to one partition") {
+    val p = plan("q109_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank propagation must join on src, never all-pairs:\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "no PageRank stage may collapse to one partition:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the degree-annotated edge table must be pinned across iterations")
+  }
+
+  test("q111: the contamination pair join is chunk-keyed, never all-pairs") {
+    val p = plan("q111_contamination_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "source-pair overlap must come from the chunk equi-join:\n" + p)
+  }
+
+  test("q112: JSON extraction is a scan-project before one aggregate exchange") {
+    val p = plan("q112_json_extract")
+    assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the group-by exchange, saw $exchanges:\n$p")
+  }
 }
