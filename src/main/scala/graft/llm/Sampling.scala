@@ -51,6 +51,46 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic weight-biased sampling (priority sampling, the
+    * Duffield–Lund–Thorup bottom-k scheme with the uniform replaced by
+    * the portable id hash): per stratum, keep the k rows with the
+    * smallest priority = (hash32(id) · 10⁶) div weight. A row with
+    * twice the weight halves its priority, so inclusion odds scale with
+    * weight — the quality-weighted corpus draw (weight = quality score,
+    * token count, PageRank ppm, …) — while staying engine/run/retry
+    * deterministic: same inputs, same sample, bit-for-bit (no `rand()`,
+    * no float comparisons; ties in priority break on (hash, id) so the
+    * selection is total).
+    *
+    * Non-positive weights raise in-scan (`raise_error`): silently
+    * dropping or flooring them would skew the draw without a trace.
+    *
+    * Shuffle shape: one window shuffle on the stratum key, identical to
+    * [[stratifiedSample]] (which is this with all weights equal). At
+    * 100 TB the bottom-k per stratum can pre-prune with a static
+    * priority cutoff (any row with priority above k·10⁶·E[1/w]·margin
+    * cannot win) before the window — same idea as [[epochUpsample]]'s
+    * hash-threshold pre-filter.
+    *
+    * @return df's rows that win a slot, plus (priority, sample_rank)
+    */
+  def prioritySample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, stratumCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = Dedup.hash32(col(idCol).cast("string"))
+    val checked = when(col(weightCol) > 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(lit(s"prioritySample: non-positive weight in '$weightCol' at id "),
+        col(idCol).cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(col("priority").asc, col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("__w", checked)
+      .withColumn("priority", expr("(__h * 1000000) div __w"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__h", "__w")
+  }
+
   /** Temperature-weighted source mixing: per-group quotas ∝ √n_g (the
     * α = 1/2 point of the nᵅ upsampling curve used to rebalance
     * multilingual / multi-source pretraining corpora — small sources are

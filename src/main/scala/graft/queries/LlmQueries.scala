@@ -940,7 +940,19 @@ object LlmQueries {
         .join(broadcast(tot.select(col("source").as("src_b"), col("t").as("__tb"))), Seq("src_b"))
         .select(col("src_a"), col("src_b"), col("shared_chunks"),
           expr("(shared_chunks * 1000000) div least(__ta, __tb)").as("containment_ppm"))
-    })
+    }),
+
+    // Deterministic weight-biased draw: per source, the k best rows by
+    // hash-over-weight priority (Duffield-Lund-Thorup bottom-k with
+    // the uniform replaced by the portable id hash) — here weighted by
+    // n_chars, so longer documents win proportionally more slots, with
+    // the whole selection engine/run/retry-exact.
+    "q113_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("priority"), col("sample_rank")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1314,6 +1326,18 @@ object LlmQueries {
          |  CAST((shared * 1000000) // LEAST(ta.t, tb.t) AS BIGINT) AS containment_ppm
          |FROM p JOIN tot ta ON p.src_a = ta.source
          |       JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    "q113_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, source, n_chars,
+         |    ${h32Sql("CAST(doc_id AS VARCHAR)")} AS h,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")} * 1000000) // n_chars AS priority
+         |  FROM documents),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY priority, h, doc_id) AS sample_rank
+         |  FROM p)
+         |SELECT doc_id, source, n_chars, CAST(priority AS BIGINT) AS priority,
+         |  CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= 10""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->

@@ -238,6 +238,39 @@ class LlmSpec extends SparkSuite {
     assert(small.subsetOf(got.map(_.getLong(0)).toSet))
   }
 
+  test("priority sample: weight bias, equal-weight reduction, loud non-positive weights") {
+    val df = (0L until 400L).map(i => (i, (i % 2).toInt,
+      if (i % 2 == 0) 100L else 1L)).toDF("id", "stratum", "w")
+    // within one stratum all weights are equal → selection must equal
+    // the unweighted stratified sample's ids
+    val eq = Sampling.prioritySample(df.filter(col("stratum") === 0), "id", "w", "stratum", 7)
+      .collect().map(_.getLong(0)).toSet
+    val strat = Sampling.stratifiedSample(df.filter(col("stratum") === 0), "id", "stratum", 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(eq === strat)
+    // weight bias: mix both weights in ONE stratum — heavy rows (w=100)
+    // must dominate the winners
+    val mixed = df.withColumn("stratum", lit(0))
+    val winners = Sampling.prioritySample(mixed, "id", "w", "stratum", 40)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(winners.count(_ == 100L) > 30,
+      s"expected heavy-weight dominance, got ${winners.count(_ == 100L)}/40")
+    // deterministic across partitionings
+    val a = Sampling.prioritySample(mixed.repartition(2), "id", "w", "stratum", 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.prioritySample(mixed.repartition(13), "id", "w", "stratum", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // non-positive weight raises
+    val bad = Seq((1L, 0, 0L)).toDF("id", "stratum", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(bad, "id", "w", "stratum", 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-positive weight")))
+  }
+
   test("decontamination: eval fragments match their source docs") {
     val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
     val train = Seq((1L, t1), (2L, (1 to 20).map(i => s"other$i").mkString(" ")))
