@@ -340,6 +340,21 @@ object Relational {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("version"), col("is_current"))),
 
+    // Hopping (sliding) window aggregation: 1-hour windows every 15
+    // minutes — each event lands in exactly 4 windows (map-side
+    // explode, epoch-aligned starts), then ONE hash aggregate on
+    // (window, type). q40's tumbling windows are the slide==size
+    // special case; the hop factor (size/slide) is the fan-out a
+    // cluster job budgets for. Exact-cents sums; window bounds surface
+    // as epoch micros (the no-raw-timestamp contract).
+    "q114_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("sum_cents"))),
+
     // Schema-on-read JSON extraction: the event payload column parsed
     // with an EXPLICIT schema (from_json → codegen'd JsonToStructs, a
     // per-row projection — never schema inference, which is a full
@@ -602,6 +617,20 @@ object Relational {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
         |FROM ch""".stripMargin,
+
+    // Each event's 4 slide-aligned window starts, replayed by integer
+    // epoch arithmetic (Spark's window() aligns to the 1970 origin,
+    // i.e. floor on epoch micros).
+    "q114_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |x AS (SELECT us - (us % 900000000) - i * 900000000 AS win_start_us,
+        |    event_type, v
+        |  FROM e, UNNEST(range(0, 4)) AS t(i))
+        |SELECT win_start_us, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // The fixture's payloads are exactly {"k": N}, so a regex replay is
     // spec-equivalent; injected-garbage rows are pinned NULL.
