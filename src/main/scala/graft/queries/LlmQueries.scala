@@ -952,7 +952,40 @@ object LlmQueries {
           Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
           "doc_id", "n_chars", "source", k = 10)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          col("priority"), col("sample_rank")))
+          col("priority"), col("sample_rank"))),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key into the session catalog, then joined WITHOUT either
+    // side shuffling (bucket info replaces the exchange; PlanSpec pins
+    // ≤1 exchange — the final group-by only). This is the 100 TB join
+    // discipline the scale notes keep pointing at: pay the partitioning
+    // once at write time, join for free forever after. The gate's
+    // write-read-join loop proves the whole catalog round trip, and
+    // the oracle recomputes the join from the raw parquet.
+    "q115_bucketed_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      // drop table AND stale location: another JVM's run leaves the
+      // warehouse directory behind without a metastore entry here
+      Seq("graft_q115_docs", "graft_q115_emb").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      docs.write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("graft_q115_docs")
+      emb.write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("graft_q115_emb")
+      s.table("graft_q115_docs").join(s.table("graft_q115_emb"), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("label")).as("sum_label"),
+          sum(col("n_chars")).as("sum_chars"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1338,6 +1371,16 @@ object LlmQueries {
          |SELECT doc_id, source, n_chars, CAST(priority AS BIGINT) AS priority,
          |  CAST(sample_rank AS BIGINT) AS sample_rank
          |FROM r WHERE sample_rank <= 10""".stripMargin,
+
+    // The same join recomputed from the raw parquet: bucketing is a
+    // physical layout, so the result must be layout-invariant.
+    "q115_bucketed_join" ->
+      """SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(e.label) AS BIGINT) AS sum_label,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->

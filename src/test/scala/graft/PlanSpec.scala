@@ -301,6 +301,24 @@ class PlanSpec extends SparkSuite {
       "source-pair overlap must come from the chunk equi-join:\n" + p)
   }
 
+  test("q115: the bucketed join shuffles NEITHER side — only the final group-by exchanges") {
+    // at toy sizes the dimension side auto-broadcasts (also correct);
+    // force the threshold down to pin the AT-SCALE shape, where both
+    // sides are too big to broadcast and bucketing must carry the join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan("q115_bucketed_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a co-located keyed join over the bucketed tables:\n" + p)
+      assert("Bucketed: true".r.findAllIn(p).size === 2,
+        "both scans must report their bucket layout:\n" + p)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"bucketed sides must not re-shuffle; expected only the aggregate's exchange, saw $exchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")
