@@ -31,6 +31,21 @@ object EventStreams {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Hopping-window counts (q114's streaming form): 1-hour windows
+    * every 15 minutes, so each event feeds 4 open windows. State is
+    * bounded by (open windows × event types) — the hop factor
+    * multiplies state size versus tumbling, which is the budget line a
+    * deployment reads before shrinking the slide.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Batch sessionization (gaps-and-islands on per-user event gaps): a new
     * session starts when the gap to the previous event exceeds `gapMs`.
     * One shuffle on user_id (window partition); the cumulative-sum session

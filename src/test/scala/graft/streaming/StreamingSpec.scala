@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows: each event counts in its 4 sliding windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hoppingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hop_out").outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00", 1))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:20:00", 2))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n_events FROM hop_out ORDER BY win_start")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // 10:05 → starts 09:15..10:00; 10:20 → 09:30..10:15; overlap 09:30..10:00
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 09:15:00", 1L), ("2024-01-01 09:30:00", 2L),
+        ("2024-01-01 09:45:00", 2L), ("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 10:15:00", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming sessions carry state across micro-batches and roll on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
