@@ -985,6 +985,34 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("label")).as("sum_label"),
           sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // HLL sketch MERGEABILITY — the property the 100 TB pattern rests
+    // on: per-shard (here per-source) sketches written once, unioned at
+    // query time, estimate the same cardinality as a direct
+    // whole-corpus sketch within the lgK error bound. NOT bit-equal by
+    // design: the union promotes sparse (coupon-exact) sketches to
+    // dense HLL mode, so below the promotion threshold the direct
+    // sketch is exact while the union carries normal HLL error
+    // (measured here: 491 vs 500 at lgK=12) — exactly the trade a
+    // shard-level pre-aggregation accepts, and what the gate bounds
+    // (both estimates within ±5% of the exact count). The
+    // datasketches-backed persistable form of q106's calibration.
+    "q116_hll_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+      val per = d.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("__sk"))
+      val merged = per.agg(
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est_merged"))
+      val direct = d.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("__est_direct"),
+        countDistinct(col("doc_id")).as("exact_total"))
+      merged.crossJoin(direct).select(
+        col("exact_total"),
+        (abs(col("__est_merged") - col("exact_total")) * 100 <=
+          col("exact_total") * 5).as("merged_within_5pct"),
+        (abs(col("__est_direct") - col("exact_total")) * 100 <=
+          col("exact_total") * 5).as("direct_within_5pct"))
     })
   )
 
@@ -1381,6 +1409,13 @@ object LlmQueries {
         |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY 1""".stripMargin,
+
+    // Exact count pinned; both sketch bounds asserted in-row.
+    "q116_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_total,
+        |  TRUE AS merged_within_5pct,
+        |  TRUE AS direct_within_5pct
+        |FROM documents""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->
