@@ -46,7 +46,11 @@ object LinkGraph {
     * @param edges  (src, dst), parallel edges count once each
     * @param iters  fixed iteration count (1..50)
     * @return (id, rank_ppm) — every node present, teleport floor for
-    *   nodes with no inbound links
+    *   nodes with no inbound links. The returned plan references the
+    *   PINNED degree-annotated edge table (one-shot-job semantics, as
+    *   [[graft.llm.Dedup]]'s nearDupPairs): a long-lived service should
+    *   release it via [[graft.llm.Caching.release]] once ranks are
+    *   materialized.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       dampingPpm: Long = 850000L): DataFrame = {

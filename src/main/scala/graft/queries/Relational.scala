@@ -340,6 +340,41 @@ object Relational {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("version"), col("is_current"))),
 
+    // Ordered conversion funnel: per user, the first 'view', the first
+    // 'click' strictly after it, the first 'purchase' strictly after
+    // that — reported as users-reaching-stage counts. ONE shuffle: the
+    // per-user event list is sort_array'd (ts, event_id — total order)
+    // and folded by a codegen'd `aggregate` lambda, so the sequence
+    // match is a deterministic per-group projection, never a per-stage
+    // join cascade (3 extra event shuffles at 100 TB). Per-user array
+    // size is bounded by per-user activity; a mega-user outlier would
+    // use the two-pass join form instead — stated trade.
+    "q117_funnel" -> ((s, dir) => {
+      val MAX = Long.MaxValue
+      // every-29th-event slice: sparse enough that users spread over
+      // all four stages (74/41/9/4 at sf0.01) instead of all converting
+      val ev = Tables.events(s, dir).filter(col("event_id") % 29 === 0)
+        .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("et")).as("__e"))
+      ev.groupBy(col("user_id")).agg(sort_array(collect_list(col("__e"))).as("__es"))
+        .withColumn("__f", expr(
+          s"""aggregate(__es,
+             |  named_struct('t1', ${MAX}L, 't2', ${MAX}L, 't3', ${MAX}L),
+             |  (a, x) -> named_struct(
+             |    't1', IF(a.t1 = ${MAX}L AND x.et = 'view', x.us, a.t1),
+             |    't2', IF(a.t1 < ${MAX}L AND a.t2 = ${MAX}L
+             |             AND x.et = 'click' AND x.us > a.t1, x.us, a.t2),
+             |    't3', IF(a.t2 < ${MAX}L AND a.t3 = ${MAX}L
+             |             AND x.et = 'purchase' AND x.us > a.t2, x.us, a.t3)))
+             |""".stripMargin))
+        .select(when(col("__f.t3") =!= MAX, 3)
+          .when(col("__f.t2") =!= MAX, 2)
+          .when(col("__f.t1") =!= MAX, 1)
+          .otherwise(0).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Hopping (sliding) window aggregation: 1-hour windows every 15
     // minutes — each event lands in exactly 4 windows (map-side
     // explode, epoch-aligned starts), then ONE hash aggregate on
@@ -617,6 +652,28 @@ object Relational {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
         |FROM ch""".stripMargin,
+
+    // Sequential-min replay of the fold (all comparisons in epoch
+    // MICROS on both engines — the parquet is nanos, and a
+    // sub-microsecond tie must resolve identically).
+    "q117_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_id % 29 = 0),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > t2.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |st AS (SELECT u.user_id,
+        |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |         LEFT JOIN t3 USING (user_id))
+        |SELECT CAST(stage AS INT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM st GROUP BY 1""".stripMargin,
 
     // Each event's 4 slide-aligned window starts, replayed by integer
     // epoch arithmetic (Spark's window() aligns to the 1970 origin,
