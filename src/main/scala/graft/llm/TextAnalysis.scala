@@ -364,6 +364,30 @@ object TextAnalysis {
     h.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [loPct, hiPct] exact-percentile band — the outlier treatment a
+    * stats/mixture pipeline applies before means and ratios (a single
+    * 100 MB document otherwise owns its source's average length).
+    * Clipping, not dropping: row count and keys are preserved, so
+    * downstream joins and quotas are unaffected.
+    *
+    * Scale shape: bounds come from [[groupPercentiles]] (histogram at
+    * DISTINCT-value cost, never a sort of the raw rows) and join back
+    * as a groups-sized broadcast — the data pays one extra scan
+    * projection, no shuffle.
+    */
+  def winsorize(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, loPct: Int, hiPct: Int): org.apache.spark.sql.DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val bounds = groupPercentiles(df, groupCol, valueCol, Seq(loPct, hiPct))
+      .select(col(groupCol), col(s"p$loPct").as("__lo"), col(s"p$hiPct").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Corpus-relative quality gate: keep rows whose `valueCol` is at or
     * above the corpus's exact `pct`-th percentile — the adaptive form of
     * a fixed-threshold filter (q73's `>= 9000`), for when the policy is

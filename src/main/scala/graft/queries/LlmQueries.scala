@@ -1013,7 +1013,22 @@ object LlmQueries {
           col("exact_total") * 5).as("merged_within_5pct"),
         (abs(col("__est_direct") - col("exact_total")) * 100 <=
           col("exact_total") * 5).as("direct_within_5pct"))
-    })
+    }),
+
+    // Per-source winsorization at [p05, p95]: outliers clipped to the
+    // exact percentile band before the per-source stats — row counts
+    // preserved (clip, not drop). Every row carries its clipped value;
+    // the aggregate pins sums/extremes so a mis-clipped row or a
+    // drifted bound hash-mismatches.
+    "q118_winsorize" -> ((s, dir) =>
+      TextAnalysis.winsorize(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", loPct = 5, hiPct = 95)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars_w")).as("sum_w"),
+          min(col("n_chars_w")).as("min_w"),
+          max(col("n_chars_w")).as("max_w")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1416,6 +1431,26 @@ object LlmQueries {
         |  TRUE AS merged_within_5pct,
         |  TRUE AS direct_within_5pct
         |FROM documents""".stripMargin,
+
+    // q64's exact-percentile formula produces the clip bounds.
+    "q118_winsorize" ->
+      """WITH hist AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |h AS (SELECT source, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS tot
+        |  FROM hist),
+        |b AS (SELECT source,
+        |    MIN(CASE WHEN cum >= (tot * 5 + 99) // 100 THEN v END) AS lo,
+        |    MIN(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN v END) AS hi
+        |  FROM h GROUP BY 1),
+        |w AS (SELECT d.source, LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS vw
+        |  FROM documents d JOIN b USING (source))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(vw) AS BIGINT) AS sum_w,
+        |  CAST(MIN(vw) AS BIGINT) AS min_w,
+        |  CAST(MAX(vw) AS BIGINT) AS max_w
+        |FROM w GROUP BY 1""".stripMargin,
 
     // q63's learned-IVF chain plus the label-mismatch predicate.
     "q98_hard_negatives" ->

@@ -319,6 +319,15 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q117: the funnel is two aggregates and zero joins — no per-stage cascade") {
+    val p = plan("q117_funnel")
+    assert(!p.toLowerCase.contains("join"),
+      "sequence matching must fold per user, never join per stage:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected the user group-by and the stage group-by only, saw $exchanges:\n$p")
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")
