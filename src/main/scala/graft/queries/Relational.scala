@@ -340,6 +340,22 @@ object Relational {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("version"), col("is_current"))),
 
+    // Set operations, both semantics: INTERSECT/EXCEPT (set — Spark
+    // plans distinct + semi/anti join) and INTERSECT ALL/EXCEPT ALL
+    // (multiset — count-matching via the doubled left side, where the
+    // two diverge: one surviving copy of each matched row, two of each
+    // unmatched). All four shuffle only on the compared row hash.
+    "q119_set_ops" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      val b = d.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("source"))
+      val a2 = a.unionByName(a)
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .unionByName(a2.intersectAll(b).withColumn("op", lit("intersect_all")))
+        .unionByName(a2.exceptAll(b).withColumn("op", lit("except_all")))
+    }),
+
     // Ordered conversion funnel: per user, the first 'view', the first
     // 'click' strictly after it, the first 'purchase' strictly after
     // that — reported as users-reaching-stage counts. ONE shuffle: the
@@ -652,6 +668,22 @@ object Relational {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
         |FROM ch""".stripMargin,
+
+    "q119_set_ops" ->
+      """WITH a AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0),
+        |a2 AS (SELECT * FROM a UNION ALL SELECT * FROM a)
+        |SELECT doc_id, source, 'intersect' AS op
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT doc_id, source, 'except'
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT doc_id, source, 'intersect_all'
+        |  FROM (SELECT * FROM a2 INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT doc_id, source, 'except_all'
+        |  FROM (SELECT * FROM a2 EXCEPT ALL SELECT * FROM b)""".stripMargin,
 
     // Sequential-min replay of the fold (all comparisons in epoch
     // MICROS on both engines — the parquet is nanos, and a
