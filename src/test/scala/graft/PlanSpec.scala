@@ -328,6 +328,20 @@ class PlanSpec extends SparkSuite {
       s"expected the user group-by and the stage group-by only, saw $exchanges:\n$p")
   }
 
+  test("q110/q113/q118: sketch calibration, priority sample, winsorize keep their small sides broadcast") {
+    val p110 = plan("q110_percentile_sketch")
+    assert(p110.contains("BroadcastHashJoin"),
+      "the per-source sketch values must broadcast back, not shuffle the data:\n" + p110)
+    val p113 = plan("q113_priority_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p113).size <= 1,
+      "priority sampling is one stratum-keyed window shuffle:\n" + p113)
+    assert(!p113.toLowerCase.contains("join"), "no join in the sampler:\n" + p113)
+    val p118 = plan("q118_winsorize")
+    assert(p118.contains("BroadcastHashJoin"),
+      "winsorize bounds are groups-sized and must broadcast:\n" + p118)
+    assert(!p118.contains("CartesianProduct") && !p118.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")

@@ -271,6 +271,30 @@ class LlmSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("non-positive weight")))
   }
 
+  test("winsorize: clips into the band, preserves rows, survives null values") {
+    // 20 rows, v = id*10 except two planted outliers; p10 bound =
+    // 2nd-smallest value (ceil(20·10/100)=2 → 20), p90 = 18th (= 180)
+    val df = (1L to 20L).map(i =>
+      ("a", i, if (i == 1) -1000L else if (i == 20) 99999L else i * 10L))
+      .toDF("g", "id", "v")
+    val out = TextAnalysis.winsorize(df, "g", "v", 10, 90)
+    assert(out.count() === 20) // clip, never drop
+    val w = out.select("id", "v_w").as[(Long, Long)].collect().toMap
+    assert(w(1L) === 20L)    // low outlier raised to the p10 bound
+    assert(w(20L) === 180L)  // high outlier lowered to the p90 bound
+    assert(w(19L) === 180L)  // 190 sits above the p90 bound too
+    // interior values untouched
+    assert((2L to 18L).forall(i => w(i) === i * 10L))
+    // a group whose values are ALL NULL: bounds are null, greatest/least
+    // skip nulls, so values pass through unchanged (no poisoning)
+    val nulls = Seq(("b", 1L, None: Option[Long]), ("b", 2L, None))
+      .toDF("g", "id", "v")
+    val outN = TextAnalysis.winsorize(nulls, "g", "v", 5, 95)
+    assert(outN.count() === 2)
+    assert(outN.filter(col("v_w").isNotNull).count() === 0)
+    intercept[IllegalArgumentException] { TextAnalysis.winsorize(df, "g", "v", 95, 5) }
+  }
+
   test("decontamination: eval fragments match their source docs") {
     val t1 = (1 to 20).map(i => s"tok$i").mkString(" ")
     val train = Seq((1L, t1), (2L, (1 to 20).map(i => s"other$i").mkString(" ")))
