@@ -1015,6 +1015,30 @@ object LlmQueries {
           col("exact_total") * 5).as("direct_within_5pct"))
     }),
 
+    // Best-of-cluster canonical selection: the end-to-end curation
+    // choice the dedup chain exists to serve — each near-dup cluster
+    // (q53's closure) keeps its HIGHEST-QUALITY member (q73's integer
+    // scorer), not an arbitrary min-id. One argmax struct-aggregate on
+    // the cluster key after a broadcast-sized join of (id, score) onto
+    // the cluster map; ties break to the lower id so selection stays
+    // total.
+    "q120_cluster_best" -> ((s, dir) => {
+      val corpus = docsCorpus(s, dir)
+      val clusters = Dedup.canonicalizeClusters(
+        Dedup.nearDupPairs(corpus, "doc_id", "text"))
+      val base = Dedup.once(corpus.select(col("doc_id"), col("text")),
+          "__toks", TextAnalysis.tokens(col("text")))
+        .transform(d => Dedup.once(d, "__sh3", Dedup.shingles(col("__toks"), 3)))
+      val scored = base.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text"), col("__toks"), col("__sh3")).as("score"))
+      clusters.join(scored, Seq("id"))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("score"), (-col("id")).as("nid"))).as("__m"))
+        .select(col("canonical_id"), col("n_members"),
+          (-col("__m.nid")).as("best_id"), col("__m.score").as("best_score"))
+    }),
+
     // Per-source winsorization at [p05, p95]: outliers clipped to the
     // exact percentile band before the per-source stats — row counts
     // preserved (clip, not drop). Every row carries its clipped value;
@@ -1431,6 +1455,33 @@ object LlmQueries {
         |  TRUE AS merged_within_5pct,
         |  TRUE AS direct_within_5pct
         |FROM documents""".stripMargin,
+
+    // q53's recursive closure joined to q73's score chain; argmax via
+    // the rank window (score DESC, id ASC — the Spark struct-max
+    // tiebreak).
+    "q120_cluster_best" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         |${lshChainSql("corpus")},
+         |verified AS (SELECT id_a, id_b FROM pairs WHERE inter * 2 >= uni),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM verified
+         |          UNION ALL SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cl AS (SELECT id, CAST(LEAST(id, MIN(r)) AS BIGINT) AS canonical_id
+         |  FROM reach GROUP BY id),
+         |${qualityScoreChainSql("corpus")},
+         |j AS (SELECT cl.canonical_id, cl.id, sc.score
+         |  FROM cl JOIN sc ON cl.id = sc.doc_id),
+         |w AS (SELECT canonical_id, id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY canonical_id
+         |      ORDER BY score DESC, id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY canonical_id) AS nm
+         |  FROM j)
+         |SELECT canonical_id, CAST(nm AS BIGINT) AS n_members,
+         |  id AS best_id, CAST(score AS BIGINT) AS best_score
+         |FROM w WHERE rn = 1""".stripMargin,
 
     // q64's exact-percentile formula produces the clip bounds.
     "q118_winsorize" ->
