@@ -319,6 +319,13 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q114: hopping windows are a map-side explode before one aggregate exchange") {
+    val p = plan("q114_hopping_window")
+    assert(!p.toLowerCase.contains("join"), "window fan-out must be an explode, not a join:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the (window, type) aggregate exchange, saw $exchanges:\n$p")
+  }
+
   test("q117: the funnel is two aggregates and zero joins — no per-stage cascade") {
     val p = plan("q117_funnel")
     assert(!p.toLowerCase.contains("join"),
