@@ -61,6 +61,25 @@ class CdcApplySpec extends SparkSuite {
     }
   }
 
+  test("CDC: batch-split invariance — chained applies equal one combined apply (seeded random ops)") {
+    val rnd = new scala.util.Random(7)
+    val snap0 = (0L until 40L).map(i => (i, s"v$i", "s")).toDF("id", "text", "src")
+    // two waves of random ops; wave-2 sequences strictly above wave-1's,
+    // matching any log-ordered CDC feed
+    def wave(seqBase: Long, n: Int) = (0 until n).map { j =>
+      val id = rnd.nextInt(50).toLong // some ids absent from the snapshot
+      if (rnd.nextBoolean()) (id, seqBase + j, "upsert", s"w$seqBase-$j", "s")
+      else (id, seqBase + j, "delete", null.asInstanceOf[String], null.asInstanceOf[String])
+    }
+    val c1 = wave(100L, 30).toDF("id", "seq", "op", "text", "src")
+    val c2 = wave(1000L, 30).toDF("id", "seq", "op", "text", "src")
+    val chained = CdcApply.rollForward(
+      CdcApply.rollForward(snap0, c1, Seq("id")), c2, Seq("id"))
+    val combined = CdcApply.rollForward(snap0, c1.unionByName(c2), Seq("id"))
+    assert(chained.as[(Long, String, String)].collect().toSet ===
+      combined.as[(Long, String, String)].collect().toSet)
+  }
+
   test("CDC: applying a snapshotDiff-derived batch rolls old forward to new") {
     val oldSnap = Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
       .toDF("id", "text", "src")

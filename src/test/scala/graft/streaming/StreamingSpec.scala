@@ -51,6 +51,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: foreachBatch rolls the snapshot to the batch-apply result") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CdcApply
+    val mem = MemoryStream[(Long, Long, String, String, String)]
+    var snap = Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("id", "text", "src")
+    val q = mem.toDF().toDF("id", "seq", "op", "text", "src")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize each roll so the next micro-batch applies to data,
+        // not to an ever-growing lazy lineage
+        snap = spark.createDataFrame(
+          snap.sparkSession.sparkContext.parallelize(
+            CdcApply.rollForward(snap, b, Seq("id")).collect().toSeq), snap.schema)
+        ()
+      }.start()
+    try {
+      mem.addData((1L, 1L, "upsert", "one-v2", "a"), (4L, 2L, "upsert", "four", "c"))
+      q.processAllAvailable()
+      mem.addData((4L, 3L, "delete", null, null), (3L, 4L, "upsert", "three-v2", "b"))
+      q.processAllAvailable()
+      val got = snap.as[(Long, String, String)].collect().toSet
+      // equals ONE batch apply of the full log (split invariance)
+      val full = Seq(
+        (1L, 1L, "upsert", "one-v2", "a"), (4L, 2L, "upsert", "four", "c"),
+        (4L, 3L, "delete", null.asInstanceOf[String], null.asInstanceOf[String]),
+        (3L, 4L, "upsert", "three-v2", "b")).toDF("id", "seq", "op", "text", "src")
+      val expect = CdcApply.rollForward(
+          Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+            .toDF("id", "text", "src"), full, Seq("id"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got === expect)
+      assert(got === Set((1L, "one-v2", "a"), (2L, "two", "a"), (3L, "three-v2", "b")))
+    } finally q.stop()
+  }
+
   test("streaming sessions carry state across micro-batches and roll on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
