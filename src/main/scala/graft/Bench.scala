@@ -199,6 +199,7 @@ object Bench {
     val suspects = suspectQueries(names, timings.toMap, minTimings.toMap,
       probeAt.toMap, probes.toIndexedSeq)
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimeFailures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (suspects.nonEmpty) {
       System.err.println(
         s"[bench] re-timing ${suspects.size} contention-suspect queries: ${suspects.mkString(", ")}")
@@ -210,7 +211,16 @@ object Bench {
             run(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           })
-        } catch { case _: Throwable => () }
+        } catch {
+          // a query that passed the main pass but fails during retime is
+          // a real signal — record it, so a consumer can tell "not
+          // suspect" from "retime failed" (total_retimed falls back to
+          // the contention-suspect original timing for this query)
+          case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            retimeFailures(name) = msg
+            System.err.println(s"[bench] RETIME FAILED $name — $msg")
+        }
       }
       // close the bracket around the retime stretch: a retime taken under
       // still-ongoing load shows up as probe spread, not as silent truth
@@ -227,6 +237,7 @@ object Bench {
     val qmins = minTimings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val rts = retimed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val rtf = retimeFailures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val totalRetimed = timings.map { case (k, v) => retimed.getOrElse(k, v) }.sum
     // 2.5× max/min spread across the checkpoint series flags contention:
@@ -245,7 +256,7 @@ object Bench {
             "(>2.5x); artifact timings are contention-suspect — prefer queries_retimed")
       s""","calibration":[${probes.mkString(",")}],"contended":$contended"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"total_retimed":$totalRetimed,"failures":$fs$calJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"failures":$fs$calJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size}/${names.size} queries FAILED")

@@ -62,8 +62,10 @@ object Sampling {
     * no float comparisons; ties in priority break on (hash, id) so the
     * selection is total).
     *
-    * Non-positive weights raise in-scan (`raise_error`): silently
-    * dropping or flooring them would skew the draw without a trace.
+    * Non-positive weights — including fractional weights that truncate
+    * to zero under the integral cast — raise in-scan (`raise_error`):
+    * silently dropping or flooring them would skew the draw without a
+    * trace. Fractional weights ≥ 1 are floored (documented, monotone).
     *
     * Shuffle shape: one window shuffle on the stratum key, identical to
     * [[stratifiedSample]] (which is this with all weights equal). At
@@ -78,8 +80,12 @@ object Sampling {
       weightCol: String, stratumCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
     val h = Dedup.hash32(col(idCol).cast("string"))
-    val checked = when(col(weightCol) > 0, col(weightCol).cast("long"))
-      .otherwise(raise_error(concat(lit(s"prioritySample: non-positive weight in '$weightCol' at id "),
+    // Validate AFTER the cast: a fractional weight in (0, 1) passes a
+    // pre-cast `> 0` check but truncates to 0, and div-by-zero yields a
+    // NULL priority that sorts FIRST — sub-1 weights would silently win
+    // every slot instead of raising.
+    val checked = when(col(weightCol).cast("long") > 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(lit(s"prioritySample: non-positive weight (after integral cast) in '$weightCol' at id "),
         col(idCol).cast("string"))))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
       .orderBy(col("priority").asc, col("__h").asc, col(idCol).asc)

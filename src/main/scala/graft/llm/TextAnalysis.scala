@@ -384,7 +384,11 @@ object TextAnalysis {
       .select(col(groupCol), col(s"p$loPct").as("__lo"), col(s"p$hiPct").as("__hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        // greatest/least skip NULLs, so an unguarded NULL value in a
+        // group with non-null bounds would read as the LOW bound — a
+        // fabricated value. NULL in, NULL out.
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

@@ -681,10 +681,15 @@ object LlmQueries {
 
     // Per-source data card over a corpus with planted same-source exact
     // dups: volumes, length percentiles, language share, dup exposure.
+    // Planted ids offset by MAX(doc_id)+1 (a 1-row broadcast, the
+    // k-means-centroid pattern) so they can NEVER collide with real ids
+    // at any fixture size — the oracle's doc_id self-join depends on it.
     "q93_source_datacard" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val off = d.agg((max(col("doc_id")) + 1L).as("__off"))
       val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source")))
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("__off")).as("doc_id"), col("text"), col("source")))
       TextAnalysis.sourceDataCard(corpus, "doc_id", "text", "source")
     }),
 
@@ -2418,7 +2423,8 @@ object LlmQueries {
       // corpus; its `t` doubles as the shared tokenized relation
       s"""WITH c AS (SELECT doc_id, text, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text, source
+         |  FROM documents WHERE doc_id % 10 = 0),
          |${qualityScoreChainSql("c")},
          |b AS (SELECT c.source, t.doc_id, md5(t.text) AS h,
          |    CAST(len(toks) AS BIGINT) AS n_toks,

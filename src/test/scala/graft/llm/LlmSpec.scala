@@ -269,6 +269,17 @@ class LlmSpec extends SparkSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("non-positive weight")))
+    // a fractional weight in (0, 1) truncates to 0 under the integral
+    // cast — it must ALSO raise, not silently win every slot with a
+    // NULL priority that sorts first
+    val frac = Seq((1L, 0, 0.5), (2L, 0, 2.0)).toDF("id", "stratum", "w")
+    val ef = intercept[Exception] {
+      Sampling.prioritySample(frac, "id", "w", "stratum", 1).count()
+    }
+    assert(messages(ef).exists(_.contains("non-positive weight")))
+    // fractional weights >= 1 floor and pass
+    val ok = Seq((1L, 0, 1.5), (2L, 0, 200.0)).toDF("id", "stratum", "w")
+    assert(Sampling.prioritySample(ok, "id", "w", "stratum", 2).count() === 2)
   }
 
   test("winsorize: clips into the band, preserves rows, survives null values") {
@@ -285,13 +296,24 @@ class LlmSpec extends SparkSuite {
     assert(w(19L) === 180L)  // 190 sits above the p90 bound too
     // interior values untouched
     assert((2L to 18L).forall(i => w(i) === i * 10L))
-    // a group whose values are ALL NULL: bounds are null, greatest/least
-    // skip nulls, so values pass through unchanged (no poisoning)
+    // a group whose values are ALL NULL: bounds are null too and the
+    // NULL guard keeps every output NULL (no poisoning)
     val nulls = Seq(("b", 1L, None: Option[Long]), ("b", 2L, None))
       .toDF("g", "id", "v")
     val outN = TextAnalysis.winsorize(nulls, "g", "v", 5, 95)
     assert(outN.count() === 2)
     assert(outN.filter(col("v_w").isNotNull).count() === 0)
+    // MIXED null/non-null group: bounds are non-null (computed from the
+    // non-null values), and a NULL value must stay NULL — greatest/least
+    // skip NULLs, so the unguarded form would fabricate the LOW bound
+    val mixed = (Seq(("c", 0L, None: Option[Long])) ++
+      (1L to 20L).map(i => ("c", i, Some(i * 10L)))).toDF("g", "id", "v")
+    val outM = TextAnalysis.winsorize(mixed, "g", "v", 10, 90)
+    assert(outM.count() === 21)
+    val mm = outM.select("id", "v_w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(mm(0L) === None, "NULL value must stay NULL, not clip to the low bound")
+    assert(mm(1L) === Some(20L)) // non-null rows still clip
     intercept[IllegalArgumentException] { TextAnalysis.winsorize(df, "g", "v", 95, 5) }
   }
 
