@@ -637,4 +637,155 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
     adcRanked(scored, topK)
   }
+
+  // ------------------------------------------------------- persisted index
+
+  /** The driver-sized state of a trained IVF-PQ index: the coarse
+    * quantizer (cells·dim longs) and the m PQ codebooks (m·k·sub longs).
+    * Everything a query needs besides the persisted code table — small
+    * enough to live in a text sidecar and broadcast as codegen literals.
+    */
+  final case class IvfPqModel(cells: Int, m: Int, sub: Int,
+      coarse: IndexedSeq[Seq[Long]],
+      books: IndexedSeq[IndexedSeq[Seq[Long]]])
+
+  val IvfPqModelFile = "_ivfpq_model.txt"
+
+  /** Train an IVF-PQ index ([[ivfPqTopK]]'s exact trainer — same seed
+    * rule, same integer means, so the persisted index answers queries
+    * bit-identically to the in-memory composition) and PERSIST it:
+    * the code table `(id, codes)` lands under `outDir/cell=K/` —
+    * parquet partitioned by coarse cell — and the model (coarse
+    * centroids + codebooks) in a `_ivfpq_model.txt` sidecar. This is
+    * the deployment step the 100 TB story needs: once the table is
+    * cell-partitioned, a query's candidate scan is PARTITION-PRUNED to
+    * its nprobe probed cells — the engine never lists, opens, or reads
+    * the other cells' files ([[ivfPqServeIndex]], plan-asserted in
+    * PlanSpec).
+    *
+    * Layout rules (the [[graft.sinks.ShardedExport]] discipline):
+    * rows repartition ON the cell key with the partition count aligned
+    * to the cell count, so `partitionBy` writes one file per cell
+    * directory instead of tasks×cells fragments; rows sort by id
+    * within each cell, so file CONTENTS are deterministic too. At
+    * 100 TB raise the repartition count to a multiple of `cells`
+    * (several files per cell) and compact per-cell with
+    * [[graft.sinks.Compaction]] as the corpus grows.
+    *
+    * @return the trained model (also persisted to the sidecar)
+    */
+  def ivfPqWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      outDir: String, cells: Int = 4, m: Int = 4, k: Int = 4,
+      iters: Int = 2): IvfPqModel = {
+    require(cells > 0, "cells must be positive")
+    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
+    val coarse = kmeansFitQuantized(q, cells, iters)
+    Dedup.once(q, "__pq", pqCodesStructs(books, sub))
+      .select(col("id"),
+        transform(col("__pq"), s => s.getField("c")).as("codes"),
+        assignStruct(col("qv"), coarse).getField("c").as("cell"))
+      .repartition(cells, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    val model = IvfPqModel(cells, m, sub, coarse, books)
+    writeIvfPqModel(emb.sparkSession, outDir, model)
+    model
+  }
+
+  /** Serialize the model sidecar: one `key=value` line per field, vector
+    * entries `;`-separated, components `,`-separated — all longs, so the
+    * round-trip is exact (no float formatting).
+    */
+  private def writeIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, model: IvfPqModel): Unit = {
+    import org.apache.hadoop.fs.Path
+    def vecs(vs: Seq[Seq[Long]]): String =
+      vs.map(_.mkString(",")).mkString(";")
+    val text = new StringBuilder
+    text ++= s"cells=${model.cells}\nm=${model.m}\nsub=${model.sub}\n"
+    text ++= s"coarse=${vecs(model.coarse)}\n"
+    model.books.zipWithIndex.foreach { case (b, j) =>
+      text ++= s"book$j=${vecs(b)}\n"
+    }
+    val p = new Path(dir, IvfPqModelFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(text.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Parse a persisted index's model sidecar back. */
+  def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqModel = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, IvfPqModelFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(key, v) = l.split("=", 2); key -> v
+    }.toMap
+    def vecs(s: String): IndexedSeq[Seq[Long]] =
+      s.split(";").iterator.map(_.split(",").iterator.map(_.toLong).toSeq).toIndexedSeq
+    val m = kv("m").toInt
+    IvfPqModel(kv("cells").toInt, m, kv("sub").toInt, vecs(kv("coarse")),
+      (0 until m).map(j => vecs(kv(s"book$j"))))
+  }
+
+  /** Answer an ANN query FROM the persisted index — the serving path of
+    * a deployed IVF-PQ deployment, and the payoff of the cell layout:
+    * the probed cells are collected driver-side (≤ cells values — the
+    * query set routes through the model's centroid literals, so this is
+    * constant-bounded, never data-sized) and folded into the scan as a
+    * PARTITION filter (`cell IN (...)`) — the code-table scan reads only
+    * `|probed| / cells` of the table's files; the rest are pruned from
+    * the file listing itself. After the pruned scan the plan is exactly
+    * [[ivfPqTopK]]'s tail: broadcast queries, cell-keyed equi-join,
+    * codebook-literal ADC in codegen, per-query top-k window.
+    *
+    * Bit-determinism contract: an index written by [[ivfPqWriteIndex]]
+    * from `emb` serves any query predicate with results identical to
+    * running [[ivfPqTopK]] on `emb` directly (the q121 gate replays
+    * q99's oracle against the persisted form).
+    */
+  def ivfPqServeIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, topK: Int = 10, nprobe: Int = 1): DataFrame = {
+    val model = readIvfPqModel(spark, indexDir)
+    require(nprobe >= 1 && nprobe <= model.cells,
+      s"nprobe must be in [1, cells=${model.cells}], got $nprobe")
+    val qBase = Dedup.once(
+      emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+      "qqv", quantize(col("__v")))
+    val queries =
+      if (nprobe == 1)
+        qBase.select(col("query_id"), col("qqv"),
+          assignStruct(col("qqv"), model.coarse).getField("c").as("cell"))
+      else
+        qBase.select(col("query_id"), col("qqv"),
+          explode(transform(
+            slice(array_sort(assignStructArray(col("qqv"), model.coarse)), 1, nprobe),
+            s => s.getField("c"))).as("cell"))
+    // ≤ model.cells longs — the constant-bounded driver collect that
+    // buys partition pruning (the k-means-centroid pattern)
+    val probed = queries.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    // explicit schema pins the partition column to LONG (dirname
+    // inference would read `cell=3` as int, putting a cast between the
+    // filter and the partition pruner)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    val cand = spark.read.schema(schema).parquet(indexDir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    val scored = cand.join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(model.books, model.sub).as("adc_dist"))
+    adcRanked(scored, topK)
+  }
 }

@@ -818,6 +818,22 @@ object LlmQueries {
       point(1).unionByName(point(2))
     }),
 
+    // The deployment step of the IVF-PQ stack: write the code table
+    // cell-PARTITIONED (+ model sidecar), then answer q99's exact query
+    // from the PERSISTED table — the candidate scan is partition-pruned
+    // to the probed cells (plan-asserted in PlanSpec). Hash-matching
+    // q99's oracle proves the persisted index serves bit-identically to
+    // the in-memory composition.
+    "q121_ivfpq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-q121-gate-${s.sparkContext.applicationId}").getAbsolutePath
+      Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
+        cells = 4, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+    }),
+
     // Sketch-based distinct profiling, calibrated: at 100 TB the
     // per-source distinct-document count runs as approx_count_distinct
     // (HLL++ — fixed-size mergeable registers, one map-side pass, no
@@ -2199,6 +2215,16 @@ object LlmQueries {
 
     // q63's coarse cells routing q84's ADC loop (shared chain).
     "q99_ivfpq_topk" ->
+      s"""WITH $ivfPqChainSql
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin,
+
+    // The persisted-index serve must be bit-identical to the in-memory
+    // composition — the oracle IS q99's chain.
+    "q121_ivfpq_persisted" ->
       s"""WITH $ivfPqChainSql
          |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -355,4 +355,42 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected only the group-by exchange, saw $exchanges:\n$p")
   }
+
+  test("q121: the persisted-index serve is PARTITION-PRUNED to the probed cells") {
+    import graft.llm.Similarity
+    val p = plan("q121_ivfpq_persisted")
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      "the code-table scan must carry the probed cells as a partition filter:\n" + p)
+    // single-query serve: exactly ONE of the cells may be listed/read —
+    // the other cells' files are pruned from the file index itself
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-q121").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
+      cells = 4, m = 4, k = 4, iters = 2)
+    val served = Similarity.ivfPqServeIndex(spark, tmp, emb, "vec_id",
+      "embedding", queryPred = col("vec_id") === 0, topK = 10, nprobe = 1)
+    // AQE wraps the tree in a leaf AdaptiveSparkPlanExec — descend
+    // explicitly or collect sees no scans
+    val root = served.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = root.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(tmp)))
+    assert(indexScans.nonEmpty, "expected a file scan over the persisted index")
+    indexScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty &&
+        f.partitionFilters.mkString.contains("cell"),
+        s"expected a cell partition filter, got ${f.partitionFilters}")
+      val read = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+      val all = f.relation.location.listFiles(Nil, Nil)
+      assert(all.length === 4, s"expected 4 cell partitions, got ${all.length}")
+      assert(read.length === 1,
+        s"one query at nprobe=1 must read ONE cell partition, got ${read.length}")
+    }
+  }
 }

@@ -614,6 +614,35 @@ class LlmSpec extends SparkSuite {
     assert(got.values.count(_._2 == 1L) === 3)
   }
 
+  test("ivf-pq persisted index: model sidecar round-trips exactly; serve equals in-memory search") {
+    val emb = (0L until 64L).map(i => (i, Array(
+        (i % 4).toFloat, ((i / 4) % 4).toFloat,
+        ((i * 3) % 5).toFloat, ((i * 7) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    val model = Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
+      cells = 3, m = 2, k = 3, iters = 2)
+    // the sidecar is all longs — parse must reproduce the model exactly
+    assert(Similarity.readIvfPqModel(spark, tmp) === model)
+    // the persisted serve is bit-identical to the in-memory composition
+    val pred = col("vec_id") % 16 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val inMem = Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
+      cells = 3, m = 2, k = 3, iters = 2, topK = 5)
+    val served = Similarity.ivfPqServeIndex(spark, tmp, emb, "vec_id",
+      "embedding", pred, topK = 5, nprobe = 1)
+    assert(rows(served) === rows(inMem))
+    // multi-probe serve equals multi-probe in-memory too
+    val inMem2 = Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
+      cells = 3, m = 2, k = 3, iters = 2, topK = 5, nprobe = 2)
+    val served2 = Similarity.ivfPqServeIndex(spark, tmp, emb, "vec_id",
+      "embedding", pred, topK = 5, nprobe = 2)
+    assert(rows(served2) === rows(inMem2))
+  }
+
   test("temperature sample: quota = perSqrt * isqrt(n); sample is the stratified prefix") {
     // group a: 9 rows -> isqrt 3, quota 6; group b: 2 rows -> isqrt 1, quota 2
     val df = ((0L until 9L).map(i => (i, "a")) ++ Seq((100L, "b"), (101L, "b")))
