@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *  - `upsert` inserts or fully replaces the keyed row;
   *  - `delete` removes it (absent keys are a no-op, as in SQL MERGE);
   *  - any other op value fails the job loudly (`raise_error` inside the
-  *    scan — a typo'd op must never silently drop a row).
+  *    scan — a typo'd op must never silently drop a row);
+  *  - a NULL key column in `changes` fails the same way: NULL never
+  *    matches the anti-join (plain equality, not null-safe), so a
+  *    malformed feed would otherwise insert NULL-keyed rows into the
+  *    next snapshot instead of failing.
   *
   * Precondition (as [[graft.llm.Sampling.packSequences]] states for ids):
   * (`idCols`, `seqCol`) pairs are unique within the batch — CDC sequence
@@ -68,8 +72,11 @@ object CdcApply {
     val dataCols = snapshot.columns.toSeq
     require(!dataCols.contains(seqCol) && !dataCols.contains(opCol),
       s"snapshot columns may not include '$seqCol'/'$opCol'")
+    val anyIdNull = idCols.map(col(_).isNull).reduce(_ || _)
     val checked = changes.withColumn(opCol,
-      when(col(opCol).isin("upsert", "delete"), col(opCol))
+      when(anyIdNull, raise_error(lit(
+          s"CdcApply: NULL key column (one of ${idCols.mkString(", ")})")))
+        .when(col(opCol).isin("upsert", "delete"), col(opCol))
         .otherwise(raise_error(concat(
           lit("CdcApply: unknown op '"), col(opCol), lit("'")))))
     val last = latestOps(checked, idCols, seqCol, opCol)

@@ -52,6 +52,19 @@ class CdcApplySpec extends SparkSuite {
     assert(messages(e).exists(_.contains("unknown op")))
   }
 
+  test("CDC: NULL key column fails the job loudly, never inserts NULL-keyed rows") {
+    // a NULL id never matches the anti-join, so without the guard this
+    // upsert would land a NULL-keyed row in the next snapshot
+    val changes = Seq((null.asInstanceOf[java.lang.Long], 1L, "upsert", "ghost", "a"))
+      .toDF("id", "seq", "op", "text", "src")
+    val e = intercept[Exception] {
+      CdcApply.rollForward(snap, changes, Seq("id")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL key column")))
+  }
+
   test("CDC: snapshot columns may not collide with seq/op") {
     val withSeq = snap.withColumn("seq", lit(1L))
     val changes = Seq((1L, 1L, "delete", null.asInstanceOf[String],
