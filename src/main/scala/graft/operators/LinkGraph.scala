@@ -31,10 +31,13 @@ import graft.llm.Caching
   * same key, and at cluster scale the edge table is bucketed by src so
   * the rank shuffle is the only movement) plus one dst-keyed partial
   * aggregate. Rank state is one row per node, re-derived per round —
-  * nothing data-sized ever reaches the driver. Lineage grows linearly
-  * in `iters`; past ~15 rounds a caller should localCheckpoint the rank
-  * frame (fixed-iteration curation jobs run 3-10 rounds, below that
-  * threshold).
+  * nothing data-sized ever reaches the driver. Lineage would grow
+  * linearly in `iters`, so the loop localCheckpoints the rank frame
+  * every `checkpointEvery` rounds (default 10): an EAGER materialization
+  * barrier, not a recompute, so integer bit-determinism is unaffected —
+  * the checkpointed partitions are stored and replayed verbatim. Plan
+  * depth is therefore bounded by `checkpointEvery` joins regardless of
+  * `iters` (pinned by LinkGraphSpec at iters=50).
   *
   * Dangling nodes (no out-edges) contribute nothing — their mass
   * evaporates, the standard simplification when ranks are used as an
@@ -45,6 +48,12 @@ object LinkGraph {
   /** @param nodes one row per node: column `id`
     * @param edges  (src, dst), parallel edges count once each
     * @param iters  fixed iteration count (1..50)
+    * @param checkpointEvery localCheckpoint the rank frame after every
+    *   this-many iterations (1..50, default 10) — caps logical-plan
+    *   depth so iters=50 plans as 5 shallow segments instead of one
+    *   100-join tower. Each checkpoint runs one eager job over the
+    *   one-row-per-node rank frame (cheap relative to the iteration's
+    *   own join) and holds bits exactly.
     * @return (id, rank_ppm) — every node present, teleport floor for
     *   nodes with no inbound links. The returned plan references the
     *   PINNED degree-annotated edge table (one-shot-job semantics, as
@@ -53,15 +62,17 @@ object LinkGraph {
     *   materialized.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L, checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of range 1..50")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm=$dampingPpm out of [0, 1000000]")
+    require(checkpointEvery >= 1 && checkpointEvery <= 50,
+      s"checkpointEvery=$checkpointEvery out of range 1..50")
     val teleportPpm = 1000000L - dampingPpm
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val ed = Caching.pin(edges.join(deg, Seq("src")))
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_ppm"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank_ppm div __deg").as("__c"))
@@ -70,6 +81,9 @@ object LinkGraph {
         .select(col("id"), expr(
           s"$teleportPpm + ($dampingPpm * coalesce(__s, CAST(0 AS BIGINT))) div 1000000"
         ).as("rank_ppm"))
+      // Truncate lineage mid-loop (not after the last round — the caller
+      // gets a lazy frame whose depth is already ≤ checkpointEvery joins).
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

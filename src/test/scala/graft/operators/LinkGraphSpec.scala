@@ -41,6 +41,25 @@ class LinkGraphSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("PR: iters=50 completes with checkpoint-bounded plan depth, bit-equal to uncheckpointed") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 11 + 2) % 60), (i, (i * 5 + 7) % 60))).toDF("src", "dst")
+    val out = LinkGraph.pageRank(nodes, edges, iters = 50) // checkpointEvery=10
+    // 50 rounds × 2 joins = 100 joins un-checkpointed; the eager
+    // localCheckpoint at rounds 10/20/30/40 leaves only the last
+    // segment's joins (≤ 10 rounds × 2) in the returned lazy plan.
+    val joins = out.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length <= 20, s"plan depth not truncated: ${joins.length} joins")
+    val a = out.as[(Long, Long)].collect().toMap
+    // checkpointEvery=50 ⇒ no checkpoint fires for iters=50 (i < iters
+    // guard) — the pure-lineage run must match bit-for-bit.
+    val b = LinkGraph.pageRank(nodes, edges, 50, checkpointEvery = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("PR: iteration bounds are enforced") {
     val nodes = Seq(1L).toDF("id")
     val edges = Seq((1L, 1L)).toDF("src", "dst")
@@ -48,6 +67,9 @@ class LinkGraphSpec extends SparkSuite {
     intercept[IllegalArgumentException] { LinkGraph.pageRank(nodes, edges, 51) }
     intercept[IllegalArgumentException] {
       LinkGraph.pageRank(nodes, edges, 3, dampingPpm = 1000001L)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(nodes, edges, 3, checkpointEvery = 0)
     }
   }
 }
