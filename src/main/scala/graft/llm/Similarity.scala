@@ -680,17 +680,103 @@ object Similarity {
     require(cells > 0, "cells must be positive")
     val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
     val coarse = kmeansFitQuantized(q, cells, iters)
-    Dedup.once(q, "__pq", pqCodesStructs(books, sub))
-      .select(col("id"),
-        transform(col("__pq"), s => s.getField("c")).as("codes"),
-        assignStruct(col("qv"), coarse).getField("c").as("cell"))
-      .repartition(cells, col("cell"))
-      .sortWithinPartitions(col("cell"), col("id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
     val model = IvfPqModel(cells, m, sub, coarse, books)
+    writeCodeTable(ivfPqEncodeQuantized(q, model), model, outDir, "overwrite")
     writeIvfPqModel(emb.sparkSession, outDir, model)
     model
   }
+
+  /** The map-only encode projection of a FROZEN model over a quantized
+    * (id, qv) frame: one pass computes the coarse cell and all m
+    * sub-codes from centroid literals in codegen — shared by the
+    * initial write, [[ivfPqWriteIndexWithModel]], and the append path.
+    */
+  private def ivfPqEncodeQuantized(q: DataFrame, model: IvfPqModel): DataFrame =
+    Dedup.once(q, "__pq", pqCodesStructs(model.books, model.sub))
+      .select(col("id"),
+        transform(col("__pq"), s => s.getField("c")).as("codes"),
+        assignStruct(col("qv"), model.coarse).getField("c").as("cell"))
+
+  /** Encode `emb` with an already-trained model (NO retrain): quantize,
+    * route to the model's coarse cells, code against the model's
+    * codebooks. Raises if the batch's vector dim disagrees with the
+    * model — the one mistake an append caller can make silently.
+    *
+    * @return (id, codes array<long> of length m, cell)
+    */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame = {
+    val q = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "qv", quantize(col("__v")))
+      .select(col("id"), col("qv"))
+    q.select(size(col("qv"))).head(1).foreach { r =>
+      require(r.getInt(0) == model.m * model.sub,
+        s"batch dim ${r.getInt(0)} != model dim ${model.m * model.sub}")
+    }
+    ivfPqEncodeQuantized(q, model)
+  }
+
+  /** The shared cell-partitioned layout writer: repartition ON the cell
+    * key aligned to the cell count (one file per cell per write — no
+    * tasks×cells fragments), rows sorted by id within each cell so file
+    * CONTENTS are deterministic. `append` lands additional files inside
+    * the existing `cell=K/` directories.
+    */
+  private def writeCodeTable(encoded: DataFrame, model: IvfPqModel,
+      outDir: String, mode: String): Unit =
+    encoded.repartition(model.cells, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode(mode).partitionBy("cell").parquet(outDir)
+
+  /** Write a persisted index from `emb` ENCODED WITH `model` — no
+    * training. This is the rebuild half of the index lifecycle (and the
+    * reference point the append gate hash-compares against: base-write
+    * + append must serve identically to a with-model rebuild over the
+    * union, because both encode every vector with the same frozen
+    * model).
+    */
+  def ivfPqWriteIndexWithModel(emb: DataFrame, idCol: String, vecCol: String,
+      outDir: String, model: IvfPqModel): Unit = {
+    writeCodeTable(ivfPqEncode(emb, idCol, vecCol, model), model, outDir, "overwrite")
+    writeIvfPqModel(emb.sparkSession, outDir, model)
+  }
+
+  /** Append a new corpus batch to a persisted index — the ingest step
+    * of a LIVE index: the batch is encoded with the index's PERSISTED
+    * model (read from the sidecar; never retrained, so every vector
+    * ever written remains comparable under one quantizer) and its
+    * files land inside the existing `cell=K/` directories. Repeated
+    * appends fragment each cell by one file per batch; run
+    * [[ivfPqCompactIndex]] on a maintenance cadence to restore the
+    * one-file-per-cell layout — untouched cells are skipped, so the
+    * maintenance cost tracks the append rate, not the corpus size.
+    *
+    * Caller contract (same as the reference's single-writer load
+    * protocol): batch ids are disjoint from the index's — this is an
+    * append, not an upsert ([[graft.operators.CdcApply]] is the upsert
+    * operator; compose it upstream if the feed has revisions).
+    *
+    * @return the persisted model the batch was encoded with
+    */
+  def ivfPqAppendIndex(batch: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): IvfPqModel = {
+    val model = readIvfPqModel(batch.sparkSession, indexDir)
+    writeCodeTable(ivfPqEncode(batch, idCol, vecCol, model), model, indexDir, "append")
+    model
+  }
+
+  /** Incremental per-cell compaction of a persisted index: each
+    * `cell=K/` directory whose file count exceeds its byte-ideal target
+    * is rewritten (sorted by id — restoring the deterministic layout
+    * [[writeCodeTable]] produces); cells already at their target are
+    * NOT rewritten or even read. Delegates to
+    * [[graft.sinks.Compaction.compactPartitions]].
+    */
+  def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetBytes: Long = 128L << 20)
+      : Seq[graft.sinks.Compaction.PartitionCompaction] =
+    graft.sinks.Compaction.compactPartitions(spark, indexDir,
+      targetBytes = targetBytes, sortCols = Seq("id"))
 
   /** Serialize the model sidecar: one `key=value` line per field, vector
     * entries `;`-separated, components `,`-separated — all longs, so the
@@ -713,7 +799,11 @@ object Similarity {
     try out.write(text.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Parse a persisted index's model sidecar back. */
+  /** Parse a persisted index's model sidecar back. Validates structure
+    * as it parses — a truncated/corrupt sidecar raises a descriptive
+    * error naming the path, never an opaque MatchError/NumberFormat
+    * deep in a query plan.
+    */
   def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqModel = {
     import org.apache.hadoop.fs.Path
@@ -721,14 +811,41 @@ object Similarity {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def corrupt(why: String): Nothing =
+      throw new IllegalStateException(s"corrupt IVF-PQ model sidecar $p: $why")
     val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(key, v) = l.split("=", 2); key -> v
+      l.split("=", 2) match {
+        case Array(key, v) => key -> v
+        case _ => corrupt(s"malformed line '$l'")
+      }
     }.toMap
-    def vecs(s: String): IndexedSeq[Seq[Long]] =
-      s.split(";").iterator.map(_.split(",").iterator.map(_.toLong).toSeq).toIndexedSeq
-    val m = kv("m").toInt
-    IvfPqModel(kv("cells").toInt, m, kv("sub").toInt, vecs(kv("coarse")),
-      (0 until m).map(j => vecs(kv(s"book$j"))))
+    def int(key: String): Int = {
+      val v = kv.getOrElse(key, corrupt(s"missing key '$key'"))
+      try v.toInt catch { case _: NumberFormatException =>
+        corrupt(s"key '$key' is not an int: '$v'") }
+    }
+    def vecs(key: String, expectLen: Int, expectDim: Int): IndexedSeq[Seq[Long]] = {
+      val s = kv.getOrElse(key, corrupt(s"missing key '$key'"))
+      if (s.isEmpty) corrupt(s"key '$key' is empty")
+      val out = s.split(";").iterator.map { v =>
+        v.split(",").iterator.map { c =>
+          try c.toLong catch { case _: NumberFormatException =>
+            corrupt(s"key '$key' has non-long component '$c'") }
+        }.toSeq
+      }.toIndexedSeq
+      if (expectLen > 0 && out.length != expectLen)
+        corrupt(s"key '$key' has ${out.length} vectors, expected $expectLen")
+      out.find(_.length != expectDim).foreach(v =>
+        corrupt(s"key '$key' has a ${v.length}-dim vector, expected $expectDim"))
+      out
+    }
+    val cells = int("cells"); val m = int("m"); val sub = int("sub")
+    if (cells <= 0 || m <= 0 || sub <= 0)
+      corrupt(s"non-positive dims cells=$cells m=$m sub=$sub")
+    val books = (0 until m).map(j => vecs(s"book$j", -1, sub))
+    if (books.map(_.length).distinct.length > 1)
+      corrupt(s"codebooks have differing sizes ${books.map(_.length)}")
+    IvfPqModel(cells, m, sub, vecs("coarse", cells, m * sub), books)
   }
 
   /** Answer an ANN query FROM the persisted index — the serving path of
@@ -756,7 +873,7 @@ object Similarity {
     val qBase = Dedup.once(
       emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
       "qqv", quantize(col("__v")))
-    val queries =
+    val routed =
       if (nprobe == 1)
         qBase.select(col("query_id"), col("qqv"),
           assignStruct(col("qqv"), model.coarse).getField("c").as("cell"))
@@ -765,6 +882,12 @@ object Similarity {
           explode(transform(
             slice(array_sort(assignStructArray(col("qqv"), model.coarse)), 1, nprobe),
             s => s.getField("c"))).as("cell"))
+    // one EAGER evaluation of the (broadcast-sized) query frame: the
+    // driver collect of probed cells and the join side below both read
+    // the checkpointed blocks, so a non-deterministic emb source can
+    // never route join-side queries to cells absent from the partition
+    // filter
+    val queries = routed.localCheckpoint()
     // ≤ model.cells longs — the constant-bounded driver collect that
     // buys partition pruning (the k-means-centroid pattern)
     val probed = queries.select(col("cell")).distinct()

@@ -37,6 +37,24 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_dot_product(list_transform($a, y -> CAST(y AS DOUBLE)), list_transform($b, y -> CAST(y AS DOUBLE))) AS BIGINT)"
 
+  /** Scratch directory for gates that exercise a write→read-back cycle
+    * (q121/q122): keyed by applicationId so concurrent runs never
+    * collide, deleted recursively on JVM exit so repeated bench/verify
+    * runs don't accumulate index directories under tmpdir.
+    */
+  private def gateScratchDir(s: SparkSession, name: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-$name-gate-${s.sparkContext.applicationId}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(d: java.io.File): Unit = {
+        Option(d.listFiles()).foreach(_.foreach(rm))
+        d.delete(): Unit
+      }
+      rm(f)
+    }))
+    f.getAbsolutePath
+  }
+
   private def docsCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
@@ -826,10 +844,30 @@ object LlmQueries {
     // the in-memory composition.
     "q121_ivfpq_persisted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-q121-gate-${s.sparkContext.applicationId}").getAbsolutePath
+      val tmp = gateScratchDir(s, "q121")
       Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
         cells = 4, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+    }),
+
+    // The index LIFECYCLE gate: train + write on the BASE corpus only,
+    // APPEND a disjoint batch encoded with the persisted model (no
+    // retrain — the sidecar round-trip is the model used), run the
+    // incremental per-cell compaction (every cell has 2 files after the
+    // append, so each is rewritten back to one), then serve. The oracle
+    // trains on base and encodes ALL — exactly what append-with-frozen-
+    // model must equal, so a retrain, a dropped batch, or a compaction
+    // that loses/duplicates rows all hash-mismatch.
+    "q122_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val extra = emb.filter(col("vec_id") % 3 === 0)
+      val tmp = gateScratchDir(s, "q122")
+      Similarity.ivfPqWriteIndex(base, "vec_id", "embedding", tmp,
+        cells = 4, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqAppendIndex(extra, "vec_id", "embedding", tmp)
+      Similarity.ivfPqCompactIndex(s, tmp)
       Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
         queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
     }),
@@ -1289,6 +1327,60 @@ object LlmQueries {
   /** The nprobe=1 chain of the q99/q100 gates, ending at `scored`. */
   private def ivfPqChainSql: String =
     s"$ivfPqBaseSql,\n${ivfPqScoredSql(1)}"
+
+  /** Train-on-BASE / encode-ALL chain of the q122 append gate: coarse
+    * cells and PQ codebooks train over only `base` (vec_id % 3 <> 0 —
+    * the corpus the index was initially written from), then EVERY
+    * vector of the full table routes and codes against those frozen
+    * centroids — the relational spec of "append encodes with the
+    * persisted model, no retrain". Ends at `scored` (nprobe = 1).
+    */
+  private def ivfPqAppendChainSql: String = {
+    def distTo(aRel: String, bRel: String): String =
+      s"""CAST(list_sum(list_transform(range(1, len($aRel.qv) + 1),
+         |      i -> ($aRel.qv[i] - $bRel.qv[i]) * ($aRel.qv[i] - $bRel.qv[i]))) AS BIGINT)""".stripMargin
+    // per-subspace code assignment of ALL vectors against the
+    // base-trained p{j}_cent codebooks (pqChainSql assigns only base)
+    def subAll(j: Int): String =
+      s"""p${j}_qall AS (SELECT id, list_slice(qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS qv FROM qall),
+         |p${j}_dall AS (SELECT q.id, s.c, ${distTo("q", "s")} AS dist
+         |  FROM p${j}_qall q CROSS JOIN p${j}_cent s),
+         |p${j}_all AS (SELECT id, c AS cluster FROM p${j}_dall
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
+    def adcDist(j: Int): String =
+      s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
+         |      i -> (qs.s$j[i] - b$j.qv[i]) * (qs.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
+    s"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+       |${kmeansChainSql("base")},
+       |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")},
+       |qall AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM embeddings),
+       |dall AS (SELECT q.id, s.c, ${distTo("q", "s")} AS dist
+       |  FROM qall q CROSS JOIN cent s),
+       |aall AS (SELECT id, c AS cluster FROM dall
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1),
+       |${(0 until 4).map(subAll).mkString(",\n")},
+       |cand AS (SELECT qall.id AS neighbor_id, aall.cluster AS cell,
+       |    p0_all.cluster AS c0, p1_all.cluster AS c1,
+       |    p2_all.cluster AS c2, p3_all.cluster AS c3
+       |  FROM qall
+       |  JOIN aall ON qall.id = aall.id
+       |  JOIN p0_all ON qall.id = p0_all.id
+       |  JOIN p1_all ON qall.id = p1_all.id
+       |  JOIN p2_all ON qall.id = p2_all.id
+       |  JOIN p3_all ON qall.id = p3_all.id),
+       |qs AS (SELECT qall.id AS query_id, aall.cluster AS cell,
+       |    ${(0 until 4).map(j => s"list_slice(qall.qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
+       |  FROM qall JOIN aall ON qall.id = aall.id
+       |  WHERE qall.id % 50 = 0),
+       |scored AS (SELECT qs.query_id, cand.neighbor_id,
+       |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
+       |  FROM cand JOIN qs ON cand.cell = qs.cell
+       |  JOIN p0_cent b0 ON b0.c = cand.c0
+       |  JOIN p1_cent b1 ON b1.c = cand.c1
+       |  JOIN p2_cent b2 ON b2.c = cand.c2
+       |  JOIN p3_cent b3 ON b3.c = cand.c3
+       |  WHERE cand.neighbor_id <> qs.query_id)""".stripMargin
+  }
 
   /** RESIDUAL IVF-PQ training + candidates (q103/q104): same coarse
     * cells, but the PQ codebooks train on `res` = (id, cell,
@@ -2226,6 +2318,16 @@ object LlmQueries {
     // composition — the oracle IS q99's chain.
     "q121_ivfpq_persisted" ->
       s"""WITH $ivfPqChainSql
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin,
+
+    // Append-with-frozen-model must equal train-on-base/encode-all —
+    // and the compaction in between must move no rows.
+    "q122_ivfpq_append" ->
+      s"""WITH $ivfPqAppendChainSql
          |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk

@@ -73,4 +73,64 @@ object Compaction {
     */
   def readCompacted(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** One partition directory's outcome in an incremental pass:
+    * `skipped` = the directory already met its byte-ideal file count
+    * and was neither read nor rewritten.
+    */
+  final case class PartitionCompaction(
+      partition: String, skipped: Boolean, stats: CompactionStats)
+
+  /** INCREMENTAL compaction of a Hive-partitioned directory
+    * (`dir/key=value/...`): each partition leaf whose file count
+    * exceeds `ceil(bytes / targetBytes)` is rewritten to that many
+    * files; partitions already at their target are SKIPPED — not
+    * rewritten, not even read — so a maintenance pass over a 100 TB
+    * table costs proportional to what the ingest fragmented since the
+    * last pass, not to the table. This is the stats-driven loop a
+    * live cell-partitioned index needs between appends
+    * ([[graft.llm.Similarity.ivfPqAppendIndex]]).
+    *
+    * Per-partition swap discipline: the rewrite lands in a
+    * `_compact_tmp` sibling (underscore-prefixed — invisible to
+    * parquet partition discovery if a reader lists mid-job), then the
+    * old leaf is replaced by one delete + one rename. Single-writer
+    * semantics, same as [[compact]] and the reference's load protocol;
+    * `sortCols` (e.g. the id column) makes rewritten file CONTENTS
+    * deterministic, not just their row sets.
+    */
+  def compactPartitions(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Seq[PartitionCompaction] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.contains("=") &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
+    parts.toIndexedSeq.map { leaf =>
+      val (inFiles, inBytes) = dirStats(spark, leaf.toString)
+      val n = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
+      if (inFiles <= n)
+        PartitionCompaction(leaf.getName, skipped = true,
+          CompactionStats(inFiles, inBytes, inFiles, inBytes))
+      else {
+        val tmp = new Path(root, s"_compact_tmp_${leaf.getName}")
+        if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crashed pass
+        val compacted = spark.read.parquet(leaf.toString).coalesce(n)
+        val sorted =
+          if (sortCols.isEmpty) compacted
+          else compacted.sortWithinPartitions(sortCols.map(compacted.col): _*)
+        sorted.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        fs.delete(leaf, true)
+        if (!fs.rename(tmp, leaf))
+          throw new IllegalStateException(s"rename $tmp -> $leaf failed")
+        val (outFiles, outBytes) = dirStats(spark, leaf.toString)
+        PartitionCompaction(leaf.getName, skipped = false,
+          CompactionStats(inFiles, inBytes, outFiles, outBytes))
+      }
+    }
+  }
 }

@@ -643,6 +643,73 @@ class LlmSpec extends SparkSuite {
     assert(rows(served2) === rows(inMem2))
   }
 
+  test("ivf-pq lifecycle: append with the persisted model + per-cell compaction serves identically to a with-model rebuild over the union") {
+    val emb = (0L until 64L).map(i => (i, Array(
+        (i % 4).toFloat, ((i / 4) % 4).toFloat,
+        ((i * 3) % 5).toFloat, ((i * 7) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val extra = emb.filter(col("vec_id") % 3 === 0)
+    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
+    val model = Similarity.ivfPqWriteIndex(base, "vec_id", "embedding", live,
+      cells = 3, m = 2, k = 3, iters = 2)
+    // append encodes with the SIDECAR model (returned for inspection)
+    assert(Similarity.ivfPqAppendIndex(extra, "vec_id", "embedding", live) === model)
+    val comp = Similarity.ivfPqCompactIndex(spark, live)
+    // cells that received appended files got rewritten to ONE file;
+    // none were fragmented beyond 2 (one write + one append)
+    assert(comp.nonEmpty && comp.filterNot(_.skipped).nonEmpty)
+    comp.filterNot(_.skipped).foreach { p =>
+      assert(p.stats.inputFiles === 2L && p.stats.outputFiles === 1L)
+    }
+    // a second maintenance pass is a pure no-op
+    assert(Similarity.ivfPqCompactIndex(spark, live).forall(_.skipped))
+    // the union rebuilt under the SAME frozen model is the reference
+    Similarity.ivfPqWriteIndexWithModel(emb, "vec_id", "embedding", rebuilt, model)
+    val pred = col("vec_id") % 16 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val a = Similarity.ivfPqServeIndex(spark, live, emb, "vec_id",
+      "embedding", pred, topK = 5, nprobe = 2)
+    val b = Similarity.ivfPqServeIndex(spark, rebuilt, emb, "vec_id",
+      "embedding", pred, topK = 5, nprobe = 2)
+    assert(rows(a) === rows(b))
+    // a dim-mismatched batch is rejected before any file is written
+    val bad = Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppendIndex(bad, "vec_id", "embedding", live)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("readIvfPqModel: corrupt sidecars raise descriptive errors naming the path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad")
+    def write(text: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(Similarity.IvfPqModelFile), text)
+    def err(text: String): String = {
+      write(text)
+      intercept[IllegalStateException] {
+        Similarity.readIvfPqModel(spark, dir.toString)
+      }.getMessage
+    }
+    assert(err("") .contains("missing key 'cells'"))
+    assert(err("cells=2\nm=1\nsub=2\ncoarse=\nbook0=1,2;3,4")
+      .contains("key 'coarse' is empty"))
+    assert(err("cells=x\nm=1\nsub=2\ncoarse=1,2;3,4\nbook0=1,2")
+      .contains("not an int"))
+    assert(err("cells=2\nm=1\nsub=2\ncoarse=1,2\nbook0=1,2;3,4")
+      .contains("1 vectors, expected 2"))
+    assert(err("cells=2\nm=1\nsub=2\ncoarse=1,2,3;4,5,6\nbook0=1,2;3,4")
+      .contains("3-dim vector, expected 2"))
+    assert(err("cells=2\nm=1\nsub=2\ncoarse=1,2;3,4\nbook0=1,z")
+      .contains("non-long component"))
+    // every message names the sidecar so the operator can find the file
+    assert(err("garbage").contains(Similarity.IvfPqModelFile))
+  }
+
   test("temperature sample: quota = perSqrt * isqrt(n); sample is the stratified prefix") {
     // group a: 9 rows -> isqrt 3, quota 6; group b: 2 rows -> isqrt 1, quota 2
     val df = ((0L until 9L).map(i => (i, "a")) ++ Seq((100L, "b"), (101L, "b")))

@@ -33,6 +33,41 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/frag").count() === 2000L)
   }
 
+  test("compactPartitions: fragmented partitions rewritten, untouched ones not even read") {
+    val dir = tmpDir("graft-compact-inc")
+    val t = s"$dir/t"
+    // k=0: one tidy file. k=1: fragmented into 8 files.
+    (0 until 500).map(i => (i.toLong, 0L, s"v$i")).toDF("id", "k", "v")
+      .repartition(1).write.partitionBy("k").mode("overwrite").parquet(t)
+    (0 until 500).map(i => (i.toLong + 1000, 1L, s"w$i")).toDF("id", "k", "v")
+      .repartition(8).write.partitionBy("k").mode("append").parquet(t)
+    val before = spark.read.parquet(t)
+    val beforeSum = before.agg(sum(col("id"))).head().getLong(0)
+    def listFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$t/$part")
+      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = listFiles("k=0")
+    val out = Compaction.compactPartitions(spark, t, sortCols = Seq("id"))
+    assert(out.map(_.partition).sorted === Seq("k=0", "k=1"))
+    val byPart = out.map(p => p.partition -> p).toMap
+    assert(byPart("k=0").skipped, "the tidy partition must be skipped")
+    assert(!byPart("k=1").skipped)
+    assert(byPart("k=1").stats.inputFiles === 8L)
+    assert(byPart("k=1").stats.outputFiles === 1L)
+    // the skipped partition's files are bit-for-bit untouched (same
+    // names, same mtimes — never rewritten)
+    assert(listFiles("k=0") === untouchedBefore)
+    // no temp dirs left behind; row set identical
+    assert(!new java.io.File(t).listFiles().exists(_.getName.startsWith("_compact_tmp")))
+    val after = spark.read.parquet(t)
+    assert(after.count() === 1000L)
+    assert(after.agg(sum(col("id"))).head().getLong(0) === beforeSum)
+    // a second pass is a full no-op
+    assert(Compaction.compactPartitions(spark, t, sortCols = Seq("id")).forall(_.skipped))
+  }
+
   test("compact refuses in-place rewrites and nonpositive targets") {
     val dir = tmpDir("graft-compact-ip")
     Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/t")
