@@ -240,6 +240,11 @@ object Bench {
     val rtf = retimeFailures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val totalRetimed = timings.map { case (k, v) => retimed.getOrElse(k, v) }.sum
+    // total_retimed falls back to the contention-suspect original timing
+    // for any query whose retime failed — surface that as a boolean so a
+    // consumer reading only the total knows whether it is fully clean
+    // without cross-checking retime_failures
+    val totalRetimedComplete = retimeFailures.isEmpty
     // 2.5× max/min spread across the checkpoint series flags contention:
     // the documented co-tenant contamination inflated 3-8×, while an
     // idle machine's warmed-JVM probe spread stays well under 2×.
@@ -256,7 +261,7 @@ object Bench {
             "(>2.5x); artifact timings are contention-suspect — prefer queries_retimed")
       s""","calibration":[${probes.mkString(",")}],"contended":$contended"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"failures":$fs$calJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"total_retimed_complete":$totalRetimedComplete,"failures":$fs$calJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size}/${names.size} queries FAILED")

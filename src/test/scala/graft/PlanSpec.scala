@@ -367,30 +367,48 @@ class PlanSpec extends SparkSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan-q121").toString
     Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
       cells = 4, m = 4, k = 4, iters = 2)
-    val served = Similarity.ivfPqServeIndex(spark, tmp, emb, "vec_id",
-      "embedding", queryPred = col("vec_id") === 0, topK = 10, nprobe = 1)
-    // AQE wraps the tree in a leaf AdaptiveSparkPlanExec — descend
-    // explicitly or collect sees no scans
-    val root = served.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    // the single-query serve at each probe width may list at most
+    // nprobe of the cell partitions — the rest are pruned from the
+    // file index itself (deterministic k-means may leave a cell
+    // empty on a changed fixture, so the written-partition count is
+    // asserted as a lower bound against the read set, not exactly 4)
+    def prunedCells(nprobe: Int): (Int, Int) = {
+      val served = Similarity.ivfPqServeIndex(spark, tmp, emb, "vec_id",
+        "embedding", queryPred = col("vec_id") === 0, topK = 10, nprobe = nprobe)
+      // AQE wraps the tree in a leaf AdaptiveSparkPlanExec — descend
+      // explicitly or collect sees no scans
+      val root = served.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val indexScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(tmp)))
+      assert(indexScans.nonEmpty, "expected a file scan over the persisted index")
+      indexScans.map { f =>
+        // DPP may add a runtime-subquery filter (unevaluable before
+        // execution); the STATIC cell IN (...) literal filter alone
+        // must already prune the listing
+        val static = f.partitionFilters.filter(_.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])
+          .isEmpty)
+        assert(static.nonEmpty && static.mkString.contains("cell"),
+          s"expected a static cell partition filter, got ${f.partitionFilters}")
+        val read = f.relation.location.listFiles(static, f.dataFilters)
+        val all = f.relation.location.listFiles(Nil, Nil)
+        assert(all.length >= 2 && all.length <= 4,
+          s"expected 2..4 written cell partitions, got ${all.length}")
+        (read.length, all.length)
+      }.head
     }
-    val scans = root.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    val indexScans = scans.filter(
-      _.relation.location.rootPaths.exists(_.toString.contains(tmp)))
-    assert(indexScans.nonEmpty, "expected a file scan over the persisted index")
-    indexScans.foreach { f =>
-      assert(f.partitionFilters.nonEmpty &&
-        f.partitionFilters.mkString.contains("cell"),
-        s"expected a cell partition filter, got ${f.partitionFilters}")
-      val read = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-      val all = f.relation.location.listFiles(Nil, Nil)
-      assert(all.length === 4, s"expected 4 cell partitions, got ${all.length}")
-      assert(read.length === 1,
-        s"one query at nprobe=1 must read ONE cell partition, got ${read.length}")
-    }
+    val (read1, all1) = prunedCells(1)
+    assert(read1 === 1,
+      s"one query at nprobe=1 must read ONE of $all1 cell partitions, got $read1")
+    val (read2, all2) = prunedCells(2)
+    assert(read2 === 2,
+      s"one query at nprobe=2 must read TWO of $all2 cell partitions, got $read2")
   }
 }
