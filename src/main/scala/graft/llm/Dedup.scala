@@ -610,6 +610,68 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_chunks"))
   }
 
+  /** Per-source DISTINCT chunk vocabulary — (source, chunk), the
+    * persistable corpus-side state of the contamination view: write it
+    * once per corpus build (a warehouse table at scale) and admission
+    * checks of NEW crawls run against it without ever re-tokenizing the
+    * historical corpus ([[contaminationVsStore]]) — the
+    * [[signatureTable]] store pattern at source granularity. DISTINCT
+    * per source caps the chunk equi-join's per-key fan-out at #sources,
+    * never doc count (the q111 scale note).
+    */
+  def sourceChunkVocab(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, w: Int = 8): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("__t"),
+      col(sourceCol).as("source"))
+    chunkTable(d, "id", "__t", w)
+      .join(d.select(col("id"), col("source")), Seq("id"))
+      .select(col("source"), col("chunk")).distinct()
+  }
+
+  /** INCREMENTAL one-vs-corpus contamination — the question actually
+    * asked before admitting a crawl to the mixture: how much verbatim
+    * w-token overlap does THIS new source have with each source already
+    * in the corpus? Only the incoming batch is tokenized; the corpus
+    * side is the persisted [[sourceChunkVocab]] store, so the admission
+    * check costs O(new crawl) + one equi-join against the store — never
+    * a corpus re-scan. Rows match the full q111 matrix's rows for the
+    * same source pairs exactly (same DISTINCT-vocab counts, same
+    * containment formula, lexicographic (src_a, src_b) order), which is
+    * what the q123 gate pins.
+    *
+    * Both inputs are consumed twice (vocabulary totals + the shared-
+    * chunk join) and pinned here with one-shot-job semantics
+    * ([[incrementalNearDups]]'s contract): a long-lived admission
+    * service should release them after materializing.
+    *
+    * @param incoming the NEW crawl (typically exactly one source value)
+    * @param store    (source, chunk) of the existing corpus
+    * @return (src_a, src_b, shared_chunks, containment_ppm) — one row
+    *   per (incoming source, store source) pair sharing >= 1 chunk
+    */
+  def contaminationVsStore(incoming: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, store0: DataFrame,
+      w: Int = 8): DataFrame = {
+    val inc = Caching.pin(sourceChunkVocab(incoming, idCol, textCol, sourceCol, w))
+    val store = Caching.pin(store0)
+    val incTot = inc.groupBy(col("source")).agg(count(lit(1)).as("__ti"))
+    val storeTot = store.groupBy(col("source")).agg(count(lit(1)).as("__ts"))
+    store.select(col("source").as("__src_store"), col("chunk"))
+      .join(inc.select(col("source").as("__src_in"), col("chunk")), Seq("chunk"))
+      .filter(col("__src_store") =!= col("__src_in"))
+      .groupBy(col("__src_store"), col("__src_in"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .join(broadcast(storeTot.select(col("source").as("__src_store"), col("__ts"))),
+        Seq("__src_store"))
+      .join(broadcast(incTot.select(col("source").as("__src_in"), col("__ti"))),
+        Seq("__src_in"))
+      .select(
+        least(col("__src_in"), col("__src_store")).as("src_a"),
+        greatest(col("__src_in"), col("__src_store")).as("src_b"),
+        col("shared_chunks"),
+        expr("(shared_chunks * 1000000) div least(__ts, __ti)").as("containment_ppm"))
+  }
+
   /** Per-document novelty profile: how much of each document's w-token
     * fingerprint set appears NOWHERE else in the corpus. The memorization
     * /duplication lens a data release reads next to the dedup sweep —

@@ -985,9 +985,7 @@ object LlmQueries {
     "q111_contamination_matrix" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("source"))
-      val sc = Dedup.chunkTable(d, "doc_id", "text", w = 8)
-        .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
-        .select(col("source"), col("chunk")).distinct()
+      val sc = Dedup.sourceChunkVocab(d, "doc_id", "text", "source", w = 8)
       val tot = sc.groupBy(col("source")).agg(count(lit(1)).as("t"))
       val pairs = sc.select(col("source").as("src_a"), col("chunk"))
         .join(sc.select(col("source").as("src_b"), col("chunk")), Seq("chunk"))
@@ -999,6 +997,25 @@ object LlmQueries {
         .join(broadcast(tot.select(col("source").as("src_b"), col("t").as("__tb"))), Seq("src_b"))
         .select(col("src_a"), col("src_b"), col("shared_chunks"),
           expr("(shared_chunks * 1000000) div least(__ta, __tb)").as("containment_ppm"))
+    }),
+
+    // Incremental ONE-vs-corpus contamination — the admission check a
+    // crawl runs BEFORE joining the mixture: the existing corpus's
+    // per-source chunk vocabulary persists once (the L31 store
+    // pattern; a warehouse table at scale), then ONLY the new source is
+    // tokenized and joined against the store. The oracle recomputes the
+    // full q111 matrix from scratch and keeps the new source's rows —
+    // proving the incremental path equals the full recompute.
+    "q123_contamination_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val newSrc = "src13"
+      val storeDir = gateScratchDir(s, "q123")
+      Dedup.sourceChunkVocab(d.filter(col("source") =!= newSrc),
+          "doc_id", "text", "source", w = 8)
+        .write.mode("overwrite").parquet(storeDir)
+      Dedup.contaminationVsStore(d.filter(col("source") === newSrc),
+        "doc_id", "text", "source", s.read.parquet(storeDir), w = 8)
     }),
 
     // Deterministic weight-biased draw: per source, the k best rows by
@@ -1539,6 +1556,23 @@ object LlmQueries {
          |  CAST((shared * 1000000) // LEAST(ta.t, tb.t) AS BIGINT) AS containment_ppm
          |FROM p JOIN tot ta ON p.src_a = ta.source
          |       JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // The full matrix recomputed from scratch, restricted to the new
+    // source's rows — the incremental store path must equal it exactly.
+    "q123_contamination_incremental" ->
+      s"""WITH
+         |${chunksSql("documents", 8)},
+         |sc AS (SELECT DISTINCT d.source, c.chunk
+         |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id),
+         |tot AS (SELECT source, COUNT(*) AS t FROM sc GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+         |  FROM sc a JOIN sc b ON a.chunk = b.chunk AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_chunks,
+         |  CAST((shared * 1000000) // LEAST(ta.t, tb.t) AS BIGINT) AS containment_ppm
+         |FROM p JOIN tot ta ON p.src_a = ta.source
+         |       JOIN tot tb ON p.src_b = tb.source
+         |WHERE src_a = 'src13' OR src_b = 'src13'""".stripMargin,
 
     "q113_priority_sample" ->
       s"""WITH p AS (SELECT doc_id, source, n_chars,
