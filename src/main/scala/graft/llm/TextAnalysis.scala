@@ -448,7 +448,9 @@ object TextAnalysis {
     *
     * @return one row per source: (source, n_docs, n_tokens, n_en,
     *   n_dup_docs, p50_toks, p90_toks, mean_toks, dup_ppm, p50_quality,
-    *   p90_quality, n_email_matches, n_ip_matches, n_num_matches)
+    *   p90_quality, n_email_matches, n_ip_matches, n_num_matches,
+    *   p50_quality_w, p90_quality_w — the last two over the 5..95
+    *   winsorized scores)
     */
   def sourceDataCard(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String): org.apache.spark.sql.DataFrame = {
@@ -481,13 +483,26 @@ object TextAnalysis {
         base.select(col("source"), col("qscore")), "source", "qscore", Seq(50, 90))
       .select(col("source"),
         col("p50").as("p50_quality"), col("p90").as("p90_quality"))
+    // the same quality percentiles over the WINSORIZED (5..95) scores:
+    // the release artifact reports raw AND clipped distributions side
+    // by side, so a reader can tell how much of a source's quality
+    // spread is tail mass ([[winsorize]]'s composition, q118)
+    val qwpcts = groupPercentiles(
+        winsorize(base.select(col("source"), col("qscore")),
+            "source", "qscore", 5, 95)
+          .select(col("source"), col("qscore_w")),
+        "source", "qscore_w", Seq(50, 90))
+      .select(col("source"),
+        col("p50").as("p50_quality_w"), col("p90").as("p90_quality_w"))
     aggs.join(pcts, Seq("source")).join(qpcts, Seq("source"))
+      .join(qwpcts, Seq("source"))
       .withColumn("mean_toks", expr("n_tokens div n_docs"))
       .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_en"),
         col("n_dup_docs"), col("p50_toks"), col("p90_toks"), col("mean_toks"),
         col("dup_ppm"), col("p50_quality"), col("p90_quality"),
-        col("n_email_matches"), col("n_ip_matches"), col("n_num_matches"))
+        col("n_email_matches"), col("n_ip_matches"), col("n_num_matches"),
+        col("p50_quality_w"), col("p90_quality_w"))
   }
 
   /** Top-k characteristic terms per document by tf-idf-style weighting,

@@ -2629,13 +2629,29 @@ object LlmQueries {
          |qpc AS (SELECT source,
          |    MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_quality,
          |    MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_quality
-         |  FROM qh GROUP BY 1)
+         |  FROM qh GROUP BY 1),
+         |wb AS (SELECT source,
+         |    MIN(CASE WHEN cum >= (tot * 5 + 99) // 100 THEN v END) AS wlo,
+         |    MIN(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN v END) AS whi
+         |  FROM qh GROUP BY 1),
+         |qwhist AS (SELECT q.source, LEAST(GREATEST(q.v, wb.wlo), wb.whi) AS v,
+         |    SUM(cnt) AS cnt
+         |  FROM qhist q JOIN wb USING (source) GROUP BY 1, 2),
+         |qwh AS (SELECT source, v, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY source) AS tot FROM qwhist),
+         |qpcw AS (SELECT source,
+         |    MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_quality_w,
+         |    MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_quality_w
+         |  FROM qwh GROUP BY 1)
          |SELECT ag.source, n_docs, n_tokens, n_en, n_dup_docs, p50_toks, p90_toks,
          |  n_tokens // n_docs AS mean_toks,
          |  n_dup_docs * 1000000 // n_docs AS dup_ppm,
          |  p50_quality, p90_quality,
-         |  n_email_matches, n_ip_matches, n_num_matches
-         |FROM ag JOIN pc USING (source) JOIN qpc USING (source) JOIN rda USING (source)""".stripMargin
+         |  n_email_matches, n_ip_matches, n_num_matches,
+         |  p50_quality_w, p90_quality_w
+         |FROM ag JOIN pc USING (source) JOIN qpc USING (source)
+         |     JOIN qpcw USING (source) JOIN rda USING (source)""".stripMargin
     },
 
     "q94_source_percentrank" ->

@@ -1016,6 +1016,11 @@ class LlmSpec extends SparkSuite {
     assert(web.getLong(10) === math.max(scored(1L), scored(3L)), "p90_quality = max of 3")
     // redaction exposure: one email, one IPv4, one long digit run in web
     assert(web.getLong(11) === 1L && web.getLong(12) === 1L && web.getLong(13) === 1L)
+    // winsorized quality percentiles: with 3 rows the 5..95 clip bounds
+    // are the min and max (ceil-rank 1 and 3), so clipping is a no-op
+    // and the clipped percentiles equal the raw ones
+    assert(web.getLong(14) === web.getLong(9), "p50_quality_w")
+    assert(web.getLong(15) === web.getLong(10), "p90_quality_w")
     val books = out("books")
     assert(books.getLong(1) === 1L && books.getLong(4) === 0L)
     assert(books.getLong(11) === 0L && books.getLong(12) === 0L && books.getLong(13) === 0L)
