@@ -34,6 +34,67 @@ object Sketches {
     percentile_approx(col(valueCol),
       array(probabilities.map(lit): _*), lit(accuracy))
 
+  /** Count-min sketch of `keyCol` frequencies as a RELATION of
+    * `(r, c, cnt)` counters — `depth` hash rows × `width` columns, so
+    * the sketch is `depth·width` rows regardless of input size (the
+    * fixed-size summary a 100 TB stream reduces to). Each input row
+    * increments one counter per hash row (`xxhash64(key, r) mod width`
+    * — seeded per row, so the depth hashes are independent); building
+    * the sketch is ONE map-side-combined aggregation whose shuffle
+    * carries at most `depth·width` partial counters per map task, never
+    * the keys themselves.
+    *
+    * The relation form is the mergeable/persistable one: sketches of
+    * two corpus halves union + re-sum into the sketch of the union
+    * ([[countMinMerge]] — counter-wise addition is exactly CM merge),
+    * and a parquet round-trip is trivial. Absent counters mean zero
+    * (the estimate side coalesces), so the relation stays sparse when
+    * `width` far exceeds the live key count.
+    *
+    * Estimates ([[countMinEstimate]]) are ONE-SIDED: est ≥ true count
+    * always (only collisions inflate); `P[est − true > e·N/width] <
+    * exp(−depth)` per key — the q91/q106/q110 calibration-gate family
+    * measures exactly this (q124).
+    */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    df.select(explode(array((0 until depth).map(r => struct(
+        lit(r).as("r"),
+        pmod(xxhash64(col(keyCol), lit(r)), lit(width.toLong)).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min sketches of the SAME (depth, width): counter-wise
+    * sum. Associative and commutative — per-source sketches roll up in
+    * any order (the q116 HLL-merge pattern for frequencies).
+    */
+  def countMinMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of every key in `keys` (one column
+    * `keyCol`, distinct) against a sketch built with the same
+    * (depth, width): min over the depth counters the key hashes to.
+    * The sketch side is `depth·width`-bounded — Spark broadcasts it —
+    * so the probe is a map-side join however many keys are probed;
+    * counters the sketch never materialized coalesce to 0 (a key the
+    * sketch never saw estimates 0 unless every probed counter collided).
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    keys.select(col(keyCol), explode(array((0 until depth).map(r => struct(
+        lit(r).as("r"),
+        pmod(xxhash64(col(keyCol), lit(r)), lit(width.toLong)).as("c"))): _*)).as("rc"))
+      .join(broadcast(sketch),
+        col("rc.r") === sketch("r") && col("rc.c") === sketch("c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
   /** Values of `keyCol` appearing in at least `minSupport` fraction of
     * rows, with exact counts. The HAVING prunes before the final
     * ordering, so only candidates survive the aggregation.

@@ -872,6 +872,27 @@ object LlmQueries {
         queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
     }),
 
+    // File-level data skipping — the read-path payoff of q86's z-order
+    // key: lineitem written CLUSTERED on zorder64(l_orderkey, l_partkey)
+    // carries tight per-file min/max on BOTH keys, and the 2-D range
+    // query hands the reader only the intersecting files — pruned from
+    // the LISTING, before any footer is opened (PlanSpec asserts the
+    // scan's inputFiles shrink). The residual filter makes the result
+    // the full scan's filter EXACTLY, so the oracle is the plain WHERE
+    // on the original table — a skipped file containing a matching row,
+    // or a kept file leaking an out-of-range row, both hash-mismatch.
+    "q125_skipping_read" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val tmp = gateScratchDir(s, "q125")
+      graft.sinks.DataSkipping.writeWithStats(li, tmp,
+        graft.functions.ZOrder64(col("l_orderkey"), col("l_partkey")),
+        numFiles = 8, statsCols = Seq("l_orderkey", "l_partkey"))
+      graft.sinks.DataSkipping.readPruned(s, tmp,
+          Seq(("l_orderkey", 100L, 2000L), ("l_partkey", 0L, 120L)))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    }),
+
     // Sketch-based distinct profiling, calibrated: at 100 TB the
     // per-source distinct-document count runs as approx_count_distinct
     // (HLL++ — fixed-size mergeable registers, one map-side pass, no
@@ -2367,6 +2388,13 @@ object LlmQueries {
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 10""".stripMargin,
+
+    // Skipping never changes the answer — only the file listing. The
+    // oracle is the plain range predicate on the original table.
+    "q125_skipping_read" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 2000
+        |  AND l_partkey BETWEEN 0 AND 120""".stripMargin,
 
     // The q99 chain as the approx side of the q89-shaped recall compare:
     // exact cosine top-10 ground truth LEFT JOIN the IVF-PQ top-10.

@@ -237,6 +237,33 @@ object Relational {
         "bucket", minSupport = 0.07)
     }),
 
+    // Count-min frequency calibration (the q106/q116 pattern for
+    // FREQUENCIES): per-half sketches over events.user_id merge into
+    // the corpus sketch (counter-wise sum), then every distinct user's
+    // point estimate is compared to its exact count — one-sided
+    // (est >= exact always: only collisions inflate) and within the
+    // Markov bound 8·N/width (P[violate] < 8^-depth per key). The
+    // estimates depend on xxhash64, so the oracle pins the exact side
+    // and asserts the booleans held — a broken hash seed, a lossy
+    // merge, or a two-sided estimator all flip a boolean.
+    "q124_cms_calibration" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      val (depth, width) = (4, 2048)
+      val merged = Sketches.countMinMerge(Seq(0, 1).map(h =>
+        Sketches.countMin(ev.filter(col("event_id") % 2 === h),
+          "user_id", depth, width)))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      val est = Sketches.countMinEstimate(merged,
+        exact.select(col("user_id")), "user_id", depth, width)
+      exact.join(est, Seq("user_id"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("__n"))))
+        .select(col("user_id"), col("exact_cnt"),
+          (col("cm_est") >= col("exact_cnt")).as("one_sided_ok"),
+          ((col("cm_est") - col("exact_cnt")) * width <= col("__n") * 8)
+            .as("within_bound"))
+    }),
+
     // Time-RANGE window (not rows): per event, count + exact-cents sum of
     // the user's events in the trailing hour, peers at equal timestamps
     // included on both engines. The ordering key is integer microseconds
@@ -611,6 +638,13 @@ object Relational {
         |t AS (SELECT CAST(CEIL(COUNT(*) * 0.07) AS BIGINT) AS thr FROM b)
         |SELECT bucket, COUNT(*) AS cnt FROM b
         |GROUP BY 1 HAVING COUNT(*) >= (SELECT thr FROM t)""".stripMargin,
+
+    // Estimates are hash-dependent; the oracle pins the exact counts
+    // and the calibration booleans (the q106 pattern).
+    "q124_cms_calibration" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS one_sided_ok, TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
 
     // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
     // range frame (both inclusive, peers included on both engines).

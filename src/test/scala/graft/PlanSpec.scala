@@ -411,4 +411,29 @@ class PlanSpec extends SparkSuite {
     assert(read2 === 2,
       s"one query at nprobe=2 must read TWO of $all2 cell partitions, got $read2")
   }
+
+  test("q125: the skipping read hands the scan ONLY the intersecting files") {
+    import graft.sinks.DataSkipping
+    // the q125 gate's layout on the real fixture: the pruning decision
+    // is DRIVER-SIDE (manifest intersection, like partition pruning),
+    // so the pin is on the file set the scan is GIVEN — strictly fewer
+    // than the table's files. The rectangle is a corner of this
+    // fixture's key space (the gate's own bounds span most of sf0.001's
+    // keys — correct there, but nothing to skip)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-q125").toString
+    val m = DataSkipping.writeWithStats(li, tmp,
+      graft.functions.ZOrder64(col("l_orderkey"), col("l_partkey")),
+      numFiles = 8, statsCols = Seq("l_orderkey", "l_partkey"))
+    assert(m.files.length >= 4, s"fixture should spread over files, got ${m.files.length}")
+    val bounds = Seq(("l_orderkey", 0L, 150L), ("l_partkey", 0L, 40L))
+    val pruned = DataSkipping.readPruned(spark, tmp, bounds)
+    assert(pruned.inputFiles.length < m.files.length,
+      s"the 2-D corner range must skip files: listed ${pruned.inputFiles.length} of ${m.files.length}")
+    // and the answer is still exactly the full scan's filter
+    val full = spark.read.parquet(tmp)
+      .filter(col("l_orderkey").between(0, 150) && col("l_partkey").between(0, 40))
+    assert(pruned.count() === full.count() && full.count() > 0)
+  }
 }

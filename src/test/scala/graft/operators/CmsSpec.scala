@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Count-min sketch laws: one-sidedness, exactness without collisions,
+  * and merge = sketch-of-union (counter-wise).
+  */
+class CmsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val keys = Seq.fill(3000)(s"k${rnd.nextInt(40)}").toDF("k")
+
+  test("CMS estimates are one-sided: est >= exact for every key") {
+    val sk = Sketches.countMin(keys, "k", depth = 4, width = 64)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(sk, exact.select("k"), "k", 4, 64)
+    val joined = exact.join(est, Seq("k")).collect()
+    assert(joined.length === 40)
+    joined.foreach(r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact"),
+        s"key ${r.getString(0)}: est < exact"))
+  }
+
+  test("with width >> keys the estimate is exact (no collisions bite the min)") {
+    val sk = Sketches.countMin(keys, "k", depth = 4, width = 65536)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(sk, exact.select("k"), "k", 4, 65536)
+    assert(exact.join(est, Seq("k"))
+      .filter(col("cm_est") =!= col("exact")).count() === 0L)
+  }
+
+  test("merge of per-half sketches is BIT-EQUAL to the sketch of the union") {
+    val withId = keys.withColumn("id", monotonically_increasing_id())
+    val halves = Seq(0, 1).map(h =>
+      Sketches.countMin(withId.filter(col("id") % 2 === h), "k", 4, 64))
+    val merged = Sketches.countMinMerge(halves)
+      .orderBy("r", "c").collect()
+    val direct = Sketches.countMin(keys, "k", 4, 64)
+      .orderBy("r", "c").collect()
+    assert(merged === direct)
+  }
+
+  test("a key the sketch never saw estimates 0 when its counters are empty") {
+    val sparseKeys = Seq("a", "b").toDF("k")
+    val sk = Sketches.countMin(sparseKeys, "k", depth = 4, width = 65536)
+    val est = Sketches.countMinEstimate(sk, Seq("zzz-absent").toDF("k"),
+      "k", 4, 65536)
+    assert(est.head().getLong(1) === 0L)
+  }
+
+  test("invalid dims raise at composition") {
+    intercept[IllegalArgumentException](Sketches.countMin(keys, "k", 0, 8))
+    intercept[IllegalArgumentException](Sketches.countMinMerge(Nil))
+  }
+}
