@@ -261,7 +261,15 @@ object Bench {
             "(>2.5x); artifact timings are contention-suspect — prefer queries_retimed")
       s""","calibration":[${probes.mkString(",")}],"contended":$contended"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"total_retimed_complete":$totalRetimedComplete,"failures":$fs$calJson,"sf":"$sfDir"}""")
+    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"total_retimed_complete":$totalRetimedComplete,"failures":$fs$calJson,"sf":"$sfDir"}"""
+    println(artifact)
+    // ALSO write the artifact straight to a file: stdout passes through
+    // sbt, which prefixes the line with "[info] " — every round's driver
+    // artifact has parsed:null because of it, and the r11 local artifact
+    // was unparseable for the same reason. The file is bare JSON.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), artifact + "\n")
+    }
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size}/${names.size} queries FAILED")

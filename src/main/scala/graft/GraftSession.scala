@@ -48,19 +48,34 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as
-    * a nanos long — convert to a microsecond timestamp with INTEGER
-    * division (`div`): the Column `/` operator is true division through
-    * double, and ns-epoch magnitudes (~1.7e18) exceed double's 2^53
-    * integer range, silently landing some rows one microsecond off.
+  /** Normalizing loader for events: `ts` always comes out TimestampType,
+    * whatever parquet encoding the generator used. Three encodings have
+    * been observed across testdata generations, dispatched on the READ
+    * type (never assume the encoding — the generator changes it):
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read under the session's
+    *    `nanosAsLong=true` → `timestamp_micros(ts div 1000)`. INTEGER
+    *    division (`div`): the Column `/` operator is true division
+    *    through double, and ns-epoch magnitudes (~1.7e18) exceed
+    *    double's 2^53 integer range, silently landing rows 1 µs off.
+    *  - `TimestampNTZType`: parquet timestamp[us] with
+    *    isAdjustedToUTC=false. Cast to TimestampType — value-preserving
+    *    under the pinned UTC session zone, so gate hashes are unchanged,
+    *    and `unix_micros` (which rejects NTZ) works downstream.
+    *  - `TimestampType`: already instant-semantics micros — as-is.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
     val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as ${other.catalogString}: teach Tables.events this encoding")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")

@@ -79,18 +79,12 @@ object AsOfJoin {
   }
 
   /** Timestamp as an order-preserving long for the binary search: micros
-    * for timestamps (lossless — Spark's internal representation), plain
-    * cast for integral types.
+    * for timestamps (lossless — Spark's internal representation, with
+    * the NTZ cast handled by [[TimeCols.micros]]: `unix_micros` rejects
+    * TIMESTAMP_NTZ outright), plain cast for integral types.
     */
-  private def tsAsLong(dt: org.apache.spark.sql.types.DataType, c: Column): Column = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case TimestampType | TimestampNTZType => unix_micros(c)
-      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
-      case other => throw new IllegalArgumentException(
-        s"broadcast as-of needs a timestamp or integral time column, got ${other.catalogString}")
-    }
-  }
+  private def tsAsLong(dt: org.apache.spark.sql.types.DataType, c: Column): Column =
+    TimeCols.micros(dt, c)
 
   /** Broadcast as-of join — the complement of [[apply]] for a
     * DIMENSION-sized right side (config history, price list, exchange

@@ -133,8 +133,16 @@ object IntervalJoin {
       cellMicros: Long, rightCols: Seq[String],
       boundsHint: Option[(Long, Long)] = None): DataFrame = {
     require(cellMicros > 0, "cellMicros must be positive")
-    val pts = left.withColumn("__cell",
-      expr(s"unix_micros(`$tsCol`) div $cellMicros"))
+    // TimeCols.micros, not bare unix_micros: the point/interval columns
+    // are caller-provided and may arrive TIMESTAMP_NTZ (parquet without
+    // UTC adjustment), which unix_micros rejects at analysis. The cell
+    // index stays SQL `div` (integer, truncating toward zero like Scala
+    // Long division) — Column `/` is true division through double and
+    // mangles micros magnitudes.
+    val pts = left
+      .withColumn("__us", TimeCols.micros(left.schema(tsCol).dataType, col(tsCol)))
+      .withColumn("__cell", expr(s"__us div $cellMicros"))
+      .drop("__us")
     // cell bounds for the sentinel clamp: from the hint (lazy) or the
     // one-row min/max job (eager). Scala Long division truncates toward
     // zero exactly like Spark's `div`, and both are monotone, so a hint
@@ -155,10 +163,11 @@ object IntervalJoin {
         nonEmpty.filter(lit(false)).withColumn("__cell", lit(0L))
       case Some((cmin, cmax)) =>
         nonEmpty
-          .withColumn("__lo", greatest(
-            expr(s"unix_micros(`$startCol`) div $cellMicros"), lit(cmin)))
-          .withColumn("__hi", least(
-            expr(s"(unix_micros(`$endCol`) - 1) div $cellMicros"), lit(cmax)))
+          .withColumn("__sus", TimeCols.micros(right.schema(startCol).dataType, col(startCol)))
+          .withColumn("__eus", TimeCols.micros(right.schema(endCol).dataType, col(endCol)))
+          .withColumn("__lo", greatest(expr(s"__sus div $cellMicros"), lit(cmin)))
+          .withColumn("__hi", least(expr(s"(__eus - 1) div $cellMicros"), lit(cmax)))
+          .drop("__sus", "__eus")
           .filter(col("__lo") <= col("__hi"))
           .withColumn("__cell", explode(expr("sequence(__lo, __hi)")))
     }

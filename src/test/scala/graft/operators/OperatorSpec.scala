@@ -450,6 +450,76 @@ class OperatorSpec extends SparkSuite {
     assert(got === Set((100L, "v1"), (101L, "v2")))
   }
 
+  // ------------------------------------------- TIMESTAMP_NTZ hardening
+  // Parquet written without UTC adjustment reads as TIMESTAMP_NTZ in
+  // Spark 4 (the r11 testdata regeneration did exactly this), and
+  // unix_micros rejects NTZ at analysis. The public time operators must
+  // accept NTZ columns directly; under the pinned UTC session the
+  // results must be value-identical to the TimestampType run.
+
+  test("broadcastAsOf accepts TIMESTAMP_NTZ time columns and matches the TimestampType result") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),
+      (2L, 7L, t("2024-01-01 12:00:00")),
+      (3L, 7L, t("2024-01-01 08:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 7L, t("2024-01-01 09:00:00")),
+      (102L, 7L, t("2024-01-01 12:00:00")))
+      .toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id"))
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    def matches(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.broadcastAsOf(l, r, "user_id", "ts", Seq("val_id"))
+        .select(col("event_id"), col("val_id"))
+        .collect().map(r0 => r0.getLong(0) -> Option(r0.get(1))).toMap
+    assert(ntz(left).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(matches(ntz(left), ntz(right)) === matches(left, right))
+  }
+
+  test("byGrid accepts TIMESTAMP_NTZ time columns and matches the TimestampType result") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, 7L, t("2024-01-01 02:30:00")),
+      (2L, 7L, t("2024-01-01 08:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val ivs = Seq(
+      (100L, 7L, t("2024-01-01 00:00:00"), t("2024-01-01 06:00:00")),
+      (101L, 7L, t("2024-01-01 06:00:00"), t("2024-01-02 00:00:00")))
+      .toDF("interval_id", "user_id", "start_ts", "end_ts")
+    def run(p: org.apache.spark.sql.DataFrame, iv: org.apache.spark.sql.DataFrame) =
+      IntervalJoin.byGrid(p, iv, "user_id", "ts", "start_ts", "end_ts",
+          cellMicros = 3600L * 1000000, rightCols = Seq("interval_id"))
+        .select(col("event_id"), col("interval_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ptsNtz = pts.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val ivsNtz = ivs
+      .withColumn("start_ts", col("start_ts").cast("timestamp_ntz"))
+      .withColumn("end_ts", col("end_ts").cast("timestamp_ntz"))
+    assert(run(ptsNtz, ivsNtz) === run(pts, ivs))
+    assert(run(pts, ivs) === Set((1L, 100L), (2L, 101L)))
+  }
+
+  test("Scd2.build accepts TIMESTAMP_NTZ change timestamps and matches the TimestampType tiling") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, t("2024-01-01 00:00:00"), "a", 10L),
+      (1L, t("2024-01-02 00:00:00"), "b", 11L),
+      (1L, t("2024-01-02 00:00:00"), "c", 12L))
+      .toDF("key", "ts", "attr", "seq")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Scd2.build(df, "key", "ts", Seq("attr"), "seq")
+        .select(col("key"), col("attr"),
+          col("valid_from").cast("timestamp"), col("valid_to").cast("timestamp"),
+          col("version"), col("is_current"))
+        .collect().map(_.toSeq).toSet
+    val ntzRun = run(changes.withColumn("ts", col("ts").cast("timestamp_ntz")))
+    assert(ntzRun === run(changes))
+    assert(ntzRun.size === 2, "last-writer-wins must still collapse the equal-ts pair")
+  }
+
   // ----------------------------------------------------------- StableIds
 
   test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
