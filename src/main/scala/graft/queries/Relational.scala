@@ -264,6 +264,36 @@ object Relational {
             .as("within_bound"))
     }),
 
+    // Count-min MERGEABILITY, oracle-pinned (VERDICT r11 item 7): the
+    // sketch of a 4-way sharded build (per-shard countMin → counter-wise
+    // merge) must BIT-EQUAL the directly-built corpus sketch — the
+    // contract that lets 1000 executors sketch their splits
+    // independently and roll up. Verified structurally, not by sampled
+    // estimates: full-outer join of the two counter relations, per hash
+    // row assert every counter equal AND counters sum to |events| (each
+    // input row increments exactly one counter per hash row). Counter
+    // VALUES are xxhash64-placed so the oracle can't recompute them;
+    // it pins the row total exactly and the equality booleans as TRUE —
+    // a lossy merge, a shard/seed mismatch, or a dropped counter flips
+    // a boolean or breaks the sum. All frames here are sketch-sized
+    // (depth·width) except the two builds, which are one map-side-
+    // combined pass each over the same scan.
+    "q126_cms_merge_shards" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      val (depth, width) = (4, 1024)
+      val merged = Sketches.countMinMerge((0 until 4).map(h =>
+        Sketches.countMin(ev.filter(pmod(col("event_id"), lit(4)) === h),
+          "user_id", depth, width)))
+      val direct = Sketches.countMin(ev, "user_id", depth, width)
+      direct.as("d").join(merged.as("m"), Seq("r", "c"), "full_outer")
+        .groupBy(col("r"))
+        .agg(
+          bool_and(coalesce(col("d.cnt"), lit(-1L)) ===
+            coalesce(col("m.cnt"), lit(-2L))).as("all_counters_equal"),
+          sum(coalesce(col("m.cnt"), lit(0L))).as("row_total"))
+    }),
+
     // Time-RANGE window (not rows): per event, count + exact-cents sum of
     // the user's events in the trailing hour, peers at equal timestamps
     // included on both engines. The ordering key is integer microseconds
@@ -645,6 +675,14 @@ object Relational {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
         |  TRUE AS one_sided_ok, TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Counter placement is xxhash64-dependent; the oracle pins the
+    // per-hash-row totals (= |events| exactly) and the merge-equality
+    // booleans (the q124 pattern). range(4) = the pinned sketch depth.
+    "q126_cms_merge_shards" ->
+      """SELECT CAST(t.r AS INTEGER) AS r, TRUE AS all_counters_equal,
+        |  CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS row_total
+        |FROM range(4) t(r)""".stripMargin,
 
     // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
     // range frame (both inclusive, peers included on both engines).

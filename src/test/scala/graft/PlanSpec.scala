@@ -349,6 +349,17 @@ class PlanSpec extends SparkSuite {
     assert(!p118.contains("CartesianProduct") && !p118.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q126: every sketch build is map-side combined; the compare never touches event-sized frames") {
+    val p = plan("q126_cms_merge_shards")
+    // 5 builds (4 shards + direct) each aggregate partially before their
+    // exchange — the shuffle carries depth·width counters per map task,
+    // never keys; partial_count is the map-side combine's signature
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "count-min builds must map-side combine:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the counter compare is an equi-join on (r, c):\n" + p)
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")
