@@ -95,6 +95,37 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
+  /** Upper-bound estimate of an equi-join's cardinality from the two
+    * sides' count-min sketches ALONE (same depth, width): per hash row
+    * `r`, `Σ_c cntA(r,c)·cntB(r,c) ≥ Σ_k fA(k)·fB(k)` — the true join
+    * size; hash collisions only ADD cross terms — so the min over the
+    * depth rows is the tightest of depth one-sided overestimates (the
+    * classic CM inner product). `P[est − true > e·|A|·|B|/width] <
+    * exp(−depth)`.
+    *
+    * This is the 100 TB join PRE-FLIGHT (the L6/L24 bucket-cost-profile
+    * family): decide whether a join is feasible — or needs salting, a
+    * different key, or a semi-join reduction — from two `depth·width`
+    * summaries, without touching either table. A self-estimate
+    * (both sketches over the same column) bounds `Σ_k f(k)²`, the
+    * self-join size / F2 skew measure that predicts the worst shuffle
+    * a key can produce. Cost: one (r, c) equi-join of two
+    * sketch-sized relations; rows with no surviving counter pairs
+    * contribute a zero row so an empty overlap estimates 0, not null.
+    */
+  def countMinJoinSize(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    val a = sketchA.select(col("r"), col("c"), col("cnt").as("__cnt_a"))
+    val b = sketchB.select(col("r"), col("c"), col("cnt").as("__cnt_b"))
+    val ips = a.join(b, Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("__cnt_a") * col("__cnt_b")).as("__ip"))
+    sketchA.sparkSession.range(depth.toLong)
+      .select(col("id").cast("int").as("r"))
+      .join(ips, Seq("r"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0L))).as("join_size_est"))
+  }
+
   /** Values of `keyCol` appearing in at least `minSupport` fraction of
     * rows, with exact counts. The HAVING prunes before the final
     * ordering, so only candidates survive the aggregation.

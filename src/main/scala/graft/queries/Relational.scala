@@ -294,6 +294,35 @@ object Relational {
           sum(coalesce(col("m.cnt"), lit(0L))).as("row_total"))
     }),
 
+    // Join-size PRE-FLIGHT from sketches alone (VERDICT r11 item 7
+    // family): the self-join cardinality of events on user_id —
+    // Σ_k f(k)², the F2 skew measure that predicts the worst shuffle a
+    // key can produce — estimated from the count-min inner product
+    // without joining anything event-sized, then gated against the
+    // exact value: one-sided (collisions only add cross terms) and
+    // within the Markov bound 8·N²/width. The two sketches are built
+    // from two independent reads so the estimator exercises the
+    // general two-relation path, not a self-join special case.
+    "q127_join_size_preflight" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val (depth, width) = (4, 2048)
+      val skA = Sketches.countMin(
+        Tables.events(s, dir).select(col("user_id")), "user_id", depth, width)
+      val skB = Sketches.countMin(
+        Tables.events(s, dir).select(col("user_id")), "user_id", depth, width)
+      val est = Sketches.countMinJoinSize(skA, skB, depth)
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_join_rows"))
+      exact
+        .crossJoin(broadcast(est))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("__n"))))
+        .select(col("exact_join_rows"),
+          (col("join_size_est") >= col("exact_join_rows")).as("one_sided_ok"),
+          ((col("join_size_est") - col("exact_join_rows")) * width <=
+            col("__n") * col("__n") * 8).as("within_bound"))
+    }),
+
     // Time-RANGE window (not rows): per event, count + exact-cents sum of
     // the user's events in the trailing hour, peers at equal timestamps
     // included on both engines. The ordering key is integer microseconds
@@ -683,6 +712,14 @@ object Relational {
       """SELECT CAST(t.r AS INTEGER) AS r, TRUE AS all_counters_equal,
         |  CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS row_total
         |FROM range(4) t(r)""".stripMargin,
+
+    // Estimates are xxhash64-placed; the oracle pins the exact
+    // self-join size and the calibration booleans (the q124 pattern).
+    "q127_join_size_preflight" ->
+      """SELECT CAST(SUM(c * c) AS BIGINT) AS exact_join_rows,
+        |  TRUE AS one_sided_ok, TRUE AS within_bound
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM events GROUP BY user_id)""".stripMargin,
 
     // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
     // range frame (both inclusive, peers included on both engines).

@@ -55,4 +55,33 @@ class CmsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sketches.countMin(keys, "k", 0, 8))
     intercept[IllegalArgumentException](Sketches.countMinMerge(Nil))
   }
+
+  test("join-size estimate is one-sided over the true inner product, exact without collisions") {
+    val other = Seq.fill(2000)(s"k${rnd.nextInt(60)}").toDF("k")
+    def trueJoinSize(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.groupBy("k").agg(count(lit(1)).as("fa"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+        .agg(sum(col("fa") * col("fb"))).head().getLong(0)
+    val exact = trueJoinSize(keys, other)
+    // narrow sketch: collisions add cross terms, never subtract
+    val estNarrow = Sketches.countMinJoinSize(
+      Sketches.countMin(keys, "k", 4, 32),
+      Sketches.countMin(other, "k", 4, 32), depth = 4).head().getLong(0)
+    assert(estNarrow >= exact, s"inner product must overestimate: $estNarrow < $exact")
+    // wide sketch: no collisions among ~100 keys -> exact
+    val estWide = Sketches.countMinJoinSize(
+      Sketches.countMin(keys, "k", 4, 65536),
+      Sketches.countMin(other, "k", 4, 65536), depth = 4).head().getLong(0)
+    assert(estWide === exact)
+  }
+
+  test("join-size estimate of disjoint relations is 0, not null") {
+    val a = Seq("a1", "a2").toDF("k")
+    val b = Seq("b1", "b2").toDF("k")
+    val est = Sketches.countMinJoinSize(
+      Sketches.countMin(a, "k", 4, 65536),
+      Sketches.countMin(b, "k", 4, 65536), depth = 4).head()
+    assert(!est.isNullAt(0) && est.getLong(0) === 0L)
+  }
 }
