@@ -360,6 +360,21 @@ class PlanSpec extends SparkSuite {
       "the counter compare is an equi-join on (r, c):\n" + p)
   }
 
+  test("q127: the join-size estimate joins only sketch-sized relations — no event-sized join") {
+    val p = plan("q127_join_size_preflight")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "both sketch builds must map-side combine:\n" + p)
+    // the only non-equi joins are the broadcast one-row calibration
+    // gates (crossJoin of single-row aggregates plans as BNLJ Cross);
+    // no unbounded cartesian, and no join keyed on the DATA column —
+    // the events table is only ever scanned and aggregated, never
+    // joined: that is the whole point of a sketch-side pre-flight
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded cartesian:\n" + p)
+    assert(!"(SortMergeJoin|BroadcastHashJoin) \\[user_id".r.findFirstIn(p).isDefined,
+      "no event-keyed join may appear; the pre-flight never joins the data:\n" + p)
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")

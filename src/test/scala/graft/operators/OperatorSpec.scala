@@ -479,6 +479,28 @@ class OperatorSpec extends SparkSuite {
     assert(matches(ntz(left), ntz(right)) === matches(left, right))
   }
 
+  test("merged-stream as-of join accepts TIMESTAMP_NTZ time columns and matches the TimestampType result") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),
+      (2L, 7L, t("2024-01-01 12:00:00")),
+      (3L, 8L, t("2024-01-01 08:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 7L, t("2024-01-01 09:00:00")),
+      (102L, 8L, t("2024-01-01 12:00:00")))
+      .toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id"))
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    def matches(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOfJoin(l, r, "user_id", "ts", Seq("val_id"))
+        .select(col("event_id"), col("val_id"))
+        .collect().map(r0 => r0.getLong(0) -> Option(r0.get(1))).toMap
+    assert(matches(ntz(left), ntz(right)) === matches(left, right))
+    assert(matches(left, right) ===
+      Map(1L -> Some(101L), 2L -> Some(101L), 3L -> None))
+  }
+
   test("byGrid accepts TIMESTAMP_NTZ time columns and matches the TimestampType result") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val pts = Seq(
