@@ -222,6 +222,63 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming count-min maintenance: the live frequency profile of an
+    * ingest stream. Each micro-batch reduces to its own
+    * [[graft.operators.Sketches.countMin]] relation (depth·width rows —
+    * map-side combined, so per-batch cost is one pass over the batch)
+    * and lands in the store as the `batch_id=<id>` partition via
+    * DYNAMIC partition overwrite. That makes a foreachBatch RETRY of
+    * the same epoch overwrite its own partition rather than
+    * double-count — at-least-once delivery becomes exactly-once state,
+    * the same idempotence-by-key discipline as the K5 partition
+    * overwrite sink ([[graft.sinks.Sinks.load]]).
+    *
+    * Store size is `batches · depth · width` counters (tiny); serving
+    * ([[countMinServe]]) folds all partitions with the proven-mergeable
+    * counter-wise sum (q126 pins merge ≡ direct build bit-equal). A
+    * 100 TB/day ingest keeps a queryable frequency profile at the cost
+    * of one sketch-sized write per micro-batch, and the profile answers
+    * heavy-key / skew pre-flights ([[graft.operators.Sketches.countMinJoinSize]])
+    * without ever re-reading the stream's history.
+    *
+    * The per-batch body is [[upsertBatchSketch]] (package-private so the
+    * suite exercises retry idempotence without a running stream).
+    */
+  private[streaming] def upsertBatchSketch(batch: DataFrame, batchId: Long,
+      keyCol: String, depth: Int, width: Int, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      graft.operators.Sketches.countMin(batch, keyCol, depth, width)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1) // depth·width rows — one file per batch partition
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch_id").parquet(storeDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Start the maintenance stream: one sketch partition per epoch. */
+  def countMinStreamStart(events: DataFrame, keyCol: String, depth: Int, width: Int,
+      storeDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatchSketch(batch, id, keyCol, depth, width, storeDir)
+      }
+      .start()
+
+  /** The maintained profile: counter-wise fold of every batch partition
+    * — bit-equal to a direct sketch of everything ingested (q126's
+    * merge law), served from batches·depth·width stored counters.
+    */
+  def countMinServe(spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
   /** File-based streaming source with the events schema (the streaming
     * entry point for directory-fed deployments).
     */

@@ -356,6 +356,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min maintenance: served profile bit-equals the direct sketch; epoch retries don't double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("cms_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toString
+    val batches = Seq(
+      (0 until 40).map(i => ev(i.toLong, "2024-01-01 10:00:00", i % 7)),
+      (40 until 70).map(i => ev(i.toLong, "2024-01-01 11:00:00", i % 5)),
+      (70 until 90).map(i => ev(i.toLong, "2024-01-01 12:00:00", i % 11)))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.countMinStreamStart(
+      mem.toDF().select(col("user_id")), "user_id", depth = 4, width = 64,
+      storeDir = store, checkpoint = ckpt)
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def served = EventStreams.countMinServe(spark, store)
+      .orderBy("r", "c").collect()
+    val all = batches.flatten.toDF().select(col("user_id"))
+    val direct = graft.operators.Sketches.countMin(all, "user_id", 4, 64)
+      .orderBy("r", "c").collect()
+    assert(served === direct, "merge law: served profile ≡ direct sketch of all ingested rows")
+    // at-least-once retry of an epoch: re-running batch 1's upsert with
+    // the same batch_id must overwrite its own partition, not add to it
+    EventStreams.upsertBatchSketch(
+      batches(1).toDF().select(col("user_id")), batchId = 1L,
+      "user_id", 4, 64, store)
+    assert(served === direct, "epoch replay must be idempotent, not double-count")
+  }
+
   test("streaming dedup: repeated keys within the watermark dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
