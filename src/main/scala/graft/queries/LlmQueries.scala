@@ -393,6 +393,30 @@ object LlmQueries {
           (unix_micros(col("ts")) - unix_micros(col("__matched_ts"))).as("lag_us"))
     }),
 
+    // q70's as-of semantics driven through a TIMESTAMP_NTZ input end to
+    // end (both sides cast before the operator, lag computed via the
+    // NTZ-robust TimeCols.micros): the L96 contract — parquet written
+    // without UTC adjustment must flow through the public time
+    // operators and produce the SAME rows as the instant-typed path —
+    // pinned by the driver's oracle, not only the suite. The oracle SQL
+    // is q70's verbatim: under the pinned UTC session the NTZ cast is
+    // value-preserving, so any drift in the NTZ arm (a double cast, a
+    // zone applied twice, a dropped row) hash-mismatches here while
+    // q70 stays green.
+    "q128_asof_ntz" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      val ntz = org.apache.spark.sql.types.TimestampNTZType
+      graft.operators.AsOfJoin(purchases, signups, "user_id", "ts", Seq("signup_id"))
+        .select(col("event_id"), col("user_id"), col("signup_id"),
+          (graft.operators.TimeCols.micros(ntz, col("ts")) -
+            graft.operators.TimeCols.micros(ntz, col("__matched_ts"))).as("lag_us"))
+    }),
+
     // Corpus-global top-40 3-gram frequency table (the vocabulary /
     // boilerplate inspection artifact): distributed gram counts, then
     // TakeOrdered — only the k winners ever leave the executors.
@@ -1972,6 +1996,19 @@ object LlmQueries {
     // the same matches with a merged-stream running window. The right
     // side is pre-deduped to one row per (user_id, ts) in both engines.
     "q70_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |s0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, s0.signup_id,
+         |  epoch_us(p.ts) - epoch_us(s0.ts) AS lag_us
+         |FROM p ASOF LEFT JOIN s0
+         |  ON p.user_id = s0.user_id AND p.ts >= s0.ts""".stripMargin,
+
+    // q70's spec verbatim: the Spark side feeds TIMESTAMP_NTZ inputs
+    // through the same operator, and the NTZ cast is value-preserving
+    // under the pinned UTC session — equal hashes IS the L96 claim.
+    "q128_asof_ntz" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events
          |  WHERE event_type = 'purchase'),
          |s0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id
