@@ -220,6 +220,25 @@ object Relational {
           Skew.SaltedMax("l_orderkey", "max_key")))
     }),
 
+    // Bloom semi-join reduction: orders joined to a selective customer
+    // subset with the fact side bloom-filtered BEFORE its exchange —
+    // shuffle bytes track the join's selectivity, not the fact table.
+    // False positives are dropped by the exact join that still runs, so
+    // the oracle is the PLAIN join: equal hashes prove the reduction is
+    // invisible to semantics.
+    "q129_bloom_join_reduce" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_nationkey") < 3)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fact = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.operators.BloomJoinReduce.inner(fact, dim, "o_custkey", "c_custkey",
+          expectedDimKeys = 20000L, fpp = 0.01)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"))
+    }),
+
     // Skew salting — salted equi-join equals the plain join (oracle).
     "q28_salted_join" -> ((s, dir) => {
       import graft.operators.Skew
@@ -691,6 +710,16 @@ object Relational {
     "q28_salted_join" ->
       """SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    // The PLAIN join is the spec: the bloom pre-filter must be
+    // semantically invisible (false positives re-checked, no false
+    // negatives possible).
+    "q129_bloom_join_reduce" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey < 3
+        |GROUP BY 1""".stripMargin,
 
     "q29_heavy_hitters" ->
       """WITH b AS (SELECT l_suppkey % 13 AS bucket FROM lineitem),

@@ -375,6 +375,18 @@ class PlanSpec extends SparkSuite {
       "no event-keyed join may appear; the pre-flight never joins the data:\n" + p)
   }
 
+  test("q129: the bloom reduction filters the fact scan below the join") {
+    val p = plan("q129_bloom_join_reduce")
+    assert(p.contains("bloom_contains_long"),
+      "the codegen'd bloom predicate must gate the fact side:\n" + p)
+    // the predicate must sit on the orders side BEFORE the join operator
+    // (scan-adjacent filter), i.e. appear below whichever join runs
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("bloom_contains_long")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "filter must be inside the join's fact-side subtree (printed below it):\n" + p)
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")

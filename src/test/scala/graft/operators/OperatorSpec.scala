@@ -542,6 +542,31 @@ class OperatorSpec extends SparkSuite {
     assert(ntzRun.size === 2, "last-writer-wins must still collapse the equal-ts pair")
   }
 
+  // ------------------------------------------------------ BloomJoinReduce
+
+  test("bloom-reduced join equals the plain join even when false positives pass the filter") {
+    val fact = (0 until 2000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val dim = (0 until 2000 by 20).map(i => (i.toLong, i / 20)).toDF("k", "grp")
+    // deliberately under-sized, high-fpp filter so false positives are
+    // exercised, not just possible — exactness must survive them
+    val reduced = BloomJoinReduce.inner(fact, dim, "k", "k",
+      expectedDimKeys = 10L, fpp = 0.4)
+    val plain = fact.join(dim, Seq("k"))
+    assert(reduced.orderBy("k").collect() === plain.orderBy("k").collect())
+    assert(plain.count() === 100L)
+  }
+
+  test("the bloom filter actually reduces the fact side before the join") {
+    val fact = (0 until 5000).map(i => (i.toLong, i)).toDF("k", "v")
+    val dim = Seq((17L, "a"), (4242L, "b")).toDF("k", "name")
+    val bloom = dim.stat.bloomFilter("k", 2L, 0.01)
+    val survivors = fact
+      .filter(graft.functions.BloomContainsLong(col("k"), bloom)).count()
+    assert(survivors >= 2, "no false negatives: both matching keys survive")
+    assert(survivors < 100,
+      s"a 2-key 1% filter must drop almost all 5000 fact rows, kept $survivors")
+  }
+
   // ----------------------------------------------------------- StableIds
 
   test("StableIds: contiguous 1..N in key order on a unique-key permutation") {
