@@ -143,4 +143,43 @@ class PropertySpec extends SparkSuite {
       if (n >= quota) assert(spread === Set(1))
     }
   }
+
+  test("property: TIMESTAMP_NTZ inputs are result-identical to TimestampType across the time operators") {
+    // the L96 law on random data: under the pinned UTC session the NTZ
+    // cast is value-preserving, so as-of (both physical forms) and the
+    // grid interval join must produce byte-identical derived results
+    val rowGen = for { key <- Gen.choose(0L, 5L); ts <- tsGen } yield (key, ts)
+    val leftRows = sample(Gen.listOfN(300, rowGen)).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val rightRows = sample(Gen.listOfN(150, rowGen)).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t) }
+      // as-of contract: right unique per (key, ts) — keep max id
+      .groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toSeq
+    val left = leftRows.toDF("event_id", "key", "ts")
+    val right = rightRows.toDF("val_id", "key", "ts")
+      .select(col("key"), col("ts"), col("val_id"))
+    def ntz(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
+    def asOfKeyed(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)(
+        l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      f(l, r).select(col("event_id"), col("val_id"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val merged = asOfKeyed(graft.operators.AsOfJoin(_, _, "key", "ts", Seq("val_id"))) _
+    val bcast = asOfKeyed(graft.operators.AsOfJoin.broadcastAsOf(_, _, "key", "ts", Seq("val_id"))) _
+    assert(merged(ntz(left, "ts"), ntz(right, "ts")) === merged(left, right))
+    assert(bcast(ntz(left, "ts"), ntz(right, "ts")) === bcast(left, right))
+
+    val ivs = rightRows.map { case (id, k, t) =>
+      (id, k, t, java.sql.Timestamp.from(t.toInstant.plusSeconds(7200)))
+    }.toDF("interval_id", "key", "start_ts", "end_ts")
+    def grid(l: org.apache.spark.sql.DataFrame, iv: org.apache.spark.sql.DataFrame) =
+      graft.operators.IntervalJoin.byGrid(l, iv, "key", "ts", "start_ts", "end_ts",
+          cellMicros = 1800L * 1000000, rightCols = Seq("interval_id"))
+        .select(col("event_id"), col("interval_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val gridTs = grid(left, ivs)
+    assert(grid(ntz(left, "ts"), ntz(ivs, "start_ts", "end_ts")) === gridTs)
+    assert(gridTs.nonEmpty, "fixture must produce interval matches")
+  }
 }
