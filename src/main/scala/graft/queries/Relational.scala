@@ -342,6 +342,56 @@ object Relational {
             col("__n") * col("__n") * 8).as("within_bound"))
     }),
 
+    // Session PATH analysis (the clickstream journey report): events
+    // sessionize per user on a 30-min gap, each session folds to its
+    // ordered event-type path string, and the corpus's top-20 paths
+    // rank by frequency. Total order inside a session is (us, event_id)
+    // — bit-stable across engines. Shape: the session window and the
+    // running session-id share ONE user_id exchange; the per-session
+    // fold and the global path count partial-aggregate before their
+    // exchanges; only 20 winners leave via TakeOrdered.
+    "q130_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val lagUs = lag(col("us"), 1).over(w)
+      val sess = ev
+        .withColumn("brk",
+          when(lagUs.isNull || col("us") - lagUs > 1800L * 1000000, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">", expr("transform(evs, x -> x.event_type)")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // Retention cohorts (the canonical product-analytics triangle):
+    // users cohort by first-active epoch-week; each (cohort, offset)
+    // cell counts users active that many weeks later. ONE user_id
+    // exchange total and ZERO joins: the per-user aggregate carries
+    // (first week, distinct-week set) together — per-user state is the
+    // user's active-week set, bounded by the timeline, map-side
+    // combined — and the explode emits one row per user-week, already
+    // distinct, into the cell count's partial aggregation.
+    "q131_retention_cohorts" -> ((s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      weeks.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+        .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .groupBy(col("cohort_wk"), col("wk_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Time-RANGE window (not rows): per event, count + exact-cents sum of
     // the user's events in the trailing hour, peers at equal timestamps
     // included on both engines. The ordering key is integer microseconds
@@ -749,6 +799,35 @@ object Relational {
         |  TRUE AS one_sided_ok, TRUE AS within_bound
         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
         |      FROM events GROUP BY user_id)""".stripMargin,
+
+    // STRING_AGG ORDER BY (ts, event_id) ≡ Spark's array_sort over
+    // (us, event_id, type) structs — the same total order, so path
+    // strings are byte-identical. 30-min gap strict-> on both engines.
+    "q130_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+        |p AS (SELECT user_id, sid,
+        |  STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // Integer epoch-week division on both engines (// is DuckDB integer
+    // div); COUNT(DISTINCT user) ≡ Spark's per-user collect_set explode.
+    "q131_retention_cohorts" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+        |SELECT f.cohort_wk, w.wk - f.cohort_wk AS wk_offset,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
     // range frame (both inclusive, peers included on both engines).

@@ -387,6 +387,21 @@ class PlanSpec extends SparkSuite {
       "filter must be inside the join's fact-side subtree (printed below it):\n" + p)
   }
 
+  test("q130/q131: path and cohort analytics never join; exchanges are bounded and partial-aggregated") {
+    val p130 = plan("q130_session_paths")
+    assert(!p130.toLowerCase.contains("join"),
+      "paths fold per session then count per path — no join anywhere:\n" + p130)
+    assert("Exchange hashpartitioning".r.findAllIn(p130).size <= 3,
+      "session window + per-session fold + path count only:\n" + p130)
+    assert(p130.contains("TakeOrdered"),
+      "only the top-20 paths may leave the executors:\n" + p130)
+    val p131 = plan("q131_retention_cohorts")
+    assert(!p131.toLowerCase.contains("join"),
+      "the cohort triangle needs ZERO joins (per-user state carries first week + week set):\n" + p131)
+    assert("Exchange hashpartitioning".r.findAllIn(p131).size <= 2,
+      "one user exchange + one cell exchange:\n" + p131)
+  }
+
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
     val p = plan("q112_json_extract")
     assert(p.contains("from_json"), "expected the explicit-schema JsonToStructs projection")
