@@ -392,6 +392,27 @@ object Relational {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Per-source cap with overflow accounting (the "max N docs per
+    // domain" curation rule): each (source, lang) keeps its 5 longest
+    // documents under the deterministic (n_chars desc, doc_id asc)
+    // order; every kept row carries its rank and how many the cell
+    // dropped — the audit a capped crawl needs. ONE exchange on the
+    // cell key: rank and cell size come from the same window
+    // partitioning, and the filter prunes before anything else moves.
+    "q132_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"), col("lang"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .withColumn("rank",
+          row_number().over(w.orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("n_dropped",
+          greatest(count(lit(1)).over(w) - 5, lit(0L)))
+      ranked.filter(col("rank") <= 5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("rank"), col("n_dropped"))
+    }),
+
     // Time-RANGE window (not rows): per event, count + exact-cents sum of
     // the user's events in the trailing hour, peers at equal timestamps
     // included on both engines. The ordering key is integer microseconds
@@ -828,6 +849,18 @@ object Relational {
         |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Same (n_chars DESC, doc_id ASC) window order on both engines; the
+    // dropped count is the cell size minus the cap, floored at zero.
+    "q132_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, lang, n_chars,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+        |    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank,
+        |  CAST(GREATEST(COUNT(*) OVER (PARTITION BY source, lang) - 5, 0)
+        |    AS BIGINT) AS n_dropped
+        |  FROM documents)
+        |SELECT doc_id, source, lang, n_chars, rank, n_dropped
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // INTERVAL 1 HOUR over native ts ≡ Spark's [-3.6e9, 0] microsecond
     // range frame (both inclusive, peers included on both engines).

@@ -400,6 +400,11 @@ class PlanSpec extends SparkSuite {
       "the cohort triangle needs ZERO joins (per-user state carries first week + week set):\n" + p131)
     assert("Exchange hashpartitioning".r.findAllIn(p131).size <= 2,
       "one user exchange + one cell exchange:\n" + p131)
+    val p132 = plan("q132_source_cap")
+    assert(!p132.toLowerCase.contains("join"),
+      "the cap is windows over one partitioning, no join-back:\n" + p132)
+    assert("Exchange hashpartitioning".r.findAllIn(p132).size <= 1,
+      "rank and cell-size windows must share the single (source, lang) exchange:\n" + p132)
   }
 
   test("q112: JSON extraction is a scan-project before one aggregate exchange") {
