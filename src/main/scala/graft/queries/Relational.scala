@@ -342,6 +342,32 @@ object Relational {
             col("__n") * col("__n") * 8).as("within_bound"))
     }),
 
+    // Incremental rollup maintenance (the materialized-view pattern):
+    // a persisted per-(user, type) rollup absorbs a new ingest batch by
+    // merging ALGEBRAIC aggregate state — counts add, sums add, min/max
+    // fold — WITHOUT touching the history's raw rows; the gate pins the
+    // merged state equal to a full recompute over everything. Here the
+    // "history" and "new batch" are an 80/20 split of events by id; in
+    // production the left term is the stored rollup itself, so the
+    // daily cost is one pass over the NEW data plus a state-sized
+    // merge, never a re-scan of the table. Both partials and the merge
+    // are map-side combined; zero joins.
+    "q133_incremental_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          cents(col("value")).as("v"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_cents"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      val history = partial(ev.filter(col("event_id") % 10 < 8))
+      val fresh = partial(ev.filter(col("event_id") % 10 >= 8))
+      history.unionByName(fresh)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"), sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+    }),
+
     // Session PATH analysis (the clickstream journey report): events
     // sessionize per user on a 30-min gap, each session folds to its
     // ordered event-type path string, and the corpus's top-20 paths
@@ -820,6 +846,15 @@ object Relational {
         |  TRUE AS one_sided_ok, TRUE AS within_bound
         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
         |      FROM events GROUP BY user_id)""".stripMargin,
+
+    // The FULL recompute is the spec: merged algebraic state must be
+    // indistinguishable from aggregating the raw union.
+    "q133_incremental_rollup" ->
+      """SELECT user_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // STRING_AGG ORDER BY (ts, event_id) ≡ Spark's array_sort over
     // (us, event_id, type) structs — the same total order, so path

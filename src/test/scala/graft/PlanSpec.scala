@@ -400,6 +400,11 @@ class PlanSpec extends SparkSuite {
       "the cohort triangle needs ZERO joins (per-user state carries first week + week set):\n" + p131)
     assert("Exchange hashpartitioning".r.findAllIn(p131).size <= 2,
       "one user exchange + one cell exchange:\n" + p131)
+    val p133 = plan("q133_incremental_rollup")
+    assert(!p133.toLowerCase.contains("join"),
+      "rollup maintenance is union + re-aggregate, never a join:\n" + p133)
+    assert(p133.contains("partial_count") || p133.contains("partial count"),
+      "both partials and the merge must map-side combine:\n" + p133)
     val p132 = plan("q132_source_cap")
     assert(!p132.toLowerCase.contains("join"),
       "the cap is windows over one partitioning, no join-back:\n" + p132)
