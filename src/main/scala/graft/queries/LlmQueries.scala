@@ -917,6 +917,28 @@ object LlmQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
     }),
 
+    // Targeted erasure (right-to-be-forgotten): events land key-
+    // clustered with a stats manifest, four user ids are erased —
+    // rewriting ONLY manifest-hit files — and the surviving table is
+    // compared to the oracle's plain NOT IN. n_listed_leaked is
+    // computed from the SURVIVORS (must be 0 everywhere): a file the
+    // manifest should have rewritten but didn't, or a swap that lost
+    // rows, flips the count or the leak column and hash-mismatches.
+    "q134_erasure" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = gateScratchDir(s, "q134")
+      graft.sinks.DataSkipping.writeWithStats(ev, tmp, col("user_id"),
+        numFiles = 8, statsCols = Seq("user_id"))
+      val doomed = Seq(5L, 17L, 123L, 400L)
+      graft.sinks.Erasure.deleteKeys(s, tmp, "user_id", doomed): Unit
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_remaining"),
+          sum(when(col("user_id").isin(doomed: _*), 1L).otherwise(0L))
+            .as("n_listed_leaked"))
+    }),
+
     // Sketch-based distinct profiling, calibrated: at 100 TB the
     // per-source distinct-document count runs as approx_count_distinct
     // (HLL++ — fixed-size mergeable registers, one map-side pass, no
@@ -2425,6 +2447,15 @@ object LlmQueries {
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 10""".stripMargin,
+
+    // Erasure must equal the plain NOT IN; the leak column is 0 by
+    // construction on the oracle side and by measurement on Spark's.
+    "q134_erasure" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_remaining,
+        |  CAST(0 AS BIGINT) AS n_listed_leaked
+        |FROM events
+        |WHERE user_id IS NULL OR user_id NOT IN (5, 17, 123, 400)
+        |GROUP BY 1""".stripMargin,
 
     // Skipping never changes the answer — only the file listing. The
     // oracle is the plain range predicate on the original table.

@@ -1,0 +1,77 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Erasure laws: only manifest-hit files change (the rest stay
+  * byte-identical), NULL keys survive, emptied files vanish, and the
+  * refreshed manifest prunes erased keys to nothing.
+  */
+class ErasureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(name)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("erasure rewrites only hit files, preserves NULL keys, and refreshes the manifest") {
+    val dir = tmpDir("graft-erase")
+    // keys 0..799 clustered by range into 8 files (~100 keys each),
+    // plus NULL-key rows that must survive any erasure
+    val rows = (0 until 4000).map(i => (java.lang.Long.valueOf(i.toLong % 800), i.toLong)) ++
+      (0 until 50).map(i => (null.asInstanceOf[java.lang.Long], 100000L + i))
+    val df = rows.toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 8, statsCols = Seq("k"))
+    val before = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+      .map(f => f.getName -> Files.readAllBytes(Paths.get(f.getPath)).toSeq).toMap
+
+    // doomed keys live in a narrow range -> few files hit
+    val doomed = Seq(10L, 11L, 12L, 13L)
+    val rpt = Erasure.deleteKeys(spark, dir, "k", doomed)
+    assert(rpt.filesTotal === 8)
+    assert(rpt.filesRewritten + rpt.filesDeleted >= 1)
+    assert(rpt.filesRewritten + rpt.filesDeleted <= 2,
+      s"range-clustered keys must hit at most a couple of files, got $rpt")
+    assert(rpt.rowsDeleted === 4L * 5, "each key appears 4000/800 = 5 times")
+
+    val after = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+      .map(f => f.getName -> Files.readAllBytes(Paths.get(f.getPath)).toSeq).toMap
+    val changed = before.keySet.filter(n => after.get(n) != Some(before(n)))
+    assert(changed.size === rpt.filesRewritten + rpt.filesDeleted,
+      s"exactly the reported files may differ, got $changed")
+
+    val survivors = spark.read.parquet(dir)
+    assert(survivors.filter(col("k").isin(doomed: _*)).count() === 0L, "no doomed key survives")
+    assert(survivors.filter(col("k").isNull).count() === 50L, "NULL keys must survive erasure")
+    assert(survivors.count() === 4050L - 20L)
+    // refreshed manifest: a pruned read for an erased key finds nothing
+    assert(DataSkipping.readPruned(spark, dir, Seq(("k", 10L, 10L))).count() === 0L)
+  }
+
+  test("a file whose every row is doomed is deleted outright") {
+    val dir = tmpDir("graft-erase-all")
+    val df = (0 until 100).map(i => (i.toLong / 50, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val rpt = Erasure.deleteKeys(spark, dir, "k", Seq(0L))
+    assert(rpt.filesDeleted === 1 && rpt.filesRewritten === 0)
+    assert(rpt.rowsDeleted === 50L)
+    assert(spark.read.parquet(dir).count() === 50L)
+    assert(DataSkipping.readManifest(spark, dir).files.size === 1)
+  }
+
+  test("an erasure list matching nothing touches nothing") {
+    val dir = tmpDir("graft-erase-none")
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val rpt = Erasure.deleteKeys(spark, dir, "k", Seq(99999L))
+    assert(rpt === Erasure.ErasureReport(2, 0, 0, 0L))
+    assert(spark.read.parquet(dir).count() === 100L)
+  }
+}
