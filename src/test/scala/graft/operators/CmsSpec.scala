@@ -76,6 +76,17 @@ class CmsSpec extends SparkSuite {
     assert(estWide === exact)
   }
 
+  test("self-estimate with the SAME sketch instance bounds the F2 self-join size") {
+    // the documented skew pre-flight: both arguments are one sketch
+    // object — the internal renames must survive Spark's self-join
+    // resolution, and the estimate bounds sum(f^2) one-sidedly
+    val sk = Sketches.countMin(keys, "k", 4, 65536)
+    val est = Sketches.countMinJoinSize(sk, sk, depth = 4).head().getLong(0)
+    val f2 = keys.groupBy("k").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f"))).head().getLong(0)
+    assert(est === f2, "wide sketch: the self-estimate is exactly sum(f^2)")
+  }
+
   test("join-size estimate of disjoint relations is 0, not null") {
     val a = Seq("a1", "a2").toDF("k")
     val b = Seq("b1", "b2").toDF("k")
