@@ -1,8 +1,13 @@
 package graft.sinks
 
+import java.util.Base64
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.BloomAgg
 
 /** File-level data skipping — the lakehouse read-path complement of the
   * [[graft.functions.ZOrder64]] layout key: a table written CLUSTERED on
@@ -21,44 +26,76 @@ import org.apache.spark.sql.functions._
   * ranges tight), then ONE column-pruned stats pass over the written
   * files (`input_file_name()` group-by — reads only the stats columns)
   * produces `_skip_manifest.json`: per file, row count and min/max of
-  * each stats column. The manifest is file-count-sized — driver metadata,
-  * exactly what a table format keeps in its log.
+  * each stats column, plus an optional per-file Bloom filter per
+  * `bloomCols` entry ([[graft.functions.BloomAgg]]) for columns the
+  * layout does NOT cluster — min/max ranges on those overlap across
+  * every file, but a Bloom still answers point lookups (and erasure
+  * lists, [[Erasure]]) with no false negatives. The manifest is
+  * file-count-sized — driver metadata, exactly what a table format keeps
+  * in its log.
   *
-  * Read side ([[readPruned]]): bounds are intersected against the
-  * manifest DRIVER-SIDE (a metadata decision, like partition pruning),
-  * only intersecting files are handed to the reader, and the residual
-  * predicate still applies — so the result is EXACTLY the full scan's
-  * filter, independent of layout quality: a bad layout skips nothing
-  * but never returns a wrong row. Stats min/max ignore NULLs (files
-  * recording no non-null value are always skippable: a NULL never
-  * satisfies a range predicate).
+  * Read side: [[readPruned]] intersects range bounds against the
+  * manifest DRIVER-SIDE (a metadata decision, like partition pruning);
+  * [[readPrunedKeys]] does the same for a key LIST, consulting the
+  * Bloom sidecar when the key column has one. Only surviving files are
+  * handed to the reader, and the residual predicate still applies — so
+  * the result is EXACTLY the full scan's filter, independent of layout
+  * quality: a bad layout skips nothing but never returns a wrong row.
+  * Stats min/max ignore NULLs (files recording no non-null value are
+  * always skippable: a NULL never satisfies a range predicate), and the
+  * Bloom fold skips NULLs for the same reason.
+  *
+  * Maintenance is HIT-SIZED: [[patchManifest]] recomputes stats only
+  * for files an erasure/compaction/append actually touched (a file-local
+  * pass over just those paths), drops deleted entries, and keeps every
+  * other entry verbatim — so refreshing the manifest after deleting 5
+  * keys never re-reads the other 99.99% of a 100 TB table.
   *
   * Single-writer discipline as everywhere in this package: the manifest
-  * describes the directory as of its write; rewrite it after any
+  * describes the directory as of its write; patch it after any
   * append/compaction (stats collection is idempotent).
   */
 object DataSkipping {
 
   val ManifestName = "_skip_manifest.json"
 
-  /** Per-file stats: `mins`/`maxs` align with the manifest's column
-    * list. A file with zero non-null values in a column records
+  val DefaultBloomExpected = 100000L
+  val DefaultBloomFpp = 0.01
+
+  /** Per-file stats: `mins`/`maxs` align with the manifest's `cols`,
+    * `blooms` (base64-serialized [[BloomFilter]]s) with `bloomCols`.
+    * A file with zero non-null values in a column records
     * (Long.MaxValue, Long.MinValue) — an empty range nothing intersects.
     */
-  final case class FileStats(file: String, rows: Long, mins: Seq[Long], maxs: Seq[Long])
+  final case class FileStats(file: String, rows: Long, mins: Seq[Long], maxs: Seq[Long],
+      blooms: Seq[String] = Nil) {
+    /** Decode the i-th Bloom sidecar (aligned with `bloomCols`). */
+    def bloom(i: Int): BloomFilter =
+      BloomFilter.readFrom(Base64.getDecoder.decode(blooms(i)))
+  }
 
-  final case class SkipManifest(cols: Seq[String], files: Seq[FileStats])
+  /** `bloomExpected`/`bloomFpp` record the sidecar sizing so a patch
+    * rebuilds rewritten files' filters with the original parameters.
+    */
+  final case class SkipManifest(cols: Seq[String], files: Seq[FileStats],
+      bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = DefaultBloomExpected,
+      bloomFpp: Double = DefaultBloomFpp)
 
   /** Write `df` to `outDir` clustered on `layoutKey` in ~`numFiles`
     * range-partitioned, internally sorted files, then collect per-file
-    * min/max of `statsCols` (long-valued columns) into the skip
-    * manifest. Returns the manifest, ordered by file name.
+    * min/max of `statsCols` (long-valued columns) — and a per-file
+    * Bloom filter for each of `bloomCols` (long or string) — into the
+    * skip manifest. Returns the manifest, ordered by file name.
     *
     * `numFiles` sizes files for the target corpus (bytes / ~128 MB);
-    * the stats pass reads only `statsCols` (column-pruned) once.
+    * the stats pass reads only the stats+bloom columns (column-pruned)
+    * once. Size `bloomExpected` to the per-file distinct count.
     */
   def writeWithStats(df: DataFrame, outDir: String, layoutKey: Column,
-      numFiles: Int, statsCols: Seq[String]): SkipManifest = {
+      numFiles: Int, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = DefaultBloomExpected,
+      bloomFpp: Double = DefaultBloomFpp): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     df.withColumn("__layout", layoutKey)
@@ -66,46 +103,114 @@ object DataSkipping {
       .sortWithinPartitions(col("__layout"))
       .drop("__layout")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-    writeManifest(df.sparkSession, outDir, statsCols)
+    writeManifest(df.sparkSession, outDir, statsCols, bloomCols, bloomExpected, bloomFpp)
   }
 
-  /** Build and write the manifest for an existing parquet directory —
-    * also the refresh step after an append or compaction.
+  /** Build and write the manifest for an existing parquet directory.
+    * For refreshes after a partial rewrite prefer [[patchManifest]] —
+    * this one scans every file. An empty directory (every file deleted)
+    * yields an empty manifest rather than a schema-inference failure.
     */
   def writeManifest(spark: SparkSession, outDir: String,
-      statsCols: Seq[String]): SkipManifest = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = DefaultBloomExpected,
+      bloomFpp: Double = DefaultBloomFpp): SkipManifest = {
+    val parts = listPartFiles(spark, outDir)
+    val files =
+      if (parts.isEmpty) Vector.empty
+      else statsFor(spark, parts.map(p => s"$outDir/$p"),
+        statsCols, bloomCols, bloomExpected, bloomFpp)
+    val m = SkipManifest(statsCols, files, bloomCols, bloomExpected, bloomFpp)
+    writeManifestFile(spark, outDir, m)
+    m
+  }
+
+  /** HIT-SIZED manifest refresh: entries in `removedFiles` are dropped,
+    * entries in `rewrittenFiles` are recomputed by reading ONLY those
+    * paths (file-local stats+bloom pass), and every other entry is kept
+    * verbatim — cost tracks the touched-file list, never the table.
+    * Sidecar parameters (cols, bloom sizing) come from the existing
+    * manifest. If nothing remains, an empty manifest is written without
+    * touching any data file.
+    */
+  def patchManifest(spark: SparkSession, dir: String,
+      removedFiles: Seq[String], rewrittenFiles: Seq[String]): SkipManifest = {
+    val old = readManifest(spark, dir)
+    val touched = (removedFiles ++ rewrittenFiles).toSet
+    val kept = old.files.filterNot(f => touched.contains(f.file))
+    val fresh =
+      if (rewrittenFiles.isEmpty) Vector.empty
+      else statsFor(spark, rewrittenFiles.map(f => s"$dir/$f"),
+        old.cols, old.bloomCols, old.bloomExpected, old.bloomFpp)
+    val m = old.copy(files = (kept ++ fresh).sortBy(_.file).toIndexedSeq)
+    writeManifestFile(spark, dir, m)
+    m
+  }
+
+  /** One column-pruned stats pass over exactly `paths`: per file, row
+    * count, min/max of `statsCols`, Bloom of `bloomCols`. The collect is
+    * one row per FILE — manifest-sized, never data-sized.
+    */
+  private def statsFor(spark: SparkSession, paths: Seq[String],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomExpected: Long, bloomFpp: Double): IndexedSeq[FileStats] = {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__min_$c"),
-      max(col(c).cast("long")).as(s"__max_$c")))
-    val rows = spark.read.parquet(outDir)
+      max(col(c).cast("long")).as(s"__max_$c"))) ++
+      bloomCols.map(c => BloomAgg(col(c), bloomExpected, bloomFpp).as(s"__bloom_$c"))
+    val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
-      .collect() // one row per FILE — manifest-sized, never data-sized
-    val files = rows.map { r =>
+      .collect()
+    rows.map { r =>
       val name = r.getString(0).split('/').last
       val (mins, maxs) = statsCols.map { c =>
         val mi = r.getAs[Any](s"__min_$c"); val ma = r.getAs[Any](s"__max_$c")
         if (mi == null || ma == null) (Long.MaxValue, Long.MinValue)
         else (mi.asInstanceOf[Long], ma.asInstanceOf[Long])
       }.unzip
-      FileStats(name, r.getAs[Long]("__rows"), mins, maxs)
+      val blooms = bloomCols.map(c =>
+        Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](s"__bloom_$c")))
+      FileStats(name, r.getAs[Long]("__rows"), mins, maxs, blooms)
     }.sortBy(_.file).toIndexedSeq
-    val m = SkipManifest(statsCols, files)
+  }
+
+  private[sinks] def listPartFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+      .sorted.toIndexedSeq
+  }
+
+  /** Serialize (legacy-stable): the bloom header fields and per-file
+    * `blooms` arrays appear only when `bloomCols` is non-empty, so
+    * bloom-free manifests stay byte-identical to the v1 format.
+    */
+  private def writeManifestFile(spark: SparkSession, outDir: String, m: SkipManifest): Unit = {
     val text = new StringBuilder
-    text ++= s"""{"cols":${m.cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")},"files":[""" + "\n"
-    text ++= files.map(f =>
-      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}}""")
-      .mkString(",\n")
+    val bloomHeader =
+      if (m.bloomCols.isEmpty) ""
+      else s""","bloomCols":${m.bloomCols.map(c => "\"" + c + "\"").mkString("[", ",", "]")}""" +
+        s""","bloomExpected":${m.bloomExpected},"bloomFpp":${m.bloomFpp}"""
+    text ++= s"""{"cols":${m.cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")}$bloomHeader,"files":[""" + "\n"
+    text ++= m.files.map { f =>
+      val bloomField =
+        if (f.blooms.isEmpty) ""
+        else s""","blooms":${f.blooms.map(b => "\"" + b + "\"").mkString("[", ",", "]")}"""
+      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$bloomField}"""
+    }.mkString(",\n")
     text ++= "\n]}\n"
     val p = new Path(outDir, ManifestName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(text.toString.getBytes("UTF-8")) finally out.close()
-    m
   }
 
   /** Parse the manifest back (hand-rolled like the writer — the format
-    * is ours, one file object per line between the header/footer lines).
+    * is ours, one file object per line between the header/footer lines;
+    * v1 manifests without bloom fields parse with empty sidecars).
     */
   def readManifest(spark: SparkSession, dir: String): SkipManifest = {
     val p = new Path(dir, ManifestName)
@@ -114,12 +219,21 @@ object DataSkipping {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def corrupt(why: String): Nothing =
       throw new IllegalStateException(s"corrupt skip manifest $p: $why")
-    val ColsRe = """\{"cols":\[([^\]]*)\],"files":\[""".r
-    val FileRe = """\{"file":"([^"]+)","rows":(\d+),"mins":\[([^\]]*)\],"maxs":\[([^\]]*)\]\},?""".r
+    val ColsRe = ("""\{"cols":\[([^\]]*)\]""" +
+      """(?:,"bloomCols":\[([^\]]*)\],"bloomExpected":(\d+),"bloomFpp":([0-9.eE+-]+))?""" +
+      ""","files":\[""").r
+    val FileRe = ("""\{"file":"([^"]+)","rows":(\d+),"mins":\[([^\]]*)\],"maxs":\[([^\]]*)\]""" +
+      """(?:,"blooms":\[([^\]]*)\])?\},?""").r
+    def names(s: String): Seq[String] =
+      if (s == null || s.isEmpty) Nil
+      else s.split(',').map(_.stripPrefix("\"").stripSuffix("\"")).toIndexedSeq
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
     if (lines.isEmpty) corrupt("empty")
-    val cols = lines.head match {
-      case ColsRe(cs) => cs.split(',').map(_.stripPrefix("\"").stripSuffix("\"")).toIndexedSeq
+    val (cols, bloomCols, bloomExpected, bloomFpp) = lines.head match {
+      case ColsRe(cs, bcs, be, bf) =>
+        (names(cs), names(bcs),
+          if (be == null) DefaultBloomExpected else be.toLong,
+          if (bf == null) DefaultBloomFpp else bf.toDouble)
       case _ => corrupt(s"bad header '${lines.head}'")
     }
     def longs(s: String): Seq[Long] =
@@ -129,14 +243,17 @@ object DataSkipping {
         catch { case _: NumberFormatException => corrupt(s"non-long '$x'") }
       }.toIndexedSeq
     val files = lines.tail.dropRight(1).map {
-      case FileRe(f, r, mi, ma) =>
+      case FileRe(f, r, mi, ma, bl) =>
         val (mins, maxs) = (longs(mi), longs(ma))
         if (mins.length != cols.length || maxs.length != cols.length)
           corrupt(s"file '$f' stats arity != ${cols.length}")
-        FileStats(f, r.toLong, mins, maxs)
+        val blooms = names(bl)
+        if (blooms.length != bloomCols.length)
+          corrupt(s"file '$f' bloom arity ${blooms.length} != ${bloomCols.length}")
+        FileStats(f, r.toLong, mins, maxs, blooms)
       case l => corrupt(s"bad file line '$l'")
     }
-    SkipManifest(cols, files)
+    SkipManifest(cols, files, bloomCols, bloomExpected, bloomFpp)
   }
 
   /** Range query with file skipping: keep only the files whose
@@ -166,5 +283,50 @@ object DataSkipping {
       spark.read.parquet(dir).filter(residual).limit(0)
     else
       spark.read.parquet(keep.map(f => s"$dir/${f.file}"): _*).filter(residual)
+  }
+
+  /** Point-lookup with file skipping: read only the files that might
+    * contain one of `keys` (Long or String), per the Bloom sidecar when
+    * `keyCol` has one, intersected with the min/max range when it has
+    * long stats. Works on NON-layout keys — exactly where min/max alone
+    * degrades to a full scan — and the residual `IN` filter keeps the
+    * result identical to the full scan's.
+    */
+  def readPrunedKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val m = readManifest(spark, dir)
+    val keep = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
+    val residual = col(keyCol).isin(keys: _*)
+    if (keep.isEmpty)
+      spark.read.parquet(dir).filter(residual).limit(0)
+    else
+      spark.read.parquet(keep.map(f => s"$dir/${f.file}"): _*).filter(residual)
+  }
+
+  /** Files that might contain any of `keys` on `keyCol` — the shared
+    * candidate set of [[readPrunedKeys]] and [[Erasure]]. Bloom and
+    * range evidence intersect when both exist; at least one must.
+    * String keys require a Bloom sidecar (range stats are long-only).
+    */
+  private[sinks] def candidateFiles(m: SkipManifest, keyCol: String,
+      keys: Seq[Any], where: String): Seq[FileStats] = {
+    val si = m.cols.indexOf(keyCol)
+    val bi = m.bloomCols.indexOf(keyCol)
+    val longKeys = keys.collect { case l: Long => l; case i: Int => i.toLong }
+    val rangeUsable = si >= 0 && longKeys.length == keys.length
+    require(rangeUsable || bi >= 0,
+      s"column '$keyCol' has no usable sidecar for these keys in $where " +
+        s"(stats cols: ${m.cols.mkString(", ")}; bloom cols: ${m.bloomCols.mkString(", ")}; " +
+        s"string keys need a bloom sidecar)")
+    m.files.filter { f =>
+      val rangeHit = !rangeUsable ||
+        longKeys.exists(k => k >= f.mins(si) && k <= f.maxs(si))
+      lazy val bloomHit = bi < 0 || {
+        val bloom = f.bloom(bi)
+        keys.exists(k => BloomAgg.mightContain(bloom, k))
+      }
+      rangeHit && bloomHit
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,18 +8,30 @@ import org.apache.spark.sql.functions._
   * ([[DataSkipping]]): the erasure/right-to-be-forgotten primitive.
   *
   * A naive delete rewrites the whole table to remove a handful of keys.
-  * With the per-file min/max manifest, only files whose key RANGE can
-  * contain a listed key are touched — on a layout clustered by the key
-  * (the [[DataSkipping.writeWithStats]] contract) that is a few files
-  * out of thousands, so erasure cost tracks the erasure list, not the
-  * table. Untouched files stay byte-identical, which also means their
+  * With the per-file manifest, only files that might contain a listed
+  * key are touched — by min/max range on a layout-clustered long key
+  * (the [[DataSkipping.writeWithStats]] contract), by Bloom sidecar on
+  * any other key (including strings), or the intersection when both
+  * exist — a few files out of thousands, so erasure cost tracks the
+  * erasure list, not the table. That contract now holds END TO END: the
+  * manifest refresh is [[DataSkipping.patchManifest]], which recomputes
+  * stats only for the files this run actually rewrote (a file-local,
+  * column-pruned pass over just those paths), drops deleted files'
+  * entries, and keeps every other entry verbatim. Untouched files are
+  * never re-read and stay byte-identical, which also means their
   * downstream caches/replicas stay valid.
   *
-  * Each hit file is rewritten write-aside-then-swap (temp dir is
-  * dot-prefixed, so directory readers never see it; the repo's
-  * single-writer discipline — see DataSkipping's scaladoc); a file
-  * whose every row is doomed is deleted outright. The manifest is
-  * rebuilt afterwards so subsequent pruned reads see the new stats.
+  * Each hit file is rewritten write-aside-then-swap; the swap is a
+  * single rename-with-OVERWRITE of the rewritten file onto the target
+  * (`FileContext.rename(…, Options.Rename.OVERWRITE)`), so there is no
+  * window where the survivors exist only in the temp dir: a crash
+  * before the rename leaves the ORIGINAL file (and manifest) fully
+  * intact — the erasure simply hasn't happened yet for that file and a
+  * rerun completes it. Leftover dot-prefixed `.erasure_tmp_*` dirs from
+  * a crashed run are invisible to directory readers and are swept at
+  * the start of the next run. A file whose every row is doomed is
+  * deleted outright; if EVERY file empties, the patch writes an empty
+  * manifest rather than failing schema inference on an empty dir.
   *
   * NULL keys are never deleted: a NULL can't equal a listed key, and
   * the keep-predicate says so explicitly because `!isin` alone would
@@ -41,17 +53,24 @@ object Erasure {
 
   /** Erase every row whose `keyCol` (long) appears in `keys`. */
   def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
-      keys: Seq[Long]): ErasureReport = {
+      keys: Seq[Long]): ErasureReport =
+    delete(spark, dir, keyCol, keys)
+
+  /** Erase every row whose `keyCol` equals one of `keys` (Long or
+    * String — string keys require a Bloom sidecar in the manifest,
+    * since min/max stats are long-only).
+    */
+  def delete(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Any]): ErasureReport = {
     require(keys.nonEmpty, "keys must be non-empty")
     val m = DataSkipping.readManifest(spark, dir)
-    val i = m.cols.indexOf(keyCol)
-    require(i >= 0, s"column '$keyCol' has no stats in $dir/" +
-      s"${DataSkipping.ManifestName} (stats cols: ${m.cols.mkString(", ")})")
-    val hits = m.files.filter(f => keys.exists(k => k >= f.mins(i) && k <= f.maxs(i)))
-    if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
     val conf = spark.sessionState.newHadoopConf()
-    var rewritten = 0
-    var deletedFiles = 0
+    sweepStaleTmp(new Path(dir), conf)
+    val hits = DataSkipping.candidateFiles(m, keyCol, keys,
+      s"$dir/${DataSkipping.ManifestName}")
+    if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
+    var rewrittenFiles = List.empty[String]
+    var removedFiles = List.empty[String]
     var rowsDeleted = 0L
     val keep = col(keyCol).isNull || !col(keyCol).isin(keys: _*)
     hits.foreach { f =>
@@ -62,22 +81,36 @@ object Erasure {
       rowsDeleted += f.rows - keptRows
       if (keptRows == 0) {
         fs.delete(target, false): Unit
-        deletedFiles += 1
+        removedFiles ::= f.file
       } else if (keptRows < f.rows) {
         val tmp = new Path(dir, s".erasure_tmp_${f.file}")
         survivors.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-        fs.delete(target, false): Unit
-        fs.rename(part, target): Unit
+        // atomic-overwrite swap: the target always holds either the old
+        // complete file or the new complete file, never neither
+        val fc = FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(part, target, Options.Rename.OVERWRITE)
         fs.delete(tmp, true): Unit
-        rewritten += 1
+        rewrittenFiles ::= f.file
       }
-      // keptRows == f.rows: a range hit with no actual key present —
-      // the file is left untouched (and uncounted), not rewritten
+      // keptRows == f.rows: a range/bloom hit with no actual key present
+      // (false positive) — the file is left untouched (and uncounted)
     }
-    DataSkipping.writeManifest(spark, dir, m.cols): Unit
-    ErasureReport(m.files.size, rewritten, deletedFiles, rowsDeleted)
+    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles): Unit
+    ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
+  }
+
+  /** Remove `.erasure_tmp_*` leftovers of a crashed prior run: their
+    * targets were never overwritten (the rename is the last step), so
+    * the temp contents are stale garbage, not the only copy of data.
+    */
+  private def sweepStaleTmp(dir: Path, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(".erasure_tmp_"))
+        .foreach(p => fs.delete(p, true): Unit)
   }
 }

@@ -78,4 +78,71 @@ class DataSkippingSpec extends SparkSuite {
     DataSkipping.writeManifest(spark, dir, Seq("a", "b"))
     assert(DataSkipping.readPruned(spark, dir, Seq(("b", 0L, 5L))).count() === 6L)
   }
+
+  test("bloom sidecar prunes point lookups on a NON-layout key; result stays exact") {
+    val dir = tmpDir("graft-skip-bloom")
+    // layout on a; b is a high-cardinality key the layout ignores, so
+    // min/max on b overlaps every file and only the bloom can prune
+    val df = (0 until 4000).map(i => (i.toLong, (i.toLong * 7919) % 100003, i.toLong))
+      .toDF("a", "b", "payload")
+    val m = DataSkipping.writeWithStats(df, dir, col("a"), numFiles = 8,
+      statsCols = Seq("a"), bloomCols = Seq("b"), bloomExpected = 1000L)
+    assert(m.bloomCols === Seq("b"))
+    assert(m.files.forall(_.blooms.length === 1))
+    // manifest with blooms round-trips exactly (base64 strings compare structurally)
+    assert(DataSkipping.readManifest(spark, dir) === m)
+
+    val keys: Seq[Any] = Seq(7919L, 15838L, 55433L) // b-values of rows 1, 2, 7
+    val pruned = DataSkipping.readPrunedKeys(spark, dir, "b", keys)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"bloom must prune a point lookup on b: read ${pruned.inputFiles.length} of $total")
+    val expected = df.filter(col("b").isin(keys: _*))
+    assert(pruned.orderBy("payload").collect() === expected.orderBy("payload").collect())
+
+    // a key nothing contains prunes to the empty (schema-preserving) read
+    val none = DataSkipping.readPrunedKeys(spark, dir, "b", Seq(99999999L))
+    assert(none.count() === 0L && none.columns.toSeq === Seq("a", "b", "payload"))
+  }
+
+  test("string bloom sidecar prunes string-key lookups") {
+    val dir = tmpDir("graft-skip-bloom-str")
+    val df = (0 until 2000).map(i => (i.toLong, s"user-${i % 500}@mail.example", i.toLong))
+      .toDF("a", "email", "payload")
+    DataSkipping.writeWithStats(df, dir, col("a"), numFiles = 4,
+      statsCols = Seq("a"), bloomCols = Seq("email"), bloomExpected = 600L)
+    val hit = DataSkipping.readPrunedKeys(spark, dir, "email",
+      Seq("user-3@mail.example"))
+    assert(hit.count() === 4L)
+    // string keys without a bloom sidecar are rejected with a clear error
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.readPrunedKeys(spark, dir, "a", Seq("not-a-long"))
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
+  test("patchManifest recomputes only touched entries and keeps the rest verbatim") {
+    val dir = tmpDir("graft-skip-patch")
+    val df = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
+    val m = DataSkipping.writeWithStats(df, dir, col("a"), numFiles = 4,
+      statsCols = Seq("a"), bloomCols = Seq("a"), bloomExpected = 300L)
+    val victim = m.files.head.file
+    // drop one file on disk, patch it out of the manifest: the other
+    // entries (incl. bloom payload) must survive byte-for-byte
+    val p = new org.apache.hadoop.fs.Path(dir, victim)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    val patched = DataSkipping.patchManifest(spark, dir, Seq(victim), Nil)
+    assert(patched.files.map(_.file) === m.files.tail.map(_.file))
+    assert(patched.files === m.files.tail, "untouched entries must be verbatim")
+    assert(DataSkipping.readManifest(spark, dir) === patched)
+
+    // patching EVERYTHING away leaves a valid empty manifest, no rescan
+    m.files.tail.foreach { f =>
+      val fp = new org.apache.hadoop.fs.Path(dir, f.file)
+      fp.getFileSystem(spark.sessionState.newHadoopConf()).delete(fp, false)
+    }
+    val empty = DataSkipping.patchManifest(spark, dir, m.files.tail.map(_.file), Nil)
+    assert(empty.files.isEmpty && empty.cols === Seq("a"))
+    assert(DataSkipping.readManifest(spark, dir).files.isEmpty)
+  }
 }

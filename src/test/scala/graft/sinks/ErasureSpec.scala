@@ -74,4 +74,73 @@ class ErasureSpec extends SparkSuite {
     assert(rpt === Erasure.ErasureReport(2, 0, 0, 0L))
     assert(spark.read.parquet(dir).count() === 100L)
   }
+
+  test("manifest refresh is hit-sized: untouched files are never re-read") {
+    val dir = tmpDir("graft-erase-hitsized")
+    val df = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    val m = DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 8,
+      statsCols = Seq("k"))
+    // corrupt the LAST file (k-range ~700..799) on disk: any refresh
+    // that scans the whole directory now throws; a hit-sized patch of
+    // an erasure confined to the FIRST file's range succeeds
+    val victim = m.files.last.file
+    val victimPath = Paths.get(dir, victim)
+    val original = Files.readAllBytes(victimPath)
+    Files.write(victimPath, "not a parquet file".getBytes("UTF-8"))
+
+    val rpt = Erasure.deleteKeys(spark, dir, "k", Seq(10L, 11L))
+    assert(rpt.filesRewritten === 1 && rpt.filesDeleted === 0)
+    assert(rpt.rowsDeleted === 2L)
+
+    // the corrupted (untouched) file's manifest entry survived verbatim
+    val after = DataSkipping.readManifest(spark, dir)
+    assert(after.files.find(_.file === victim) === m.files.lastOption)
+    Files.write(victimPath, original) // restore for the exactness check
+    assert(spark.read.parquet(dir).filter(col("k").isin(10L, 11L)).count() === 0L)
+    assert(spark.read.parquet(dir).count() === 798L)
+  }
+
+  test("erasing every row leaves an empty directory and a valid empty manifest") {
+    val dir = tmpDir("graft-erase-empty")
+    val df = (0 until 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val rpt = Erasure.deleteKeys(spark, dir, "k", (0L until 10L))
+    assert(rpt.filesDeleted === 2 && rpt.filesRewritten === 0)
+    assert(rpt.rowsDeleted === 100L)
+    val m = DataSkipping.readManifest(spark, dir)
+    assert(m.files.isEmpty && m.cols === Seq("k"))
+  }
+
+  test("string-key erasure via the bloom sidecar") {
+    val dir = tmpDir("graft-erase-str")
+    val rows = (0 until 400).map(i => (i.toLong, s"u${i % 100}@x.example", i.toLong))
+    val df = rows.toDF("id", "email", "payload")
+    DataSkipping.writeWithStats(df, dir, col("id"), numFiles = 4,
+      statsCols = Seq("id"), bloomCols = Seq("email"), bloomExpected = 200L)
+    val rpt = Erasure.delete(spark, dir, "email", Seq("u7@x.example", "u13@x.example"))
+    assert(rpt.rowsDeleted === 8L, "each erased address appears 4x")
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("email").isin("u7@x.example", "u13@x.example")).count() === 0L)
+    assert(left.count() === 392L)
+    // long-only stats alone cannot serve a string list
+    val statsOnly = tmpDir("graft-erase-str-nostats")
+    DataSkipping.writeWithStats(df, statsOnly, col("id"), numFiles = 2,
+      statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Erasure.delete(spark, statsOnly, "email", Seq("u7@x.example"))
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
+  test("stale .erasure_tmp_* leftovers are swept on the next run") {
+    val dir = tmpDir("graft-erase-sweep")
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val stale = Paths.get(dir, ".erasure_tmp_part-crashed")
+    Files.createDirectory(stale)
+    Files.write(stale.resolve("junk"), Array[Byte](1, 2, 3))
+    Erasure.deleteKeys(spark, dir, "k", Seq(5L)): Unit
+    assert(!Files.exists(stale), "crashed-run leftovers must be swept")
+    assert(spark.read.parquet(dir).count() === 99L)
+  }
 }
