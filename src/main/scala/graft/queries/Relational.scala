@@ -338,8 +338,12 @@ object Relational {
         .crossJoin(broadcast(ev.agg(count(lit(1)).as("__n"))))
         .select(col("exact_join_rows"),
           (col("join_size_est") >= col("exact_join_rows")).as("one_sided_ok"),
-          ((col("join_size_est") - col("exact_join_rows")) * width <=
-            col("__n") * col("__n") * 8).as("within_bound"))
+          // the bound is a calibration inequality, not exact arithmetic:
+          // compute it in double — n²·8 in LongType would overflow ANSI
+          // arithmetic right at the 100 TB event counts (~1e9+) this
+          // pre-flight exists for
+          ((col("join_size_est") - col("exact_join_rows")).cast("double") * width <=
+            col("__n").cast("double") * col("__n").cast("double") * 8).as("within_bound"))
     }),
 
     // Incremental rollup maintenance (the materialized-view pattern):
@@ -478,6 +482,44 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("sum_cents"),
           grouping_id().as("gid"))),
+
+    // ROLLUP lattice over (nation, order year) — the drill-down report
+    // shape (detail → per-nation subtotal → grand total) in ONE pass:
+    // map-side grouping-set expansion, one shuffle, subtotal rows
+    // disambiguated from data nulls by grouping_id. Dims join before
+    // the rollup: nation broadcast outright; customer a plain equi-join
+    // AQE converts or shuffles by size — never the fact side twice.
+    "q135_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .rollup(col("n_name"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().as("gid"))),
+
+    // Explicit GROUPING SETS — the two marginals plus the grand total,
+    // WITHOUT the (nation, year) detail level ROLLUP would force: the
+    // report asks exactly three aggregation levels and the expansion
+    // materializes exactly those, still one pass / one shuffle.
+    "q136_grouping_sets" -> ((s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      joined
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("o_year")), Seq.empty[org.apache.spark.sql.Column]),
+          col("n_name"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().as("gid"))
+    }),
 
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
@@ -925,6 +967,28 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // GROUPING(a, b) bit order matches Spark's grouping_id() (q76's law)
+    // for rollup and explicit grouping sets alike.
+    "q135_rollup" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_year)""".stripMargin,
+
+    "q136_grouping_sets" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_year), ())""".stripMargin,
 
     "q80_stable_ids" ->
       """SELECT o_orderkey,

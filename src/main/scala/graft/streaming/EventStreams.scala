@@ -245,21 +245,16 @@ object EventStreams {
     * suite exercises retry idempotence without a running stream).
     */
   private[streaming] def upsertBatchSketch(batch: DataFrame, batchId: Long,
-      keyCol: String, depth: Int, width: Int, storeDir: String): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      graft.operators.Sketches.countMin(batch, keyCol, depth, width)
-        .withColumn("batch_id", lit(batchId))
-        .coalesce(1) // depth·width rows — one file per batch partition
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("batch_id").parquet(storeDir)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      keyCol: String, depth: Int, width: Int, storeDir: String): Unit =
+    graft.operators.Sketches.countMin(batch, keyCol, depth, width)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // depth·width rows — one file per batch partition
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // writer-scoped, NOT a session-conf toggle: a concurrent writer in
+      // the same session (another stream's foreachBatch, a static-
+      // overwrite batch job) must never race a global set/restore
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
 
   /** Start the maintenance stream: one sketch partition per epoch. */
   def countMinStreamStart(events: DataFrame, keyCol: String, depth: Int, width: Int,
