@@ -21,7 +21,24 @@ object StreamingQueries {
     // Sessionization: 30-minute-gap sessions per user (gaps-and-islands
     // over per-user event times; one shuffle on user_id).
     "q41_event_sessions" -> ((s, dir) =>
-      EventStreams.batchSessions(Tables.events(s, dir), gapMs = 1800000L))
+      EventStreams.batchSessions(Tables.events(s, dir), gapMs = 1800000L)),
+
+    // Stream-STREAM watermarked attribution join, batch form: purchases
+    // matched to the same user's views in the half-open 30-minute
+    // lookback. The identical definition runs under readStream with
+    // bounded state (watermark-derived eviction, suite-asserted); here
+    // the watermarks are no-ops and DuckDB checks the join law exactly.
+    "q139_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          floor(col("purchase_value") * 100 + 0.5).cast("long").as("purchase_cents"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -42,6 +59,16 @@ object StreamingQueries {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  COUNT(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q139_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts""".stripMargin
   )
 }

@@ -274,6 +274,47 @@ object EventStreams {
     spark.read.parquet(storeDir)
       .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Stream-STREAM watermarked inner join — the attribution query (which
+    * view led to this purchase?), the canonical shape that forces two
+    * unbounded inputs to meet: each purchase matches the SAME user's
+    * views in the half-open lookback window `[purchase_ts − lookback,
+    * purchase_ts)` — the [[graft.operators.IntervalJoin]] law with the
+    * purchase as the interval, which is exactly how the suite
+    * cross-validates it against the batch operator.
+    *
+    * State is bounded by construction, the non-negotiable at 100 TB/day:
+    * both sides carry an event-time watermark and the join condition
+    * carries an explicit event-time RANGE, so Spark derives per-side
+    * retention (a view can only ever match purchases up to `lookback`
+    * later; a purchase only views no older than `lookback`) and evicts
+    * buffered rows as the watermark passes them — the suite asserts the
+    * eviction. Matches emit immediately (inner join; only state CLEANUP
+    * waits for the watermark), and the user-key equality keeps the
+    * shuffle an ordinary hash exchange on user_id for both streams.
+    *
+    * On batch frames the watermarks are no-ops and the same definition
+    * is the plain interval join — one definition, both engines, like
+    * every operator in this object.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      lookback: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("__p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    v.join(p,
+        col("user_id") === col("__p_user") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+          col("view_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"), col("purchase_value"))
+  }
+
   /** File-based streaming source with the events schema (the streaming
     * entry point for directory-fed deployments).
     */

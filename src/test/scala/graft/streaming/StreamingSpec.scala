@@ -467,6 +467,76 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch interval join and bounds its state") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:10:00", 1, "view"),
+      ev(3, "2024-01-01 10:40:00", 1, "view"),
+      ev(4, "2024-01-01 10:05:00", 2, "view"))
+    val purchases = Seq(
+      ev(101, "2024-01-01 10:30:00", 1, "purchase", 9.99),
+      ev(102, "2024-01-01 10:45:00", 1, "purchase", 5.00),
+      ev(103, "2024-01-01 11:00:00", 2, "purchase", 7.77))
+    // expected (30-min half-open lookback [p_ts − 30m, p_ts)):
+    //   p101 ← v1 (10:00 ≥ 10:00) and v2; v3 is after the purchase
+    //   p102 ← v3 only (v2 at 10:10 < 10:15 fell out of the window)
+    //   p103 ← nothing (user 2's view is 55 min before) — inner join drops
+    val expected = Set((101L, 1L), (101L, 2L), (102L, 3L))
+
+    val memV = MemoryStream[Event]
+    val memP = MemoryStream[Event]
+    val q = attributionJoin(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // views and purchases arrive interleaved across micro-batches
+      memV.addData(views.take(2): _*)
+      memP.addData(purchases.head)
+      q.processAllAvailable()
+      memV.addData(views.drop(2): _*)
+      memP.addData(purchases.tail: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, view_id FROM attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+
+      // same definition on batch frames (watermarks no-op) …
+      val batch = attributionJoin(views.toDF(), purchases.toDF())
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === expected)
+
+      // … and the batch INTERVAL-join law: purchase = interval
+      // [p_ts − lookback, p_ts) over views as points
+      val pts = views.toDF().select(col("user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val ivs = purchases.toDF().select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        (col("ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 minutes")).as("start_ts"),
+        col("ts").as("end_ts"))
+      val viaInterval = graft.operators.IntervalJoin.broadcastByKey(
+          pts, ivs, "user_id", "view_ts", "start_ts", "end_ts", Seq("purchase_id"))
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaInterval === expected)
+
+      // state bound: push the watermark ~3h forward — everything
+      // buffered for the 10:00–11:00 window must be EVICTED, not kept
+      memV.addData(ev(5, "2024-01-01 14:00:00", 3, "view"))
+      memP.addData(ev(104, "2024-01-01 14:05:00", 3, "purchase", 1.0))
+      q.processAllAvailable()
+      memV.addData(ev(6, "2024-01-01 14:10:00", 3, "view"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val fed = (views.size + 3) + (purchases.size + 1)
+      assert(stateRows < fed,
+        s"watermark must evict matured join state: $stateRows rows held of $fed fed")
+      assert(stateRows <= 4,
+        s"only the post-watermark rows may remain buffered, got $stateRows")
+    } finally q.stop()
+  }
+
   test("batch sessions split exactly on the gap boundary") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1),
