@@ -969,6 +969,27 @@ object LlmQueries {
         Seq(10L, 777L, 4242L, 9000L))
     }),
 
+    // Append-then-patch manifest maintenance (the daily-ingest path of
+    // the skipping store): a base table lands with stats, a new batch
+    // APPENDS — clustered within itself, manifest patched with ONLY the
+    // new files' entries (base entries verbatim, suite-pinned) — and a
+    // range read spanning the boundary prunes from the refreshed
+    // manifest. The oracle is the plain WHERE over the whole table, so
+    // a stale manifest (missing the new files) or a broken patch (lost
+    // base entries) drops rows and hash-mismatches.
+    "q140_skip_append" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val tmp = gateScratchDir(s, "q140")
+      graft.sinks.DataSkipping.writeWithStats(
+        li.filter(col("l_orderkey") % 5 =!= 0), tmp, col("l_orderkey"),
+        numFiles = 6, statsCols = Seq("l_orderkey"))
+      graft.sinks.DataSkipping.appendWithStats(
+        li.filter(col("l_orderkey") % 5 === 0), tmp, col("l_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.readPruned(s, tmp, Seq(("l_orderkey", 500L, 1500L)))
+    }),
+
     // STRING-keyed erasure (the real right-to-be-forgotten shape: the
     // erasure list arrives as urls/emails, not surrogate longs): docs
     // carry a derived doc_url, the store clusters on doc_id with a
@@ -2521,6 +2542,11 @@ object LlmQueries {
     "q137_bloom_skip" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id IN (10, 777, 4242, 9000)""".stripMargin,
+
+    // Append + manifest patch never changes the answer either.
+    "q140_skip_append" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 1500""".stripMargin,
 
     // url ↔ doc_id is a bijection, so url-list erasure ≡ id NOT IN.
     "q138_erasure_string" ->

@@ -106,6 +106,28 @@ object DataSkipping {
     writeManifest(df.sparkSession, outDir, statsCols, bloomCols, bloomExpected, bloomFpp)
   }
 
+  /** Append a new batch to a stats-manifested directory, clustered on
+    * the same layout key WITHIN the batch, then patch ONLY the new
+    * files into the manifest ([[patchManifest]]) — the daily-ingest
+    * path: cost is one pass over the batch, never a re-scan of the
+    * table, and existing entries stay verbatim. Per-file ranges of the
+    * new files may overlap the old ones' (each batch clusters
+    * independently); [[Compaction]] is the periodic re-tighten.
+    */
+  def appendWithStats(df: DataFrame, dir: String, layoutKey: Column,
+      numFiles: Int): SkipManifest = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val spark = df.sparkSession
+    val before = listPartFiles(spark, dir).toSet
+    df.withColumn("__layout", layoutKey)
+      .repartitionByRange(numFiles, col("__layout"))
+      .sortWithinPartitions(col("__layout"))
+      .drop("__layout")
+      .write.mode(SaveMode.Append).parquet(dir)
+    val added = listPartFiles(spark, dir).filterNot(before)
+    patchManifest(spark, dir, Nil, added)
+  }
+
   /** Build and write the manifest for an existing parquet directory.
     * For refreshes after a partial rewrite prefer [[patchManifest]] —
     * this one scans every file. An empty directory (every file deleted)

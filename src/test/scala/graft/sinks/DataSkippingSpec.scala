@@ -145,4 +145,23 @@ class DataSkippingSpec extends SparkSuite {
     assert(empty.files.isEmpty && empty.cols === Seq("a"))
     assert(DataSkipping.readManifest(spark, dir).files.isEmpty)
   }
+
+  test("appendWithStats patches only the new files; base entries stay verbatim") {
+    val dir = tmpDir("graft-skip-append")
+    val base = (0 until 400).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
+    val m0 = DataSkipping.writeWithStats(base, dir, col("a"), numFiles = 4,
+      statsCols = Seq("a"), bloomCols = Seq("a"), bloomExpected = 300L)
+    val batch = (400 until 600).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
+    val m1 = DataSkipping.appendWithStats(batch, dir, col("a"), numFiles = 2)
+    assert(m1.files.size === 6)
+    // the 4 base entries are byte-for-byte the originals (incl. blooms)
+    assert(m1.files.filter(f => m0.files.exists(_.file == f.file)) === m0.files)
+    // pruned reads stay exact across the append boundary
+    val out = DataSkipping.readPruned(spark, dir, Seq(("a", 390L, 410L)))
+    assert(out.count() === 21L)
+    assert(out.inputFiles.length < 6, "append-aware manifest must still prune")
+    // bloom sidecar built for the new files too
+    val hit = DataSkipping.readPrunedKeys(spark, dir, "a", Seq(599L))
+    assert(hit.count() === 1L)
+  }
 }
