@@ -82,6 +82,36 @@ object Skew {
     case SaltedMax(_, o)  => max(col(o)).as(o)
   }
 
+  /** One-sided upper bound on the heaviest key's frequency, from a
+    * count-min sketch relation ([[Sketches.countMin]]) ALONE: per hash
+    * row every key's full count lands in one counter, so
+    * `max_c cnt(r,c) ≥ max_k f(k)` for every row r, and the min over
+    * the depth rows is the tightest of depth one-sided bounds (the
+    * q127 inner-product argument applied to the max). Cost: one
+    * aggregation of a depth×width relation and a 1-row collect —
+    * nothing data-sized is touched, which is the point: the sketch
+    * already exists (maintained live by the streaming CMS store).
+    */
+  def heavyKeyBound(sketch: DataFrame): Long =
+    sketch.groupBy(col("r")).agg(max(col("cnt")).as("__m"))
+      .agg(min(col("__m")).as("__bound"))
+      .collect()(0).getLong(0)
+
+  /** Sketch-driven salt factor: enough salts that the HEAVIEST key's
+    * estimated rows spread to ≤ `targetRowsPerReducer` per partial
+    * group, clamped to [1, maxSalts]. This closes the pre-flight loop
+    * (q127 family): the sketch prices the skew, this prices the
+    * mitigation, and because [[heavyKeyBound]] is one-sided the chosen
+    * factor can only over-provision — correctness never depends on it
+    * (salt choice cannot change a decomposable aggregate's result).
+    */
+  def saltsForBound(bound: Long, targetRowsPerReducer: Long,
+      maxSalts: Int = 256): Int = {
+    require(targetRowsPerReducer > 0, "targetRowsPerReducer must be positive")
+    math.max(1, math.min(maxSalts.toLong,
+      (bound + targetRowsPerReducer - 1) / targetRowsPerReducer).toInt)
+  }
+
   /** Salted equi-join for a skewed probe side against a modest build
     * side: the build side is replicated `numSalts` times (one copy per
     * salt value), the probe side gets a uniform salt, and the join key

@@ -346,6 +346,34 @@ object Relational {
             col("__n").cast("double") * col("__n").cast("double") * 8).as("within_bound"))
     }),
 
+    // Sketch-DRIVEN skew mitigation — the pre-flight loop CLOSED: the
+    // count-min sketch (which the streaming CMS store maintains live
+    // at 100 TB) upper-bounds the heaviest key's frequency WITHOUT
+    // touching the data (min over hash rows of the row's max counter —
+    // one-sided, like q127's inner product), the salt factor derives
+    // from bound/targetRowsPerReducer, and the salted two-phase
+    // aggregate runs with that factor. Because the bound is one-sided
+    // the factor can only over-provision, and salt choice cannot change
+    // a decomposable aggregate — so the oracle is the PLAIN group-by,
+    // with the one-sidedness measured against the exact max group size.
+    "q141_auto_salt" -> ((s, dir) => {
+      import graft.operators.{Sketches, Skew}
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val sketch = Sketches.countMin(ev, "event_type", depth = 4, width = 1024)
+      val bound = Skew.heavyKeyBound(sketch)
+      val salts = Skew.saltsForBound(bound, targetRowsPerReducer = 500L)
+      val agg = Skew.saltedAggregate(ev, Seq("event_type"),
+        Seq(Skew.SaltedCount("n_events"), Skew.SaltedSum("v", "sum_cents")),
+        numSalts = salts)
+      val maxExact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__mx"))
+      agg.crossJoin(broadcast(maxExact))
+        .select(col("event_type"), col("n_events"), col("sum_cents"),
+          (lit(bound) >= col("__mx")).as("bound_one_sided_ok"),
+          lit(salts >= 2 && salts <= 256).as("salts_sized"))
+    }),
+
     // Incremental rollup maintenance (the materialized-view pattern):
     // a persisted per-(user, type) rollup absorbs a new ingest batch by
     // merging ALGEBRAIC aggregate state — counts add, sums add, min/max
@@ -888,6 +916,15 @@ object Relational {
         |  TRUE AS one_sided_ok, TRUE AS within_bound
         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
         |      FROM events GROUP BY user_id)""".stripMargin,
+
+    // Salt placement is xxhash64-dependent and cannot affect the
+    // result; the oracle pins the plain group-by plus the booleans
+    // (the q124/q127 pattern).
+    "q141_auto_salt" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS bound_one_sided_ok, TRUE AS salts_sized
+        |FROM events GROUP BY 1""".stripMargin,
 
     // The FULL recompute is the spec: merged algebraic state must be
     // indistinguishable from aggregating the raw union.

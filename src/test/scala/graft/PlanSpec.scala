@@ -499,4 +499,35 @@ class PlanSpec extends SparkSuite {
       .filter(col("l_orderkey").between(0, 150) && col("l_partkey").between(0, 40))
     assert(pruned.count() === full.count() && full.count() > 0)
   }
+
+  test("q135/q136: grouping lattices are ONE Expand into one aggregation — never a pass per level") {
+    Seq("q135_rollup", "q136_grouping_sets").foreach { q =>
+      val p = plan(q)
+      assert("Expand".r.findAllIn(p).size === 1,
+        s"$q must expand grouping sets map-side exactly once:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial count"),
+        s"$q's lattice aggregation must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's nation dim must broadcast:\n$p")
+    }
+  }
+
+  test("q139: the attribution join is user-keyed, never a cartesian or per-row range scan") {
+    val p = plan("q139_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the time range must ride the user-key equi-join as a post-condition:\n" + p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[user_id".r.findFirstIn(p).isDefined,
+      "both streams must hash-exchange on user_id:\n" + p)
+  }
+
+  test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
+    val p = plan("q141_auto_salt")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      "only the broadcast one-row calibration join may appear:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "the salted phase-1 aggregate must map-side combine:\n" + p)
+    assert(p.contains("__salt") || p.contains("pmod"),
+      "phase 1 must group by (keys, salt):\n" + p)
+  }
 }

@@ -87,6 +87,32 @@ class CmsSpec extends SparkSuite {
     assert(est === f2, "wide sketch: the self-estimate is exactly sum(f^2)")
   }
 
+  test("heavy-key bound is one-sided over the true max frequency; salts derive from it") {
+    val sk = Sketches.countMin(keys, "k", depth = 4, width = 64)
+    val exactMax = keys.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0)
+    val bound = Skew.heavyKeyBound(sk)
+    assert(bound >= exactMax, s"bound $bound < true max $exactMax")
+    // with width >> keys the bound is EXACT (no collisions bite the min)
+    val wide = Sketches.countMin(keys, "k", depth = 4, width = 65536)
+    assert(Skew.heavyKeyBound(wide) === exactMax)
+    // salt factor: ceil(bound / target), clamped both ways
+    assert(Skew.saltsForBound(bound, targetRowsPerReducer = bound) === 1)
+    assert(Skew.saltsForBound(bound, targetRowsPerReducer = 10L) ===
+      math.min(256L, (bound + 9) / 10).toInt)
+    assert(Skew.saltsForBound(1000000L, 10L, maxSalts = 32) === 32)
+    assert(Skew.saltsForBound(0L, 10L) === 1)
+    // the chosen factor never changes the aggregate (decomposability)
+    val salts = Skew.saltsForBound(bound, targetRowsPerReducer = 25L)
+    assert(salts > 1)
+    val salted = Skew.saltedAggregate(keys, Seq("k"),
+        Seq(Skew.SaltedCount("n")), numSalts = salts)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val plain = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("join-size estimate of disjoint relations is 0, not null") {
     val a = Seq("a1", "a2").toDF("k")
     val b = Seq("b1", "b2").toDF("k")
