@@ -96,7 +96,30 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Number].intValue())),
     (new FunctionIdentifier("zorder64"),
       new ExpressionInfo(classOf[ZOrder64].getName, "zorder64"),
-      (children: Seq[Expression]) => ZOrder64(children.head, children(1))))
+      (children: Seq[Expression]) => ZOrder64(children.head, children(1))),
+    (new FunctionIdentifier("sorted_count_le"),
+      new ExpressionInfo(classOf[SortedCountLe].getName, "sorted_count_le"),
+      (children: Seq[Expression]) => SortedCountLe(children.head, children(1))),
+    // aggregate: the analyzer wraps the bare AggregateFunction; args 2-3
+    // (expectedItems, fpp) must be foldable literals. SQL decimal
+    // literals (0.01) eval to Catalyst Decimal, not java.lang.Number.
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => BloomAgg(children.head,
+        numArg(children(1)).longValue(), numArg(children(2)).doubleValue())),
+    // the probe side: arg 2 is the serialized filter as a binary literal
+    // (e.g. a bloom_agg result collected and re-inlined)
+    (new FunctionIdentifier("bloom_contains_long"),
+      new ExpressionInfo(classOf[BloomContainsLong].getName, "bloom_contains_long"),
+      (children: Seq[Expression]) => BloomContainsLong(children.head,
+        children(1).eval().asInstanceOf[Array[Byte]])))
+
+  private def numArg(e: Expression): Number = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.bigDecimal
+    case n: Number => n
+    case other => throw new IllegalArgumentException(
+      s"expected a foldable numeric literal, got $other")
+  }
 
   /** Idempotent registration on a live session (for sessions not built
     * with the extensions conf).

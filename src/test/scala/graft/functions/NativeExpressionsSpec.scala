@@ -33,6 +33,20 @@ class NativeExpressionsSpec extends SparkSuite {
       .as[Long].head() === 11L)
     assert(spark.sql("SELECT size(minhash_sig(array(5L, 6L), 12)) AS n")
       .as[Int].head() === 12)
+    assert(spark.sql(
+      "SELECT sorted_count_le(array(1L, 3L, 5L), 4L) AS c").as[Int].head() === 2)
+    // bloom_agg is a real SQL aggregate; its output probes via
+    // bloom_contains_long with the serialized filter as a binary literal
+    val bytes = spark.sql(
+      "SELECT bloom_agg(x, 100, 0.01) AS b FROM VALUES (1L), (2L), (3L) AS t(x)")
+      .head().getAs[Array[Byte]]("b")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+    assert(bloom.mightContainLong(2L) && !bloom.mightContainLong(999999L))
+    val hits = spark.range(5).toDF("id")
+      .filter(BloomContainsLong(org.apache.spark.sql.functions.col("id"), bloom))
+      .as[Long].collect().toSet
+    // no false negatives (1-3 must hit); 0/4 may false-positive by contract
+    assert(Set(1L, 2L, 3L).subsetOf(hits))
   }
 
   test("native ngram_poly_hash_set equals the reference fold on generated ASCII strings") {

@@ -144,6 +144,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: BloomAgg never false-negatives and is partitioning-invariant") {
+    val keyGen = Gen.listOfN(400, Gen.choose(Long.MinValue, Long.MaxValue))
+    val keys = sample(Gen.listOfN(1, keyGen)).head
+    // build across many partitions (forces map-side partials + merges)
+    def build(parts: Int): org.apache.spark.util.sketch.BloomFilter = {
+      val bytes = keys.toDF("k").repartition(parts)
+        .agg(BloomAgg(col("k"), 500L, 0.01))
+        .head().getAs[Array[Byte]](0)
+      org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+    }
+    val b8 = build(8)
+    keys.foreach(k => assert(b8.mightContainLong(k), s"false negative on $k"))
+    // bit-set OR is order/partitioning-invariant: same bits either way
+    val b1 = build(1)
+    assert(b1.bitSize() === b8.bitSize())
+    keys.foreach(k => assert(b1.mightContainLong(k)))
+    // string path: UTF-8 fold must match the driver-side string probe
+    val strs = sample(Gen.listOfN(1,
+      Gen.listOfN(200, Gen.alphaNumStr.suchThat(_.nonEmpty)))).head
+    val sb = strs.toDF("s").repartition(5)
+      .agg(BloomAgg(col("s"), 300L, 0.01)).head().getAs[Array[Byte]](0)
+    val sBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(sb)
+    strs.foreach(s => assert(sBloom.mightContainString(s), s"false negative on '$s'"))
+    // NULLs are skipped, not inserted
+    val nb = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("k")
+      .agg(BloomAgg(col("k"), 10L, 0.01)).head().getAs[Array[Byte]](0)
+    val nBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(nb)
+    assert(nBloom.mightContainLong(1L) && nBloom.mightContainLong(2L))
+  }
+
   test("property: TIMESTAMP_NTZ inputs are result-identical to TimestampType across the time operators") {
     // the L96 law on random data: under the pinned UTC session the NTZ
     // cast is value-preserving, so as-of (both physical forms) and the
