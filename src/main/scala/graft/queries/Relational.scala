@@ -549,6 +549,45 @@ object Relational {
           grouping_id().as("gid"))
     }),
 
+    // The analytic window-function family over ONE shared partition
+    // ordering — lag/lead navigation, row numbering, ntile quartiles,
+    // and a running sum — so every frame rides a SINGLE user_id
+    // exchange + sort (PlanSpec pins exactly one exchange): the window
+    // breadth a reporting user expects, at one shuffle of cost. The
+    // (ts, event_id) total order is bit-stable across engines.
+    "q142_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("ntile4"),
+          sum(cents(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_cents"))
+    }),
+
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): the
+    // dimension-reconciliation shape where NULL is a real key ("no
+    // attribution" buckets must pair, not cross or drop). Both sides
+    // pre-aggregate per key — the NULL group collapses to ONE row per
+    // side — then the null-safe left join pairs them 1:1; an engine
+    // that treats NULL = NULL as false drops the null bucket's n_b and
+    // hash-mismatches.
+    "q143_nullsafe_join" -> ((s, dir) => {
+      val key = when(col("user_id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 20)
+      val ev = Tables.events(s, dir)
+      val a = ev.select(key.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+      val b = ev.filter(col("event_type") === "view").select(key.as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+      a.join(b.withColumnRenamed("k", "__bk"), col("k") <=> col("__bk"), "left")
+        .select(col("k"), col("n_a"), coalesce(col("n_b"), lit(0L)).as("n_b"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1031,6 +1070,28 @@ object Relational {
       """SELECT o_orderkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
         |FROM orders""".stripMargin,
+
+    "q142_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // NULL buckets pair 1:1 under IS NOT DISTINCT FROM.
+    "q143_nullsafe_join" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+        |    ELSE user_id % 20 END AS k, event_type FROM events),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a FROM k GROUP BY 1),
+        |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b FROM k
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT a.k, a.n_a, CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_b
+        |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
 
     "q85_interval_join" -> intervalJoinOracleSql,
 

@@ -521,6 +521,20 @@ class PlanSpec extends SparkSuite {
       "both streams must hash-exchange on user_id:\n" + p)
   }
 
+  test("q142: every window function rides ONE user_id exchange and sort") {
+    val p = plan("q142_window_funcs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "lag/lead/row_number/ntile/running-sum must share the single partition ordering:\n" + p)
+    assert(!p.toLowerCase.contains("join"), "no join belongs here:\n" + p)
+  }
+
+  test("q143: the null-safe join stays a keyed join, never a cartesian") {
+    val p = plan("q143_nullsafe_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "null-safe equality must plan as an equi-join:\n" + p)
+    assert(p.contains("Join"), "expected a join:\n" + p)
+  }
+
   test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
     val p = plan("q141_auto_salt")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
