@@ -588,6 +588,24 @@ object Relational {
         .select(col("k"), col("n_a"), coalesce(col("n_b"), lit(0L)).as("n_b"))
     }),
 
+    // Time-series resample + forward fill: each user's irregular event
+    // stream becomes a regular HOURLY grid carrying the latest value
+    // at-or-before each grid instant (the metrics/feature-store
+    // primitive). Grid = per-key sequence() explode (never a global-
+    // calendar cross join); fill = one last-ignoreNulls running window
+    // over events ∪ grid; ≤2 exchanges, no join (PlanSpec). A bucket
+    // before the key's first event fills NULL in both engines.
+    "q144_resample_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("v_cents"))
+      graft.operators.Resample.forwardFill(ev, "user_id", "ts", "event_id",
+          "v_cents", stepSec = 3600L)
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("v_cents"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1070,6 +1088,26 @@ object Relational {
       """SELECT o_orderkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
         |FROM orders""".stripMargin,
+
+    // The oracle rebuilds the same union+window fill (grid rows sort
+    // after events at the same instant; event ties break by id).
+    "q144_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, 0 AS grid,
+        |    event_id AS id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT user_id, MIN(us) - MIN(us) % 3600000000 AS lo,
+        |    MAX(us) - MAX(us) % 3600000000 AS hi FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS us,
+        |    1 AS grid, 9223372036854775807 AS id, CAST(NULL AS BIGINT) AS v
+        |  FROM b),
+        |u AS (SELECT * FROM e UNION ALL BY NAME SELECT * FROM g),
+        |f AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY us, grid, id
+        |    ROWS UNBOUNDED PRECEDING) AS fill FROM u)
+        |SELECT user_id,
+        |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  fill AS v_cents
+        |FROM f WHERE grid = 1""".stripMargin,
 
     "q142_window_funcs" ->
       """SELECT event_id, user_id,

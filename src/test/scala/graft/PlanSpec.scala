@@ -535,6 +535,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join"), "expected a join:\n" + p)
   }
 
+  test("q144: resample+ffill is grid-explode + one fill window — no join, no global calendar") {
+    val p = plan("q144_resample_ffill")
+    assert(!p.toLowerCase.contains("join"),
+      "grid comes from per-key sequence(), never a calendar join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "per-key bounds agg + fill window only:\n" + p)
+    assert(p.contains("Generate"), "expected the sequence() explode:\n" + p)
+  }
+
   test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
     val p = plan("q141_auto_salt")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,

@@ -596,4 +596,26 @@ class OperatorSpec extends SparkSuite {
     assert(intervals.last._3 === 500L)
     release()
   }
+
+  test("Resample.forwardFill: hourly grid, carry-forward, id tie-break, null before first event") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      // user 1: first event mid-bucket -> 10:00 bucket fills NULL
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 5L),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L, 7L),  // same ts: id 2 wins
+      (1L, Timestamp.valueOf("2024-01-01 13:00:00"), 3L, 9L),  // exactly on the bucket
+      // user 2: single event on the hour -> one bucket, filled
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 4L, 1L))
+      .toDF("k", "ts", "id", "v")
+    val out = Resample.forwardFill(rows, "k", "ts", "id", "v", stepSec = 3600L)
+      .orderBy("k", "bucket_ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", None),      // before the first event
+      (1L, "2024-01-01 11:00:00.0", Some(7L)),  // id tie-break: 7, not 5
+      (1L, "2024-01-01 12:00:00.0", Some(7L)),  // gap carries forward
+      (1L, "2024-01-01 13:00:00.0", Some(9L)),  // on-bucket event included
+      (2L, "2024-01-01 00:00:00.0", Some(1L))))
+  }
 }
