@@ -990,6 +990,32 @@ object LlmQueries {
       graft.sinks.DataSkipping.readPruned(s, tmp, Seq(("l_orderkey", 500L, 1500L)))
     }),
 
+    // Small-file compaction with the MANIFEST as the commit point (the
+    // crash-safe maintenance step q140's daily appends eventually
+    // need): three tiny appended files fold into one layout-sorted
+    // file, big files' bytes AND manifest entries stay verbatim
+    // (suite-pinned), and the commit order — news in as orphans →
+    // manifest patch → olds deleted last — keeps manifest-driven reads
+    // exact through any crash. The oracle is the plain WHERE over
+    // everything ever written: a row lost or duplicated across the
+    // fold hash-mismatches.
+    "q145_compact_small" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val tmp = gateScratchDir(s, "q145")
+      graft.sinks.DataSkipping.writeWithStats(
+        li.filter(col("l_orderkey") % 4 === 0), tmp, col("l_orderkey"),
+        numFiles = 4, statsCols = Seq("l_orderkey"))
+      (1 to 3).foreach(r =>
+        graft.sinks.DataSkipping.appendWithStats(
+          li.filter(col("l_orderkey") % 4 === r), tmp, col("l_orderkey"),
+          numFiles = 1): Unit)
+      graft.sinks.DataSkipping.compactSmallFiles(s, tmp, col("l_orderkey"),
+        minRows = 1000000L, targetFiles = 2): Unit
+      graft.sinks.DataSkipping.readPruned(s, tmp,
+        Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)))
+    }),
+
     // STRING-keyed erasure (the real right-to-be-forgotten shape: the
     // erasure list arrives as urls/emails, not surrogate longs): docs
     // carry a derived doc_url, the store clusters on doc_id with a
@@ -2547,6 +2573,11 @@ object LlmQueries {
     "q140_skip_append" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
         |WHERE l_orderkey BETWEEN 500 AND 1500""".stripMargin,
+
+    // Compaction moves every row exactly once: the folded store must
+    // read back as the union of everything ever written.
+    "q145_compact_small" ->
+      "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
 
     // url ↔ doc_id is a bijection, so url-list erasure ≡ id NOT IN.
     "q138_erasure_string" ->

@@ -128,6 +128,71 @@ object DataSkipping {
     patchManifest(spark, dir, Nil, added)
   }
 
+  /** Compact the store's SMALL files (manifest rows < `minRows`) into
+    * `targetFiles` layout-sorted files, patching the manifest hit-sized:
+    * big files' entries (and bytes) stay verbatim — compaction cost
+    * tracks the small-file backlog, never the table.
+    *
+    * The MANIFEST is the commit point, which makes the protocol
+    * crash-safe without a transaction log, PROVIDED reads go through
+    * [[readPruned]]/[[readPrunedKeys]] (the store's contract: the
+    * manifest defines the table; a bare `spark.read.parquet(dir)` over
+    * a crashed-mid-compaction directory may see both generations):
+    *
+    *  1. new files write into a dot-prefixed tmp dir (invisible);
+    *  2. they move into the directory — still ORPHANS (not in the
+    *     manifest, so manifest-driven reads ignore them);
+    *  3. [[patchManifest]] atomically swaps the small files' entries
+    *     for the new files' (the commit);
+    *  4. the old small files are deleted LAST — after the commit they
+    *     are the orphans.
+    *
+    * A crash at any point leaves manifest-driven reads exact: before 3
+    * the olds are listed and intact; after 3 the news are listed and
+    * complete. The next run (or any maintenance entry) sweeps orphan
+    * part files not listed in the manifest before doing new work.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String, layoutKey: Column,
+      minRows: Long, targetFiles: Int = 1): SkipManifest = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    sweepOrphans(spark, dir)
+    val m = readManifest(spark, dir)
+    val smalls = m.files.filter(_.rows < minRows)
+    if (smalls.size <= 1) return m
+    val tmp = new Path(dir, s".compact_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true): Unit
+    spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*)
+      .withColumn("__layout", layoutKey)
+      .repartitionByRange(targetFiles, col("__layout"))
+      .sortWithinPartitions(col("__layout"))
+      .drop("__layout")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .map { p =>
+        fs.rename(p, new Path(dir, p.getName)): Unit
+        p.getName
+      }.toIndexedSeq.sorted
+    fs.delete(tmp, true): Unit
+    val patched = patchManifest(spark, dir, smalls.map(_.file), moved) // commit
+    smalls.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
+    patched
+  }
+
+  /** Delete part files present on disk but absent from the manifest —
+    * the leftovers of a crash between a compaction's move and its
+    * commit (or after its commit, before the old files' delete).
+    */
+  private[sinks] def sweepOrphans(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dir, ManifestName))) return
+    val listed = readManifest(spark, dir).files.map(_.file).toSet
+    listPartFiles(spark, dir).filterNot(listed)
+      .foreach(n => fs.delete(new Path(dir, n), false): Unit)
+  }
+
   /** Build and write the manifest for an existing parquet directory.
     * For refreshes after a partial rewrite prefer [[patchManifest]] —
     * this one scans every file. An empty directory (every file deleted)

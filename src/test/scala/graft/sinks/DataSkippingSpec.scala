@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
@@ -163,5 +163,38 @@ class DataSkippingSpec extends SparkSuite {
     // bloom sidecar built for the new files too
     val hit = DataSkipping.readPrunedKeys(spark, dir, "a", Seq(599L))
     assert(hit.count() === 1L)
+  }
+
+  test("compactSmallFiles folds the small-file backlog; big entries verbatim; orphans swept") {
+    val dir = tmpDir("graft-skip-compact")
+    val base = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
+    val m0 = DataSkipping.writeWithStats(base, dir, col("a"), numFiles = 2,
+      statsCols = Seq("a"))
+    (0 until 3).foreach { b =>
+      val batch = (800 + b * 20 until 820 + b * 20)
+        .map(i => (i.toLong, i.toLong)).toDF("a", "payload")
+      DataSkipping.appendWithStats(batch, dir, col("a"), numFiles = 1): Unit
+    }
+    assert(DataSkipping.readManifest(spark, dir).files.size === 5)
+
+    // plant an orphan (a crashed run's moved-but-uncommitted file): it
+    // must be swept, not read, not counted
+    val anyPart = DataSkipping.readManifest(spark, dir).files.head.file
+    java.nio.file.Files.copy(Paths.get(dir, anyPart),
+      Paths.get(dir, "part-orphan-from-crash.parquet"))
+
+    val m1 = DataSkipping.compactSmallFiles(spark, dir, col("a"),
+      minRows = 100L, targetFiles = 1)
+    assert(m1.files.size === 3, s"2 big + 1 compacted, got ${m1.files.map(_.file)}")
+    assert(m1.files.filter(f => m0.files.exists(_.file == f.file)) === m0.files,
+      "big files' entries must survive verbatim")
+    assert(!Files.exists(Paths.get(dir, "part-orphan-from-crash.parquet")),
+      "orphans must be swept before compaction")
+    val all = DataSkipping.readPruned(spark, dir, Seq(("a", 0L, 10000L)))
+    assert(all.count() === 860L, "no row lost or duplicated across the compaction")
+    assert(all.inputFiles.length === 3)
+    // idempotence: nothing small remains, second run is a no-op
+    val m2 = DataSkipping.compactSmallFiles(spark, dir, col("a"), minRows = 100L)
+    assert(m2.files.map(_.file) === m1.files.map(_.file))
   }
 }
