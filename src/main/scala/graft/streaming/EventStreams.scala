@@ -296,9 +296,18 @@ object EventStreams {
     * is the plain interval join — one definition, both engines, like
     * every operator in this object.
     */
+  /** @param joinType `"inner"` (matched pairs only) or `"right_outer"`
+    *   — purchases preserved: an UNATTRIBUTED purchase emits once, with
+    *   null view columns, when the watermark passes its lookback window
+    *   and no view can still arrive (the "organic conversions" report;
+    *   outer results are watermark-delayed by definition — emitting
+    *   earlier could produce a match later, and the suite pins exactly
+    *   this timing).
+    */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
       lookback: String = "30 minutes",
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -310,9 +319,10 @@ object EventStreams {
     v.join(p,
         col("user_id") === col("__p_user") &&
           col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
-          col("view_ts") < col("purchase_ts"))
-      .select(col("purchase_id"), col("user_id"), col("view_id"),
-        col("purchase_ts"), col("view_ts"), col("purchase_value"))
+          col("view_ts") < col("purchase_ts"),
+        joinType)
+      .select(col("purchase_id"), coalesce(col("user_id"), col("__p_user")).as("user_id"),
+        col("view_id"), col("purchase_ts"), col("view_ts"), col("purchase_value"))
   }
 
   /** File-based streaming source with the events schema (the streaming

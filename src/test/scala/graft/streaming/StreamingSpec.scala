@@ -537,6 +537,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("outer attribution: unattributed purchases emit with null view ONLY after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val memV = MemoryStream[Event]
+    val memP = MemoryStream[Event]
+    val q = attributionJoin(memV.toDF(), memP.toDF(), joinType = "right_outer")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // p201 has an attributing view; p202 (user 9) has none
+      memV.addData(ev(11, "2024-01-01 10:20:00", 1, "view"))
+      memP.addData(
+        ev(201, "2024-01-01 10:30:00", 1, "purchase", 3.0),
+        ev(202, "2024-01-01 10:35:00", 9, "purchase", 4.0))
+      q.processAllAvailable()
+      def got(): Map[Long, Option[Long]] =
+        spark.sql("SELECT purchase_id, view_id FROM attr_outer_out")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // matched pair emits immediately; the unmatched purchase must NOT
+      // have emitted yet — a view inside its window could still arrive
+      assert(got() === Map(201L -> Some(11L)))
+
+      // advance both watermarks well past 10:35 + lookback + delay
+      memV.addData(ev(12, "2024-01-01 14:00:00", 3, "view"))
+      memP.addData(ev(203, "2024-01-01 14:05:00", 3, "purchase", 1.0))
+      q.processAllAvailable()
+      memV.addData(ev(13, "2024-01-01 14:10:00", 3, "view"))
+      q.processAllAvailable()
+      val after = got()
+      assert(after(202L) === None, "the organic purchase emits with a null view")
+      assert(after(201L) === Some(11L))
+      assert(after.contains(203L), "the in-window pair for user 3 also emits")
+    } finally q.stop()
+  }
+
   test("batch sessions split exactly on the gap boundary") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1),
