@@ -1016,6 +1016,23 @@ object LlmQueries {
         Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)))
     }),
 
+    // TIME-window skipping — the single most common production skip
+    // key: events land clustered on event time (epoch-micros layout
+    // key), the manifest carries per-file time ranges, and a 2-day
+    // window prunes from the LISTING — the "last day of a year of
+    // logs" read that at 100 TB decides whether a task is scheduled at
+    // all. Oracle = the plain BETWEEN over everything.
+    "q146_skip_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val tmp = gateScratchDir(s, "q146")
+      graft.sinks.DataSkipping.writeWithStats(ev.drop("ts"), tmp, col("ts_us"),
+        numFiles = 8, statsCols = Seq("ts_us"))
+      graft.sinks.DataSkipping.readPruned(s, tmp,
+        Seq(("ts_us", 1704844800000000L, 1705017599999999L)))
+    }),
+
     // STRING-keyed erasure (the real right-to-be-forgotten shape: the
     // erasure list arrives as urls/emails, not surrogate longs): docs
     // carry a derived doc_url, the store clusters on doc_id with a
@@ -2578,6 +2595,11 @@ object LlmQueries {
     // read back as the union of everything ever written.
     "q145_compact_small" ->
       "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
+
+    // Time skipping never changes the answer — only the file listing.
+    "q146_skip_time" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1705017599999999""".stripMargin,
 
     // url ↔ doc_id is a bijection, so url-list erasure ≡ id NOT IN.
     "q138_erasure_string" ->

@@ -606,6 +606,23 @@ object Relational {
           col("v_cents"))
     }),
 
+    // Linear-interpolation resample (q144's smoother sibling — the
+    // sensor/metrics read where a gap should slope, not step): each
+    // grid value interpolates between the surrounding events; tail
+    // forward-fills, head is NULL. Arithmetic is engine-exact: int64
+    // slope numerator, ONE binary64 division, explicit FLOOR (negative
+    // slopes round down identically in Spark and DuckDB).
+    "q147_resample_interp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("v_cents"))
+      graft.operators.Resample.interpolate(ev, "user_id", "ts", "event_id",
+          "v_cents", stepSec = 3600L)
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("v_cents"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1107,6 +1124,35 @@ object Relational {
         |SELECT user_id,
         |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
         |  fill AS v_cents
+        |FROM f WHERE grid = 1""".stripMargin,
+
+    // Mirror of the Spark fill: prev = last at-or-before (ties high id),
+    // next = closest strictly-after (ties low id via the DESC scan),
+    // same int64 numerator / binary64 division / FLOOR.
+    "q147_resample_interp" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, 0 AS grid,
+        |    event_id AS id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT user_id, MIN(us) - MIN(us) % 3600000000 AS lo,
+        |    MAX(us) - MAX(us) % 3600000000 AS hi FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS us,
+        |    1 AS grid, 9223372036854775807 AS id, CAST(NULL AS BIGINT) AS v
+        |  FROM b),
+        |u AS (SELECT * FROM e UNION ALL BY NAME SELECT * FROM g),
+        |f AS (SELECT *,
+        |    last_value(CASE WHEN v IS NOT NULL THEN struct_pack(us := us, v := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, grid, id
+        |      ROWS UNBOUNDED PRECEDING) AS prev,
+        |    last_value(CASE WHEN v IS NOT NULL THEN struct_pack(us := us, v := v) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us DESC, grid ASC, id DESC
+        |      ROWS UNBOUNDED PRECEDING) AS nxt
+        |  FROM u)
+        |SELECT user_id,
+        |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |       WHEN nxt IS NULL OR nxt.us <= prev.us THEN prev.v
+        |       ELSE prev.v + CAST(FLOOR(CAST((nxt.v - prev.v) * (us - prev.us) AS DOUBLE)
+        |         / CAST(nxt.us - prev.us AS DOUBLE)) AS BIGINT) END AS v_cents
         |FROM f WHERE grid = 1""".stripMargin,
 
     "q142_window_funcs" ->

@@ -618,4 +618,24 @@ class OperatorSpec extends SparkSuite {
       (1L, "2024-01-01 13:00:00.0", Some(9L)),  // on-bucket event included
       (2L, "2024-01-01 00:00:00.0", Some(1L))))
   }
+
+  test("Resample.interpolate: linear between neighbors, floor on negative slope, ffill tail, null head") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L),
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, 300L),
+      (1L, Timestamp.valueOf("2024-01-01 13:30:00"), 3L, 50L))
+      .toDF("k", "ts", "id", "v")
+    val out = Resample.interpolate(rows, "k", "ts", "id", "v", stepSec = 3600L)
+      .orderBy("bucket_ts")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", Some(100L)), // exact point
+      ("2024-01-01 11:00:00.0", Some(200L)), // midway up the +200 slope
+      ("2024-01-01 12:00:00.0", Some(300L)), // exact point
+      // 13:00 sits 2/3 along the 12:00→13:30 drop of −250:
+      // 300 + floor(−250 · 2/3) = 300 + (−167) = 133 (floor, not trunc)
+      ("2024-01-01 13:00:00.0", Some(133L))))
+  }
 }
