@@ -623,6 +623,51 @@ object Relational {
           col("v_cents"))
     }),
 
+    // UNPIVOT / melt — q75's inverse, completing the reshape pair: the
+    // per-user event-type count matrix folds back to long form (one
+    // row per (user, type), zeros kept). Map-side Expand only — wide→
+    // long never shuffles; the prefix strip makes the variable column
+    // carry the clean type name in both engines.
+    "q148_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val wide = p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      wide.unpivot(
+          Array(col("user_id")),
+          types.map(t => col(s"n_$t")).toArray,
+          "event_type", "n_events")
+        .withColumn("event_type", expr("substring(event_type, 3)"))
+    }),
+
+    // Fuzzy entity matching (record linkage): noisy name strings match
+    // their canonical entity by minimum edit distance — the "map messy
+    // source names onto the reference table" curation step. The
+    // canonical side BROADCASTS (it is dimension-sized by definition)
+    // and the argmin is one window over the probe key with the
+    // bit-stable (distance, name) tie order; levenshtein is the same
+    // classic definition in both engines. Probes are nations corrupted
+    // deterministically (drop the 2nd char, append 'X'), so every probe
+    // has a known right answer and a wrong argmin hash-mismatches.
+    "q149_fuzzy_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nations = Tables.nation(s, dir).select(col("n_name"))
+      val noisy = nations.select(concat(
+        substring(col("n_name"), 1, 1),
+        substring(col("n_name"), 3, 100),
+        lit("X")).as("noisy_name"))
+      val scored = noisy.crossJoin(broadcast(nations))
+        .withColumn("d", levenshtein(col("noisy_name"), col("n_name")).cast("long"))
+      val w = Window.partitionBy(col("noisy_name"))
+        .orderBy(col("d").asc, col("n_name").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("noisy_name"), col("n_name").as("matched_name"), col("d"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1154,6 +1199,33 @@ object Relational {
         |       ELSE prev.v + CAST(FLOOR(CAST((nxt.v - prev.v) * (us - prev.us) AS DOUBLE)
         |         / CAST(nxt.us - prev.us AS DOUBLE)) AS BIGINT) END AS v_cents
         |FROM f WHERE grid = 1""".stripMargin,
+
+    // DuckDB's UNPIVOT names the variable after the source column;
+    // both engines strip the n_ prefix the same way.
+    "q148_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |    COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |    COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |    COUNT(*) FILTER (event_type = 'view') AS n_view
+        |  FROM events GROUP BY 1),
+        |u AS (UNPIVOT w ON n_click, n_error, n_purchase, n_signup, n_view
+        |      INTO NAME event_type VALUE n_events)
+        |SELECT user_id, substring(event_type, 3) AS event_type,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM u""".stripMargin,
+
+    "q149_fuzzy_match" ->
+      """WITH noisy AS (SELECT substring(n_name, 1, 1) ||
+        |    substring(n_name, 3) || 'X' AS noisy_name FROM nation),
+        |scored AS (SELECT noisy_name, n_name,
+        |    CAST(levenshtein(noisy_name, n_name) AS BIGINT) AS d
+        |  FROM noisy CROSS JOIN nation),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY noisy_name
+        |    ORDER BY d ASC, n_name ASC) AS rk FROM scored)
+        |SELECT noisy_name, n_name AS matched_name, d
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     "q142_window_funcs" ->
       """SELECT event_id, user_id,

@@ -165,6 +165,54 @@ class DataSkippingSpec extends SparkSuite {
     assert(hit.count() === 1L)
   }
 
+  test("property: pruned reads and erasure equal their full-scan models across random layouts/bounds/keys") {
+    val rnd = new scala.util.Random(13)
+    (0 until 4).foreach { trial =>
+      val dir = tmpDir(s"graft-skip-prop$trial")
+      val n = 500 + rnd.nextInt(1500)
+      val keySpan = 50 + rnd.nextInt(500)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(keySpan).toLong, (rnd.nextInt(keySpan) * 7919L) % 9973, i.toLong)
+      }
+      val df = rows.toDF("a", "b", "payload")
+      val numFiles = 2 + rnd.nextInt(7)
+      val layoutOnA = rnd.nextBoolean()
+      DataSkipping.writeWithStats(df, dir,
+        if (layoutOnA) col("a") else col("b"), numFiles,
+        statsCols = Seq("a", "b"), bloomCols = Seq("a"),
+        bloomExpected = keySpan.toLong * 2)
+      val m = DataSkipping.readManifest(spark, dir)
+      assert(m.files.map(_.rows).sum === n.toLong, "manifest rows must cover the table")
+
+      // random range bounds on both columns: pruned ≡ full filter
+      val (lo, hi) = { val x = rnd.nextInt(keySpan).toLong; (x, x + rnd.nextInt(keySpan).toLong) }
+      val (lo2, hi2) = { val x = rnd.nextInt(9973).toLong; (x, x + rnd.nextInt(5000).toLong) }
+      val pruned = DataSkipping.readPruned(spark, dir,
+        Seq(("a", lo, hi), ("b", lo2, hi2))).orderBy("payload").collect()
+      val model = df.filter(col("a").between(lo, hi) && col("b").between(lo2, hi2))
+        .orderBy("payload").collect()
+      assert(pruned === model, s"trial $trial: range read diverged")
+
+      // random key list: point lookup ≡ isin filter
+      val keys: Seq[Any] = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(keySpan * 2).toLong).distinct
+      val byKey = DataSkipping.readPrunedKeys(spark, dir, "a", keys)
+        .orderBy("payload").collect()
+      val keyModel = df.filter(col("a").isin(keys: _*)).orderBy("payload").collect()
+      assert(byKey === keyModel, s"trial $trial: key lookup diverged")
+
+      // random erasure list: survivors ≡ NOT IN model; manifest still exact
+      val doomed = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(keySpan).toLong).distinct
+      Erasure.delete(spark, dir, "a", doomed): Unit
+      val survivors = spark.read.parquet(dir).orderBy("payload").collect()
+      val surModel = df.filter(col("a").isNull || !col("a").isin(doomed: _*))
+        .orderBy("payload").collect()
+      assert(survivors === surModel, s"trial $trial: erasure diverged")
+      val m2 = DataSkipping.readManifest(spark, dir)
+      assert(m2.files.map(_.rows).sum === surModel.length.toLong,
+        s"trial $trial: patched manifest rows must cover the survivors")
+    }
+  }
+
   test("compactSmallFiles folds the small-file backlog; big entries verbatim; orphans swept") {
     val dir = tmpDir("graft-skip-compact")
     val base = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
