@@ -86,6 +86,86 @@ object AsOfJoin {
   private def tsAsLong(dt: org.apache.spark.sql.types.DataType, c: Column): Column =
     TimeCols.micros(dt, c)
 
+  /** Nearest-neighbor-in-time join (pandas `merge_asof
+    * direction='nearest'`): each left row matches the right row with the
+    * MINIMUM absolute timestamp distance within `toleranceMicros`, per
+    * key — the sensor-alignment read ("the reading closest to this
+    * event, either side, within 30 minutes").
+    *
+    * Shape: the same merged-stream plan as [[apply]], run in BOTH scan
+    * directions over ONE key shuffle — a backward pass (last right
+    * at-or-before, ties match at distance 0) and a forward pass (first
+    * right strictly-after, realized as a running `last` over the
+    * DESCENDING (ts, side) order); both windows share the partition key,
+    * so Spark plans one Exchange with two in-partition sorts. The
+    * chooser picks the smaller distance, breaking exact-distance ties
+    * toward the EARLIER right row (the backward match) — bit-stable by
+    * construction. No pair blow-up at any scale: cost is the one
+    * shuffle + two linear scans, like [[apply]].
+    *
+    * Contracts shared with [[apply]]: right unique per (key, ts);
+    * null-key/null-ts right rows dropped; null-ts left rows emerge
+    * unmatched.
+    *
+    * @param toleranceMicros max |left.ts - right.ts| for a match
+    *                        (Long.MaxValue = unbounded)
+    * @return left.* + valueCols + `__matched_ts` + `__dist_us`
+    *         (microsecond distance, null when unmatched)
+    */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    require(!leftCols.contains("__matched_ts") && !leftCols.contains("__dist_us"),
+      "left may not contain __matched_ts/__dist_us")
+    require(!valueCols.contains("__matched_ts") && !valueCols.contains("__dist_us"),
+      "valueCols may not contain the reserved __matched_ts/__dist_us slots")
+    val rTs = right.schema(tsCol).dataType
+    val payload: Column = struct(
+      tsAsLong(rTs, col(tsCol)).as("__t") +:
+        col(tsCol).as("__matched_ts") +: valueCols.map(col): _*)
+    val l = left.select(
+      col(keyCol).as("__k"),
+      tsAsLong(left.schema(tsCol).dataType, col(tsCol)).as("__us"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(right.select(payload).schema.head.dataType).as("__rv"))
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        tsAsLong(rTs, col(tsCol)).as("__us"),
+        lit(0).as("__side"),
+        lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
+        payload.as("__rv"))
+    // backward: right before left at equal ts (<= semantics, distance 0)
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__us").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: descending scan; left (side 1) before right (side 0) at
+    // equal ts, so an equal-ts right row belongs to the BACKWARD match
+    // only — forward is strictly-after
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__us").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = last(col("__rv"), ignoreNulls = true).over(wb)
+    val next = last(col("__rv"), ignoreNulls = true).over(wf)
+    val merged = l.unionByName(r)
+      .withColumn("__p", prev)
+      .withColumn("__n", next)
+      .filter(col("__side") === 1)
+    val dp = col("__us") - col("__p").getField("__t")
+    val dn = col("__n").getField("__t") - col("__us")
+    val pickPrev = col("__p").isNotNull &&
+      (col("__n").isNull || dp <= dn) // tie -> earlier (backward) match
+    val cand = when(pickPrev, col("__p")).otherwise(col("__n"))
+    val dist = when(pickPrev, dp).otherwise(dn)
+    val m = when(cand.isNotNull && dist <= toleranceMicros, cand)
+    merged.select(
+      leftCols.map(c => col("__lrow").getField(c).as(c)) ++
+        valueCols.map(c => m.getField(c).as(c)) :+
+        m.getField("__matched_ts").as("__matched_ts") :+
+        when(m.isNotNull, dist).as("__dist_us"): _*)
+  }
+
   /** Broadcast as-of join — the complement of [[apply]] for a
     * DIMENSION-sized right side (config history, price list, exchange
     * rates): the right side collapses to one row per key holding its

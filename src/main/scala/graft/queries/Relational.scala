@@ -1,12 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.enrich.Enrichment
 import graft.functions.EtlFunctions._
-import graft.operators.{Cleaning, Consolidate, DateStreaks, IntervalJoin, KeepLastDedup, Scd2, StableIds}
+import graft.operators.{AsOfJoin, Cleaning, Consolidate, DateStreaks, IntervalJoin, KeepLastDedup, Scd2, StableIds}
 
 /** Relational operator inventory (SURVEY.md §2.3-2.7) expressed over the
   * driver's TPC-H-ish testdata, each with a DuckDB oracle.
@@ -668,6 +669,131 @@ object Relational {
         .select(col("noisy_name"), col("n_name").as("matched_name"), col("d"))
     }),
 
+    // Star-schema analytic join (the TPC-H Q5 shape — THE reporting
+    // query a warehouse deployment runs first): two FACTS meet in the
+    // plan's only shuffle-worthy join (lineitem ⋈ orders on orderkey;
+    // at 100 TB that is a sort-merge both sides of which shuffle once),
+    // while the customer→nation→region dimension chain folds into ONE
+    // broadcast probe — region filter applied dim-side so pruning
+    // happens before the fact ever sees the join. Revenue stays exact
+    // integer cents end to end.
+    "q150_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name").isin("EUROPE", "ASIA"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"), col("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_cents")).as("revenue_cents"))
+    }),
+
+    // Declarative data-quality constraint report (operators/Quality):
+    // every scan constraint — row count, null counts, exact distinct,
+    // violation predicates — in ONE pass (single aggregate row melted
+    // by a literal explode), FK orphans via broadcast anti-join. The
+    // fixture plants every failure mode: derived nulls (pr/tp), a
+    // non-key column checked unique (o_orderpriority, fails), a
+    // thinned dimension (every 3rd customer dropped → orphans).
+    "q151_quality_report" -> ((s, dir) => {
+      val t = derivedNullOrders(s, dir)
+      graft.operators.Quality.report(t,
+        notNull = Seq("pr", "tp"),
+        unique = Seq("o_orderkey", "o_orderpriority"),
+        violations = Seq("nonpositive_total" -> (col("tp") <= 0)),
+        fks = Seq(("o_custkey",
+          Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0),
+          "c_custkey")))
+    }),
+
+    // Event-type Markov transition matrix (the sequence-mining /
+    // next-action model behind funnels and journey prediction): per-user
+    // bigrams from one lag window, then corpus transition counts +
+    // row-normalized probabilities in integer ppm. Three keyed
+    // exchanges (user → bigram → row-margin), zero joins, no doubles.
+    "q152_markov_chain" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bi = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      bi.withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 1000000) div row_total").as("ppm"))
+    }),
+
+    // Per-group z-score outlier counts with EXACT integer arithmetic:
+    // (n·x − S)² > 9·(n·S2 − S²) is |x − μ| > 3σ with both sides scaled
+    // by n² — no division, no sqrt, no engine-ordered double sums. The
+    // quadratics run in decimal(38,0) (DuckDB: HUGEINT): at 1e9-row
+    // groups the int64 forms overflow exactly where ANSI mode would
+    // throw (the q127 lesson), so the wide type IS the scale story.
+    "q153_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val d = "decimal(38,0)"
+      val st = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("x")).over(w))
+        .withColumn("s2", sum(col("x") * col("x")).over(w))
+      val (n, s1, s2, x) =
+        (col("n").cast(d), col("s1").cast(d), col("s2").cast(d), col("x").cast(d))
+      val dev = n * x - s1
+      val varScaled = n * s2 - s1 * s1 // n²·σ², population
+      val isOut = col("n") >= 2 && varScaled > 0 && dev * dev > lit(9).cast(d) * varScaled
+      st.withColumn("o", isOut)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("o"), lit(1))).as("n_outliers"))
+    }),
+
+    // Equi-width histogram (the profiling/binning primitive): global
+    // min/max from one single-row aggregate that BROADCASTS back over
+    // the scan (never a driver collect), bucket index by exact integer
+    // arithmetic — ((c−lo)·20) div (hi−lo+1) lands in [0,20) with no
+    // float edge cases at the bucket boundaries.
+    "q154_histogram" -> ((s, dir) => {
+      val t = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
+      val mm = t.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      t.crossJoin(broadcast(mm))
+        .withColumn("bucket", expr("((c - lo) * 20) div (hi - lo + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+    }),
+
+    // Nearest-in-time join (pandas merge_asof direction='nearest'): the
+    // sensor-alignment read — each event matched to the closest
+    // snapshot either side within 30 minutes, ties toward the earlier
+    // snapshot. Same merged-stream plan as the as-of join, both scan
+    // directions over ONE key shuffle; the snapshot side is
+    // deduplicated per (user, ts) first (the operator's uniqueness
+    // contract — equal-ts right rows are ambiguous in any engine).
+    "q156_nearest_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val snaps = ev.filter(col("event_id") % 20 === 3)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id") + 5000000L).as("snap_id"))
+      AsOfJoin.nearest(pts, snaps, "user_id", "ts", Seq("snap_id"),
+          toleranceMicros = 30L * 60 * 1000000L)
+        .select(col("event_id"), col("user_id"), col("snap_id"),
+          col("__dist_us").as("dist_us"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1226,6 +1352,118 @@ object Relational {
         |    ORDER BY d ASC, n_name ASC) AS rk FROM scored)
         |SELECT noisy_name, n_name AS matched_name, d
         |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q150_star_join" ->
+      """SELECT r_name, n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND r_name IN ('EUROPE', 'ASIA')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // scalar-subquery replay of the one-pass report, one UNION ALL arm
+    // per constraint (arm order is irrelevant — the driver sorts rows)
+    "q151_quality_report" ->
+      s"""WITH t AS ($derivedNullSql),
+        |dim AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT 'row_count' AS "constraint",
+        |  CAST(COUNT(*) AS BIGINT) AS value, TRUE AS pass FROM t
+        |UNION ALL SELECT 'null_count:pr', COUNT(*) FILTER (pr IS NULL),
+        |  COUNT(*) FILTER (pr IS NULL) = 0 FROM t
+        |UNION ALL SELECT 'null_count:tp', COUNT(*) FILTER (tp IS NULL),
+        |  COUNT(*) FILTER (tp IS NULL) = 0 FROM t
+        |UNION ALL SELECT 'distinct_count:o_orderkey', COUNT(DISTINCT o_orderkey),
+        |  COUNT(DISTINCT o_orderkey) = COUNT(*) FROM t
+        |UNION ALL SELECT 'distinct_count:o_orderpriority', COUNT(DISTINCT o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority) = COUNT(*) FROM t
+        |UNION ALL SELECT 'violations:nonpositive_total', COUNT(*) FILTER (tp <= 0),
+        |  COUNT(*) FILTER (tp <= 0) = 0 FROM t
+        |UNION ALL SELECT 'fk_orphans:o_custkey', COUNT(*), COUNT(*) = 0
+        |  FROM t WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM dim)""".stripMargin,
+
+    "q152_markov_chain" ->
+      """WITH b AS (SELECT
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS ppm
+        |FROM c""".stripMargin,
+
+    // HUGEINT mirrors Spark's decimal(38,0): both exceed the int64
+    // range the quadratics would overflow at 1e9-row groups
+    "q153_outliers" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+        |st AS (SELECT user_id, x,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id)),
+        |f AS (SELECT user_id,
+        |    CASE WHEN n >= 2
+        |          AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+        |          AND (CAST(n AS HUGEINT) * x - s1) * (CAST(n AS HUGEINT) * x - s1)
+        |              > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |     THEN 1 ELSE 0 END AS o
+        |  FROM st)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(o) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q154_histogram" ->
+      """WITH t AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM t)
+        |SELECT CAST(((c - lo) * 20) // (hi - lo + 1) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c) AS min_cents, MAX(c) AS max_cents
+        |FROM t, m GROUP BY 1""".stripMargin,
+
+    // two-direction window replay of the merged-stream nearest join:
+    // prev = last at-or-before (right before left at equal us), next =
+    // closest strictly-after (left before right in the DESC scan);
+    // chooser ties toward prev, both engines in epoch micros
+    "q156_nearest_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(event_id + 5000000) AS snap_id
+        |  FROM events WHERE event_id % 20 = 3 GROUP BY 1, 2),
+        |u AS (SELECT user_id, us, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS snap_id FROM l
+        |  UNION ALL
+        |  SELECT user_id, us, 0, NULL, snap_id FROM r),
+        |f AS (SELECT *,
+        |    last_value(CASE WHEN side = 0
+        |        THEN struct_pack(t := us, sid := snap_id) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, side ASC
+        |            ROWS UNBOUNDED PRECEDING) AS p,
+        |    last_value(CASE WHEN side = 0
+        |        THEN struct_pack(t := us, sid := snap_id) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us DESC, side DESC
+        |            ROWS UNBOUNDED PRECEDING) AS nx
+        |  FROM u),
+        |sel AS (SELECT event_id, user_id, us,
+        |    CASE WHEN p IS NOT NULL AND (nx IS NULL OR us - p.t <= nx.t - us)
+        |         THEN p ELSE nx END AS c
+        |  FROM f WHERE side = 1)
+        |SELECT event_id, user_id,
+        |  CASE WHEN c IS NOT NULL AND abs(us - c.t) <= 1800000000
+        |       THEN c.sid END AS snap_id,
+        |  CASE WHEN c IS NOT NULL AND abs(us - c.t) <= 1800000000
+        |       THEN abs(us - c.t) END AS dist_us
+        |FROM sel""".stripMargin,
 
     "q142_window_funcs" ->
       """SELECT event_id, user_id,

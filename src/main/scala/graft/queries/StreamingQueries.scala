@@ -23,6 +23,14 @@ object StreamingQueries {
     "q41_event_sessions" -> ((s, dir) =>
       EventStreams.batchSessions(Tables.events(s, dir), gapMs = 1800000L)),
 
+    // Built-in session_window sessionization, batch form: q41's islands
+    // on the engine-maintained dynamic windows (the definition that
+    // also runs under readStream with watermark-evicted state). End =
+    // last event + gap by definition; the oracle replays islands with
+    // max(ts) + 30 minutes.
+    "q155_session_window" -> ((s, dir) =>
+      EventStreams.sessionWindowAgg(Tables.events(s, dir), gap = "30 minutes")),
+
     // Stream-STREAM watermarked attribution join, batch form: purchases
     // matched to the same user's views in the half-open 30-minute
     // lookback. The identical definition runs under readStream with
@@ -60,6 +68,20 @@ object StreamingQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q155_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS nw FROM m),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS si FROM n)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(v) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, si""".stripMargin,
 
     "q139_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,

@@ -68,6 +68,32 @@ object EventStreams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Sessionization on the BUILT-IN `session_window` (q41's islands
+    * re-expressed on the operator Spark ships for exactly this):
+    * dynamic gap-merging windows the ENGINE maintains, which — unlike
+    * the window-function islands plan — also run under `readStream`,
+    * where the watermark both merges late-arriving extensions and
+    * evicts closed sessions' state (bounded by ACTIVE sessions, the
+    * [[closedSessions]] guarantee without hand-written state code).
+    *
+    * Definition pin: `session_window.end = last event + gap`, so the
+    * batch oracle is [[batchSessions]]' gaps-and-islands with
+    * `max(ts) + gap` as the end — one definition, three gates (DuckDB
+    * islands replay, batch ≡ batchSessions, streaming ≡ batch).
+    * Money stays exact integer cents inside the aggregate.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"))
+      .select(col("user_id"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_cents"))
+  }
+
   // ----------------------------------------------------- streaming state
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

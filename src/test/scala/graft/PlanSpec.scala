@@ -544,6 +544,55 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), "expected the sequence() explode:\n" + p)
   }
 
+  test("q150: the star join broadcasts every dimension; nothing degrades to a cartesian") {
+    val p = plan("q150_star_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "star dims must ride equi-joins:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the customer→nation→region chain must broadcast:\n" + p)
+    // the final aggregation is the plan's only non-broadcast exchange at
+    // this scale (AQE turns the fact-fact join into SMJ when orders
+    // outgrows the broadcast budget — either is correct; a second hash
+    // exchange beyond agg+join is not)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "unexpected extra shuffles in the star plan:\n" + p)
+  }
+
+  test("q151: the quality report is one fact aggregate + a broadcast anti-join per FK") {
+    val p = plan("q151_quality_report")
+    assert(p.contains("LeftAnti"), "FK orphans must anti-join:\n" + p)
+    assert(!"SortMergeJoin".r.findFirstIn(p).isDefined,
+      "the FK probe must broadcast the dim, never shuffle the fact:\n" + p)
+    assert(p.contains("Expand"),
+      "distinct counts must ride the single-pass aggregate's Expand:\n" + p)
+  }
+
+  test("q152: the transition matrix is windows + aggregates — zero joins, ≤3 keyed exchanges") {
+    val p = plan("q152_markov_chain")
+    assert(!p.toLowerCase.contains("join"), "no join belongs here:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "lag window + bigram agg + row margin only:\n" + p)
+  }
+
+  test("q154: histogram bounds broadcast back over the scan — a one-row nested loop, never a driver collect or fact shuffle") {
+    val p = plan("q154_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the single-row min/max frame must broadcast:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "min/max agg + bucket agg are the only shuffles:\n" + p)
+  }
+
+  test("q156: nearest join runs BOTH window directions over ONE key exchange of the merged stream") {
+    val p = plan("q156_nearest_join")
+    assert(!p.toLowerCase.contains("loopjoin") && !p.contains("CartesianProduct"),
+      "nearest must stay a merged-stream scan, never a pair join:\n" + p)
+    assert("Window".r.findAllIn(p).size >= 2, "expected the two scan directions:\n" + p)
+    // one exchange feeds both directions (they share the partition key);
+    // the only other is the snapshot side's dedup aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "both window directions must share the merged stream's key exchange:\n" + p)
+  }
+
   test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
     val p = plan("q141_auto_salt")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,

@@ -638,4 +638,93 @@ class OperatorSpec extends SparkSuite {
       // 300 + floor(−250 · 2/3) = 300 + (−167) = 133 (floor, not trunc)
       ("2024-01-01 13:00:00.0", Some(133L))))
   }
+
+  // ------------------------------------------------------- Quality
+
+  test("quality report: clean table passes everything; planted defects counted exactly; NULL FK keys are not orphans") {
+    val t = Seq(
+      (1L, Option(10L), Option("a")),
+      (2L, Option(20L), None),          // null s -> null_count:s = 1
+      (3L, Option(99L), Option("b")),   // fk 99 has no dim match
+      (4L, None, Option("a")))          // NULL fk key: NOT an orphan
+      .toDF("id", "fk", "s")
+    val dim = Seq(10L, 20L).toDF("k")
+    val got = graft.operators.Quality.report(t,
+        notNull = Seq("s"),
+        unique = Seq("id", "s"),
+        violations = Seq("neg_id" -> (col("id") < 0)),
+        fks = Seq(("fk", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("row_count") === ((4L, true)))
+    assert(got("null_count:s") === ((1L, false)))
+    assert(got("distinct_count:id") === ((4L, true)))
+    // 2 distinct non-null s over 4 rows: not a total unique key
+    assert(got("distinct_count:s") === ((2L, false)))
+    assert(got("violations:neg_id") === ((0L, true)))
+    assert(got("fk_orphans:fk") === ((1L, false)))
+  }
+
+  // ------------------------------------------------- AsOfJoin.nearest
+
+  test("nearest join: closer side wins, exact-distance tie takes the earlier right row, equal ts is distance 0") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:10:00")), // r@10:00 d=10m vs r@11:00 d=50m -> prev
+      (2L, 7L, ts("2024-01-01 10:50:00")), // r@10:00 d=50m vs r@11:00 d=10m -> next
+      (3L, 7L, ts("2024-01-01 10:30:00")), // exact tie 30m/30m -> EARLIER (10:00)
+      (4L, 7L, ts("2024-01-01 11:00:00")), // equal ts -> distance 0
+      (5L, 9L, ts("2024-01-01 10:00:00"))) // key with no right rows -> unmatched
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 10:00:00")),
+      (102L, 7L, ts("2024-01-01 11:00:00")))
+      .toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id"))
+    val got = AsOfJoin.nearest(left, right, "user_id", "ts", Seq("val_id"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) === ((Some(101L), Some(600L * 1000000))))
+    assert(got(2L) === ((Some(102L), Some(600L * 1000000))))
+    assert(got(3L) === ((Some(101L), Some(1800L * 1000000))))
+    assert(got(4L) === ((Some(102L), Some(0L))))
+    assert(got(5L) === ((None, None)))
+  }
+
+  test("nearest join: tolerance excludes far matches; unmatched rows keep null payload AND null distance") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:20:00")),  // 20m away -> inside 30m tolerance
+      (2L, 7L, ts("2024-01-01 12:00:00")))  // 120m away -> outside
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id"))
+    val got = AsOfJoin.nearest(left, right, "user_id", "ts", Seq("val_id"),
+        toleranceMicros = 30L * 60 * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L)._1 === Some(101L))
+    assert(got(2L) === ((None, None, None)))
+  }
+
+  test("nearest join agrees with the per-row reference on random data and keeps all left rows") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val leftRows = (0 until 150).map(i => (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(600))))
+    val rightRows = (0 until 50).map(i => (1000L + i, rnd.nextInt(6).toLong, t(rnd.nextInt(600))))
+    val rightDedup = rightRows.groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toSeq
+    val tol = 45L * 60 * 1000000L
+    val got = AsOfJoin.nearest(
+        leftRows.toDF("event_id", "user_id", "ts"),
+        rightDedup.toDF("val_id", "user_id", "ts").select(col("user_id"), col("ts"), col("val_id")),
+        "user_id", "ts", Seq("val_id"), toleranceMicros = tol)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got.size === leftRows.size)
+    leftRows.foreach { case (id, k, lts) =>
+      val cands = rightDedup.filter(_._2 == k)
+        .map(r => (math.abs(r._3.getTime - lts.getTime) * 1000L, r._3.getTime, r._1))
+        .filter(_._1 <= tol)
+      // min distance, tie -> earlier right ts (unique per ts by contract)
+      val expect = cands.sortBy(c => (c._1, c._2)).headOption.map(_._3)
+      assert(got(id) === expect, s"left row $id")
+    }
+  }
 }

@@ -582,4 +582,61 @@ class StreamingSpec extends SparkSuite {
     assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ===
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("session_window batch equals batchSessions with last+gap as the end, including the exact-gap boundary") {
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, v = 1.25),
+      ev(2, "2024-01-01 10:30:00", 1, v = 2.50),  // exactly 30min → merges (both definitions)
+      ev(3, "2024-01-01 11:00:01", 1, v = 0.75),  // 30min+1s after ev2 → new session
+      ev(4, "2024-01-01 10:00:00", 2, v = 4.00)).toDF()
+    val got = sessionWindowAgg(df, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 2L, 375L),
+      (1L, "2024-01-01 11:00:01", "2024-01-01 11:30:01", 1L, 75L),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1L, 400L)))
+    // same end law as the islands builder on the shared fixture
+    val viaIslands = batchSessions(df, 1800000L)
+      .select(col("user_id"), col("session_start"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.to_timestamp(col("session_end"))
+            + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(viaIslands.toSeq === got.map(t => (t._1, t._2, t._3, t._4)).toSeq)
+  }
+
+  test("streaming session_window: extensions merge across micro-batches; a session emits once closed by the watermark and its state is evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionWindowAgg(mem.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:20:00", 1))
+      q.processAllAvailable()
+      // extends the open session; nothing final yet (watermark 2h behind)
+      mem.addData(ev(3, "2024-01-01 10:45:00", 1))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sw_out").count() === 0L,
+        "append mode must not emit an open session")
+      // far-future event advances the watermark past the session's end →
+      // the 3-event merged session finalizes EXACTLY ONCE
+      mem.addData(ev(4, "2024-01-02 06:00:00", 1))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT session_start, session_end, n_events FROM sw_out ORDER BY session_start")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00", "2024-01-01 11:15:00", 3L)))
+      // closed session's state is gone: only the open ev4 session remains
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1, s"expected closed-session state evicted, got $stateRows rows")
+    } finally q.stop()
+  }
 }
