@@ -1016,6 +1016,27 @@ object LlmQueries {
         Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)))
     }),
 
+    // JSONL sharded export round-trip — the interchange format the
+    // tokenizer/loader fleet consumes: deterministic hash-shard
+    // membership, line-sorted shard files, manifest. The gate writes
+    // the corpus as JSONL, reads it BACK with an explicit schema
+    // (never inference — a full pre-scan at 100 TB), and must
+    // hash-match the source table exactly: a row lost, duplicated, or
+    // mangled by serialization fails the oracle. Doubles stay out of
+    // the export by contract (text md5 carries the payload identity).
+    "q159_jsonl_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      val tmp = gateScratchDir(s, "q159") + "/jsonl"
+      graft.sinks.ShardedExport.writeJsonl(docs, "doc_id", tmp, numShards = 8)
+      s.read.schema(
+          "doc_id LONG, lang STRING, source STRING, n_chars LONG, text_md5 STRING")
+        .json(tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text_md5"))
+    }),
+
     // TIME-window skipping — the single most common production skip
     // key: events land clustered on event time (epoch-micros layout
     // key), the manifest carries per-file time ranges, and a 2-day
@@ -2595,6 +2616,11 @@ object LlmQueries {
     // read back as the union of everything ever written.
     "q145_compact_small" ->
       "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
+
+    // The JSONL round-trip is lossless: read-back ≡ source projection.
+    "q159_jsonl_export" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin,
 
     // Time skipping never changes the answer — only the file listing.
     "q146_skip_time" ->

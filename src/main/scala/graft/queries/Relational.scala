@@ -923,6 +923,40 @@ object Relational {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n_events"), col("sum_cents"))),
 
+    // Hopping-window DISTINCT users (q114's harder sibling — the live
+    // "active users per sliding hour" board): count(DISTINCT) is not
+    // algebraic, so Catalyst plans the two-phase Expand dedup —
+    // map-side (window, user) dedup first, the heavy fan-out never
+    // reaches one reducer. Same 1970-origin slide alignment as q114.
+    "q158_hopping_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n_users"), col("n_events"))),
+
+    // "Correlated subquery" decorrelated to a WINDOW (the TPC-H Q17
+    // shape: lineitems below 20% of their part's average quantity):
+    // the textbook form re-joins the fact to its own per-part
+    // aggregate — two scans + a self-join shuffle; the window form
+    // computes the per-part sums in place over ONE part-keyed exchange
+    // and never joins. The 0.2·avg comparison is exact integers:
+    // q < S/(5n) ⟺ 5·q·n < S — no division, no doubles.
+    "q157_below_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_returnflag"),
+          cents(col("l_quantity")).as("q"),
+          cents(col("l_extendedprice")).as("p"))
+        .withColumn("s", sum(col("q")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("q") * 5 * col("n") < col("s"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("p")).as("sum_price_cents"))
+    }),
+
     // Schema-on-read JSON extraction: the event payload column parsed
     // with an EXPLICIT schema (from_json → codegen'd JsonToStructs, a
     // per-row projection — never schema inference, which is a full
@@ -1551,6 +1585,28 @@ object Relational {
     // Each event's 4 slide-aligned window starts, replayed by integer
     // epoch arithmetic (Spark's window() aligns to the 1970 origin,
     // i.e. floor on epoch micros).
+    "q158_hopping_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |x AS (SELECT us - (us % 900000000) - i * 900000000 AS win_start_us,
+        |    user_id
+        |  FROM e, UNNEST(range(0, 4)) AS t(i))
+        |SELECT win_start_us,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q157_below_avg" ->
+      """WITH li AS (SELECT l_partkey, l_returnflag,
+        |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+        |  FROM lineitem),
+        |st AS (SELECT *, CAST(SUM(q) OVER w AS BIGINT) AS s,
+        |    COUNT(*) OVER w AS n
+        |  FROM li WINDOW w AS (PARTITION BY l_partkey))
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(p) AS BIGINT) AS sum_price_cents
+        |FROM st WHERE q * 5 * n < s GROUP BY 1""".stripMargin,
+
     "q114_hopping_window" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
         |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),

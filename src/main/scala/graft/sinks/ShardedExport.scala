@@ -57,6 +57,31 @@ object ShardedExport {
     writeManifest(df.sparkSession, outDir)
   }
 
+  /** JSONL variant of [[write]] — the interchange format a tokenizer /
+    * loader fleet actually consumes (one JSON object per line, shard
+    * directories, same portable hash membership and same manifest).
+    * Rows serialize via `to_json(struct(cols...))` — field order is the
+    * frame's column order, so the byte layout is deterministic — and
+    * sort by the serialized line within each shard (the line embeds the
+    * leading id field, so this is id order with a total tie-break).
+    * Callers keep doubles out of exported frames (JSON float text is
+    * engine-specific); ints/longs/strings round-trip exactly.
+    *
+    * @return the manifest, ordered by shard
+    */
+  def writeJsonl(df: DataFrame, idCol: String, outDir: String, numShards: Int): Seq[ManifestEntry] = {
+    require(numShards >= 1, "numShards must be >= 1")
+    df.withColumn("shard",
+        graft.llm.Dedup.hash32(col(idCol).cast("string")) % numShards)
+      .withColumn("__line", to_json(struct(df.columns.map(col): _*)))
+      .select(col("shard"), col("__line"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__line"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(outDir)
+    writeManifestFor(df.sparkSession, outDir, ".txt",
+      df.sparkSession.read.text(outDir))
+  }
+
   /** Build and write the manifest for an existing export: per-shard row
     * counts from ONE metadata-weight aggregation over the written files
     * (the scan projects only the `shard` partition column — no data
@@ -65,9 +90,13 @@ object ShardedExport {
     * Files within a shard are hashed in name order, so the digest is
     * stable for any fixed layout.
     */
-  def writeManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] = {
+  def writeManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] =
+    writeManifestFor(spark, outDir, ".parquet", spark.read.parquet(outDir))
+
+  private def writeManifestFor(spark: SparkSession, outDir: String,
+      dataSuffix: String, readBack: DataFrame): Seq[ManifestEntry] = {
     import org.apache.hadoop.fs.Path
-    val rows = spark.read.parquet(outDir)
+    val rows = readBack
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -79,7 +108,7 @@ object ShardedExport {
       .map { d =>
         val shard = d.getPath.getName.stripPrefix("shard=").toLong
         val files = fs.listStatus(d.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filter(_.getPath.getName.endsWith(dataSuffix))
           .sortBy(_.getPath.getName)
         val md = java.security.MessageDigest.getInstance("MD5")
         val buf = new Array[Byte](64 * 1024)

@@ -593,6 +593,23 @@ class PlanSpec extends SparkSuite {
       "both window directions must share the merged stream's key exchange:\n" + p)
   }
 
+  test("q157: the correlated subquery is DECORRELATED to one window — no self-join, one part-keyed exchange chain") {
+    val p = plan("q157_below_avg")
+    assert(!p.toLowerCase.contains("join"),
+      "the per-part average must come from a window, not a self-join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "part window + returnflag agg are the only shuffles:\n" + p)
+  }
+
+  test("q158: hopping distinct dedups map-side through the Expand rewrite — the fan-out never reaches one reducer raw") {
+    val p = plan("q158_hopping_distinct")
+    assert(p.contains("Generate") || p.contains("Expand"),
+      "expected the window explode:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "the distinct aggregate must partial-aggregate:\n" + p)
+    assert(!p.toLowerCase.contains("join"), "no join belongs here:\n" + p)
+  }
+
   test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
     val p = plan("q141_auto_salt")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,

@@ -456,4 +456,35 @@ class PipelineSpec extends SparkSuite {
     // the manifest file must be invisible to a directory read
     assert(spark.read.parquet(s"$out/e").count() === 200L)
   }
+
+  test("jsonl export: same portable membership, line-sorted shards, lossless round-trip, byte-stable rewrite") {
+    import graft.sinks.ShardedExport
+    val out = tmpDir("graft-jsonl")
+    val df = (0L until 200L).map(i => (i, s"p$i", i * 3))
+      .toDF("id", "payload", "n")
+    val manifest = ShardedExport.writeJsonl(df, "id", s"$out/e", 4)
+    assert(manifest.map(_.shard) === Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_.n_rows).sum === 200L)
+    // same membership law as the parquet export
+    val expectShard = df
+      .select(col("id"), (graft.llm.Dedup.hash32(col("id").cast("string")) % 4).as("es"))
+      .as[(Long, Long)].collect().toMap
+    // each shard dir: exactly one .txt file, valid sorted JSON lines
+    (0 until 4).foreach { k =>
+      val files = new java.io.File(s"$out/e/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".txt"))
+      assert(files.length === 1, s"shard $k file count")
+      val lines = scala.io.Source.fromFile(files.head, "UTF-8").getLines().toSeq
+      assert(lines.sorted === lines, s"shard $k not line-sorted")
+      assert(lines.forall(l => l.startsWith("{\"id\":") && l.endsWith("}")), s"shard $k malformed lines")
+    }
+    // lossless round-trip with an explicit schema
+    val back = spark.read.schema("id LONG, payload STRING, n LONG")
+      .json(s"$out/e").select(col("id"), col("payload"), col("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(back.toSeq === (0L until 200L).map(i => (i, s"p$i", i * 3)))
+    back.foreach { case (id, _, _) => assert(expectShard(id) >= 0) }
+    // rewrite reproduces the same manifest (same bytes, same md5)
+    assert(ShardedExport.writeJsonl(df, "id", s"$out/e", 4) === manifest)
+  }
 }

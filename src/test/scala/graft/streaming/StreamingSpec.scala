@@ -572,6 +572,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming data-contract gate: the per-epoch quality report catches a planted defect in exactly its batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val mem = MemoryStream[Event]
+    val reports = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Boolean)]()
+    val q = mem.toDF().writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.operators.Quality.report(batch,
+          notNull = Seq("event_type"),
+          violations = Seq("nonpositive_value" -> (col("value") <= 0)))
+        .collect().foreach(r =>
+          reports.synchronized {
+            reports += ((id, r.getString(0), r.getLong(1), r.getBoolean(2))): Unit
+          })
+    }.start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1, v = 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, v = 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:02:00", 1, v = -5.0),
+        ev(4, "2024-01-01 10:03:00", 2, v = 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = reports.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> ((t._3, t._4))).toMap).toMap
+    assert(byBatch(0L)("row_count") === ((2L, true)))
+    assert(byBatch(0L)("violations:nonpositive_value") === ((0L, true)))
+    assert(byBatch(1L)("row_count") === ((2L, true)))
+    // the defect surfaces in ITS epoch — the admission-control contract
+    assert(byBatch(1L)("violations:nonpositive_value") === ((1L, false)))
+    assert(byBatch(1L)("null_count:event_type") === ((0L, true)))
+  }
+
   test("batch sessions split exactly on the gap boundary") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1),
