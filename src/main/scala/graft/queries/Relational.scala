@@ -794,6 +794,73 @@ object Relational {
           col("__dist_us").as("dist_us"))
     }),
 
+    // Top-k unshipped-order revenue (the TPC-H Q3 shape): broadcast
+    // customer filter → fact-fact join → per-order aggregate →
+    // GLOBAL top-10 via TakeOrdered (a k-row driver result, never a
+    // global sort — the plan a 100 TB "top revenue" board needs).
+    // The order is TOTAL (revenue desc, orderkey asc) so rank-10 ties
+    // are bit-stable in both engines.
+    "q160_top_unshipped" -> ((s, dir) => {
+      val cutoff = lit("1998-06-30").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Equi-DEPTH histogram (q154's quantile complement — equal COUNTS
+    // per bucket, data-driven edges): exact quartile boundaries from a
+    // window over DISTINCT values (the q64 law — the walk never visits
+    // rows), broadcast back over the scan as a 3-value boundary row.
+    // Bucket = how many boundaries lie at-or-below the value; counts
+    // differ across buckets only by boundary ties (exactness over
+    // prettiness — the oracle replays the same walk).
+    "q161_equi_depth" -> ((s, dir) => {
+      val t = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
+      val dv = t.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      val wcum = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exact lower-quartile boundaries: smallest c with cum count
+      // >= ceil(q * N); the distinct-value frame is histogram-sized,
+      // so the single-partition window is a few thousand rows, not data
+      val withCum = dv
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .withColumn("total", sum(col("n")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val bounds = withCum
+        .filter(col("cum") * 4 >= col("total") &&
+          (col("cum") - col("n")) * 4 < col("total"))
+        .agg(min(col("c")).as("q1"))
+        .crossJoin(withCum
+          .filter(col("cum") * 2 >= col("total") &&
+            (col("cum") - col("n")) * 2 < col("total"))
+          .agg(min(col("c")).as("q2")))
+        .crossJoin(withCum
+          .filter(col("cum") * 4 >= col("total") * 3 &&
+            (col("cum") - col("n")) * 4 < col("total") * 3)
+          .agg(min(col("c")).as("q3")))
+      t.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          (col("c") > col("q1")).cast("long") +
+          (col("c") > col("q2")).cast("long") +
+          (col("c") > col("q3")).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1594,6 +1661,39 @@ object Relational {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY 1""".stripMargin,
+
+    "q160_top_unshipped" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    // the same distinct-value cumulative walk, boundaries as scalar
+    // subqueries; bucket membership replayed by boundary comparisons
+    "q161_equi_depth" ->
+      """WITH t AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |dv AS (SELECT c, COUNT(*) AS n FROM t GROUP BY 1),
+        |wc AS (SELECT c, n,
+        |    SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER () AS total FROM dv),
+        |b AS (SELECT
+        |  (SELECT MIN(c) FROM wc WHERE cum*4 >= total AND (cum-n)*4 < total) AS q1,
+        |  (SELECT MIN(c) FROM wc WHERE cum*2 >= total AND (cum-n)*2 < total) AS q2,
+        |  (SELECT MIN(c) FROM wc WHERE cum*4 >= total*3 AND (cum-n)*4 < total*3) AS q3)
+        |SELECT CAST(c > q1 AS BIGINT) + CAST(c > q2 AS BIGINT)
+        |    + CAST(c > q3 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c) AS min_cents, MAX(c) AS max_cents
+        |FROM t, b GROUP BY 1""".stripMargin,
 
     "q157_below_avg" ->
       """WITH li AS (SELECT l_partkey, l_returnflag,

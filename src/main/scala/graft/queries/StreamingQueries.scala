@@ -23,6 +23,33 @@ object StreamingQueries {
     "q41_event_sessions" -> ((s, dir) =>
       EventStreams.batchSessions(Tables.events(s, dir), gapMs = 1800000L)),
 
+    // Incremental sessionization store (q41 as a DAILY INCREMENTAL
+    // fold): the month of events splits at Jan 16 into two time-ranged
+    // batches; fold #1 emits closed sessions and an open-session state,
+    // fold #2 folds the rest into that state and flushes. closed₁ ∪
+    // closed₂ must equal a direct one-shot sessionize of everything —
+    // the materialized-view law that makes a 100 TB sessionize job cost
+    // one day of data per day.
+    "q162_incremental_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.IncrementalSessions
+      val gap = 1800000L
+      val split = 1705363200000L // 2024-01-16T00:00:00Z, epoch millis
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val b1 = ev.filter(unix_millis(col("ts")) < split)
+      val b2 = ev.filter(unix_millis(col("ts")) >= split)
+      val (c1, o1) = IncrementalSessions.fold(
+        IncrementalSessions.emptyState(s), b1, gap, split)
+      val (c2, _) = IncrementalSessions.fold(o1, b2, gap, Long.MaxValue)
+      c1.unionByName(c2).select(col("user_id"),
+        date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_millis(col("end_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+    }),
+
     // Built-in session_window sessionization, batch form: q41's islands
     // on the engine-maintained dynamic windows (the definition that
     // also runs under readStream with watermark-evicted state). End =
@@ -68,6 +95,22 @@ object StreamingQueries {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // The direct one-shot sessionize the fold must reproduce. Islands
+    // and aggregates run in epoch MILLIS (the store's clock): ordering
+    // by ms vs ts only permutes rows whose gap is 0, which cannot
+    // change island membership or min/max.
+    "q162_incremental_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |m AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS nw FROM m),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS si FROM n)
+        |SELECT user_id,
+        |  strftime(make_timestamp(MIN(ms) * 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(MAX(ms) * 1000), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, si""".stripMargin,
 
     "q155_session_window" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,

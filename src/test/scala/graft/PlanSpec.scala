@@ -610,6 +610,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("join"), "no join belongs here:\n" + p)
   }
 
+  test("q160: top-unshipped exits via TakeOrdered — a k-row driver result, never a global sort") {
+    val p = plan("q160_top_unshipped")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must ride TakeOrdered, not Sort+Limit:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "the customer filter must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q162: the incremental session fold is windows + aggregates over the user key — zero joins") {
+    val p = plan("q162_incremental_sessions")
+    assert(!p.toLowerCase.contains("join"),
+      "state folds in as pseudo-events via union, never a join:\n" + p)
+    assert(p.contains("Window"), "expected the islands window:\n" + p)
+  }
+
   test("q141: auto-salt aggregates in two phases; events are scanned, never joined") {
     val p = plan("q141_auto_salt")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,

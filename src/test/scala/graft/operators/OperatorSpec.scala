@@ -639,6 +639,48 @@ class OperatorSpec extends SparkSuite {
       ("2024-01-01 13:00:00.0", Some(133L))))
   }
 
+  // -------------------------------------------- IncrementalSessions
+
+  test("incremental session fold law: any time-ordered split folds to the one-shot sessionize (random trials)") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val gap = 10L * 60 * 1000 // 10 minutes
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 200).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(20 * 60))))
+      val ev = rows.toDF("event_id", "user_id", "ts")
+      // direct one-shot reference
+      val direct = graft.streaming.EventStreams.batchSessions(ev, gap)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+      // fold over a random 3-way time split
+      val cut1 = (5 + rnd.nextInt(5)) * 60L * 60 * 1000
+      val cut2 = cut1 + (2 + rnd.nextInt(5)) * 60L * 60 * 1000
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def slice(lo: Long, hi: Long) =
+        ev.filter(unix_millis(col("ts")) >= base + lo && unix_millis(col("ts")) < base + hi)
+      import scala.jdk.CollectionConverters._
+      var state = IncrementalSessions.emptyState(spark)
+      var closed = Seq.empty[(Long, Long, Long, Long)]
+      Seq((0L, cut1, base + cut1), (cut1, cut2, base + cut2),
+          (cut2, Long.MaxValue - base, Long.MaxValue)).foreach { case (lo, hi, end) =>
+        val (c, o) = IncrementalSessions.fold(state, slice(lo, hi), gap, end)
+        closed = closed ++ c.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        state = o
+        // re-materialize the state so the next fold does not recompute
+        // this one's lineage (the store write of a real deployment)
+        state = spark.createDataFrame(state.collect().toList.asJava, state.schema)
+      }
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val folded = closed.map(c =>
+          (c._1, fmt.format(new java.util.Date(c._2)), fmt.format(new java.util.Date(c._3)), c._4))
+        .sortBy(x => (x._1, x._2))
+      assert(folded === direct.toSeq, s"trial $trial (cuts $cut1/$cut2)")
+    }
+  }
+
   // ------------------------------------------------------- Quality
 
   test("quality report: clean table passes everything; planted defects counted exactly; NULL FK keys are not orphans") {
