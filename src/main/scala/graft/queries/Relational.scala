@@ -821,36 +821,31 @@ object Relational {
     }),
 
     // Equi-DEPTH histogram (q154's quantile complement — equal COUNTS
-    // per bucket, data-driven edges): exact quartile boundaries from a
-    // window over DISTINCT values (the q64 law — the walk never visits
-    // rows), broadcast back over the scan as a 3-value boundary row.
-    // Bucket = how many boundaries lie at-or-below the value; counts
-    // differ across buckets only by boundary ties (exactness over
-    // prettiness — the oracle replays the same walk).
+    // per bucket, data-driven edges) with EXACT boundaries computed the
+    // way that survives near-unique money values at 100 TB: a global
+    // distinct-value window would funnel ~every row through ONE task,
+    // so the quartiles come from the PARALLEL global ranking machinery
+    // instead (StableIds: range partition + local sort + offset
+    // prefix-sum — the q80 plan, no single-partition stage). The value
+    // at rank ceil(q·N) IS the smallest c with cum-count ≥ q·N, so the
+    // oracle's cumulative-walk definition is unchanged. Boundaries
+    // (3 rows) broadcast back over the scan; bucket membership is pure
+    // integer comparisons.
     "q161_equi_depth" -> ((s, dir) => {
       val t = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c"))
-      val dv = t.groupBy(col("c")).agg(count(lit(1)).as("n"))
-      val wcum = Window.orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // exact lower-quartile boundaries: smallest c with cum count
-      // >= ceil(q * N); the distinct-value frame is histogram-sized,
-      // so the single-partition window is a few thousand rows, not data
-      val withCum = dv
-        .withColumn("cum", sum(col("n")).over(wcum))
-        .withColumn("total", sum(col("n")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      val bounds = withCum
-        .filter(col("cum") * 4 >= col("total") &&
-          (col("cum") - col("n")) * 4 < col("total"))
-        .agg(min(col("c")).as("q1"))
-        .crossJoin(withCum
-          .filter(col("cum") * 2 >= col("total") &&
-            (col("cum") - col("n")) * 2 < col("total"))
-          .agg(min(col("c")).as("q2")))
-        .crossJoin(withCum
-          .filter(col("cum") * 4 >= col("total") * 3 &&
-            (col("cum") - col("n")) * 4 < col("total") * 3)
-          .agg(min(col("c")).as("q3")))
+      val ranked = StableIds.byKey(t, numPartitions = 8, col("c"))
+      val total = t.agg(count(lit(1)).as("total"))
+      // ceil targets in INTEGER arithmetic (`div`, never `/` — the
+      // Column `/` is true division through double)
+      val (r1, r2, r3) = (expr("(total + 3) div 4"),
+        expr("(total + 1) div 2"), expr("(total * 3 + 3) div 4"))
+      val bounds = ranked.crossJoin(broadcast(total))
+        .filter(col("global_id") === r1 || col("global_id") === r2 ||
+          col("global_id") === r3)
+        .agg(
+          min(when(col("global_id") === r1, col("c"))).as("q1"),
+          min(when(col("global_id") === r2, col("c"))).as("q2"),
+          min(when(col("global_id") === r3, col("c"))).as("q3"))
       t.crossJoin(broadcast(bounds))
         .withColumn("bucket",
           (col("c") > col("q1")).cast("long") +

@@ -618,6 +618,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q161: equi-depth boundaries come from the PARALLEL ranking — range partition, no data window through one task") {
+    val p = plan("q161_equi_depth")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "quartile ranks must ride the StableIds range partition:\n" + p)
+    assert(!p.contains("Window"),
+      "no global cumulative window may touch row-sized data:\n" + p)
+  }
+
   test("q162: the incremental session fold is windows + aggregates over the user key — zero joins") {
     val p = plan("q162_incremental_sessions")
     assert(!p.toLowerCase.contains("join"),
