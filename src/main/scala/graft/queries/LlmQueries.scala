@@ -1016,6 +1016,21 @@ object LlmQueries {
         Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)))
     }),
 
+    // Deterministic epoch shuffle — the training-order permutation
+    // without rand(): position = PARALLEL global rank (StableIds range
+    // partition + offset prefix-sum, the q80 plan — no one-task sort)
+    // under the (md5("epoch#id"), id) order. Same epoch → same
+    // permutation on any cluster/retry; next epoch → a fresh one. The
+    // data loader's shuffle, computed once, reproducible forever.
+    "q163_epoch_shuffle" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("h", Dedup.hash32(
+          concat_ws("#", lit("7"), col("doc_id").cast("string"))))
+      graft.operators.StableIds.byKey(t, numPartitions = 8,
+          col("h"), col("doc_id"))
+        .select(col("doc_id"), col("h"), col("global_id").as("pos"))
+    }),
+
     // JSONL sharded export round-trip — the interchange format the
     // tokenizer/loader fleet consumes: deterministic hash-shard
     // membership, line-sorted shard files, manifest. The gate writes
@@ -2616,6 +2631,13 @@ object LlmQueries {
     // read back as the union of everything ever written.
     "q145_compact_small" ->
       "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
+
+    "q163_epoch_shuffle" ->
+      s"""SELECT doc_id, h,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |  ${h32Sql("'7' || '#' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)""".stripMargin,
 
     // The JSONL round-trip is lossless: read-back ≡ source projection.
     "q159_jsonl_export" ->
