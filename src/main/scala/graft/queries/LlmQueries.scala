@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{CurationPipeline, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Caching, CurationPipeline, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` tables, each with a
@@ -818,8 +818,8 @@ object LlmQueries {
       // persisted so point(2) reuses point(1)'s materialization instead
       // of replaying the full-scan scoring (the suite's most expensive
       // subtree) — |queries|·k rows of cache, hashes unchanged
-      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10)
-        .persist()
+      val truth = Caching.pin(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10))
       def point(np: Int): DataFrame =
         Similarity.annRecall(truth,
             Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
@@ -853,8 +853,8 @@ object LlmQueries {
       // persisted so point(2) reuses point(1)'s materialization instead
       // of replaying the full-scan scoring (the suite's most expensive
       // subtree) — |queries|·k rows of cache, hashes unchanged
-      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10)
-        .persist()
+      val truth = Caching.pin(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10))
       def point(np: Int): DataFrame =
         Similarity.annRecall(truth,
             Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pred,
@@ -1029,6 +1029,38 @@ object LlmQueries {
       graft.operators.StableIds.byKey(t, numPartitions = 8,
           col("h"), col("doc_id"))
         .select(col("doc_id"), col("h"), col("global_id").as("pos"))
+    }),
+
+    // TIME TRAVEL over the skipping store's version log: every manifest
+    // commit also lands as an append-only _skip_manifest.vNNNNN.json,
+    // so "the table as of commit N" is a metadata-sized read decision —
+    // the Delta/Iceberg snapshot move on a plain parquet directory.
+    // The gate commits three batches (write + two appends), reads the
+    // store AS OF each version, and every snapshot must hash-match the
+    // batches that existed at that commit; erasure truncates the log
+    // (RTBF forgets history too) and vacuum expires it — both
+    // suite-pinned.
+    "q164_time_travel" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q164") + "/store"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      graft.sinks.DataSkipping.writeWithStats(
+        li.filter(col("l_orderkey") % 3 === 0), tmp, col("l_orderkey"),
+        numFiles = 4, statsCols = Seq("l_orderkey"))
+      graft.sinks.DataSkipping.appendWithStats(
+        li.filter(col("l_orderkey") % 3 === 1), tmp, col("l_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.appendWithStats(
+        li.filter(col("l_orderkey") % 3 === 2), tmp, col("l_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.listVersions(s, tmp).map { v =>
+        graft.sinks.DataSkipping.readPrunedAt(s, tmp,
+            Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)), v)
+          .groupBy(lit(v).as("version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("sum_key"),
+            sum(col("l_partkey")).as("sum_part"))
+      }.reduce(_ unionByName _)
     }),
 
     // JSONL sharded export round-trip — the interchange format the
@@ -2638,6 +2670,18 @@ object LlmQueries {
          |FROM (SELECT doc_id,
          |  ${h32Sql("'7' || '#' || CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents)""".stripMargin,
+
+    // Snapshot v contains the batches committed up to v:
+    // v1 = mod 0, v2 = mod 0∪1, v3 = everything.
+    "q164_time_travel" ->
+      """WITH t AS (SELECT l_orderkey, l_partkey, l_orderkey % 3 AS m
+        |  FROM lineitem)
+        |SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part
+        |FROM t, UNNEST([1, 2, 3]) AS u(v)
+        |WHERE m < v GROUP BY 1""".stripMargin,
 
     // The JSONL round-trip is lossless: read-back ≡ source projection.
     "q159_jsonl_export" ->

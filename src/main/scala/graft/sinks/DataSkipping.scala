@@ -51,6 +51,17 @@ import graft.functions.BloomAgg
   * other entry verbatim — so refreshing the manifest after deleting 5
   * keys never re-reads the other 99.99% of a 100 TB table.
   *
+  * Versioning / time travel: every manifest commit also lands as an
+  * append-only `_skip_manifest.vNNNNN.json`, so [[readPrunedAt]] serves
+  * "the table as of commit N" as a pure metadata decision — the
+  * Delta/Iceberg snapshot read on a plain parquet directory. Append-only
+  * histories stay valid forever; destructive maintenance bounds the
+  * horizon ([[validVersions]]): compaction/vacuum remove files older
+  * snapshots referenced, and [[Erasure]] TRUNCATES the log outright
+  * (right-to-be-forgotten must forget history — old manifests carry the
+  * erased keys' min/max/Bloom metadata). [[vacuumVersions]] expires
+  * history and deletes unreferenced part files (the VACUUM move).
+  *
   * Single-writer discipline as everywhere in this package: the manifest
   * describes the directory as of its write; patch it after any
   * append/compaction (stats collection is idempotent).
@@ -58,6 +69,14 @@ import graft.functions.BloomAgg
 object DataSkipping {
 
   val ManifestName = "_skip_manifest.json"
+
+  /** Versioned manifest names: every manifest COMMIT also lands as
+    * `_skip_manifest.v00001.json`, `v00002`, ... — an append-only
+    * metadata log next to the mutable latest pointer. Metadata-sized
+    * (one JSON file per commit), so the log costs nothing at 100 TB.
+    */
+  private[sinks] def versionName(v: Long): String = f"_skip_manifest.v$v%05d.json"
+  private val VersionRe = """_skip_manifest\.v(\d+)\.json""".r
 
   val DefaultBloomExpected = 100000L
   val DefaultBloomFpp = 0.01
@@ -289,18 +308,96 @@ object DataSkipping {
       s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$bloomField}"""
     }.mkString(",\n")
     text ++= "\n]}\n"
-    val p = new Path(outDir, ManifestName)
+    val bytes = text.toString.getBytes("UTF-8")
+    val fs = new Path(outDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String): Unit = {
+      val out = fs.create(new Path(outDir, name), true)
+      try out.write(bytes) finally out.close()
+    }
+    // version file FIRST, latest second: the latest pointer is always
+    // backed by a version; a crash between the two leaves an extra
+    // version file, which is harmless (the log is append-only)
+    val next = listVersions(spark, outDir).lastOption.getOrElse(0L) + 1L
+    put(versionName(next))
+    put(ManifestName)
+  }
+
+  // -------------------------------------------------- version log / travel
+
+  /** Committed manifest versions, ascending. */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(text.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName).collect {
+      case VersionRe(v) => v.toLong
+    }.sorted.toIndexedSeq
+  }
+
+  /** The manifest as of commit `version` (time travel). */
+  def readManifestAt(spark: SparkSession, dir: String, version: Long): SkipManifest =
+    readManifestFile(spark, new Path(dir, versionName(version)))
+
+  /** [[readPruned]] against the table AS OF commit `version` — the
+    * time-travel read: the version's manifest defines the file set, so
+    * the result is the table exactly as that commit left it, provided
+    * the version is still VALID (its files not yet removed by
+    * erasure/compaction/vacuum — [[validVersions]]). Append-only
+    * histories stay valid forever.
+    */
+  def readPrunedAt(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Long, Long)], version: Long): DataFrame =
+    readPrunedWith(spark, dir, readManifestAt(spark, dir, version), bounds)
+
+  /** Versions whose every referenced file still exists — the ones a
+    * time-travel read may target. One directory listing, metadata-sized.
+    */
+  def validVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val present = listPartFiles(spark, dir).toSet
+    listVersions(spark, dir).filter(v =>
+      readManifestAt(spark, dir, v).files.forall(f => present.contains(f.file)))
+  }
+
+  /** Drop every version file except the newest — the right-to-be-
+    * forgotten companion ([[Erasure]] calls this after its commit):
+    * older manifests reference the pre-erasure files AND carry the
+    * erased keys' min/max/Bloom metadata, so forgetting must truncate
+    * the log, not just the data.
+    */
+  private[sinks] def truncateVersions(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    listVersions(spark, dir).dropRight(1)
+      .foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
+  }
+
+  /** Expire history: keep the newest `retainLast` version files, drop
+    * the rest, then delete part files referenced by NO retained version
+    * and not in the latest manifest — the Delta/Iceberg VACUUM move.
+    * Returns the deleted part files.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = listVersions(spark, dir)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
+    drop.foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
+    val referenced = keep.flatMap(v =>
+      readManifestAt(spark, dir, v).files.map(_.file)).toSet ++
+      readManifest(spark, dir).files.map(_.file).toSet
+    val doomed = listPartFiles(spark, dir).filterNot(referenced)
+    doomed.foreach(n => fs.delete(new Path(dir, n), false): Unit)
+    doomed
   }
 
   /** Parse the manifest back (hand-rolled like the writer — the format
     * is ours, one file object per line between the header/footer lines;
     * v1 manifests without bloom fields parse with empty sidecars).
     */
-  def readManifest(spark: SparkSession, dir: String): SkipManifest = {
-    val p = new Path(dir, ManifestName)
+  def readManifest(spark: SparkSession, dir: String): SkipManifest =
+    readManifestFile(spark, new Path(dir, ManifestName))
+
+  private def readManifestFile(spark: SparkSession, p: Path): SkipManifest = {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -350,9 +447,12 @@ object DataSkipping {
     * layout only decides how many files the listing keeps.
     */
   def readPruned(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Long, Long)]): DataFrame =
+    readPrunedWith(spark, dir, readManifest(spark, dir), bounds)
+
+  private def readPrunedWith(spark: SparkSession, dir: String, m: SkipManifest,
       bounds: Seq[(String, Long, Long)]): DataFrame = {
     require(bounds.nonEmpty, "bounds must be non-empty")
-    val m = readManifest(spark, dir)
     val idx = bounds.map { case (c, _, _) =>
       val i = m.cols.indexOf(c)
       require(i >= 0, s"column '$c' has no stats in $dir/$ManifestName " +

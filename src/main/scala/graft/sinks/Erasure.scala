@@ -99,6 +99,10 @@ object Erasure {
       // (false positive) — the file is left untouched (and uncounted)
     }
     DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles): Unit
+    // right-to-be-forgotten truncates the version LOG too: older
+    // manifests reference pre-erasure files and carry the erased keys'
+    // min/max/Bloom metadata — forgetting must forget history
+    DataSkipping.truncateVersions(spark, dir)
     ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
   }
 

@@ -245,4 +245,58 @@ class DataSkippingSpec extends SparkSuite {
     val m2 = DataSkipping.compactSmallFiles(spark, dir, col("a"), minRows = 100L)
     assert(m2.files.map(_.file) === m1.files.map(_.file))
   }
+
+  test("version log: every commit appends a version; time-travel reads reproduce each snapshot exactly") {
+    val dir = tmpDir("graft-travel")
+    val b1 = (0L until 300L).map(i => (i, i * 2)).toDF("a", "p")
+    val b2 = (300L until 500L).map(i => (i, i * 2)).toDF("a", "p")
+    val b3 = (500L until 550L).map(i => (i, i * 2)).toDF("a", "p")
+    DataSkipping.writeWithStats(b1, dir, col("a"), numFiles = 3, statsCols = Seq("a"))
+    DataSkipping.appendWithStats(b2, dir, col("a"), numFiles = 2)
+    DataSkipping.appendWithStats(b3, dir, col("a"), numFiles = 1)
+    assert(DataSkipping.listVersions(spark, dir) === Seq(1L, 2L, 3L))
+    // append-only history: every version valid
+    assert(DataSkipping.validVersions(spark, dir) === Seq(1L, 2L, 3L))
+    val expect = Seq(300L, 500L, 550L)
+    (1 to 3).foreach { v =>
+      val snap = DataSkipping.readPrunedAt(spark, dir,
+        Seq(("a", Long.MinValue, Long.MaxValue - 1)), v.toLong)
+      assert(snap.count() === expect(v - 1), s"version $v row count")
+      assert(snap.agg(max(col("a"))).head.getLong(0) === expect(v - 1) - 1,
+        s"version $v content")
+    }
+    // pruning works against an OLD snapshot, and the snapshot read
+    // never touches files committed later
+    val narrow = DataSkipping.readPrunedAt(spark, dir, Seq(("a", 0L, 99L)), 1L)
+    assert(narrow.count() === 100L)
+    val v1Files = DataSkipping.readManifestAt(spark, dir, 1L).files.map(_.file).toSet
+    val touched = narrow.inputFiles.map(_.split('/').last).toSet
+    assert(touched.subsetOf(v1Files), s"v1 read touched later files: $touched")
+    assert(touched.size < v1Files.size, "the narrow range must also prune within v1")
+  }
+
+  test("vacuum expires history; erasure truncates the version log (RTBF forgets history)") {
+    val dir = tmpDir("graft-vacuum")
+    val b1 = (0L until 300L).map(i => (i, i * 2)).toDF("a", "p")
+    val b2 = (300L until 500L).map(i => (i, i * 2)).toDF("a", "p")
+    DataSkipping.writeWithStats(b1, dir, col("a"), numFiles = 3, statsCols = Seq("a"))
+    DataSkipping.appendWithStats(b2, dir, col("a"), numFiles = 2)
+    // plant an orphan (a crashed writer's leftover): vacuum removes it
+    val orphan = Paths.get(dir, "part-orphan-crashed.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val deleted = DataSkipping.vacuumVersions(spark, dir, retainLast = 1)
+    assert(deleted === Seq("part-orphan-crashed.parquet"))
+    assert(!Files.exists(orphan))
+    assert(DataSkipping.listVersions(spark, dir) === Seq(2L),
+      "vacuum keeps only the retained versions")
+    // referenced data files all survive (append-only: latest references everything)
+    assert(DataSkipping.readPruned(spark, dir,
+      Seq(("a", Long.MinValue, Long.MaxValue - 1))).count() === 500L)
+    // erasure truncates the log to its own commit
+    Erasure.delete(spark, dir, "a", Seq(7L, 450L)): Unit
+    assert(DataSkipping.listVersions(spark, dir).size === 1,
+      "post-erasure only the erasure commit may remain in the log")
+    assert(DataSkipping.readPruned(spark, dir,
+      Seq(("a", Long.MinValue, Long.MaxValue - 1))).count() === 498L)
+  }
 }
