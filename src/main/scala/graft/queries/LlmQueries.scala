@@ -1031,6 +1031,27 @@ object LlmQueries {
         .select(col("doc_id"), col("h"), col("global_id").as("pos"))
     }),
 
+    // MERGE / upsert into the skipping store in ONE manifest commit:
+    // matched keys are replaced (only sidecar-candidate files
+    // rewritten), new keys append — the lakehouse MERGE INTO on a
+    // plain parquet directory. The gate builds the store without the
+    // mod-3 keys, upserts a batch that REPLACES every mod-10 key's
+    // payload and INSERTS the mod-30 keys (previously absent), and the
+    // full read-back must hash-match the merged model.
+    "q165_store_upsert" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q165") + "/store"
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      graft.sinks.DataSkipping.writeWithStats(
+        ord.filter(col("o_orderkey") % 3 =!= 0), tmp, col("o_orderkey"),
+        numFiles = 6, statsCols = Seq("o_orderkey"))
+      val updates = ord.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"))
+      graft.sinks.DataSkipping.upsertKeys(s, tmp, "o_orderkey", updates,
+        col("o_orderkey"), numFiles = 2): Unit
+      graft.sinks.DataSkipping.readPruned(s, tmp,
+        Seq(("o_orderkey", Long.MinValue, Long.MaxValue - 1)))
+    }),
+
     // TIME TRAVEL over the skipping store's version log: every manifest
     // commit also lands as an append-only _skip_manifest.vNNNNN.json,
     // so "the table as of commit N" is a metadata-sized read decision —
@@ -2670,6 +2691,18 @@ object LlmQueries {
          |FROM (SELECT doc_id,
          |  ${h32Sql("'7' || '#' || CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents)""".stripMargin,
+
+    // Merged model: base (no mod-3 keys) minus updated keys, plus the
+    // whole update batch (replacements + the newly inserted mod-30s).
+    "q165_store_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM upd""".stripMargin,
 
     // Snapshot v contains the batches committed up to v:
     // v1 = mod 0, v2 = mod 0∪1, v3 = everything.

@@ -147,6 +147,87 @@ object DataSkipping {
     patchManifest(spark, dir, Nil, added)
   }
 
+  /** MERGE (upsert) a keyed batch into the store in ONE manifest
+    * commit: rows whose key already exists are REPLACED (only
+    * sidecar-candidate files rewritten — the [[Erasure]] machinery),
+    * and the whole batch lands as fresh clustered files. Cost = hit
+    * files + the batch, never the table.
+    *
+    * Contracts: the store and the batch are UNIQUE per `keyCol`
+    * (enforced on the batch — a duplicate-keyed upsert is ambiguous);
+    * NULL keys rejected; batch keys driver-collected, so batches are
+    * update-list-sized (`maxKeys` guard — for bulk rewrites use
+    * [[writeWithStats]]). Atomicity: the single [[patchManifest]] at
+    * the end is the commit — manifest-driven readers see the old table
+    * until then (in-place survivor swaps leave stats stale-but-safe:
+    * pruning bounds only widen), and the batch's files are orphans
+    * until committed. A crash re-runs cleanly after [[sweepOrphans]].
+    */
+  def upsertKeys(spark: SparkSession, dir: String, keyCol: String,
+      updates: DataFrame, layoutKey: Column, numFiles: Int = 1,
+      maxKeys: Int = 1000000): SkipManifest = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val m = readManifest(spark, dir)
+    val keyRows = updates.select(col(keyCol)).limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"update batch exceeds maxKeys=$maxKeys: upsertKeys is for " +
+        "update-list-sized batches; bulk-rewrite via writeWithStats instead")
+    require(keyRows.forall(_.get(0) != null), "update keys must be non-null")
+    val keys = keyRows.map(_.get(0)).toIndexedSeq
+    require(keys.distinct.length == keys.length,
+      s"update batch must be unique per '$keyCol' (an ambiguous upsert)")
+    // 1) drop matched keys from hit files (no commit yet)
+    val hits = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
+    val (removed, rewritten, _) = Erasure.dropKeyRows(spark, dir, hits, keyCol, keys)
+    // 2) land the batch as orphan files (invisible to manifest reads)
+    val before = listPartFiles(spark, dir).toSet
+    updates.withColumn("__layout", layoutKey)
+      .repartitionByRange(numFiles, col("__layout"))
+      .sortWithinPartitions(col("__layout"))
+      .drop("__layout")
+      .write.mode(SaveMode.Append).parquet(dir)
+    val added = listPartFiles(spark, dir).filterNot(before)
+    // 3) ONE commit: drops + rewrites + additions together
+    patchManifest(spark, dir, removed, rewritten ++ added)
+  }
+
+  /** Exactly-once epoch append — the streaming-ingest form of
+    * [[appendWithStats]]: the batch's files carry the epoch id in their
+    * names (`part-e<id>-...`), and the MANIFEST is the idempotence
+    * ledger — an epoch is committed iff the manifest lists its files.
+    * A retry of a committed epoch is a no-op; a retry after a crash
+    * anywhere before the commit first sweeps the half-landed orphans
+    * and re-runs. At-least-once delivery (Structured Streaming's
+    * foreachBatch contract) therefore yields exactly-once store
+    * content, the same argument as the streaming count-min store.
+    */
+  def appendEpoch(spark: SparkSession, dir: String, batch: DataFrame,
+      layoutKey: Column, numFiles: Int, epochId: Long): SkipManifest = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(epochId >= 0, "epochId must be >= 0")
+    val prefix = s"part-e$epochId-"
+    val m = readManifest(spark, dir)
+    if (m.files.exists(_.file.startsWith(prefix))) return m // committed
+    sweepOrphans(spark, dir) // half-landed files of a crashed attempt
+    val tmp = new Path(dir, s".epoch_tmp_$epochId")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true): Unit
+    batch.withColumn("__layout", layoutKey)
+      .repartitionByRange(numFiles, col("__layout"))
+      .sortWithinPartitions(col("__layout"))
+      .drop("__layout")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .map { p =>
+        val name = prefix + p.getName.stripPrefix("part-")
+        fs.rename(p, new Path(dir, name)): Unit
+        name
+      }.toIndexedSeq.sorted
+    fs.delete(tmp, true): Unit
+    patchManifest(spark, dir, Nil, moved) // the commit
+  }
+
   /** Compact the store's SMALL files (manifest rows < `minRows`) into
     * `targetFiles` layout-sorted files, patching the manifest hit-sized:
     * big files' entries (and bytes) stay verbatim — compaction cost
@@ -309,7 +390,8 @@ object DataSkipping {
     }.mkString(",\n")
     text ++= "\n]}\n"
     val bytes = text.toString.getBytes("UTF-8")
-    val fs = new Path(outDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(outDir).getFileSystem(conf)
     def put(name: String): Unit = {
       val out = fs.create(new Path(outDir, name), true)
       try out.write(bytes) finally out.close()
@@ -319,7 +401,14 @@ object DataSkipping {
     // version file, which is harmless (the log is append-only)
     val next = listVersions(spark, outDir).lastOption.getOrElse(0L) + 1L
     put(versionName(next))
-    put(ManifestName)
+    // the LATEST pointer swaps in atomically (write-aside + rename with
+    // OVERWRITE): a concurrent manifest-driven reader sees either the
+    // old complete manifest or the new complete one, never a torn write
+    put(s".$ManifestName.tmp")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(new Path(outDir, s".$ManifestName.tmp"),
+      new Path(outDir, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // -------------------------------------------------- version log / travel

@@ -69,6 +69,28 @@ object Erasure {
     val hits = DataSkipping.candidateFiles(m, keyCol, keys,
       s"$dir/${DataSkipping.ManifestName}")
     if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
+    val (removedFiles, rewrittenFiles, rowsDeleted) =
+      dropKeyRows(spark, dir, hits, keyCol, keys)
+    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles): Unit
+    // right-to-be-forgotten truncates the version LOG too: older
+    // manifests reference pre-erasure files and carry the erased keys'
+    // min/max/Bloom metadata — forgetting must forget history
+    DataSkipping.truncateVersions(spark, dir)
+    ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
+  }
+
+  /** The shared drop-rows-by-key rewrite loop ([[delete]] and
+    * [[DataSkipping.upsertKeys]]): for each candidate file, survivors
+    * rewrite IN PLACE via the atomic-overwrite swap (the target always
+    * holds either the old complete file or the new complete one), fully
+    * doomed files delete, false-positive hits stay untouched. Returns
+    * (removed, rewritten, rowsDropped) WITHOUT committing — the caller
+    * owns the manifest commit so it can fold more changes into one.
+    */
+  private[sinks] def dropKeyRows(spark: SparkSession, dir: String,
+      hits: Seq[DataSkipping.FileStats], keyCol: String,
+      keys: Seq[Any]): (List[String], List[String], Long) = {
+    val conf = spark.sessionState.newHadoopConf()
     var rewrittenFiles = List.empty[String]
     var removedFiles = List.empty[String]
     var rowsDeleted = 0L
@@ -98,12 +120,7 @@ object Erasure {
       // keptRows == f.rows: a range/bloom hit with no actual key present
       // (false positive) — the file is left untouched (and uncounted)
     }
-    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles): Unit
-    // right-to-be-forgotten truncates the version LOG too: older
-    // manifests reference pre-erasure files and carry the erased keys'
-    // min/max/Bloom metadata — forgetting must forget history
-    DataSkipping.truncateVersions(spark, dir)
-    ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
+    (removedFiles, rewrittenFiles, rowsDeleted)
   }
 
   /** Remove `.erasure_tmp_*` leftovers of a crashed prior run: their

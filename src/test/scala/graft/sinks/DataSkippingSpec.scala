@@ -246,6 +246,58 @@ class DataSkippingSpec extends SparkSuite {
     assert(m2.files.map(_.file) === m1.files.map(_.file))
   }
 
+  test("upsertKeys: replaced + inserted in ONE commit; non-candidate files byte-identical; ambiguous batches rejected") {
+    val dir = tmpDir("graft-upsert")
+    // two well-separated key ranges → two files with disjoint bounds
+    val base = ((0L until 100L) ++ (1000L until 1100L)).map(i => (i, i * 10)).toDF("k", "v")
+    DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val untouched = DataSkipping.readManifest(spark, dir).files
+      .find(_.mins.head >= 1000L).get
+    val bytesBefore = Files.readAllBytes(Paths.get(dir, untouched.file))
+    // replace keys 5,7 and insert 50000 — all in the low file's range or new
+    val updates = Seq((5L, 999L), (7L, 888L), (50000L, 777L)).toDF("k", "v")
+    val m = DataSkipping.upsertKeys(spark, dir, "k", updates, col("k"), numFiles = 1)
+    val got = DataSkipping.readPruned(spark, dir, Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 201)
+    assert(got(5L) === 999L && got(7L) === 888L && got(50000L) === 777L)
+    assert(got(6L) === 60L && got(1050L) === 10500L, "unmatched rows survive")
+    // the high-range file was never a candidate: byte-identical on disk
+    assert(Files.readAllBytes(Paths.get(dir, untouched.file)).toSeq === bytesBefore.toSeq)
+    assert(m.files.exists(_.file == untouched.file))
+    // contracts
+    intercept[IllegalArgumentException] {
+      DataSkipping.upsertKeys(spark, dir, "k",
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), col("k")): Unit
+    }
+    intercept[IllegalArgumentException] {
+      DataSkipping.upsertKeys(spark, dir, "k",
+        Seq((Option.empty[Long], 1L)).toDF("k", "v"), col("k")): Unit
+    }
+  }
+
+  test("appendEpoch: a committed epoch's retry is a no-op; a crashed half-landed epoch sweeps and re-runs exactly once") {
+    val dir = tmpDir("graft-epoch")
+    val b0 = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(b0, dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+    val b1 = (100L until 150L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.appendEpoch(spark, dir, b1, col("k"), numFiles = 1, epochId = 1L): Unit
+    def total() = DataSkipping.readPruned(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1))).count()
+    assert(total() === 150L)
+    // at-least-once retry of a COMMITTED epoch: no duplication
+    DataSkipping.appendEpoch(spark, dir, b1, col("k"), numFiles = 1, epochId = 1L): Unit
+    assert(total() === 150L)
+    // crash simulation: epoch 2's files landed but the commit never ran
+    val orphan = Paths.get(dir, "part-e2-halflanded.parquet")
+    Files.copy(Paths.get(dir,
+      DataSkipping.readManifest(spark, dir).files.head.file), orphan)
+    val b2 = (150L until 170L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.appendEpoch(spark, dir, b2, col("k"), numFiles = 1, epochId = 2L): Unit
+    assert(!Files.exists(orphan), "the half-landed file must be swept, not committed")
+    assert(total() === 170L, "the retried epoch lands exactly once")
+  }
+
   test("version log: every commit appends a version; time-travel reads reproduce each snapshot exactly") {
     val dir = tmpDir("graft-travel")
     val b1 = (0L until 300L).map(i => (i, i * 2)).toDF("a", "p")

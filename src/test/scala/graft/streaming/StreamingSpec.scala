@@ -604,6 +604,40 @@ class StreamingSpec extends SparkSuite {
     assert(byBatch(1L)("null_count:event_type") === ((0L, true)))
   }
 
+  test("streaming ingest into the skipping store: epochs land exactly once and the store serves pruned reads mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import graft.sinks.DataSkipping
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    // initialize the store with an empty batch (defines schema + manifest)
+    DataSkipping.writeWithStats(
+      Seq.empty[(Long, Long)].toDF("event_id", "user_id"),
+      dir, col("event_id"), numFiles = 1, statsCols = Seq("event_id"))
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().select(col("event_id"), col("user_id"))
+      .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+        DataSkipping.appendEpoch(batch.sparkSession, dir, batch,
+          col("event_id"), numFiles = 1, epochId = id): Unit
+        // simulate the sink's at-least-once redelivery: same epoch again
+        DataSkipping.appendEpoch(batch.sparkSession, dir, batch,
+          col("event_id"), numFiles = 1, epochId = id): Unit
+      }.start()
+    try {
+      mem.addData((1L to 50L).map(i => ev(i, "2024-01-01 10:00:00", i % 5)): _*)
+      q.processAllAvailable()
+      mem.addData((51L to 80L).map(i => ev(i, "2024-01-01 11:00:00", i % 5)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = DataSkipping.readPruned(spark, dir,
+      Seq(("event_id", Long.MinValue, Long.MaxValue - 1)))
+    assert(all.count() === 80L, "each event lands exactly once despite redelivery")
+    // the streamed store is a first-class skipping store: narrow reads prune
+    val narrow = DataSkipping.readPruned(spark, dir, Seq(("event_id", 1L, 50L)))
+    assert(narrow.count() === 50L)
+    assert(narrow.inputFiles.length <
+      DataSkipping.readManifest(spark, dir).files.size)
+  }
+
   test("batch sessions split exactly on the gap boundary") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1),
