@@ -1031,6 +1031,29 @@ object LlmQueries {
         .select(col("doc_id"), col("h"), col("global_id").as("pos"))
     }),
 
+    // CHANGE DATA FEED between two committed versions: what an
+    // incremental downstream consumer pulls to catch up, computed at
+    // FILE granularity from the two manifests — for the dominant
+    // append-only history the feed reads exactly the files the later
+    // commits added and NOTHING else (a metadata diff + a new-files
+    // scan). The gate commits three batches and pulls v1→v3: the feed
+    // must be precisely batches 2 and 3 as inserts.
+    "q166_change_feed" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q166") + "/store"
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      graft.sinks.DataSkipping.writeWithStats(
+        ord.filter(col("o_orderkey") % 3 === 0), tmp, col("o_orderkey"),
+        numFiles = 3, statsCols = Seq("o_orderkey"))
+      graft.sinks.DataSkipping.appendWithStats(
+        ord.filter(col("o_orderkey") % 3 === 1), tmp, col("o_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.appendWithStats(
+        ord.filter(col("o_orderkey") % 3 === 2), tmp, col("o_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.changesBetween(s, tmp, 1L, 3L)
+        .select(col("o_orderkey"), col("o_custkey"), col("__change"))
+    }),
+
     // MERGE / upsert into the skipping store in ONE manifest commit:
     // matched keys are replaced (only sidecar-candidate files
     // rewritten), new keys append — the lakehouse MERGE INTO on a
@@ -2691,6 +2714,12 @@ object LlmQueries {
          |FROM (SELECT doc_id,
          |  ${h32Sql("'7' || '#' || CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents)""".stripMargin,
+
+    // The v1→v3 feed is exactly the later batches (mod 1 and 2).
+    "q166_change_feed" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  'insert' AS __change
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
 
     // Merged model: base (no mod-3 keys) minus updated keys, plus the
     // whole update batch (replacements + the newly inserted mod-30s).

@@ -438,13 +438,19 @@ object DataSkipping {
       bounds: Seq[(String, Long, Long)], version: Long): DataFrame =
     readPrunedWith(spark, dir, readManifestAt(spark, dir, version), bounds)
 
-  /** Versions whose every referenced file still exists — the ones a
-    * time-travel read may target. One directory listing, metadata-sized.
+  /** Versions a time-travel read may target: every referenced file
+    * still exists AND its manifest entry matches the latest's for that
+    * name — an in-place rewrite (erasure/upsert survivor swap) keeps
+    * the NAME but changes the content, which silently invalidates the
+    * older snapshot; the entry mismatch (row count at minimum)
+    * detects it. One directory listing, metadata-sized.
     */
   def validVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val present = listPartFiles(spark, dir).toSet
+    val latest = readManifest(spark, dir).files.map(f => f.file -> f).toMap
     listVersions(spark, dir).filter(v =>
-      readManifestAt(spark, dir, v).files.forall(f => present.contains(f.file)))
+      readManifestAt(spark, dir, v).files.forall(f =>
+        present.contains(f.file) && latest.get(f.file).forall(_ == f)))
   }
 
   /** Drop every version file except the newest — the right-to-be-
@@ -457,6 +463,56 @@ object DataSkipping {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     listVersions(spark, dir).dropRight(1)
       .foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
+  }
+
+  /** Change data feed between two committed versions — what an
+    * incremental downstream consumer pulls to catch up ("everything
+    * that changed since my last sync") without re-reading the table.
+    * The diff is computed at FILE granularity from the two manifests
+    * (a metadata decision): files present only in `toV` contribute
+    * inserts, files present only in `fromV` contribute deletes, and
+    * files whose entry CHANGED (rewritten in place by erasure/upsert —
+    * same name, different stats) contribute a row-level diff of just
+    * those files. For the dominant append-only history the feed reads
+    * exactly the new files and nothing else.
+    *
+    * Rows in the feed carry `__change` ∈ {insert, delete}: an updated
+    * row appears as delete(old) + insert(new), the CDC-stream
+    * convention [[graft.operators.CdcApply]] consumes. Both versions
+    * must still be valid ([[validVersions]]).
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    val a = readManifestAt(spark, dir, fromV)
+    val b = readManifestAt(spark, dir, toV)
+    val aByName = a.files.map(f => f.file -> f).toMap
+    val bByName = b.files.map(f => f.file -> f).toMap
+    val addedFiles = b.files.filterNot(f => aByName.contains(f.file)).map(_.file)
+    val droppedFiles = a.files.filterNot(f => bByName.contains(f.file)).map(_.file)
+    val changedFiles = a.files.filter(f =>
+      bByName.get(f.file).exists(_ != f)).map(_.file)
+    def read(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn("__change", lit(t))
+    // rewritten-in-place files: row-level diff of just those files'
+    // two generations is impossible from one disk state — the OLD rows
+    // are gone. What IS recoverable file-locally: the current rows of
+    // changed files are re-emitted as upserts (delete-then-insert of
+    // the same key is the safe overapproximation a CDC consumer
+    // already handles idempotently).
+    val parts =
+      read(addedFiles).map(tag(_, "insert")).toSeq ++
+      read(droppedFiles).map(tag(_, "delete")).toSeq ++
+      read(changedFiles).map(df => tag(df, "upsert")).toSeq
+    require(parts.nonEmpty || a.files == b.files,
+      s"no diffable content between v$fromV and v$toV")
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(readPrunedWith(spark, dir, b,
+        Seq((b.cols.head, Long.MinValue, Long.MaxValue - 1))).limit(0)
+        .withColumn("__change", lit("insert")))
   }
 
   /** Expire history: keep the newest `retainLast` version files, drop

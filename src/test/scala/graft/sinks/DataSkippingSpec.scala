@@ -327,6 +327,41 @@ class DataSkippingSpec extends SparkSuite {
     assert(touched.size < v1Files.size, "the narrow range must also prune within v1")
   }
 
+  test("change feed: append-only diff reads only the new files; in-place rewrites invalidate old snapshots and surface as upserts") {
+    val dir = tmpDir("graft-feed")
+    val b1 = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    val b2 = (100L until 150L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(b1, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    DataSkipping.appendWithStats(b2, dir, col("k"), numFiles = 1)
+    val feed = DataSkipping.changesBetween(spark, dir, 1L, 2L)
+    assert(feed.filter(col("__change") === "insert").count() === 50L)
+    assert(feed.count() === 50L, "append-only feed is inserts only")
+    // the feed's scan lists ONLY the appended files
+    val v1Files = DataSkipping.readManifestAt(spark, dir, 1L).files.map(_.file).toSet
+    assert(feed.inputFiles.forall(f => !v1Files.contains(f.split('/').last)),
+      "the append-only feed must not touch base files")
+    // same-version feed is empty
+    assert(DataSkipping.changesBetween(spark, dir, 2L, 2L).count() === 0L)
+    // an in-place rewrite (upsert) invalidates the snapshots before it
+    DataSkipping.upsertKeys(spark, dir, "k",
+      Seq((5L, 999L)).toDF("k", "v"), col("k")): Unit
+    val valid = DataSkipping.validVersions(spark, dir)
+    assert(!valid.contains(1L) && !valid.contains(2L),
+      s"pre-rewrite snapshots must be invalid, got $valid")
+    assert(valid.contains(DataSkipping.listVersions(spark, dir).last))
+    // the feed across the rewrite: the new value arrives as an insert
+    // (it lands in an ADDED file), and the rewritten file's surviving
+    // rows re-emit as upserts (the safe overapproximation)
+    val feed2 = DataSkipping.changesBetween(spark, dir, 2L,
+      DataSkipping.listVersions(spark, dir).last)
+    assert(feed2.filter(col("__change") === "insert")
+      .filter(col("k") === 5L && col("v") === 999L).count() === 1L)
+    assert(feed2.filter(col("__change") === "upsert").count() > 0L,
+      "the rewritten file's rows must re-emit")
+    assert(feed2.filter(col("__change") === "upsert" && col("k") === 5L).count() === 0L,
+      "the dropped old row is gone from the rewritten file")
+  }
+
   test("vacuum expires history; erasure truncates the version log (RTBF forgets history)") {
     val dir = tmpDir("graft-vacuum")
     val b1 = (0L until 300L).map(i => (i, i * 2)).toDF("a", "p")
