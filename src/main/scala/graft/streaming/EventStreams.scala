@@ -128,6 +128,70 @@ object EventStreams {
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long)
 
+  /** [[closedSessions]] re-expressed on Spark 4's MODERN stateful API
+    * (`transformWithState` + `StatefulProcessor`): a typed `ValueState`
+    * carries the open session and an event-time TIMER at `last + gap`
+    * replaces the hand-rolled timeout bookkeeping — when the watermark
+    * passes it the engine calls `handleExpiredTimer`, which emits the
+    * closed session exactly once and clears the state (bounded by
+    * ACTIVE users, the [[closedSessions]] guarantee). Rolling inside a
+    * batch emits the closed predecessor immediately, same contract, so
+    * the two forms are suite-gated EQUAL on the same feed. Requires the
+    * RocksDB state-store provider (the transformWithState backend).
+    */
+  class SessionTwsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[ClosedSession]
+      var st = if (state.exists()) state.get() else SessionState(-1L, -1L, 0L)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (st.startMs < 0) st = SessionState(t, t, 1L)
+        else if (t - st.lastMs > gapMs) {
+          closed ::= ClosedSession(key, st.startMs, st.lastMs, st.nEvents)
+          st = SessionState(t, t, 1L)
+        } else st = SessionState(st.startMs, math.max(st.lastMs, t), st.nEvents + 1L)
+      }
+      // one live timer per key: re-arm to the (possibly extended) gap end
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(st.lastMs + gapMs)
+      state.update(st)
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        if (st.lastMs + gapMs <= info.getExpiryTimeInMs) {
+          state.clear()
+          Iterator.single(ClosedSession(key, st.startMs, st.lastMs, st.nEvents))
+        } else Iterator.empty // superseded by a later re-arm
+      }
+    }
+  }
+
+  /** The `transformWithState` driver for [[SessionTwsProcessor]]. */
+  def closedSessionsTws(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionTwsProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[ClosedSession])
+  }
+
   /** Streaming sessionization that emits each session EXACTLY ONCE — when
     * its gap has expired against the event-time watermark — and then
     * drops the per-user state (`flatMapGroupsWithState` + event-time

@@ -149,6 +149,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessions: event-time timers emit once and clear state — equal to the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = closedSessionsTws(mem.toDS(), gapMs = 1800000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tws_out").outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.sql(
+        "SELECT user_id, start_ms, end_ms, n_events FROM tws_out ORDER BY user_id, start_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 10:10:00", 7))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "open session must not emit")
+
+      // watermark passes 10:40 (last+gap): the TIMER fires exactly once
+      mem.addData(ev(3, "2024-01-01 12:00:00", 8))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, t0, t0 + 600000L, 2L)))
+
+      // state cleared: a fresh user-7 session; an in-batch roll also
+      // emits the predecessor immediately (same contract as the
+      // flatMapGroupsWithState form — the two stay interchangeable)
+      mem.addData(ev(4, "2024-01-01 13:00:00", 7), ev(5, "2024-01-01 14:00:00", 7))
+      q.processAllAvailable()
+      val t13 = Timestamp.valueOf("2024-01-01 13:00:00").getTime
+      assert(rows().filter(_._1 == 7L) ===
+        Seq((7L, t0, t0 + 600000L, 2L), (7L, t13, t13, 1L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming SCD-2: newer changes close windows exactly once; equal-ts last-writer; late drops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Scd2Change]
