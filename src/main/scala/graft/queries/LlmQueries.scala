@@ -1031,6 +1031,20 @@ object LlmQueries {
         .select(col("doc_id"), col("h"), col("global_id").as("pos"))
     }),
 
+    // ORC round-trip — the columnar-format interchange a mixed estate
+    // brings (Hive-era ORC next to parquet): write the dimension as
+    // ORC, read it back, and hash-match the source projection. Spark's
+    // ORC path carries the same pushdown/pruning machinery as parquet;
+    // money goes through exact cents as everywhere.
+    "q168_orc_roundtrip" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q168") + "/orc"
+      Tables.customer(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("acct_cents"),
+        col("c_mktsegment"))
+    }),
+
     // CHANGE DATA FEED between two committed versions: what an
     // incremental downstream consumer pulls to catch up, computed at
     // FILE granularity from the two manifests — for the dominant
@@ -2714,6 +2728,12 @@ object LlmQueries {
          |FROM (SELECT doc_id,
          |  ${h32Sql("'7' || '#' || CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents)""".stripMargin,
+
+    "q168_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+        |  c_mktsegment
+        |FROM customer""".stripMargin,
 
     // The v1→v3 feed is exactly the later batches (mod 1 and 2).
     "q166_change_feed" ->

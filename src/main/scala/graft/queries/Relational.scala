@@ -856,6 +856,25 @@ object Relational {
           min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
     }),
 
+    // The pure-SQL surface end to end: a user who writes spark.sql(...)
+    // — not the DataFrame API — gets the SAME engine, including the
+    // custom codegen expressions, which GraftExtensions registers as
+    // real SQL functions (an analyzer-level FunctionRegistry entry, not
+    // a UDF). One statement exercises a native scalar (md5_prefix32),
+    // the native Morton key (zorder64) and a window, all inside
+    // whole-stage codegen; DuckDB replays every bit.
+    "q167_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftExtensions.install(s)
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey,
+          md5_prefix32(CAST(o_orderkey AS STRING)) AS h,
+          zorder64(o_custkey, o_orderkey) AS z,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey) AS BIGINT) AS rn
+        FROM orders_v""")
+    }),
+
     // Contiguous global row ids in key order WITHOUT the Exchange
     // SinglePartition the naive row_number()-over-ORDER-BY window plans
     // (PlanSpec pins that absence): range partition + local sort +
@@ -1656,6 +1675,16 @@ object Relational {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM x GROUP BY 1""".stripMargin,
+
+    "q167_sql_surface" ->
+      """SELECT o_orderkey,
+        |  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |  CAST(list_sum(list_transform(range(0, 31),
+        |    i -> (((o_custkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i))
+        |       + (((o_orderkey & 2147483647) >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS z,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey) AS BIGINT) AS rn
+        |FROM orders""".stripMargin,
 
     "q160_top_unshipped" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
