@@ -561,6 +561,97 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Build an INVERTED TERM INDEX over the corpus as a skipping-store
+    * table — the exact-retrieval complement of the ANN index ("which
+    * documents contain this term", the audit/recall question a vector
+    * index cannot answer): one posting row per (term, doc), clustered
+    * on the term's hash so every term's postings are contiguous in one
+    * (or a few) files, with per-file term-hash ranges AND a term Bloom
+    * sidecar in the manifest.
+    *
+    * Scale shape: the build is one tokenize-explode pass + one
+    * (term, doc) aggregation — the same cost as TF-IDF's first stage;
+    * the index is term-hash-range-partitioned, so a [[lookupTerms]]
+    * serve reads only the files whose Bloom says "might contain" —
+    * postings-list-sized I/O out of a corpus-sized index, pruned from
+    * the LISTING like every store read. Posting rows carry the term
+    * occurrence count (tf), so the serve result doubles as the scoring
+    * input.
+    */
+  def buildInvertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, indexDir: String, numFiles: Int,
+      bloomExpected: Long = 100000L): graft.sinks.DataSkipping.SkipManifest = {
+    val postings = Dedup.once(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_h", Dedup.hash32(col("term")))
+    graft.sinks.DataSkipping.writeWithStats(postings, indexDir, col("term_h"),
+      numFiles, statsCols = Seq("term_h"), bloomCols = Seq("term"),
+      bloomExpected = bloomExpected)
+  }
+
+  /** Serve a term lookup from a [[buildInvertedIndex]] store: Bloom
+    * sidecars prune the listing to might-contain files, the residual
+    * `IN` keeps the result exact. Returns (term, doc_id, tf).
+    */
+  def lookupTerms(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term", terms)
+      .select(col("term"), col("doc_id"), col("tf"))
+
+  /** Corpus-global top-k COLLOCATIONS by pointwise mutual information —
+    * the phrase/term-of-art miner (multi-word expressions, boilerplate
+    * signatures) that raw bigram frequency ([[topNgrams]]) buries under
+    * "of the": PMI rescales the pair count by its parts' popularity.
+    *
+    *   PMI(x,y) = log p(x,y)/(p(x)p(y)),  p(x,y)=c_xy/M, p(x)=c_x/N
+    *
+    * log is monotone, so the RANKING needs only the exact integer ratio
+    *   score_ppm = (c_xy · N² · 10⁶) div (M · c_x · c_y)
+    * computed in decimal(38,0) (the int64 product overflows right at
+    * corpus scale — the q153/q127 lesson) and floor-divided back to a
+    * long: engine-exact, no doubles, no logs. `minCount` floors the
+    * pair support (PMI's classic failure mode is hapax pairs scoring
+    * highest).
+    *
+    * Scale shape: one tokenize pass feeds both the unigram and bigram
+    * counts (map-side partial aggs); the two c_x/c_y joins are keyed
+    * shuffles of the MINCOUNT-FILTERED bigram table against the
+    * unigram table; the corpus totals ride one broadcast single-row
+    * aggregate; the top-k is TakeOrdered (k rows to the driver, the
+    * vocabulary never collects).
+    */
+  def topCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 5L, k: Int = 40): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val t = Dedup.once(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+      "__toks", tokens(col("__text")))
+    val uni = t.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = t.select(
+      sum(size(col("__toks"))).cast("decimal(38,0)").as("n_tok"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("decimal(38,0)").as("m_bi"))
+    val bi = t.filter(size(col("__toks")) >= 2)
+      .select(explode(Dedup.shingles(col("__toks"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bi.withColumn("x", split(col("gram"), " ").getItem(0))
+      .withColumn("y", split(col("gram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("w", "x").withColumnRenamed("c_w", "c_x"), Seq("x"))
+      .join(uni.withColumnRenamed("w", "y").withColumnRenamed("c_w", "c_y"), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm", expr(
+        "CAST(c_xy AS DECIMAL(38,0)) * n_tok * n_tok * 1000000" +
+          " div (m_bi * c_x * c_y)"))
+      .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Transparent linear quality score — the model-based-filter SHAPE
     * (a fasttext-style quality classifier is a weighted feature sum at
     * inference) with auditable fixed integer weights over the standard

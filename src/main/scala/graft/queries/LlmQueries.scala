@@ -1045,6 +1045,76 @@ object LlmQueries {
         col("c_mktsegment"))
     }),
 
+    // RETENTION / TTL range delete over the time-clustered store: the
+    // "drop everything older than the horizon" sweep every log table
+    // runs daily. Files wholly inside the doomed range — with a
+    // KNOWN-ZERO null count in the manifest (min/max ignore NULLs, so
+    // only the recorded null count proves no NULL row hides inside) —
+    // delete from the LISTING without being read; the boundary file
+    // rewrites survivors; everything newer is never touched. The
+    // oracle is the plain keep-predicate over the original table, so a
+    // leaked doomed row or a lost survivor hash-mismatches.
+    "q169_retention_delete" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val tmp = gateScratchDir(s, "q169")
+      graft.sinks.DataSkipping.writeWithStats(ev, tmp, col("ts_us"),
+        numFiles = 8, statsCols = Seq("ts_us"))
+      graft.sinks.Erasure.deleteRange(s, tmp, "ts_us",
+        Long.MinValue, 1704844799999999L): Unit
+      s.read.parquet(tmp).select(col("event_id"), col("event_type"), col("ts_us"))
+    }),
+
+    // LAYOUT EVOLUTION: the store re-clusters on a NEW key when the
+    // query pattern changes (Iceberg partition-spec evolution / Delta
+    // re-OPTIMIZE) — orderkey-clustered lineitem re-clusters on
+    // partkey, ONE manifest write swaps the file set and the stats
+    // config (manifest-driven reads exact through any crash, the
+    // compaction protocol), and a partkey range then prunes from the
+    // listing the way orderkey used to (listing shrink suite-pinned).
+    // Oracle = the plain BETWEEN over the table: a row lost or
+    // duplicated by the rewrite hash-mismatches.
+    "q170_recluster" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val tmp = gateScratchDir(s, "q170")
+      graft.sinks.DataSkipping.writeWithStats(li, tmp, col("l_orderkey"),
+        numFiles = 8, statsCols = Seq("l_orderkey"))
+      graft.sinks.DataSkipping.recluster(s, tmp, col("l_partkey"),
+        numFiles = 8, statsCols = Seq("l_partkey")): Unit
+      graft.sinks.DataSkipping.readPruned(s, tmp, Seq(("l_partkey", 0L, 150L)))
+    }),
+
+    // INVERTED TERM INDEX — exact retrieval over the corpus ("which
+    // docs contain this term", the audit/recall question the ANN index
+    // cannot answer): postings (term, doc, tf) land clustered on the
+    // term hash with a term Bloom sidecar, and a 3-term lookup reads
+    // only might-contain files — postings-sized I/O out of a
+    // corpus-sized index (listing shrink suite-pinned). One queried
+    // term is absent: Bloom false positives may schedule a file but
+    // the residual IN keeps it out of the result, so the oracle is the
+    // plain tokenize + WHERE term IN over the corpus.
+    "q171_inverted_index" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q171") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.lookupTerms(s, tmp, Seq("join", "vector", "zzzabsent"))
+    }),
+
+    // Top-k collocations by pointwise mutual information — the
+    // phrase-miner raw bigram frequency buries under "of the": rank by
+    // the exact integer ratio (c_xy·N²·10⁶) div (M·c_x·c_y), log-free
+    // (log is monotone), computed in decimal(38,0)/HUGEINT because the
+    // int64 product overflows right at corpus scale (the q153 lesson);
+    // min-support 5 floors PMI's hapax failure mode; total (score,
+    // gram) order makes the top-40 boundary deterministic.
+    "q172_collocations" -> ((s, dir) =>
+      TextAnalysis.topCollocations(Tables.documents(s, dir), "doc_id", "text",
+          minCount = 5L, k = 40)
+        .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"),
+          col("score_ppm").cast("long").as("score_ppm"))),
+
     // CHANGE DATA FEED between two committed versions: what an
     // incremental downstream consumer pulls to catch up, computed at
     // FILE granularity from the two manifests — for the dominant
@@ -2734,6 +2804,49 @@ object LlmQueries {
         |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
         |  c_mktsegment
         |FROM customer""".stripMargin,
+
+    // Retention delete ≡ the plain keep-predicate (NULL keys survive:
+    // a NULL satisfies no range predicate).
+    "q169_retention_delete" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts IS NULL OR epoch_us(ts) >= 1704844800000000""".stripMargin,
+
+    // Re-clustering moves every row exactly once; pruning on the new
+    // key never changes the answer — only the file listing.
+    "q170_recluster" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE l_partkey BETWEEN 0 AND 150""".stripMargin,
+
+    // The pruned index lookup ≡ tokenize + WHERE term IN over the
+    // corpus (the absent term contributes nothing on either side).
+    "q171_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS term
+         |  FROM documents)
+         |SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+         |WHERE term IN ('join', 'vector', 'zzzabsent')
+         |GROUP BY 1, 2""".stripMargin,
+
+    // PMI ranking replayed exactly: HUGEINT product, floor division.
+    "q172_collocations" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(len(toks)) AS HUGEINT) AS n_tok,
+         |    CAST(SUM(GREATEST(len(toks) - 1, 0)) AS HUGEINT) AS m_bi FROM t),
+         |b AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM b GROUP BY 1
+         |  HAVING COUNT(*) >= 5),
+         |j AS (SELECT gram, c_xy, ux.c_w AS c_x, uy.c_w AS c_y
+         |  FROM bc
+         |  JOIN uc ux ON string_split(gram, ' ')[1] = ux.w
+         |  JOIN uc uy ON string_split(gram, ' ')[2] = uy.w)
+         |SELECT gram, c_xy, c_x, c_y,
+         |  CAST((CAST(c_xy AS HUGEINT) * n_tok * n_tok * 1000000)
+         |    // (m_bi * c_x * c_y) AS BIGINT) AS score_ppm
+         |FROM j CROSS JOIN tot
+         |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
 
     // The v1→v3 feed is exactly the later batches (mod 1 and 2).
     "q166_change_feed" ->

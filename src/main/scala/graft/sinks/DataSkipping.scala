@@ -81,13 +81,19 @@ object DataSkipping {
   val DefaultBloomExpected = 100000L
   val DefaultBloomFpp = 0.01
 
-  /** Per-file stats: `mins`/`maxs` align with the manifest's `cols`,
-    * `blooms` (base64-serialized [[BloomFilter]]s) with `bloomCols`.
-    * A file with zero non-null values in a column records
+  /** Per-file stats: `mins`/`maxs`/`nulls` align with the manifest's
+    * `cols`, `blooms` (base64-serialized [[BloomFilter]]s) with
+    * `bloomCols`. A file with zero non-null values in a column records
     * (Long.MaxValue, Long.MinValue) — an empty range nothing intersects.
+    * `nulls` (per-column NULL counts — what lets a range DELETE drop a
+    * wholly-in-range file from the listing without reading it: min/max
+    * ignore NULLs, so only a known-zero null count proves no NULL row
+    * hides inside) is `Nil` on legacy manifests, meaning UNKNOWN —
+    * consumers must then stay conservative ([[Erasure.deleteRange]]
+    * rewrites instead of blind-deleting).
     */
   final case class FileStats(file: String, rows: Long, mins: Seq[Long], maxs: Seq[Long],
-      blooms: Seq[String] = Nil) {
+      blooms: Seq[String] = Nil, nulls: Seq[Long] = Nil) {
     /** Decode the i-th Bloom sidecar (aligned with `bloomCols`). */
     def bloom(i: Int): BloomFilter =
       BloomFilter.readFrom(Base64.getDecoder.decode(blooms(i)))
@@ -280,6 +286,63 @@ object DataSkipping {
     patched
   }
 
+  /** LAYOUT EVOLUTION — re-cluster the store on a NEW layout key (and a
+    * new stats/bloom configuration): the move a table makes when its
+    * query pattern changes after years of appends (Iceberg's
+    * partition-spec evolution, Delta's re-OPTIMIZE ZORDER BY). The whole
+    * table rewrites — that cost is the operation's definition — but the
+    * COMMIT protocol is compaction's, so manifest-driven reads stay
+    * exact through any crash:
+    *
+    *  1. the current manifest's files re-cluster into a dot-prefixed
+    *     tmp dir (range-partition + sort on the new key);
+    *  2. new files move in as ORPHANS (absent from the manifest);
+    *  3. ONE manifest write swaps the entire file set AND the stats
+    *     config to the new key (the commit);
+    *  4. old files delete last (post-commit orphans, swept on crash).
+    *
+    * After the commit, range/point pruning on the NEW key shrinks the
+    * listing the way the old key used to. The version log records the
+    * commit; pre-recluster snapshots are invalidated (their files are
+    * gone) exactly as [[validVersions]] reports.
+    */
+  def recluster(spark: SparkSession, dir: String, layoutKey: Column,
+      numFiles: Int, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomExpected: Long = DefaultBloomExpected,
+      bloomFpp: Double = DefaultBloomFpp): SkipManifest = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    sweepOrphans(spark, dir)
+    val old = readManifest(spark, dir)
+    if (old.files.isEmpty) {
+      val m = SkipManifest(statsCols, Vector.empty, bloomCols, bloomExpected, bloomFpp)
+      writeManifestFile(spark, dir, m)
+      return m
+    }
+    val tmp = new Path(dir, ".recluster_tmp")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true): Unit
+    spark.read.parquet(old.files.map(f => s"$dir/${f.file}"): _*)
+      .withColumn("__layout", layoutKey)
+      .repartitionByRange(numFiles, col("__layout"))
+      .sortWithinPartitions(col("__layout"))
+      .drop("__layout")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .map { p =>
+        fs.rename(p, new Path(dir, p.getName)): Unit
+        p.getName
+      }.toIndexedSeq.sorted
+    fs.delete(tmp, true): Unit
+    val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
+      statsCols, bloomCols, bloomExpected, bloomFpp)
+    val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
+    writeManifestFile(spark, dir, m) // the commit: file set + stats config swap
+    old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
+    m
+  }
+
   /** Delete part files present on disk but absent from the manifest —
     * the leftovers of a crash between a compaction's move and its
     * commit (or after its commit, before the old files' delete).
@@ -343,7 +406,8 @@ object DataSkipping {
       bloomExpected: Long, bloomFpp: Double): IndexedSeq[FileStats] = {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__min_$c"),
-      max(col(c).cast("long")).as(s"__max_$c"))) ++
+      max(col(c).cast("long")).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))) ++
       bloomCols.map(c => BloomAgg(col(c), bloomExpected, bloomFpp).as(s"__bloom_$c"))
     val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__file"))
@@ -356,9 +420,10 @@ object DataSkipping {
         if (mi == null || ma == null) (Long.MaxValue, Long.MinValue)
         else (mi.asInstanceOf[Long], ma.asInstanceOf[Long])
       }.unzip
+      val nulls = statsCols.map(c => r.getAs[Long](s"__nulls_$c"))
       val blooms = bloomCols.map(c =>
         Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](s"__bloom_$c")))
-      FileStats(name, r.getAs[Long]("__rows"), mins, maxs, blooms)
+      FileStats(name, r.getAs[Long]("__rows"), mins, maxs, blooms, nulls)
     }.sortBy(_.file).toIndexedSeq
   }
 
@@ -383,10 +448,15 @@ object DataSkipping {
         s""","bloomExpected":${m.bloomExpected},"bloomFpp":${m.bloomFpp}"""
     text ++= s"""{"cols":${m.cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")}$bloomHeader,"files":[""" + "\n"
     text ++= m.files.map { f =>
+      // optional fields appear only when known, so legacy (bloom-free,
+      // null-count-free) entries re-serialize byte-identically
+      val nullsField =
+        if (f.nulls.isEmpty) ""
+        else s""","nulls":${f.nulls.mkString("[", ",", "]")}"""
       val bloomField =
         if (f.blooms.isEmpty) ""
         else s""","blooms":${f.blooms.map(b => "\"" + b + "\"").mkString("[", ",", "]")}"""
-      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$bloomField}"""
+      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$nullsField$bloomField}"""
     }.mkString(",\n")
     text ++= "\n]}\n"
     val bytes = text.toString.getBytes("UTF-8")
@@ -552,7 +622,7 @@ object DataSkipping {
       """(?:,"bloomCols":\[([^\]]*)\],"bloomExpected":(\d+),"bloomFpp":([0-9.eE+-]+))?""" +
       ""","files":\[""").r
     val FileRe = ("""\{"file":"([^"]+)","rows":(\d+),"mins":\[([^\]]*)\],"maxs":\[([^\]]*)\]""" +
-      """(?:,"blooms":\[([^\]]*)\])?\},?""").r
+      """(?:,"nulls":\[([^\]]*)\])?(?:,"blooms":\[([^\]]*)\])?\},?""").r
     def names(s: String): Seq[String] =
       if (s == null || s.isEmpty) Nil
       else s.split(',').map(_.stripPrefix("\"").stripSuffix("\"")).toIndexedSeq
@@ -572,14 +642,18 @@ object DataSkipping {
         catch { case _: NumberFormatException => corrupt(s"non-long '$x'") }
       }.toIndexedSeq
     val files = lines.tail.dropRight(1).map {
-      case FileRe(f, r, mi, ma, bl) =>
+      case FileRe(f, r, mi, ma, nu, bl) =>
         val (mins, maxs) = (longs(mi), longs(ma))
         if (mins.length != cols.length || maxs.length != cols.length)
           corrupt(s"file '$f' stats arity != ${cols.length}")
+        // nulls is optional (legacy manifests): absent ⇒ Nil ⇒ unknown
+        val nulls = if (nu == null) Nil else longs(nu)
+        if (nulls.nonEmpty && nulls.length != cols.length)
+          corrupt(s"file '$f' nulls arity ${nulls.length} != ${cols.length}")
         val blooms = names(bl)
         if (blooms.length != bloomCols.length)
           corrupt(s"file '$f' bloom arity ${blooms.length} != ${bloomCols.length}")
-        FileStats(f, r.toLong, mins, maxs, blooms)
+        FileStats(f, r.toLong, mins, maxs, blooms, nulls)
       case l => corrupt(s"bad file line '$l'")
     }
     SkipManifest(cols, files, bloomCols, bloomExpected, bloomFpp)

@@ -79,6 +79,57 @@ object Erasure {
     ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
   }
 
+  /** Retention / TTL enforcement — erase every row whose `keyCol` (a
+    * long stats column, typically event-time micros) falls in the
+    * INCLUSIVE [lo, hi] range: "delete everything older than the
+    * retention horizon" as a listing-sized decision. NULL keys survive
+    * (a NULL satisfies no range predicate), matching [[delete]].
+    *
+    * Three file classes, decided from the manifest alone:
+    *  - disjoint range → untouched, never read;
+    *  - wholly inside [lo, hi] with a KNOWN-ZERO null count → deleted
+    *    from the listing WITHOUT reading a byte (min/max ignore NULLs,
+    *    so only the recorded null count proves no NULL row hides
+    *    inside; legacy manifests without null counts stay conservative
+    *    and take the rewrite path);
+    *  - straddling (or null-count-unknown) → survivors rewrite via the
+    *    same atomic-overwrite swap as key erasure.
+    *
+    * For the dominant retention shape — time-clustered store, horizon
+    * sweeping forward — almost every doomed file is wholly doomed, so
+    * the cost is file deletes + a boundary file's rewrite, never a
+    * table scan.
+    */
+  def deleteRange(spark: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long): ErasureReport = {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    val m = DataSkipping.readManifest(spark, dir)
+    val si = m.cols.indexOf(keyCol)
+    require(si >= 0, s"column '$keyCol' has no range stats in " +
+      s"$dir/${DataSkipping.ManifestName} (stats cols: ${m.cols.mkString(", ")})")
+    val conf = spark.sessionState.newHadoopConf()
+    sweepStaleTmp(new Path(dir), conf)
+    val hits = m.files.filter(f => f.maxs(si) >= lo && f.mins(si) <= hi)
+    if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
+    val (whole, partial) = hits.partition(f =>
+      f.mins(si) >= lo && f.maxs(si) <= hi &&
+        f.nulls.nonEmpty && f.nulls(si) == 0L)
+    var rowsDeleted = 0L
+    whole.foreach { f =>
+      val target = new Path(dir, f.file)
+      target.getFileSystem(conf).delete(target, false): Unit
+      rowsDeleted += f.rows
+    }
+    val keep = col(keyCol).isNull || !col(keyCol).between(lo, hi)
+    val (removed, rewritten, partialRows) = dropRows(spark, dir, partial, keep)
+    rowsDeleted += partialRows
+    DataSkipping.patchManifest(spark, dir,
+      whole.map(_.file) ++ removed, rewritten): Unit
+    DataSkipping.truncateVersions(spark, dir)
+    ErasureReport(m.files.size, rewritten.size,
+      whole.size + removed.size, rowsDeleted)
+  }
+
   /** The shared drop-rows-by-key rewrite loop ([[delete]] and
     * [[DataSkipping.upsertKeys]]): for each candidate file, survivors
     * rewrite IN PLACE via the atomic-overwrite swap (the target always
@@ -89,12 +140,20 @@ object Erasure {
     */
   private[sinks] def dropKeyRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats], keyCol: String,
-      keys: Seq[Any]): (List[String], List[String], Long) = {
+      keys: Seq[Any]): (List[String], List[String], Long) =
+    dropRows(spark, dir, hits,
+      col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+
+  /** Rewrite each candidate file to its `keep`-satisfying survivors —
+    * the predicate-generic core of [[dropKeyRows]] and [[deleteRange]].
+    */
+  private def dropRows(spark: SparkSession, dir: String,
+      hits: Seq[DataSkipping.FileStats],
+      keep: org.apache.spark.sql.Column): (List[String], List[String], Long) = {
     val conf = spark.sessionState.newHadoopConf()
     var rewrittenFiles = List.empty[String]
     var removedFiles = List.empty[String]
     var rowsDeleted = 0L
-    val keep = col(keyCol).isNull || !col(keyCol).isin(keys: _*)
     hits.foreach { f =>
       val target = new Path(dir, f.file)
       val fs = target.getFileSystem(conf)

@@ -1114,6 +1114,49 @@ class LlmSpec extends SparkSuite {
     assert(out.sortBy(_._2).toSeq === Seq((3L, 1L), (4L, 2L)))
   }
 
+  test("inverted index: lookup prunes the listing and returns the exact postings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx")
+    dir.toFile.deleteOnExit()
+    // 200 docs, each repeating one marker word w<i%40> three times — the
+    // postings cluster on term hash, so one term lives in few files
+    val corpus = (0 until 200).map(i =>
+        (i.toLong, s"w${i % 40} w${i % 40} w${i % 40} shared filler text"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus, "doc_id", "text",
+      dir.toString, numFiles = 8, bloomExpected = 500L): Unit
+    val hits = TextAnalysis.lookupTerms(spark, dir.toString, Seq("w7"))
+    assert(hits.inputFiles.length < 8,
+      s"a single-term lookup must prune the listing: read ${hits.inputFiles.length} of 8")
+    val got = hits.collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val want = (0 until 200).filter(_ % 40 === 7).map(i => (i.toLong, 3L)).sorted
+    assert(got.toSeq === want)
+    // an absent term returns empty, never a false row
+    assert(TextAnalysis.lookupTerms(spark, dir.toString, Seq("nosuchterm")).count() === 0L)
+  }
+
+  test("topCollocations: exact integer PMI ranking, min-support floor, hapax pairs excluded") {
+    // 6 docs: "a b" is a tight pair (always together), "c d" loose
+    // (c and d also appear apart), "e f" appears once (under support)
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "a b d y"),
+      (4L, "a b c d"), (5L, "a b e f"), (6L, "c y d x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topCollocations(corpus, "doc_id", "text",
+        minCount = 2L, k = 10)
+      .withColumn("score_ppm", col("score_ppm").cast("long"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // N = 24 tokens, M = 18 bigrams
+    val (n, m) = (24L, 18L)
+    assert(out("a b")._1 === 5L)
+    assert(out("a b")._4 === 5L * n * n * 1000000L / (m * 5L * 5L),
+      "score replays (c_xy·N²·10⁶) div (M·c_x·c_y) exactly")
+    assert(out("c d")._4 < out("a b")._4,
+      "a pair whose parts roam scores below a tight pair")
+    assert(!out.contains("e f"), "hapax pairs fall to the support floor")
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

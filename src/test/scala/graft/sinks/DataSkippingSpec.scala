@@ -213,6 +213,58 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("recluster swaps the layout key and stats config in one commit; pruning on the NEW key shrinks the listing") {
+    val dir = tmpDir("graft-recluster")
+    // k2 is k1 bit-reversed-ish: clustering on k1 leaves k2 scattered
+    val df = (0 until 4000).map(i => (i.toLong, ((i * 2654435761L) % 4000), i.toLong))
+      .toDF("k1", "k2", "payload")
+    val m1 = DataSkipping.writeWithStats(df, dir, col("k1"), numFiles = 8,
+      statsCols = Seq("k1"))
+    val oldFiles = m1.files.map(_.file).toSet
+
+    val m2 = DataSkipping.recluster(spark, dir, col("k2"), numFiles = 8,
+      statsCols = Seq("k2"))
+    assert(m2.cols === Seq("k2"), "the stats config swaps with the layout")
+    assert(m2.files.map(_.rows).sum === 4000L, "every row moves exactly once")
+    assert(DataSkipping.readManifest(spark, dir) === m2)
+    // old files are gone; the directory holds exactly the new set
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(onDisk === m2.files.map(_.file).toSet)
+    assert(onDisk.intersect(oldFiles).isEmpty)
+
+    // a narrow k2 range now prunes from the listing
+    val pruned = DataSkipping.readPruned(spark, dir, Seq(("k2", 0L, 400L)))
+    assert(pruned.inputFiles.length < 8,
+      s"k2 pruning must skip files after recluster: read ${pruned.inputFiles.length} of 8")
+    assert(pruned.orderBy("payload").collect() ===
+      df.filter(col("k2").between(0, 400)).orderBy("payload").collect())
+  }
+
+  test("manifest null counts: recorded per stats column, legacy manifests parse as unknown and patch verbatim") {
+    val dir = tmpDir("graft-nulls")
+    val rows = (0 until 90).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      (0 until 10).map(i => (null.asInstanceOf[java.lang.Long], 900L + i))
+    val m = DataSkipping.writeWithStats(rows.toDF("k", "payload"), dir,
+      coalesce(col("k"), lit(Long.MaxValue)), numFiles = 1, statsCols = Seq("k"))
+    assert(m.files.head.nulls === Seq(10L), "null count rides the stats pass")
+    assert(DataSkipping.readManifest(spark, dir) === m, "nulls round-trip the serializer")
+
+    // legacy manifest: no nulls field -> parses as unknown (Nil), and a
+    // patch keeps the legacy entry byte-identical (no field invented)
+    val mf = Paths.get(dir, DataSkipping.ManifestName)
+    val legacyText = new String(Files.readAllBytes(mf), "UTF-8")
+      .replaceAll(""","nulls":\[[^\]]*\]""", "")
+    Files.write(mf, legacyText.getBytes("UTF-8"))
+    // drop the checksum sidecar invalidated by the out-of-band edit
+    Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
+    val legacy = DataSkipping.readManifest(spark, dir)
+    assert(legacy.files.head.nulls === Nil)
+    DataSkipping.patchManifest(spark, dir, Nil, Nil): Unit
+    assert(new String(Files.readAllBytes(mf), "UTF-8") === legacyText,
+      "a no-op patch of a legacy manifest must not invent null counts")
+  }
+
   test("compactSmallFiles folds the small-file backlog; big entries verbatim; orphans swept") {
     val dir = tmpDir("graft-skip-compact")
     val base = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")

@@ -132,6 +132,82 @@ class ErasureSpec extends SparkSuite {
     assert(e.getMessage.contains("bloom"))
   }
 
+  test("deleteRange deletes wholly-doomed files from the listing WITHOUT reading them; boundary files rewrite") {
+    val dir = tmpDir("graft-ttl")
+    // keys 0..799 range-clustered into 8 files (~100 keys each)
+    val df = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    val m = DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 8,
+      statsCols = Seq("k"))
+    // corrupt the FIRST file (k ~0..99) on disk: it is wholly inside the
+    // doomed range with a known-zero null count, so deleteRange must
+    // drop it from the listing without opening it — a read would throw
+    val victim = m.files.minBy(_.mins.head).file
+    Files.write(Paths.get(dir, victim), "not a parquet file".getBytes("UTF-8"))
+
+    val rpt = Erasure.deleteRange(spark, dir, "k", Long.MinValue, 149L)
+    assert(rpt.filesDeleted === 1, s"the wholly-doomed file deletes listing-only: $rpt")
+    assert(rpt.filesRewritten === 1, s"the straddling file rewrites survivors: $rpt")
+    assert(rpt.rowsDeleted === 150L)
+
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("k") <= 149L).count() === 0L)
+    assert(left.count() === 650L)
+    // refreshed manifest prunes the erased range to nothing
+    assert(DataSkipping.readPruned(spark, dir, Seq(("k", 0L, 149L))).count() === 0L)
+  }
+
+  test("deleteRange preserves NULL keys: a null-bearing file takes the rewrite path even when its range is wholly doomed") {
+    val dir = tmpDir("graft-ttl-null")
+    // NULLs sort first under range partitioning -> they share the
+    // lowest-key file, whose non-null range the delete wholly covers
+    val rows = (0 until 200).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      (0 until 30).map(i => (null.asInstanceOf[java.lang.Long], 9000L + i))
+    val df = rows.toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val rpt = Erasure.deleteRange(spark, dir, "k", Long.MinValue, 99L)
+    assert(rpt.rowsDeleted === 100L)
+    val left = spark.read.parquet(dir)
+    assert(left.filter(col("k").isNull).count() === 30L, "NULL keys must survive a range delete")
+    assert(left.filter(col("k") <= 99L).count() === 0L)
+  }
+
+  test("deleteRange on a legacy manifest (no null counts) stays conservative: null rows survive a whole-file range") {
+    val dir = tmpDir("graft-ttl-legacy")
+    val rows = (0 until 100).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      (0 until 10).map(i => (null.asInstanceOf[java.lang.Long], 9000L + i))
+    val df = rows.toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+    // simulate a pre-null-counts manifest: strip the nulls field
+    val mf = Paths.get(dir, DataSkipping.ManifestName)
+    val legacy = new String(Files.readAllBytes(mf), "UTF-8")
+      .replaceAll(""","nulls":\[[^\]]*\]""", "")
+    Files.write(mf, legacy.getBytes("UTF-8"))
+    // drop the checksum sidecar invalidated by the out-of-band edit
+    Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
+    assert(DataSkipping.readManifest(spark, dir).files.forall(_.nulls.isEmpty))
+    // the file's whole non-null range is doomed, but the null count is
+    // UNKNOWN — a blind listing-delete would destroy the NULL rows
+    val rpt = Erasure.deleteRange(spark, dir, "k", 0L, 99L)
+    assert(rpt.rowsDeleted === 100L)
+    assert(spark.read.parquet(dir).filter(col("k").isNull).count() === 10L,
+      "unknown null counts must force the conservative rewrite path")
+  }
+
+  test("deleteRange matching nothing touches nothing; reversed bounds are rejected") {
+    val dir = tmpDir("graft-ttl-none")
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val rpt = Erasure.deleteRange(spark, dir, "k", 5000L, 6000L)
+    assert(rpt === Erasure.ErasureReport(2, 0, 0, 0L))
+    assert(spark.read.parquet(dir).count() === 100L)
+    intercept[IllegalArgumentException] {
+      Erasure.deleteRange(spark, dir, "k", 10L, 5L)
+    }: Unit
+    intercept[IllegalArgumentException] {
+      Erasure.deleteRange(spark, dir, "payload", 0L, 1L) // no stats column
+    }: Unit
+  }
+
   test("stale .erasure_tmp_* leftovers are swept on the next run") {
     val dir = tmpDir("graft-erase-sweep")
     val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
