@@ -652,6 +652,127 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-bigram language-model fluency score — the perplexity-filter
+    * SHAPE (KenLM-style "does this doc read like the corpus" gating)
+    * with exact integer arithmetic instead of log-probs: each of a
+    * doc's bigrams scores its corpus conditional probability in ppm,
+    *
+    *   p(y|x) ≈ (c_xy · 10⁶) div c_x,
+    *
+    * and the doc's fluency is the integer mean over its bigrams.
+    * Repetitive/boilerplate text (high-probability transitions) scores
+    * high, out-of-distribution text scores near zero — the same
+    * decision axis a real LM filter thresholds, transparent and
+    * engine-replayable (both engines floor-divide longs identically).
+    * Docs with fewer than two tokens have no transitions and score 0.
+    *
+    * Scale shape: one tokenize pass feeds the corpus bigram/unigram
+    * count tables AND the per-doc bigram stream; the two count joins
+    * are (gram)- and (head-word)-keyed shuffles with map-side partial
+    * aggs; the final doc-keyed mean is one more keyed agg. Nothing
+    * collects; no doubles anywhere.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = Dedup.once(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+      "__toks", tokens(col("__text")))
+    val grams = t.filter(size(col("__toks")) >= 2)
+      .select(col("id"), explode(Dedup.shingles(col("__toks"), 2)).as("gram"))
+    val bc = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    val uc = grams
+      .select(split(col("gram"), " ").getItem(0).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val scored = grams
+      .join(bc, Seq("gram"))
+      .withColumn("x", split(col("gram"), " ").getItem(0))
+      .join(uc, Seq("x"))
+      .withColumn("p_ppm", expr("c_xy * 1000000 div c_x"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("lm_ppm"))
+    t.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+  }
+
+  /** Feature-hashed document vectors — the HASHING TRICK (Weinberger et
+    * al.): each term folds into one of `dim` buckets by portable hash,
+    * giving every document a fixed-width integer count vector with NO
+    * vocabulary table, no fit step, and no driver state — the cheap
+    * featurization for clustering/classification when a learned
+    * embedding is overkill. Emitted in LONG form (doc, bucket, n) with
+    * zero buckets absent — the sparse representation that joins/
+    * aggregates without array columns.
+    *
+    * Scale shape: tokenize-explode, map-side bucket assignment (the
+    * hash is a codegen'd expression), ONE (doc, bucket)-keyed count.
+    * Collisions are the accepted trade of the trick; `dim` tunes them.
+    */
+  def hashingTfVectors(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    Dedup.once(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .withColumn("bucket", pmod(Dedup.hash32(col("term")), lit(dim.toLong)))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-source token-distribution DRIFT against the whole corpus —
+    * total variation distance in exact integer ppm: for source s with
+    * token total n_s against corpus totals (c_t, N),
+    *
+    *   TV(s) = ½ Σ_t |obs_ts/n_s − c_t/N|
+    *         = (Σ_t |obs_ts·N − c_t·n_s|) · 10⁶ div (2·n_s·N)   [ppm]
+    *
+    * — the distribution-shift monitor a mixture pipeline alarms on
+    * (a source drifting from the corpus mix shifts sampling weights
+    * and contamination risk). The absent-term tail (terms the source
+    * never emits, each contributing c_t·n_s) folds in CLOSED FORM from
+    * the totals — Σ_absent c_t = N − Σ_present c_t — so only the
+    * source's PRESENT terms are ever joined; the corpus vocabulary is
+    * never gridded against sources. Products run in decimal(38,0):
+    * obs·N is fine in int64 today and overflows exactly at the
+    * 100 TB corpus this monitors (the q153/q172 lesson).
+    *
+    * Scale shape: one tokenize pass → (source, term) counts → a
+    * term-keyed join against the corpus term table → one per-source
+    * agg + a broadcast single-row total. TV = 0 iff the source matches
+    * the corpus distribution exactly; 10⁶ = disjoint support.
+    */
+  def sourceDrift(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = Dedup.once(
+        docs.select(col(sourceCol).as("source"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(col("source"), explode(col("__toks")).as("term"))
+    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("obs"))
+    val ct = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val totals = ct.select(sum(col("c_t")).cast("decimal(38,0)").as("n_total"))
+    val perSource = st.groupBy(col("source")).agg(sum(col("obs")).as("n_s"))
+    st.join(ct, Seq("term"))
+      .join(perSource, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("n_s")).as("n_s"),
+        max(col("n_total")).as("n_tot"),
+        sum(col("c_t")).as("c_present"),
+        sum(expr(
+          "abs(CAST(obs AS DECIMAL(38,0)) * n_total - CAST(c_t AS DECIMAL(38,0)) * n_s)"))
+          .as("present_dev"))
+      .withColumn("tv_ppm", expr(
+        // absent-term tail in closed form: (N − c_present) · n_s
+        "CAST((present_dev + (n_tot - c_present) * CAST(n_s AS DECIMAL(38,0)))" +
+          " * 1000000 div (2 * CAST(n_s AS DECIMAL(38,0)) * n_tot) AS BIGINT)"))
+      .select(col("source"), col("n_terms"), col("n_s"), col("tv_ppm"))
+  }
+
   /** Transparent linear quality score — the model-based-filter SHAPE
     * (a fasttext-style quality classifier is a weighted feature sum at
     * inference) with auditable fixed integer weights over the standard

@@ -1115,6 +1115,55 @@ object LlmQueries {
         .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"),
           col("score_ppm").cast("long").as("score_ppm"))),
 
+    // Corpus-bigram LM fluency score — the perplexity-filter shape
+    // with exact integer arithmetic (no logs, no doubles): each doc
+    // averages its bigrams' corpus conditional probability
+    // (c_xy·10⁶ div c_x) in ppm. Repetitive text scores high, OOD text
+    // near zero — the LM-filter decision axis, engine-replayable.
+    "q173_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_ppm"))),
+
+    // Feature-hashed doc vectors (the hashing trick): terms fold into
+    // 64 buckets by portable hash — fixed-width featurization with no
+    // vocabulary table, no fit step; long-form (doc, bucket, n) output.
+    "q174_hashing_tf" -> ((s, dir) =>
+      TextAnalysis.hashingTfVectors(Tables.documents(s, dir), "doc_id",
+          "text", dim = 64)
+        .select(col("id").as("doc_id"), col("bucket"), col("n"))),
+
+    // Incremental JOIN-view maintenance — the materialized-view refresh
+    // (q133's aggregate-rollup companion): base orders⋈customer view
+    // plus insert deltas on BOTH sides refreshes as V ∪ ΔV with
+    // ΔV = ΔA⋈B' ∪ A⋈ΔB — delta-sized joins, disjoint terms, no dedup,
+    // the full join never recomputes. Oracle = the full join over the
+    // complete tables: a lost, duplicated, or double-counted pair
+    // hash-mismatches.
+    "q175_view_maintenance" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      val a0 = ord.filter(col("o_orderkey") % 4 =!= 0)
+      val da = ord.filter(col("o_orderkey") % 4 === 0)
+      val b0 = cust.filter(col("custkey") % 5 =!= 0)
+      val db = cust.filter(col("custkey") % 5 === 0)
+      a0.join(b0, Seq("custkey"))
+        .unionByName(graft.operators.ViewMaintenance.incrementalJoinDelta(
+          a0, da, b0, db, Seq("custkey")))
+        .select(col("o_orderkey"), col("custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+    }),
+
+    // Per-source token-distribution drift vs the corpus — exact
+    // total-variation ppm in decimal(38,0)/HUGEINT (obs·N overflows
+    // int64 right at the corpus scale this monitors); the absent-term
+    // tail folds in closed form from the totals, so only PRESENT
+    // (source, term) pairs ever join — the vocabulary is never gridded
+    // against sources.
+    "q176_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(Tables.documents(s, dir), "source", "text")),
+
     // CHANGE DATA FEED between two committed versions: what an
     // incremental downstream consumer pulls to catch up, computed at
     // FILE granularity from the two manifests — for the dominant
@@ -2847,6 +2896,59 @@ object LlmQueries {
          |    // (m_bi * c_x * c_y) AS BIGINT) AS score_ppm
          |FROM j CROSS JOIN tot
          |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
+
+    // Bigram conditional probabilities replayed with identical floor
+    // division; head-word counts are bigram occurrences, so they match
+    // the Spark side exactly; <2-token docs score 0 via the left join.
+    "q173_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM g GROUP BY 1),
+         |uc AS (SELECT string_split(gram, ' ')[1] AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS c_x FROM g GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((bc.c_xy * 1000000) // uc.c_x) // COUNT(*) AS BIGINT) AS lm_ppm
+         |  FROM g JOIN bc USING (gram)
+         |  JOIN uc ON string_split(g.gram, ' ')[1] = uc.x
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+         |  COALESCE(sc.lm_ppm, CAST(0 AS BIGINT)) AS lm_ppm
+         |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id""".stripMargin,
+
+    // The hashing trick: h32(term) is non-negative, so % and pmod agree.
+    "q174_hashing_tf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS term
+         |  FROM documents)
+         |SELECT doc_id, ${h32Sql("term")} % 64 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM toks GROUP BY 1, 2""".stripMargin,
+
+    // The incrementally maintained view must equal the full join.
+    "q175_view_maintenance" ->
+      """SELECT o_orderkey, o_custkey AS custkey,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // Total variation replayed in HUGEINT with the closed-form
+    // absent-term tail; floor division matches decimal div.
+    "q176_source_drift" ->
+      s"""WITH t AS (SELECT source, ${toksSql("text")} AS toks FROM documents),
+         |terms AS (SELECT source, unnest(toks) AS term FROM t),
+         |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS obs
+         |  FROM terms GROUP BY 1, 2),
+         |ct AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t FROM terms GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_t) AS HUGEINT) AS n_total FROM ct),
+         |ps AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS n_s FROM st GROUP BY 1)
+         |SELECT st.source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  MAX(ps.n_s) AS n_s,
+         |  CAST((SUM(abs(CAST(obs AS HUGEINT) * n_total - CAST(c_t AS HUGEINT) * ps.n_s))
+         |      + (n_total - CAST(SUM(c_t) AS HUGEINT)) * CAST(MAX(ps.n_s) AS HUGEINT))
+         |      * 1000000
+         |    // (2 * CAST(MAX(ps.n_s) AS HUGEINT) * n_total) AS BIGINT) AS tv_ppm
+         |FROM st JOIN ct USING (term) JOIN ps USING (source) CROSS JOIN tot
+         |GROUP BY st.source, n_total""".stripMargin,
 
     // The v1→v3 feed is exactly the later batches (mod 1 and 2).
     "q166_change_feed" ->

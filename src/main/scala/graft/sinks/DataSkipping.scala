@@ -605,6 +605,57 @@ object DataSkipping {
     doomed
   }
 
+  /** [[fsck]] result: `missingFiles` are manifest-listed but absent on
+    * disk (data loss — pruned reads will fail), `orphanFiles` are on
+    * disk but unlisted (crash leftovers — invisible to manifest reads,
+    * swept by maintenance), `rowMismatches` are (file, manifestRows,
+    * actualRows) disagreements (corruption or an out-of-band write),
+    * `invalidVersions` are log entries time travel can no longer serve.
+    */
+  final case class FsckReport(missingFiles: Seq[String], orphanFiles: Seq[String],
+      rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long]) {
+    def clean: Boolean =
+      missingFiles.isEmpty && orphanFiles.isEmpty &&
+        rowMismatches.isEmpty && invalidVersions.isEmpty
+  }
+
+  /** Store consistency audit — the operational `fsck` every table
+    * format ships: cross-checks the manifest against the directory
+    * LISTING (metadata-sized, the default) and optionally against
+    * per-file row counts (`checkRows` — one count pass over the listed
+    * files, the deep scrub a scheduled integrity job runs). Read-only:
+    * reports, never repairs — orphan sweeping and manifest patching
+    * stay explicit maintenance decisions.
+    */
+  def fsck(spark: SparkSession, dir: String, checkRows: Boolean = false): FsckReport = {
+    val m = readManifest(spark, dir)
+    val onDisk = listPartFiles(spark, dir).toSet
+    val listed = m.files.map(_.file).toSet
+    val missing = m.files.map(_.file).filterNot(onDisk)
+    val orphans = onDisk.toSeq.sorted.filterNot(listed)
+    val mismatches =
+      if (!checkRows || m.files.isEmpty) Nil
+      else {
+        val present = m.files.filter(f => onDisk.contains(f.file))
+        if (present.isEmpty) Nil
+        else {
+          val actual = spark.read.parquet(present.map(f => s"$dir/${f.file}"): _*)
+            .groupBy(input_file_name().as("__file"))
+            .agg(count(lit(1)).as("__rows"))
+            .collect()
+            .map(r => r.getString(0).split('/').last -> r.getAs[Long]("__rows"))
+            .toMap
+          present.flatMap { f =>
+            val a = actual.getOrElse(f.file, 0L)
+            if (a == f.rows) None else Some((f.file, f.rows, a))
+          }
+        }
+      }
+    val valid = validVersions(spark, dir).toSet
+    val invalid = listVersions(spark, dir).filterNot(valid)
+    FsckReport(missing, orphans, mismatches, invalid)
+  }
+
   /** Parse the manifest back (hand-rolled like the writer — the format
     * is ours, one file object per line between the header/footer lines;
     * v1 manifests without bloom fields parse with empty sidecars).

@@ -1157,6 +1157,59 @@ class LlmSpec extends SparkSuite {
     assert(!out.contains("e f"), "hapax pairs fall to the support floor")
   }
 
+  test("bigramLmScore: common transitions score high, rare ones low, short docs score 0") {
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a c"), (3L, "a b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // corpus bigrams: d1 ab,ba,ab; d2 ac; d3 ab → c(ab)=3, c(ba)=1,
+    // c(ac)=1; heads: c_a=4 (3 ab + 1 ac), c_b=1 (ba)
+    // p(ab)=3e6 div 4=750000, p(ba)=1e6 div 1, p(ac)=1e6 div 4=250000
+    assert(out(3L) === ((1L, 750000L)))
+    assert(out(1L) === ((3L, (750000L * 2 + 1000000L) / 3)))
+    assert(out(2L) === ((1L, 250000L)), "the rare a→c transition scores low")
+    assert(out(2L)._2 < out(3L)._2)
+    assert(out(4L) === ((0L, 0L)), "sub-bigram docs score 0")
+  }
+
+  test("hashingTfVectors: bucket assignment is the portable hash mod dim; counts exact") {
+    val corpus = Seq((1L, "alpha beta alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingTfVectors(corpus, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bucket(t: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+      val h = md5.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % 8
+    }
+    assert(out((1L, bucket("alpha"))) === 2L)
+    assert(out((1L, bucket("beta"))) === 1L)
+    assert(out((2L, bucket("beta"))) === 1L)
+  }
+
+  test("sourceDrift: identical distributions read 0 ppm, disjoint vocabularies read 1000000") {
+    val corpus = Seq(
+      (1L, "s1", "x y z"), (2L, "s2", "x y z"), // two identical sources
+      (3L, "s3", "p q r"))                      // disjoint from ⅔ of the corpus
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDrift(corpus, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // s1 and s2 each deviate from the blended corpus by the same amount
+    assert(out("s1") === out("s2"))
+    assert(out("s1") > 0L && out("s1") < 1000000L)
+    // a fully identical corpus: one source only
+    val solo = TextAnalysis.sourceDrift(
+        corpus.filter(col("source") === "s1"), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(solo("s1") === 0L, "a source that IS the corpus has zero drift")
+    // s3 shares no term with s1/s2: TV = ⅔ of the mass lives elsewhere
+    // exact: ½(|1/3·3−0|·2·... ) — pinned numerically instead:
+    // obs/n_s = 1/3 per own term vs c_t/N = 1/9 → Σ|…| over 6 foreign
+    // terms (1/9 each) + 3 own (1/3−1/9) = 6/9+6/9 → TV = 2/3
+    assert(out("s3") === 666666L)
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -769,4 +769,32 @@ class OperatorSpec extends SparkSuite {
       assert(got(id) === expect, s"left row $id")
     }
   }
+
+  test("incrementalJoinDelta: V ∪ ΔV equals the full join across random insert splits, with no duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val as = (0 until 300).map(i => (i.toLong, rnd.nextInt(40).toLong))   // (a_id, k)
+      val bs = (0 until 60).map(i => (rnd.nextInt(50).toLong, i.toLong))    // (k, b_id)
+      val aCut = rnd.nextInt(300)
+      val bCut = rnd.nextInt(60)
+      val (a0s, das) = as.splitAt(aCut)
+      val (b0s, dbs) = bs.splitAt(bCut)
+      def dfA(xs: Seq[(Long, Long)]) = xs.toDF("a_id", "k")
+      def dfB(xs: Seq[(Long, Long)]) = xs.toDF("k", "b_id")
+      val refreshed = dfA(a0s).join(dfB(b0s), Seq("k"))
+        .unionByName(ViewMaintenance.incrementalJoinDelta(
+          dfA(a0s), dfA(das), dfB(b0s), dfB(dbs), Seq("k")))
+        .select("k", "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val full = dfA(as).join(dfB(bs), Seq("k")).select("k", "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(refreshed.toSeq === full.toSeq, s"trial $trial (aCut=$aCut, bCut=$bCut)")
+    }
+    intercept[IllegalArgumentException] {
+      ViewMaintenance.incrementalJoinDelta(
+        Seq((1L, 1L)).toDF("a", "k"), Seq((1L, 1L)).toDF("a", "k"),
+        Seq((1L, 1L)).toDF("k", "b"), Seq((1L, 1L)).toDF("k", "b"), Nil)
+    }: Unit
+  }
 }

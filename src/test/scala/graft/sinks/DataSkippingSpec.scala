@@ -265,6 +265,44 @@ class DataSkippingSpec extends SparkSuite {
       "a no-op patch of a legacy manifest must not invent null counts")
   }
 
+  test("fsck: clean store passes; missing, orphan, row-mismatched files and invalidated versions are reported") {
+    val dir = tmpDir("graft-fsck")
+    val df = (0 until 400).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    val m = DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 4,
+      statsCols = Seq("k"))
+    assert(DataSkipping.fsck(spark, dir, checkRows = true).clean)
+
+    // orphan: an unlisted part file appears (crash leftover)
+    val orphan = Paths.get(dir, "part-orphan-leftover.parquet")
+    Files.copy(Paths.get(dir, m.files.head.file), orphan)
+    // missing: a listed file vanishes out-of-band — which also
+    // invalidates the version that references it
+    val gone = m.files.last.file
+    Files.delete(Paths.get(dir, gone))
+    val r1 = DataSkipping.fsck(spark, dir)
+    assert(r1.missingFiles === Seq(gone))
+    assert(r1.orphanFiles === Seq("part-orphan-leftover.parquet"))
+    assert(r1.rowMismatches.isEmpty, "listing-only fsck does not read data")
+    assert(r1.invalidVersions === DataSkipping.listVersions(spark, dir),
+      "a version whose file is gone cannot be served")
+    assert(!r1.clean)
+    Files.delete(orphan)
+
+    // row mismatch: a listed file's CONTENT is replaced out-of-band
+    // (valid parquet, FEWER rows) — only the deep scrub catches it
+    val small = tmpDir("graft-fsck-small")
+    df.limit(3).coalesce(1).write.mode("overwrite").parquet(small)
+    val smallPart = new java.io.File(small).listFiles()
+      .map(_.getName).find(f => f.startsWith("part-") && !f.endsWith(".crc")).get
+    val victim = m.files.head.file
+    Files.copy(Paths.get(small, smallPart), Paths.get(dir, victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(Paths.get(dir, s".$victim.crc")): Unit
+    val r2 = DataSkipping.fsck(spark, dir, checkRows = true)
+    assert(r2.rowMismatches === Seq((victim, m.files.head.rows, 3L)),
+      s"the deep scrub must report (file, manifestRows, actualRows): $r2")
+  }
+
   test("compactSmallFiles folds the small-file backlog; big entries verbatim; orphans swept") {
     val dir = tmpDir("graft-skip-compact")
     val base = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")
