@@ -581,16 +581,58 @@ object TextAnalysis {
   def buildInvertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, indexDir: String, numFiles: Int,
       bloomExpected: Long = 100000L): graft.sinks.DataSkipping.SkipManifest = {
-    val postings = Dedup.once(
+    val t = Dedup.once(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         "__toks", tokens(col("__text")))
-      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    // posting rows are denormalized with the DOC LENGTH (the "norms"
+    // a search index stores next to postings) so a BM25 serve needs no
+    // second corpus pass; collection-level stats land in a one-row
+    // sidecar the driver reads at serve time
+    val postings = t
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("term_h", Dedup.hash32(col("term")))
-    graft.sinks.DataSkipping.writeWithStats(postings, indexDir, col("term_h"),
+    val m = graft.sinks.DataSkipping.writeWithStats(postings, indexDir, col("term_h"),
       numFiles, statsCols = Seq("term_h"), bloomCols = Seq("term"),
       bloomExpected = bloomExpected)
+    val Array(nDocs, totalTokens) = t
+      .select(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    writeCorpusStats(docs.sparkSession, indexDir, CorpusStats(nDocs, totalTokens))
+    m
+  }
+
+  /** Collection-level constants a scoring serve needs (one JSON row —
+    * the Lucene "collection statistics" analogue).
+    */
+  final case class CorpusStats(nDocs: Long, totalTokens: Long)
+
+  private val CorpusStatsName = "_corpus_stats.json"
+
+  private def writeCorpusStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, st: CorpusStats): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, CorpusStatsName), true)
+    try out.write(
+      s"""{"nDocs":${st.nDocs},"totalTokens":${st.totalTokens}}\n""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readCorpusStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CorpusStats = {
+    val p = new org.apache.hadoop.fs.Path(dir, CorpusStatsName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val Re = """\{"nDocs":(\d+),"totalTokens":(\d+)\}""".r
+    Re.findFirstMatchIn(text) match {
+      case Some(m) => CorpusStats(m.group(1).toLong, m.group(2).toLong)
+      case None => throw new IllegalStateException(
+        s"corrupt corpus stats sidecar $p: '${text.trim.take(120)}'")
+    }
   }
 
   /** Serve a term lookup from a [[buildInvertedIndex]] store: Bloom
@@ -601,6 +643,66 @@ object TextAnalysis {
       terms: Seq[String]): org.apache.spark.sql.DataFrame =
     graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term", terms)
       .select(col("term"), col("doc_id"), col("tf"))
+
+  /** Conjunctive (AND) retrieval: documents containing EVERY query
+    * term — the posting-list intersection, expressed as one keyed
+    * aggregate over the Bloom-pruned postings (a doc survives iff its
+    * distinct matched terms count all of them). Returns
+    * (doc_id, sum_tf) with sum_tf the total query-term occurrences,
+    * the input a downstream scorer consumes.
+    */
+  def lookupAllTerms(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val distinctTerms = terms.distinct
+    graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term", distinctTerms)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("term")).as("__n"), sum(col("tf")).as("sum_tf"))
+      .filter(col("__n") === distinctTerms.size)
+      .select(col("doc_id"), col("sum_tf"))
+  }
+
+  /** BM25-shaped top-k retrieval over the index — term-frequency
+    * SATURATION and document-LENGTH normalization (the parts that
+    * separate BM25 from raw tf-idf) in exact milli-unit integers, with
+    * the log-free reciprocal idf of [[topTermsTfidf]] (both engines'
+    * `ln` may differ in the last ulp, so a log-based score could flip
+    * a floor — the idf VARIANT is the price of bit-exactness):
+    *
+    *   idf_m(t)  = N·1000 div df_t
+    *   norm_m(d) = 1000 − b_m + (b_m · dl · 1000) div avgdl_m
+    *   s_m(t,d)  = (idf_m · tf · (k1_m + 1000)) div (tf·1000 + (k1_m · norm_m) div 1000)
+    *   score_m(d) = Σ_{t ∈ q} s_m(t,d)
+    *
+    * with k1_m = 1200, b_m = 750 (the classic k1=1.2, b=0.75) and
+    * avgdl_m from the build-time sidecar. df_t computes from the
+    * pruned postings themselves (the read returns EVERY posting of
+    * each query term, so the count is the exact collection df).
+    *
+    * Scale shape: the serve touches only might-contain files; the
+    * per-term df is a tiny keyed agg over those postings; the top-k is
+    * TakeOrdered under the total (score desc, doc_id) order.
+    */
+  def bm25TopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      terms: Seq[String], k: Int = 10, k1Milli: Long = 1200L,
+      bMilli: Long = 750L): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && k >= 1, "terms and k must be non-empty/positive")
+    val stats = readCorpusStats(spark, indexDir)
+    require(stats.nDocs > 0 && stats.totalTokens > 0,
+      s"empty corpus in $indexDir sidecar: $stats")
+    val avgdlMilli = stats.totalTokens * 1000L / stats.nDocs
+    val p = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
+      terms.distinct)
+    val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(dfT, Seq("term"))
+      .withColumn("s_m", expr(
+        s"((${stats.nDocs} * 1000 div df) * tf * ($k1Milli + 1000)) div " +
+          s"(tf * 1000 + ($k1Milli * (1000 - $bMilli + ($bMilli * dl * 1000) div $avgdlMilli)) div 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_m")).as("score_m"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_m").desc, col("doc_id").asc)
+      .limit(k)
+  }
 
   /** Corpus-global top-k COLLOCATIONS by pointwise mutual information —
     * the phrase/term-of-art miner (multi-word expressions, boilerplate

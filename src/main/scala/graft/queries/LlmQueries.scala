@@ -1115,6 +1115,31 @@ object LlmQueries {
         .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"),
           col("score_ppm").cast("long").as("score_ppm"))),
 
+    // Conjunctive (AND) retrieval over the inverted index: docs
+    // containing ALL three query terms, found by posting-list
+    // intersection expressed as one keyed aggregate over the
+    // Bloom-pruned postings. Oracle = tokenize + HAVING every term.
+    "q177_index_and_query" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q177") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.lookupAllTerms(s, tmp, Seq("join", "filter", "scan"))
+    }),
+
+    // BM25-shaped top-k retrieval over the index — tf saturation +
+    // doc-length normalization in exact milli-unit integers (log-free
+    // reciprocal idf: both engines' ln may differ in the last ulp, so
+    // a log-based floor could flip; the idf variant buys bit-exact
+    // replay). Doc lengths ride the postings (the "norms" file),
+    // collection stats ride the build-time sidecar; df computes from
+    // the pruned postings themselves.
+    "q178_bm25_topk" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q178") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.bm25TopK(s, tmp, Seq("join", "vector", "table"), k = 10)
+    }),
+
     // Corpus-bigram LM fluency score — the perplexity-filter shape
     // with exact integer arithmetic (no logs, no doubles): each doc
     // averages its bigrams' corpus conditional probability
@@ -2896,6 +2921,36 @@ object LlmQueries {
          |    // (m_bi * c_x * c_y) AS BIGINT) AS score_ppm
          |FROM j CROSS JOIN tot
          |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
+
+    // Posting-list intersection ≡ tokenize + HAVING all terms present.
+    "q177_index_and_query" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS term
+         |  FROM documents),
+         |q AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+         |  WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf FROM q
+         |GROUP BY 1 HAVING COUNT(DISTINCT term) = 3""".stripMargin,
+
+    // The BM25-shaped score replayed with identical floor divisions in
+    // identical order (k1_m=1200, b_m=750, reciprocal idf).
+    "q178_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    (CAST(SUM(dl) AS BIGINT) * 1000) // COUNT(*) AS avgdl_m FROM dl),
+         |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |  WHERE term IN ('join', 'vector', 'table') GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |s AS (SELECT p.doc_id,
+         |    (((st.n_docs * 1000) // dfq.df) * p.tf * (1200 + 1000)) //
+         |      (p.tf * 1000 + (1200 * (1000 - 750 + (750 * dl.dl * 1000) // st.avgdl_m)) // 1000)
+         |      AS s_m
+         |  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, CAST(SUM(s_m) AS BIGINT) AS score_m,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM s GROUP BY 1
+         |ORDER BY score_m DESC, doc_id LIMIT 10""".stripMargin,
 
     // Bigram conditional probabilities replayed with identical floor
     // division; head-word counts are bigram occurrences, so they match

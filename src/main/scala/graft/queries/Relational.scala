@@ -385,6 +385,65 @@ object Relational {
     // daily cost is one pass over the NEW data plus a state-sized
     // merge, never a re-scan of the table. Both partials and the merge
     // are map-side combined; zero joins.
+    // MAD-based daily-volume anomaly report — the robust ingest
+    // monitor (a mean/stddev z-score is dragged by the very outliers
+    // it hunts; median absolute deviation is not): per event type,
+    // the exact LOWER MEDIAN of daily counts (value at rank
+    // (n+1) div 2 under the total (n, day) order), the MAD around it
+    // (same rank trick on |n − med|), and how many days breach the
+    // classic |n − med| > 3·MAD fence. All integers, window work
+    // bounded per type by the calendar, one summary row per type.
+    "q179_volume_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .filter(col("day").isNotNull)
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val wCnt = Window.partitionBy(col("event_type"))
+      val wVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").asc, col("day").asc)
+      val med = d.withColumn("rn", row_number().over(wVal))
+        .withColumn("cnt", count(lit(1)).over(wCnt))
+        .filter(expr("rn = (cnt + 1) div 2"))
+        .select(col("event_type"), col("n").as("med"))
+      val dev = d.join(med, Seq("event_type"))
+        .withColumn("ad", abs(col("n") - col("med")))
+      val wAd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ad").asc, col("day").asc)
+      val mad = dev.withColumn("rn", row_number().over(wAd))
+        .withColumn("cnt", count(lit(1)).over(wCnt))
+        .filter(expr("rn = (cnt + 1) div 2"))
+        .select(col("event_type"), col("ad").as("mad"))
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
+    // Ingest continuity report — "are any days missing, and where":
+    // per event type, present-day count vs calendar span, number of
+    // contiguous runs, and the widest hole — the gaps-and-islands
+    // pattern (q13) turned into the partition-completeness check every
+    // scheduled pipeline alarms on. One lag window per type, day
+    // arithmetic in epoch-day integers, no calendar-grid join.
+    "q180_ingest_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .filter(col("day").isNotNull)
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      d.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (max(col("day")) - min(col("day")) + 1L).as("span_days"),
+          (max(col("day")) - min(col("day")) + 1L - count(lit(1))).as("n_missing"),
+          (sum(when(col("gap") > 1L, 1L).otherwise(0L)) + 1L).as("n_runs"),
+          coalesce(max(greatest(col("gap") - 1L, lit(0L))), lit(0L)).as("max_gap"))
+    }),
+
     "q133_incremental_rollup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("event_id"),
@@ -1285,6 +1344,44 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  TRUE AS bound_one_sided_ok, TRUE AS salts_sized
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Same rank-based lower medians, same (value, day) tie order, same
+    // 3·MAD fence — all integer, so the replay is exact.
+    "q179_volume_outliers" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |md AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM d)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT d.event_type, d.day, d.n, md.med, abs(d.n - md.med) AS ad
+        |  FROM d JOIN md USING (event_type)),
+        |mad AS (SELECT event_type, ad AS mad FROM (
+        |    SELECT event_type, ad, day,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY ad, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM dev)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(dev.med) AS BIGINT) AS med, CAST(MAX(mad.mad) AS BIGINT) AS mad,
+        |  CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
+
+    // Same lag-gap derivation in epoch days; SUM over the null first-row
+    // gap needs no special case (CASE WHEN NULL > 1 is false).
+    "q180_ingest_gaps" ->
+      """WITH d AS (SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT event_type, day,
+        |    day - lag(day) OVER (PARTITION BY event_type ORDER BY day) AS gap
+        |  FROM d)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+        |  CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+        |  CAST(SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
+        |  CAST(COALESCE(MAX(GREATEST(gap - 1, 0)), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY 1""".stripMargin,
 
     // The FULL recompute is the spec: merged algebraic state must be
     // indistinguishable from aggregating the raw union.

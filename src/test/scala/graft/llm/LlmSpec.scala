@@ -1157,6 +1157,40 @@ class LlmSpec extends SparkSuite {
     assert(!out.contains("e f"), "hapax pairs fall to the support floor")
   }
 
+  test("lookupAllTerms: AND semantics — only docs containing every query term survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-andq")
+    dir.toFile.deleteOnExit()
+    val corpus = Seq((1L, "a b c"), (2L, "a b"), (3L, "a a c"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus, "doc_id", "text",
+      dir.toString, numFiles = 2, bloomExpected = 100L): Unit
+    val got = TextAnalysis.lookupAllTerms(spark, dir.toString, Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 3L -> 3L),
+      "doc 2 lacks 'c'; sum_tf counts every query-term occurrence")
+  }
+
+  test("bm25TopK: exact milli-unit scores — tf saturation and length normalization replay by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
+    dir.toFile.deleteOnExit()
+    val corpus = Seq(
+      (1L, "join join join filler filler"), // dl=5, tf=3
+      (2L, "join alpha"),                   // dl=2, tf=1
+      (3L, "beta gamma delta"))             // no match
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus, "doc_id", "text",
+      dir.toString, numFiles = 2, bloomExpected = 100L): Unit
+    val st = TextAnalysis.readCorpusStats(spark, dir.toString)
+    assert(st === TextAnalysis.CorpusStats(3L, 10L), "sidecar records N and token total")
+    val got = TextAnalysis.bm25TopK(spark, dir.toString, Seq("join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // N=3, df=2 -> idf_m=1500; avgdl_m=3333
+    // d1: norm=250+3750000 div 3333=1375; denom=3000+1650; s=9900000 div 4650=2129
+    // d2: norm=250+1500000 div 3333=700;  denom=1000+840;  s=3300000 div 1840=1793
+    assert(got.toSeq === Seq((1L, 2129L), (2L, 1793L)),
+      "exact integer replay; 3x the tf buys only ~1.2x the score (saturation)")
+  }
+
   test("bigramLmScore: common transitions score high, rare ones low, short docs score 0") {
     val corpus = Seq(
       (1L, "a b a b"), (2L, "a c"), (3L, "a b"), (4L, "solo"))
