@@ -618,6 +618,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q172: collocation top-k exits via TakeOrdered; the only cross is the broadcast one-row totals") {
+    val p = plan("q172_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocabulary must never globally sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), "no data-sized cross:\n" + p)
+  }
+
+  test("q173: the LM score joins are keyed — no cross anywhere") {
+    val p = plan("q173_bigram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "count joins must stay keyed:\n" + p)
+  }
+
+  test("q178: BM25 serve exits via TakeOrdered over the pruned postings") {
+    val p = plan("q178_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must ride TakeOrdered, not Sort+Limit:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q161: equi-depth boundaries come from the PARALLEL ranking — range partition, no data window through one task") {
     val p = plan("q161_equi_depth")
     assert(p.toLowerCase.contains("rangepartitioning"),
