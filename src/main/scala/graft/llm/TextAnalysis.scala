@@ -585,23 +585,83 @@ object TextAnalysis {
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         "__toks", tokens(col("__text")))
       .withColumn("dl", size(col("__toks")).cast("long"))
-    // posting rows are denormalized with the DOC LENGTH (the "norms"
-    // a search index stores next to postings) so a BM25 serve needs no
-    // second corpus pass; collection-level stats land in a one-row
-    // sidecar the driver reads at serve time
-    val postings = t
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("term_h", Dedup.hash32(col("term")))
-    val m = graft.sinks.DataSkipping.writeWithStats(postings, indexDir, col("term_h"),
-      numFiles, statsCols = Seq("term_h"), bloomCols = Seq("term"),
-      bloomExpected = bloomExpected)
+    val m = graft.sinks.DataSkipping.writeWithStats(postingsOf(t), indexDir,
+      col("term_h"), numFiles, statsCols = Seq("term_h"),
+      bloomCols = Seq("term"), bloomExpected = bloomExpected)
     val Array(nDocs, totalTokens) = t
       .select(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     writeCorpusStats(docs.sparkSession, indexDir, CorpusStats(nDocs, totalTokens))
     m
+  }
+
+  /** Posting rows from a tokenized frame (`__toks`, `dl` present):
+    * denormalized with the DOC LENGTH (the "norms" a search index
+    * stores next to postings, so a BM25 serve needs no second corpus
+    * pass) and the sorted 0-based POSITION list (what phrase queries
+    * intersect); `tf` is the position count.
+    */
+  private def postingsOf(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.select(col("doc_id"), col("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("term_h", Dedup.hash32(col("term")))
+
+  /** Append NEW documents to an existing index — the daily-ingest path:
+    * their postings land as fresh clustered files via
+    * [[graft.sinks.DataSkipping.appendWithStats]] (existing manifest
+    * entries verbatim, cost = the batch), and the collection-stats
+    * sidecar advances by the batch's counts. (term, doc) posting rows
+    * stay unique because the docs are new, so df/tf/phrase serves stay
+    * exact over the merged index. Re-ingesting an EXISTING doc id is
+    * the caller's contract to prevent (route updates through an
+    * erasure of the old doc's postings first).
+    */
+  def appendToInvertedIndex(newDocs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, indexDir: String, numFiles: Int): graft.sinks.DataSkipping.SkipManifest = {
+    val t = Dedup.once(
+        newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val m = graft.sinks.DataSkipping.appendWithStats(postingsOf(t), indexDir,
+      col("term_h"), numFiles)
+    val old = readCorpusStats(newDocs.sparkSession, indexDir)
+    val Array(nDocs, totalTokens) = t
+      .select(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    writeCorpusStats(newDocs.sparkSession, indexDir,
+      CorpusStats(old.nDocs + nDocs, old.totalTokens + totalTokens))
+    m
+  }
+
+  /** Exact PHRASE query over the positional index: documents where the
+    * words appear CONSECUTIVELY, found by position-list intersection —
+    * term i's positions shift left by i, and a surviving start position
+    * means the whole phrase begins there. One Bloom-pruned postings
+    * read, one doc-keyed join per phrase word (each side
+    * postings-sized), the intersection inside codegen — the corpus
+    * text is never touched. Returns (doc_id, n_matches), docs with at
+    * least one match.
+    */
+  def phraseQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two words")
+    val p = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
+      phrase.distinct)
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), x => x - i).as(s"__pos_$i"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id")))
+      .withColumn("__starts",
+        (0 until phrase.length).map(i => col(s"__pos_$i"))
+          .reduce((a, b) => array_intersect(a, b)))
+      .withColumn("n_matches", size(col("__starts")).cast("long"))
+      .filter(col("n_matches") > 0L)
+      .select(col("doc_id"), col("n_matches"))
   }
 
   /** Collection-level constants a scoring serve needs (one JSON row —

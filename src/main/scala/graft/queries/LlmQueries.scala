@@ -1140,6 +1140,34 @@ object LlmQueries {
       TextAnalysis.bm25TopK(s, tmp, Seq("join", "vector", "table"), k = 10)
     }),
 
+    // Exact PHRASE query over the positional index: "table hash" as
+    // consecutive tokens, answered by position-list intersection
+    // (term i's positions shift left by i; a surviving start means the
+    // phrase begins there) — the corpus text is never read at serve.
+    // Oracle = tokenized adjacency scan over the raw corpus.
+    "q181_phrase_query" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q181") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.phraseQuery(s, tmp, Seq("table", "hash"))
+    }),
+
+    // Incremental index ingest: the index builds from HALF the corpus,
+    // the other half APPENDS (postings as fresh clustered files,
+    // existing manifest entries verbatim, collection-stats sidecar
+    // advanced) — and a BM25 serve over the merged index must equal
+    // the whole-corpus spec exactly: stale stats, lost postings, or a
+    // df split across batches would all shift a score.
+    "q182_index_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = gateScratchDir(s, "q182") + "/idx"
+      TextAnalysis.buildInvertedIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tmp, numFiles = 6, bloomExpected = 20000L): Unit
+      TextAnalysis.appendToInvertedIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tmp, numFiles = 4): Unit
+      TextAnalysis.bm25TopK(s, tmp, Seq("merge", "group"), k = 10)
+    }),
+
     // Corpus-bigram LM fluency score — the perplexity-filter shape
     // with exact integer arithmetic (no logs, no doubles): each doc
     // averages its bigrams' corpus conditional probability
@@ -2921,6 +2949,36 @@ object LlmQueries {
          |    // (m_bi * c_x * c_y) AS BIGINT) AS score_ppm
          |FROM j CROSS JOIN tot
          |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
+
+    // Phrase containment ≡ tokenized adjacency over the raw corpus.
+    "q181_phrase_query" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(list_filter(range(0, len(toks) - 1),
+         |    i -> toks[i + 1] = 'table' AND toks[i + 2] = 'hash')) AS BIGINT)
+         |    AS n_matches
+         |  FROM t)
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
+
+    // The incrementally built index must serve the whole-corpus BM25
+    // spec (same replay as q178, different query terms).
+    "q182_index_append" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    (CAST(SUM(dl) AS BIGINT) * 1000) // COUNT(*) AS avgdl_m FROM dl),
+         |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |  WHERE term IN ('merge', 'group') GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |s AS (SELECT p.doc_id,
+         |    (((st.n_docs * 1000) // dfq.df) * p.tf * (1200 + 1000)) //
+         |      (p.tf * 1000 + (1200 * (1000 - 750 + (750 * dl.dl * 1000) // st.avgdl_m)) // 1000)
+         |      AS s_m
+         |  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, CAST(SUM(s_m) AS BIGINT) AS score_m,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM s GROUP BY 1
+         |ORDER BY score_m DESC, doc_id LIMIT 10""".stripMargin,
 
     // Posting-list intersection ≡ tokenize + HAVING all terms present.
     "q177_index_and_query" ->

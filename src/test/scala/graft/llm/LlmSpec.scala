@@ -1170,6 +1170,46 @@ class LlmSpec extends SparkSuite {
       "doc 2 lacks 'c'; sum_tf counts every query-term occurrence")
   }
 
+  test("phraseQuery: consecutive positions only — reversed order misses, overlapping and repeated words count right") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase")
+    dir.toFile.deleteOnExit()
+    val corpus = Seq(
+      (1L, "big hash join wins"),      // one "hash join" at pos 1
+      (2L, "join hash big"),           // reversed — no match
+      (3L, "hash join hash join"),     // two matches
+      (4L, "a a a"))                   // repeated-word phrase test bed
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus, "doc_id", "text",
+      dir.toString, numFiles = 2, bloomExpected = 100L): Unit
+    val hj = TextAnalysis.phraseQuery(spark, dir.toString, Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hj === Map(1L -> 1L, 3L -> 2L), "adjacency only, reversed order excluded")
+    val aa = TextAnalysis.phraseQuery(spark, dir.toString, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa === Map(4L -> 2L), "'a a' starts at positions 0 and 1 of 'a a a'")
+    assert(TextAnalysis.phraseQuery(spark, dir.toString, Seq("hash", "hash"))
+      .count() === 0L, "no consecutive repeat of 'hash' exists")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseQuery(spark, dir.toString, Seq("solo"))
+    }: Unit
+  }
+
+  test("appendToInvertedIndex: merged index serves exactly; sidecar stats advance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-append")
+    dir.toFile.deleteOnExit()
+    val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "y z w"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus.filter(col("doc_id") < 3),
+      "doc_id", "text", dir.toString, numFiles = 1, bloomExpected = 100L): Unit
+    TextAnalysis.appendToInvertedIndex(corpus.filter(col("doc_id") === 3),
+      "doc_id", "text", dir.toString, numFiles = 1): Unit
+    assert(TextAnalysis.readCorpusStats(spark, dir.toString) ===
+      TextAnalysis.CorpusStats(3L, 7L))
+    val got = TextAnalysis.lookupTerms(spark, dir.toString, Seq("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((1L, 1L), (3L, 1L)), "postings span both batches")
+  }
+
   test("bm25TopK: exact milli-unit scores — tf saturation and length normalization replay by hand") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
     dir.toFile.deleteOnExit()
