@@ -935,6 +935,46 @@ object TextAnalysis {
       .select(col("source"), col("n_terms"), col("n_s"), col("tv_ppm"))
   }
 
+  /** Token-distribution drift of a BATCH against a persisted reference
+    * PROFILE — the admission-control form of [[sourceDrift]] (which
+    * compares sources within one corpus): the profile is a (term,
+    * `c_t`) count table built once from the reference corpus, and each
+    * incoming batch scores its total-variation distance against it in
+    * exact integer ppm. The two absent-term tails both fold in closed
+    * form — profile-only terms from the profile total minus the
+    * matched mass, batch-only terms from the left join's NULL side —
+    * so the only join is batch-terms × profile, batch-sized. Returns
+    * ONE row (n_batch_terms, n_batch_tokens, tv_ppm): 0 = the batch
+    * IS the profile distribution, 10⁶ = disjoint vocabulary. The
+    * per-epoch foreachBatch composition is the streaming data-contract
+    * gate: a drifted epoch alarms in exactly its epoch.
+    */
+  def driftAgainstProfile(batch: org.apache.spark.sql.DataFrame, textCol: String,
+      profile: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bt = Dedup.once(
+        batch.select(col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("obs"))
+    val bTotals = bt.select(sum(col("obs")).cast("decimal(38,0)").as("n_batch"))
+    val pTotals = profile.select(sum(col("c_t")).cast("decimal(38,0)").as("n_prof"))
+    bt.join(profile.select(col("term"), col("c_t")), Seq("term"), "left")
+      .crossJoin(broadcast(bTotals))
+      .crossJoin(broadcast(pTotals))
+      .agg(
+        count(lit(1)).as("n_batch_terms"),
+        sum(col("obs")).as("n_batch_tokens"),
+        max(col("n_batch")).as("nb"),
+        max(col("n_prof")).as("np"),
+        sum(coalesce(col("c_t"), lit(0L))).as("c_matched"),
+        sum(expr("abs(CAST(obs AS DECIMAL(38,0)) * n_prof" +
+          " - CAST(coalesce(c_t, 0) AS DECIMAL(38,0)) * n_batch)")).as("dev"))
+      // profile-only tail in closed form: (Np − matched mass) · Nb
+      .withColumn("tv_ppm", expr(
+        "CAST((dev + (np - c_matched) * nb) * 1000000 div (2 * nb * np) AS BIGINT)"))
+      .select(col("n_batch_terms"), col("n_batch_tokens"), col("tv_ppm"))
+  }
+
   /** Transparent linear quality score — the model-based-filter SHAPE
     * (a fasttext-style quality classifier is a weighted feature sum at
     * inference) with auditable fixed integer weights over the standard

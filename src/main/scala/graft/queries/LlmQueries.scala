@@ -1140,6 +1140,48 @@ object LlmQueries {
       TextAnalysis.bm25TopK(s, tmp, Seq("join", "vector", "table"), k = 10)
     }),
 
+    // SNAPSHOT EXPORT — pin a training run to an immutable copy: the
+    // store commits three batches, version 2 exports as a
+    // self-contained skipping store (files byte-copied, manifest
+    // committed fresh at the destination), and the EXPORT must read
+    // exactly the first two batches — forever, regardless of what
+    // erasure/compaction later does to the source (the reproducibility
+    // guarantee time travel alone cannot give).
+    "q184_snapshot_export" -> ((s, dir) => {
+      val base = gateScratchDir(s, "q184")
+      val (store, dest) = (base + "/store", base + "/export")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      graft.sinks.DataSkipping.writeWithStats(
+        li.filter(col("l_orderkey") % 3 === 0), store, col("l_orderkey"),
+        numFiles = 3, statsCols = Seq("l_orderkey"))
+      graft.sinks.DataSkipping.appendWithStats(
+        li.filter(col("l_orderkey") % 3 === 1), store, col("l_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.appendWithStats(
+        li.filter(col("l_orderkey") % 3 === 2), store, col("l_orderkey"),
+        numFiles = 2): Unit
+      graft.sinks.DataSkipping.exportSnapshot(s, store, 2L, dest): Unit
+      graft.sinks.DataSkipping.readPruned(s, dest,
+        Seq(("l_orderkey", Long.MinValue, Long.MaxValue - 1)))
+    }),
+
+    // Drift ADMISSION — a batch scored against a persisted reference
+    // profile (the per-epoch data-contract gate): total-variation ppm
+    // between the even-id half-corpus and the whole-corpus term
+    // profile, both absent-term tails in closed form, the only join
+    // batch-terms-sized. The foreachBatch composition (a planted OOD
+    // epoch alarms in exactly its epoch) is suite-gated.
+    "q185_drift_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val profile = Dedup.once(docs.select(col("text").as("__text")),
+          "__toks", TextAnalysis.tokens(col("__text")))
+        .select(explode(col("__toks")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      TextAnalysis.driftAgainstProfile(
+        docs.filter(col("doc_id") % 2 === 0), "text", profile)
+    }),
+
     // Exact PHRASE query over the positional index: "table hash" as
     // consecutive tokens, answered by position-list intersection
     // (term i's positions shift left by i; a surviving start means the
@@ -2949,6 +2991,33 @@ object LlmQueries {
          |    // (m_bi * c_x * c_y) AS BIGINT) AS score_ppm
          |FROM j CROSS JOIN tot
          |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
+
+    // The export is exactly the first two committed batches.
+    "q184_snapshot_export" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey % 3 <> 2""".stripMargin,
+
+    // TV vs the profile replayed in HUGEINT: batch-present terms via
+    // the left join (profile-absent ⇒ c_t 0), profile-only tail in
+    // closed form from the totals.
+    "q185_drift_admission" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |prof AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t
+         |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+         |np AS (SELECT CAST(SUM(c_t) AS HUGEINT) AS np FROM prof),
+         |bt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS obs
+         |  FROM (SELECT unnest(toks) AS term FROM t WHERE doc_id % 2 = 0)
+         |  GROUP BY 1),
+         |nb AS (SELECT CAST(SUM(obs) AS HUGEINT) AS nb FROM bt),
+         |j AS (SELECT bt.obs, COALESCE(prof.c_t, 0) AS c_t
+         |  FROM bt LEFT JOIN prof USING (term))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_terms,
+         |  CAST(SUM(obs) AS BIGINT) AS n_batch_tokens,
+         |  CAST((SUM(abs(CAST(obs AS HUGEINT) * np - CAST(c_t AS HUGEINT) * nb))
+         |      + (np - CAST(SUM(c_t) AS HUGEINT)) * nb) * 1000000
+         |    // (2 * nb * np) AS BIGINT) AS tv_ppm
+         |FROM j CROSS JOIN nb CROSS JOIN np
+         |GROUP BY nb, np""".stripMargin,
 
     // Phrase containment ≡ tokenized adjacency over the raw corpus.
     "q181_phrase_query" ->

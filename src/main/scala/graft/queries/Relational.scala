@@ -385,6 +385,35 @@ object Relational {
     // daily cost is one pass over the NEW data plus a state-sized
     // merge, never a re-scan of the table. Both partials and the merge
     // are map-side combined; zero joins.
+    // TPC-H Q21's correlated EXISTS / NOT-EXISTS shape, decorrelated:
+    // suppliers who were the SOLE supplier with returned lines in a
+    // multi-supplier order. The textbook form runs two correlated
+    // subqueries per candidate row; here both collapse into ONE
+    // order-keyed aggregate (distinct suppliers, distinct
+    // returned-line suppliers) joined back — one exchange on the
+    // order key, supplier dimension broadcast, top-20 via TakeOrdered.
+    // The ORACLE uses the literal EXISTS/NOT-EXISTS SQL, so the gate
+    // pins the decorrelation's equivalence, not just its output.
+    "q183_sole_returner" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_r_supp"))
+      li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
     // MAD-based daily-volume anomaly report — the robust ingest
     // monitor (a mean/stddev z-score is dragged by the very outliers
     // it hunts; median absolute deviation is not): per event type,
@@ -1344,6 +1373,20 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  TRUE AS bound_one_sided_ok, TRUE AS salts_sized
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The TEXTBOOK correlated form — the decorrelated Spark plan must
+    // reproduce it exactly (Q21's semantics pin).
+    "q183_sole_returner" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     // Same rank-based lower medians, same (value, day) tie order, same
     // 3·MAD fence — all integer, so the replay is exact.

@@ -656,6 +656,40 @@ object DataSkipping {
     FsckReport(missing, orphans, mismatches, invalid)
   }
 
+  /** EXPORT an immutable copy of the table AS OF a committed version —
+    * the "pin this training run to a snapshot" move (Delta DEEP CLONE
+    * at a version): the snapshot's files copy byte-for-byte into
+    * `destDir` and its manifest commits there as version 1, so the
+    * export is a fully self-contained skipping store that no
+    * erasure/compaction/vacuum on the SOURCE can invalidate — the
+    * reproducibility guarantee [[readPrunedAt]] alone cannot give
+    * (time travel dies when maintenance removes the referenced files,
+    * [[validVersions]]). Cost = the snapshot's bytes (a deep copy is
+    * the point; the manifest's relative file names make a zero-copy
+    * shallow clone impossible and UNDESIRABLE here — a shallow clone
+    * would silently break under source-side erasure).
+    */
+  def exportSnapshot(spark: SparkSession, dir: String, version: Long,
+      destDir: String): SkipManifest = {
+    require(validVersions(spark, dir).contains(version),
+      s"version $version of $dir is not serveable (vacuumed, erased, " +
+        s"or rewritten in place); valid: ${validVersions(spark, dir).mkString(", ")}")
+    val m = readManifestAt(spark, dir, version)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(dir)
+    val dst = new Path(destDir)
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst): Unit
+    m.files.foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), new Path(src, f.file),
+        fs, new Path(dst, f.file),
+        false, true, conf): Unit
+    }
+    writeManifestFile(spark, destDir, m)
+    m
+  }
+
   /** Parse the manifest back (hand-rolled like the writer — the format
     * is ours, one file object per line between the header/footer lines;
     * v1 manifests without bloom fields parse with empty sidecars).

@@ -1262,6 +1262,22 @@ class LlmSpec extends SparkSuite {
     assert(out((2L, bucket("beta"))) === 1L)
   }
 
+  test("driftAgainstProfile: the profile's own corpus reads 0, disjoint vocabulary reads exactly 1000000") {
+    val ref = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val profile = Dedup.once(ref.select(col("text").as("__text")),
+        "__toks", TextAnalysis.tokens(col("__text")))
+      .select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    def tv(batch: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.driftAgainstProfile(batch, "text", profile)
+        .collect().head.getLong(2)
+    assert(tv(ref) === 0L, "a batch that IS the profile distribution has zero drift")
+    assert(tv(Seq((9L, "p q r")).toDF("doc_id", "text")) === 1000000L,
+      "disjoint vocabulary is total variation 1")
+    val mid = tv(Seq((9L, "x y p")).toDF("doc_id", "text"))
+    assert(mid > 0L && mid < 1000000L)
+  }
+
   test("sourceDrift: identical distributions read 0 ppm, disjoint vocabularies read 1000000") {
     val corpus = Seq(
       (1L, "s1", "x y z"), (2L, "s2", "x y z"), // two identical sources

@@ -303,6 +303,32 @@ class DataSkippingSpec extends SparkSuite {
       s"the deep scrub must report (file, manifestRows, actualRows): $r2")
   }
 
+  test("exportSnapshot: the copy is immutable under source-side erasure; unserveable versions are rejected") {
+    val dir = tmpDir("graft-export-src")
+    val dest = tmpDir("graft-export-dst") + "/snap"
+    val df = (0 until 200).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df.filter(col("k") < 100), dir, col("k"),
+      numFiles = 2, statsCols = Seq("k"))
+    DataSkipping.appendWithStats(df.filter(col("k") >= 100), dir, col("k"),
+      numFiles = 1): Unit
+    DataSkipping.exportSnapshot(spark, dir, 1L, dest): Unit
+    // the export is a self-contained store with a FRESH version log
+    assert(DataSkipping.listVersions(spark, dest) === Seq(1L))
+    // source-side erasure rewrites batch-1 files and truncates the log:
+    // source v1 is gone forever...
+    Erasure.deleteKeys(spark, dir, "k", Seq(5L, 6L)): Unit
+    assert(!DataSkipping.validVersions(spark, dir).contains(1L))
+    // ...but the export still serves snapshot v1 exactly
+    val got = DataSkipping.readPruned(spark, dest,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+    assert(got.count() === 100L)
+    assert(got.filter(col("k").isin(5L, 6L)).count() === 2L,
+      "the erased keys live on in the pinned snapshot")
+    intercept[IllegalArgumentException] {
+      DataSkipping.exportSnapshot(spark, dir, 99L, tmpDir("graft-export-bad"))
+    }: Unit
+  }
+
   test("compactSmallFiles folds the small-file backlog; big entries verbatim; orphans swept") {
     val dir = tmpDir("graft-skip-compact")
     val base = (0 until 800).map(i => (i.toLong, i.toLong)).toDF("a", "payload")

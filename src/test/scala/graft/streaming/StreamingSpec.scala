@@ -645,6 +645,39 @@ class StreamingSpec extends SparkSuite {
     assert(byBatch(1L)("null_count:event_type") === ((0L, true)))
   }
 
+  test("streaming drift admission: a planted out-of-distribution epoch alarms in exactly its epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{count, explode, lit}
+    import graft.llm.{Dedup, TextAnalysis}
+    val ref = Seq((1L, "scan join hash table"), (2L, "scan join merge"))
+      .toDF("doc_id", "text")
+    val profile = Dedup.once(ref.select(col("text").as("__text")),
+        "__toks", TextAnalysis.tokens(col("__text")))
+      .select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    val alarms = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+        val tv = TextAnalysis.driftAgainstProfile(batch, "text", profile)
+          .collect().head.getLong(2)
+        alarms.synchronized { alarms += ((id, tv)): Unit }
+      }.start()
+    try {
+      // epoch 0: the reference distribution itself → zero drift
+      mem.addData((10L, "scan join hash table"), (11L, "scan join merge"))
+      q.processAllAvailable()
+      // epoch 1: disjoint vocabulary → total variation 1, alarm HERE
+      mem.addData((12L, "le chat dort"), (13L, "la maison bleue"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byEpoch = alarms.toMap
+    assert(byEpoch(0L) === 0L, "an in-distribution epoch passes")
+    assert(byEpoch(1L) === 1000000L, "the OOD epoch alarms in exactly its epoch")
+  }
+
   test("streaming ingest into the skipping store: epochs land exactly once and the store serves pruned reads mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
