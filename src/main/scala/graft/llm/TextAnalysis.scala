@@ -722,6 +722,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("sum_tf"))
   }
 
+  /** Boolean EXCLUSION retrieval: documents containing any `include`
+    * term but NONE of the `exclude` terms — the "-term" query, served
+    * as an anti-join between two Bloom-pruned postings reads (both
+    * postings-sized; the corpus is never touched). Returns
+    * (doc_id, sum_tf) over the include terms.
+    */
+  def lookupTermsExcluding(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, include: Seq[String],
+      exclude: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(include.nonEmpty && exclude.nonEmpty,
+      "include and exclude must be non-empty")
+    val inc = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
+        include.distinct)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tf"))
+    val exc = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
+        exclude.distinct)
+      .select(col("doc_id")).distinct()
+    inc.join(exc, Seq("doc_id"), "left_anti")
+  }
+
+  /** The full search SERVE loop — retrieve → fetch → snippet: BM25
+    * ranks the top k over the index ([[bm25TopK]]), the k-row result
+    * BROADCASTS against the corpus to fetch the winners' text (a
+    * map-only probe — the corpus never shuffles for a serve), and the
+    * snippet is the 6-token window around the document's FIRST
+    * query-term occurrence, whose position comes from the positional
+    * postings (already read — no text scan finds it). Returns
+    * (doc_id, score_m, snippet).
+    */
+  def searchServe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10): org.apache.spark.sql.DataFrame = {
+    val top = bm25TopK(spark, indexDir, terms, k)
+    val firstPos = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir,
+        "term", terms.distinct)
+      .groupBy(col("doc_id"))
+      .agg(min(element_at(col("positions"), 1)).as("__p0"))
+    val t = Dedup.once(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__toks", tokens(col("__text")))
+    t.join(broadcast(top.join(firstPos, Seq("doc_id"))), Seq("doc_id"))
+      .withColumn("__s", (greatest(col("__p0") - 2, lit(0L)) + 1L).cast("int"))
+      .select(col("doc_id"), col("score_m"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(6))).as("snippet"))
+  }
+
   /** BM25-shaped top-k retrieval over the index — term-frequency
     * SATURATION and document-LENGTH normalization (the parts that
     * separate BM25 from raw tf-idf) in exact milli-unit integers, with
@@ -969,10 +1015,18 @@ object TextAnalysis {
         sum(coalesce(col("c_t"), lit(0L))).as("c_matched"),
         sum(expr("abs(CAST(obs AS DECIMAL(38,0)) * n_prof" +
           " - CAST(coalesce(c_t, 0) AS DECIMAL(38,0)) * n_batch)")).as("dev"))
-      // profile-only tail in closed form: (Np − matched mass) · Nb
-      .withColumn("tv_ppm", expr(
-        "CAST((dev + (np - c_matched) * nb) * 1000000 div (2 * nb * np) AS BIGINT)"))
-      .select(col("n_batch_terms"), col("n_batch_tokens"), col("tv_ppm"))
+      // profile-only tail in closed form: (Np − matched mass) · Nb.
+      // An EMPTY batch (a quiet streaming epoch) has no distribution to
+      // compare — score it fully drifted rather than dividing by zero
+      // and killing the stream; CaseWhen evaluates lazily, so the
+      // division never runs on the empty branch.
+      .withColumn("tv_ppm",
+        when(col("nb").isNull || col("nb") === 0, lit(1000000L))
+          .otherwise(expr(
+            "CAST((dev + (np - c_matched) * nb) * 1000000 div (2 * nb * np) AS BIGINT)")))
+      .select(col("n_batch_terms"),
+        coalesce(col("n_batch_tokens"), lit(0L)).as("n_batch_tokens"),
+        col("tv_ppm"))
   }
 
   /** Transparent linear quality score — the model-based-filter SHAPE

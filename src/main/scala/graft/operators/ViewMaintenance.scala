@@ -23,7 +23,9 @@ import org.apache.spark.sql.DataFrame
   *
   * Insert-only deltas by contract (the dominant fact-table case);
   * update/delete streams route through [[CdcApply]] first to produce
-  * the net insert image.
+  * the net insert image. Non-key column names must be DISJOINT across
+  * the two sides (the standard join-view shape) — a shared name would
+  * make the joined schema ambiguous.
   */
 object ViewMaintenance {
 

@@ -37,6 +37,26 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_dot_product(list_transform($a, y -> CAST(y AS DOUBLE)), list_transform($b, y -> CAST(y AS DOUBLE))) AS BIGINT)"
 
+  /** The integer BM25 replay chain (k1_m=1200, b_m=750, reciprocal
+    * idf) up to per-(doc, term) scores `s`, over query `terms` (a SQL
+    * literal list). Shared by q178/q182/q186 — the floor-division
+    * order must match `TextAnalysis.bm25TopK` exactly.
+    */
+  private def bm25ChainSql(terms: String): String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (CAST(SUM(dl) AS BIGINT) * 1000) // COUNT(*) AS avgdl_m FROM dl),
+       |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+       |s AS (SELECT p.doc_id,
+       |    (((st.n_docs * 1000) // dfq.df) * p.tf * (1200 + 1000)) //
+       |      (p.tf * 1000 + (1200 * (1000 - 750 + (750 * dl.dl * 1000) // st.avgdl_m)) // 1000)
+       |      AS s_m
+       |  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)""".stripMargin
+
   /** Scratch directory for gates that exercise a write→read-back cycle
     * (q121/q122): keyed by applicationId so concurrent runs never
     * collide, deleted recursively on JVM exit so repeated bench/verify
@@ -1138,6 +1158,32 @@ object LlmQueries {
       TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
         "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
       TextAnalysis.bm25TopK(s, tmp, Seq("join", "vector", "table"), k = 10)
+    }),
+
+    // The full search SERVE loop — retrieve → fetch → snippet: BM25
+    // ranks the top 10, the k-row result broadcasts against the corpus
+    // to fetch text (map-only probe — the corpus never shuffles for a
+    // serve), and the snippet is the 6-token window around the FIRST
+    // query-term occurrence, located from the positional postings
+    // (no text scan). Oracle replays the chain + a tokenized
+    // first-match slice.
+    "q186_search_serve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = gateScratchDir(s, "q186") + "/idx"
+      TextAnalysis.buildInvertedIndex(docs, "doc_id", "text", tmp,
+        numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.searchServe(s, tmp, docs, "doc_id", "text",
+        Seq("scan", "merge"), k = 10)
+    }),
+
+    // Boolean EXCLUSION retrieval ("join -vector"): an anti-join
+    // between two Bloom-pruned postings reads — both postings-sized,
+    // the corpus untouched. Oracle = tokenize + NOT IN.
+    "q187_index_not_query" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q187") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      TextAnalysis.lookupTermsExcluding(s, tmp, Seq("join"), Seq("vector"))
     }),
 
     // SNAPSHOT EXPORT — pin a training run to an immutable copy: the
@@ -2992,6 +3038,32 @@ object LlmQueries {
          |FROM j CROSS JOIN tot
          |ORDER BY score_ppm DESC, gram LIMIT 40""".stripMargin,
 
+    // BM25 chain + tokenized first-match window; list_slice is
+    // inclusive-end where Spark slice takes a length, so end = s+5.
+    "q186_search_serve" ->
+      s"""WITH ${bm25ChainSql("'scan', 'merge'")},
+         |top AS (SELECT doc_id, CAST(SUM(s_m) AS BIGINT) AS score_m
+         |  FROM s GROUP BY 1 ORDER BY score_m DESC, doc_id LIMIT 10),
+         |fp AS (SELECT doc_id,
+         |    CAST(list_filter(range(0, len(toks)),
+         |      i -> toks[i + 1] IN ('scan', 'merge'))[1] AS BIGINT) AS p0,
+         |    toks
+         |  FROM t WHERE doc_id IN (SELECT doc_id FROM top))
+         |SELECT top.doc_id, top.score_m,
+         |  array_to_string(list_slice(fp.toks,
+         |    GREATEST(p0 - 2, 0) + 1, GREATEST(p0 - 2, 0) + 6), ' ') AS snippet
+         |FROM top JOIN fp USING (doc_id)""".stripMargin,
+
+    // Exclusion ≡ tokenize + NOT IN over the corpus.
+    "q187_index_not_query" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${toksSql("text")}) AS term
+         |  FROM documents),
+         |inc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sum_tf FROM tk
+         |  WHERE term IN ('join') GROUP BY 1),
+         |exc AS (SELECT DISTINCT doc_id FROM tk WHERE term IN ('vector'))
+         |SELECT doc_id, sum_tf FROM inc
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exc)""".stripMargin,
+
     // The export is exactly the first two committed batches.
     "q184_snapshot_export" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
@@ -3031,19 +3103,7 @@ object LlmQueries {
     // The incrementally built index must serve the whole-corpus BM25
     // spec (same replay as q178, different query terms).
     "q182_index_append" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    (CAST(SUM(dl) AS BIGINT) * 1000) // COUNT(*) AS avgdl_m FROM dl),
-         |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
-         |  WHERE term IN ('merge', 'group') GROUP BY 1, 2),
-         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
-         |s AS (SELECT p.doc_id,
-         |    (((st.n_docs * 1000) // dfq.df) * p.tf * (1200 + 1000)) //
-         |      (p.tf * 1000 + (1200 * (1000 - 750 + (750 * dl.dl * 1000) // st.avgdl_m)) // 1000)
-         |      AS s_m
-         |  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+      s"""WITH ${bm25ChainSql("'merge', 'group'")}
          |SELECT doc_id, CAST(SUM(s_m) AS BIGINT) AS score_m,
          |  CAST(COUNT(*) AS BIGINT) AS n_terms
          |FROM s GROUP BY 1
@@ -3061,19 +3121,7 @@ object LlmQueries {
     // The BM25-shaped score replayed with identical floor divisions in
     // identical order (k1_m=1200, b_m=750, reciprocal idf).
     "q178_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    (CAST(SUM(dl) AS BIGINT) * 1000) // COUNT(*) AS avgdl_m FROM dl),
-         |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
-         |  WHERE term IN ('join', 'vector', 'table') GROUP BY 1, 2),
-         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
-         |s AS (SELECT p.doc_id,
-         |    (((st.n_docs * 1000) // dfq.df) * p.tf * (1200 + 1000)) //
-         |      (p.tf * 1000 + (1200 * (1000 - 750 + (750 * dl.dl * 1000) // st.avgdl_m)) // 1000)
-         |      AS s_m
-         |  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+      s"""WITH ${bm25ChainSql("'join', 'vector', 'table'")}
          |SELECT doc_id, CAST(SUM(s_m) AS BIGINT) AS score_m,
          |  CAST(COUNT(*) AS BIGINT) AS n_terms
          |FROM s GROUP BY 1

@@ -1210,6 +1210,53 @@ class LlmSpec extends SparkSuite {
     assert(got === Seq((1L, 1L), (3L, 1L)), "postings span both batches")
   }
 
+  test("the index is a first-class store: small-file compaction folds appended postings and serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-compact")
+    dir.toFile.deleteOnExit()
+    val corpus = (0 until 90).map(i => (i.toLong, s"w${i % 9} shared tail"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir.toString, numFiles = 2, bloomExpected = 200L): Unit
+    (1 to 2).foreach(r => TextAnalysis.appendToInvertedIndex(
+      corpus.filter(col("doc_id") % 3 === r), "doc_id", "text",
+      dir.toString, numFiles = 2): Unit)
+    val before = TextAnalysis.lookupTerms(spark, dir.toString, Seq("w4"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    val filesBefore = graft.sinks.DataSkipping.readManifest(spark, dir.toString).files.size
+    graft.sinks.DataSkipping.compactSmallFiles(spark, dir.toString,
+      graft.functions.Md5Prefix32(col("term")), minRows = 1000000L,
+      targetFiles = 2): Unit
+    val after = TextAnalysis.lookupTerms(spark, dir.toString, Seq("w4"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after === before, "compaction must not change a posting")
+    assert(graft.sinks.DataSkipping.readManifest(spark, dir.toString).files.size
+      < filesBefore, "the small-file backlog must fold")
+    // Bloom sidecars are rebuilt for the folded files: pruning still works
+    assert(TextAnalysis.lookupTerms(spark, dir.toString, Seq("w4"))
+      .inputFiles.length <=
+      graft.sinks.DataSkipping.readManifest(spark, dir.toString).files.size)
+  }
+
+  test("backfill-as-a-stream: the store replays through a rate-limited file stream, completely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill")
+    dir.toFile.deleteOnExit()
+    val df = (0 until 400).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    graft.sinks.DataSkipping.writeWithStats(df, dir.toString, col("k"),
+      numFiles = 4, statsCols = Seq("k"))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream
+      .schema("k LONG, payload LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized { batches += b.count(): Unit }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.sum === 400L, "the backfill replays every row exactly once")
+    assert(batches.size >= 4, "maxFilesPerTrigger=1 must paginate the replay")
+  }
+
   test("bm25TopK: exact milli-unit scores — tf saturation and length normalization replay by hand") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
     dir.toFile.deleteOnExit()
@@ -1276,6 +1323,8 @@ class LlmSpec extends SparkSuite {
       "disjoint vocabulary is total variation 1")
     val mid = tv(Seq((9L, "x y p")).toDF("doc_id", "text"))
     assert(mid > 0L && mid < 1000000L)
+    // an empty epoch has no distribution: fully drifted, never a crash
+    assert(tv(Seq.empty[(Long, String)].toDF("doc_id", "text")) === 1000000L)
   }
 
   test("sourceDrift: identical distributions read 0 ppm, disjoint vocabularies read 1000000") {
