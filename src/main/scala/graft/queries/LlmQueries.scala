@@ -1186,6 +1186,64 @@ object LlmQueries {
       TextAnalysis.lookupTermsExcluding(s, tmp, Seq("join"), Seq("vector"))
     }),
 
+    // Native Hive-style partitioned layout: events land partitionBy
+    // event_type and a one-partition read prunes at the LISTING via
+    // Catalyst partition discovery (PartitionFilters, PlanSpec-pinned)
+    // — the standard Spark idiom next to our manifest-driven store;
+    // both answers are exactly the plain WHERE.
+    "q188_hive_partitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = gateScratchDir(s, "q188") + "/part"
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // REPLICATION FROM THE CHANGE FEED — the full incremental-consumer
+    // loop: a downstream copy pins upstream v1 (snapshot export), the
+    // upstream advances by an append AND an in-place upsert, and the
+    // downstream rolls forward by applying changesBetween(1, 3) as a
+    // keyed CDC batch (inserts ∪ rewritten files' re-emitted rows, all
+    // idempotent upserts). The rolled-forward replica must hash-match
+    // the upstream's merged model — the lakehouse sync story end to
+    // end, feed-sized, never a re-copy.
+    "q189_replicate_feed" -> ((s, dir) => {
+      val base = gateScratchDir(s, "q189")
+      val (up, down) = (base + "/up", base + "/down")
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      graft.sinks.DataSkipping.writeWithStats(
+        ord.filter(col("o_orderkey") % 3 === 0), up, col("o_orderkey"),
+        numFiles = 3, statsCols = Seq("o_orderkey"))
+      graft.sinks.DataSkipping.exportSnapshot(s, up, 1L, down): Unit
+      graft.sinks.DataSkipping.appendWithStats(
+        ord.filter(col("o_orderkey") % 3 === 1), up, col("o_orderkey"),
+        numFiles = 2): Unit
+      val updates = ord.filter(col("o_orderkey") % 30 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"))
+      graft.sinks.DataSkipping.upsertKeys(s, up, "o_orderkey", updates,
+        col("o_orderkey"), numFiles = 1): Unit
+      val feed = graft.sinks.DataSkipping.changesBetween(s, up, 1L, 3L)
+        .withColumn("op",
+          when(col("__change") === "delete", lit("delete")).otherwise(lit("upsert")))
+        .withColumn("seq", lit(1L)).drop("__change")
+      val snapshot = graft.sinks.DataSkipping.readPruned(s, down,
+        Seq(("o_orderkey", Long.MinValue, Long.MaxValue - 1)))
+      graft.operators.CdcApply.rollForward(snapshot, feed, Seq("o_orderkey"))
+    }),
+
+    // COUNT/MIN/MAX from the manifest alone — zero data files opened
+    // (the metadata-only query move); NULL semantics match SQL because
+    // the per-file stats already ignore NULLs.
+    "q190_metadata_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val tmp = gateScratchDir(s, "q190")
+      graft.sinks.DataSkipping.writeWithStats(li, tmp, col("l_orderkey"),
+        numFiles = 8, statsCols = Seq("l_orderkey"))
+      graft.sinks.DataSkipping.metadataSummary(s, tmp, "l_orderkey")
+    }),
+
     // SNAPSHOT EXPORT — pin a training run to an immutable copy: the
     // store commits three batches, version 2 exports as a
     // self-contained skipping store (files byte-copied, manifest
@@ -3063,6 +3121,28 @@ object LlmQueries {
          |exc AS (SELECT DISTINCT doc_id FROM tk WHERE term IN ('vector'))
          |SELECT doc_id, sum_tf FROM inc
          |WHERE doc_id NOT IN (SELECT doc_id FROM exc)""".stripMargin,
+
+    // Partition pruning never changes the answer — only the listing.
+    "q188_hive_partitions" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    // The rolled-forward replica ≡ the upstream merged model.
+    "q189_replicate_feed" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+        |  FROM orders WHERE o_orderkey % 30 = 0)
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM upd""".stripMargin,
+
+    // The manifest fold must equal the scan's COUNT/MIN/MAX exactly.
+    "q190_metadata_count" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k
+        |FROM lineitem""".stripMargin,
 
     // The export is exactly the first two committed batches.
     "q184_snapshot_export" ->

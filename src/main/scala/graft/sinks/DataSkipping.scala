@@ -656,6 +656,32 @@ object DataSkipping {
     FsckReport(missing, orphans, mismatches, invalid)
   }
 
+  /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files
+    * opened (the Delta/Iceberg "metadata-only query" move: row counts
+    * sum from the per-file entries, bounds fold from the per-file
+    * min/max, and both already ignore NULLs exactly as SQL MIN/MAX
+    * do). At 100 TB the difference is a driver-side fold over a JSON
+    * sidecar versus a full-table scan. Returns one row
+    * (n_rows, min_k, max_k); bounds are NULL when every value in the
+    * column is NULL (the empty-range sentinels filter out).
+    */
+  def metadataSummary(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    val i = m.cols.indexOf(keyCol)
+    require(i >= 0, s"column '$keyCol' has no stats in $dir/$ManifestName " +
+      s"(stats cols: ${m.cols.mkString(", ")})")
+    val rows = m.files.map(_.rows).sum
+    val minK = m.files.map(_.mins(i)).filter(_ != Long.MaxValue)
+      .minOption.map(java.lang.Long.valueOf).orNull
+    val maxK = m.files.map(_.maxs(i)).filter(_ != Long.MinValue)
+      .maxOption.map(java.lang.Long.valueOf).orNull
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(rows, minK, maxK)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "n_rows LONG, min_k LONG, max_k LONG"))
+  }
+
   /** EXPORT an immutable copy of the table AS OF a committed version —
     * the "pin this training run to a snapshot" move (Delta DEEP CLONE
     * at a version): the snapshot's files copy byte-for-byte into

@@ -638,6 +638,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q188: the one-partition read prunes at the listing via PartitionFilters") {
+    val p = plan("q188_hive_partitions")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      "the partition predicate must reach partition discovery, not the row filter:\n" + p)
+  }
+
   test("q161: equi-depth boundaries come from the PARALLEL ranking — range partition, no data window through one task") {
     val p = plan("q161_equi_depth")
     assert(p.toLowerCase.contains("rangepartitioning"),

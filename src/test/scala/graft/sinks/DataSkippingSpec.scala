@@ -303,6 +303,28 @@ class DataSkippingSpec extends SparkSuite {
       s"the deep scrub must report (file, manifestRows, actualRows): $r2")
   }
 
+  test("metadataSummary: counts and bounds fold from the manifest; all-NULL columns yield NULL bounds") {
+    val dir = tmpDir("graft-metacount")
+    val rows = (0 until 90).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      (0 until 10).map(i => (null.asInstanceOf[java.lang.Long], 900L + i))
+    DataSkipping.writeWithStats(rows.toDF("k", "payload"), dir,
+      coalesce(col("k"), lit(Long.MaxValue)), numFiles = 3, statsCols = Seq("k"))
+    val r = DataSkipping.metadataSummary(spark, dir, "k").collect().head
+    assert(r.getLong(0) === 100L, "NULL-key rows still count")
+    assert(r.getLong(1) === 0L && r.getLong(2) === 89L, "bounds ignore NULLs, like SQL MIN/MAX")
+
+    val nullDir = tmpDir("graft-metacount-null")
+    val allNull = (0 until 5)
+      .map(i => (null.asInstanceOf[java.lang.Long], i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(allNull, nullDir, col("payload"),
+      numFiles = 1, statsCols = Seq("k"))
+    val rn = DataSkipping.metadataSummary(spark, nullDir, "k").collect().head
+    assert(rn.getLong(0) === 5L && rn.isNullAt(1) && rn.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      DataSkipping.metadataSummary(spark, dir, "payload")
+    }: Unit
+  }
+
   test("exportSnapshot: the copy is immutable under source-side erasure; unserveable versions are rejected") {
     val dir = tmpDir("graft-export-src")
     val dest = tmpDir("graft-export-dst") + "/snap"
