@@ -581,18 +581,35 @@ object TextAnalysis {
   def buildInvertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, indexDir: String, numFiles: Int,
       bloomExpected: Long = 100000L): graft.sinks.DataSkipping.SkipManifest = {
-    val t = Dedup.once(
+    val t = Caching.pin(tokenizedDocs(docs, idCol, textCol))
+    try {
+      val m = graft.sinks.DataSkipping.writeWithStats(postingsOf(t), indexDir,
+        col("term_h"), numFiles, statsCols = Seq("term_h"),
+        bloomCols = Seq("term"), bloomExpected = bloomExpected)
+      val (nDocs, totalTokens) = batchCounts(t)
+      writeCorpusStats(docs.sparkSession, indexDir, CorpusStats(nDocs, totalTokens))
+      m
+    } finally Caching.release(t)
+  }
+
+  /** The shared tokenize + doc-length preparation of the index build
+    * and append paths. Callers pin it: BOTH the postings write and the
+    * stats count consume it, and tokenization is the expensive pass.
+    */
+  private def tokenizedDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    Dedup.once(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         "__toks", tokens(col("__text")))
       .withColumn("dl", size(col("__toks")).cast("long"))
-    val m = graft.sinks.DataSkipping.writeWithStats(postingsOf(t), indexDir,
-      col("term_h"), numFiles, statsCols = Seq("term_h"),
-      bloomCols = Seq("term"), bloomExpected = bloomExpected)
-    val Array(nDocs, totalTokens) = t
-      .select(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    writeCorpusStats(docs.sparkSession, indexDir, CorpusStats(nDocs, totalTokens))
-    m
+
+  /** (nDocs, totalTokens) of a tokenized batch — includes zero-token
+    * docs in nDocs (BM25's N counts every document).
+    */
+  private def batchCounts(t: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = t.select(count(lit(1)).cast("long"),
+      coalesce(sum(col("dl")), lit(0L))).collect().head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Posting rows from a tokenized frame (`__toks`, `dl` present):
@@ -621,19 +638,54 @@ object TextAnalysis {
     */
   def appendToInvertedIndex(newDocs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, indexDir: String, numFiles: Int): graft.sinks.DataSkipping.SkipManifest = {
-    val t = Dedup.once(
-        newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-        "__toks", tokens(col("__text")))
-      .withColumn("dl", size(col("__toks")).cast("long"))
-    val m = graft.sinks.DataSkipping.appendWithStats(postingsOf(t), indexDir,
-      col("term_h"), numFiles)
-    val old = readCorpusStats(newDocs.sparkSession, indexDir)
-    val Array(nDocs, totalTokens) = t
-      .select(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    writeCorpusStats(newDocs.sparkSession, indexDir,
-      CorpusStats(old.nDocs + nDocs, old.totalTokens + totalTokens))
-    m
+    val t = Caching.pin(tokenizedDocs(newDocs, idCol, textCol))
+    try {
+      val m = graft.sinks.DataSkipping.appendWithStats(postingsOf(t), indexDir,
+        col("term_h"), numFiles)
+      val old = readCorpusStats(newDocs.sparkSession, indexDir)
+      val (nDocs, totalTokens) = batchCounts(t)
+      writeCorpusStats(newDocs.sparkSession, indexDir,
+        CorpusStats(old.nDocs + nDocs, old.totalTokens + totalTokens,
+          old.lastEpoch))
+      m
+    } finally Caching.release(t)
+  }
+
+  /** EXACTLY-ONCE epoch index ingest — the streaming/retry-safe form
+    * of [[appendToInvertedIndex]]: the postings land via
+    * [[graft.sinks.DataSkipping.appendEpoch]] (the MANIFEST is the
+    * idempotence ledger — committed iff the epoch's files are listed),
+    * and the stats sidecar advances guarded by its `lastEpoch` marker.
+    * The two commits are not atomic, but every crash point RECOVERS
+    * under the at-least-once retry contract:
+    *
+    *  - crash before the postings commit → retry re-lands the epoch
+    *    (appendEpoch sweeps half-landed orphans);
+    *  - crash between the commits → the retry sees the epoch committed
+    *    (skips the append) and the sidecar behind (applies the counts);
+    *  - retry of a fully-committed epoch → double no-op.
+    *
+    * Plain [[appendToInvertedIndex]] remains the simple batch path; a
+    * production ingest loop (foreachBatch) should use THIS one with
+    * the stream's epoch id. Epoch ids must be monotone per index.
+    */
+  def appendToInvertedIndexEpoch(newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, indexDir: String, numFiles: Int,
+      epochId: Long): graft.sinks.DataSkipping.SkipManifest = {
+    require(epochId >= 0, "epochId must be >= 0")
+    val spark = newDocs.sparkSession
+    val t = Caching.pin(tokenizedDocs(newDocs, idCol, textCol))
+    try {
+      val m = graft.sinks.DataSkipping.appendEpoch(spark, indexDir,
+        postingsOf(t), col("term_h"), numFiles, epochId)
+      val st = readCorpusStats(spark, indexDir)
+      if (st.lastEpoch < epochId) {
+        val (nDocs, totalTokens) = batchCounts(t)
+        writeCorpusStats(spark, indexDir,
+          CorpusStats(st.nDocs + nDocs, st.totalTokens + totalTokens, epochId))
+      }
+      m
+    } finally Caching.release(t)
   }
 
   /** Exact PHRASE query over the positional index: documents where the
@@ -665,20 +717,33 @@ object TextAnalysis {
   }
 
   /** Collection-level constants a scoring serve needs (one JSON row —
-    * the Lucene "collection statistics" analogue).
+    * the Lucene "collection statistics" analogue). `lastEpoch` is the
+    * highest epoch id whose counts are already folded in (−1 when the
+    * index was built non-epochally) — the idempotence marker of
+    * [[appendToInvertedIndexEpoch]].
     */
-  final case class CorpusStats(nDocs: Long, totalTokens: Long)
+  final case class CorpusStats(nDocs: Long, totalTokens: Long,
+      lastEpoch: Long = -1L)
 
   private val CorpusStatsName = "_corpus_stats.json"
 
+  /** Write-aside + rename-with-OVERWRITE, like the manifest writer: a
+    * concurrent serve (or a crash mid-write) sees either the old
+    * complete sidecar or the new complete one, never a torn file.
+    */
   private def writeCorpusStats(spark: org.apache.spark.sql.SparkSession,
       dir: String, st: CorpusStats): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, CorpusStatsName), true)
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(dir, CorpusStatsName)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$CorpusStatsName.tmp")
+    val fs = target.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(
-      s"""{"nDocs":${st.nDocs},"totalTokens":${st.totalTokens}}\n""".getBytes("UTF-8"))
+      (s"""{"nDocs":${st.nDocs},"totalTokens":${st.totalTokens}""" +
+        s""","lastEpoch":${st.lastEpoch}}""" + "\n").getBytes("UTF-8"))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def readCorpusStats(spark: org.apache.spark.sql.SparkSession,
@@ -687,9 +752,10 @@ object TextAnalysis {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val Re = """\{"nDocs":(\d+),"totalTokens":(\d+)\}""".r
+    val Re = """\{"nDocs":(\d+),"totalTokens":(\d+)(?:,"lastEpoch":(-?\d+))?\}""".r
     Re.findFirstMatchIn(text) match {
-      case Some(m) => CorpusStats(m.group(1).toLong, m.group(2).toLong)
+      case Some(m) => CorpusStats(m.group(1).toLong, m.group(2).toLong,
+        if (m.group(3) == null) -1L else m.group(3).toLong)
       case None => throw new IllegalStateException(
         s"corrupt corpus stats sidecar $p: '${text.trim.take(120)}'")
     }
@@ -754,9 +820,10 @@ object TextAnalysis {
   def searchServe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int = 10): org.apache.spark.sql.DataFrame = {
-    val top = bm25TopK(spark, indexDir, terms, k)
-    val firstPos = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir,
-        "term", terms.distinct)
+    // ONE postings read feeds both the ranking and the snippet anchor
+    val p = queryPostings(spark, indexDir, terms)
+    val top = bm25Rank(spark, indexDir, p, k, k1Milli = 1200L, bMilli = 750L)
+    val firstPos = p
       .groupBy(col("doc_id"))
       .agg(min(element_at(col("positions"), 1)).as("__p0"))
     val t = Dedup.once(
@@ -791,14 +858,32 @@ object TextAnalysis {
     */
   def bm25TopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       terms: Seq[String], k: Int = 10, k1Milli: Long = 1200L,
-      bMilli: Long = 750L): org.apache.spark.sql.DataFrame = {
-    require(terms.nonEmpty && k >= 1, "terms and k must be non-empty/positive")
+      bMilli: Long = 750L): org.apache.spark.sql.DataFrame =
+    bm25Rank(spark, indexDir, queryPostings(spark, indexDir, terms),
+      k, k1Milli, bMilli)
+
+  /** One Bloom-pruned postings read for the query terms, materialized
+    * (localCheckpoint — the IVF-serve pattern) because every serve
+    * consumes it at least twice (df aggregate + score join, and the
+    * snippet pass in [[searchServe]]); re-reading the files per
+    * consumer would double the serve's index I/O.
+    */
+  private def queryPostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
+      terms.distinct).localCheckpoint()
+  }
+
+  /** The ranking core over an already-read postings frame. */
+  private def bm25Rank(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      p: org.apache.spark.sql.DataFrame, k: Int, k1Milli: Long,
+      bMilli: Long): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
     val stats = readCorpusStats(spark, indexDir)
     require(stats.nDocs > 0 && stats.totalTokens > 0,
       s"empty corpus in $indexDir sidecar: $stats")
     val avgdlMilli = stats.totalTokens * 1000L / stats.nDocs
-    val p = graft.sinks.DataSkipping.readPrunedKeys(spark, indexDir, "term",
-      terms.distinct)
     val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     p.join(dfT, Seq("term"))
       .withColumn("s_m", expr(
@@ -1016,12 +1101,15 @@ object TextAnalysis {
         sum(expr("abs(CAST(obs AS DECIMAL(38,0)) * n_prof" +
           " - CAST(coalesce(c_t, 0) AS DECIMAL(38,0)) * n_batch)")).as("dev"))
       // profile-only tail in closed form: (Np − matched mass) · Nb.
-      // An EMPTY batch (a quiet streaming epoch) has no distribution to
-      // compare — score it fully drifted rather than dividing by zero
-      // and killing the stream; CaseWhen evaluates lazily, so the
-      // division never runs on the empty branch.
+      // An EMPTY batch (a quiet streaming epoch) OR an empty/broken
+      // profile has no distribution to compare — score it fully
+      // drifted rather than dividing by zero (or silently emitting
+      // NULL, which would disable a tv_ppm > threshold alarm forever);
+      // CaseWhen evaluates lazily, so the division never runs on the
+      // guarded branch.
       .withColumn("tv_ppm",
-        when(col("nb").isNull || col("nb") === 0, lit(1000000L))
+        when(col("nb").isNull || col("nb") === 0 ||
+            col("np").isNull || col("np") === 0, lit(1000000L))
           .otherwise(expr(
             "CAST((dev + (np - c_matched) * nb) * 1000000 div (2 * nb * np) AS BIGINT)")))
       .select(col("n_batch_terms"),

@@ -265,23 +265,11 @@ object DataSkipping {
     val m = readManifest(spark, dir)
     val smalls = m.files.filter(_.rows < minRows)
     if (smalls.size <= 1) return m
-    val tmp = new Path(dir, s".compact_tmp")
-    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(tmp, true): Unit
-    spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*)
-      .withColumn("__layout", layoutKey)
-      .repartitionByRange(targetFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val moved = fs.listStatus(tmp).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
-      .map { p =>
-        fs.rename(p, new Path(dir, p.getName)): Unit
-        p.getName
-      }.toIndexedSeq.sorted
-    fs.delete(tmp, true): Unit
+    val moved = moveInClustered(spark, dir, ".compact_tmp",
+      spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*),
+      layoutKey, targetFiles)
     val patched = patchManifest(spark, dir, smalls.map(_.file), moved) // commit
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     smalls.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
     patched
   }
@@ -319,11 +307,32 @@ object DataSkipping {
       writeManifestFile(spark, dir, m)
       return m
     }
-    val tmp = new Path(dir, ".recluster_tmp")
+    val moved = moveInClustered(spark, dir, ".recluster_tmp",
+      spark.read.parquet(old.files.map(f => s"$dir/${f.file}"): _*),
+      layoutKey, numFiles)
+    val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
+      statsCols, bloomCols, bloomExpected, bloomFpp)
+    val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
+    writeManifestFile(spark, dir, m) // the commit: file set + stats config swap
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
+    m
+  }
+
+  /** The crash-sensitive MOVE-IN step shared by [[compactSmallFiles]]
+    * and [[recluster]]: write `df` range-clustered on `layoutKey` into
+    * a dot-prefixed tmp dir (invisible to directory readers), then
+    * rename the part files into `dir` as ORPHANS — absent from the
+    * manifest, so manifest-driven reads ignore them until the caller's
+    * commit. Returns the moved names, sorted. ([[appendEpoch]] keeps
+    * its own variant: it renames with the epoch prefix.)
+    */
+  private def moveInClustered(spark: SparkSession, dir: String, tmpName: String,
+      df: DataFrame, layoutKey: Column, numFiles: Int): IndexedSeq[String] = {
+    val tmp = new Path(dir, tmpName)
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true): Unit
-    spark.read.parquet(old.files.map(f => s"$dir/${f.file}"): _*)
-      .withColumn("__layout", layoutKey)
+    df.withColumn("__layout", layoutKey)
       .repartitionByRange(numFiles, col("__layout"))
       .sortWithinPartitions(col("__layout"))
       .drop("__layout")
@@ -335,12 +344,7 @@ object DataSkipping {
         p.getName
       }.toIndexedSeq.sorted
     fs.delete(tmp, true): Unit
-    val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
-      statsCols, bloomCols, bloomExpected, bloomFpp)
-    val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
-    writeManifestFile(spark, dir, m) // the commit: file set + stats config swap
-    old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
-    m
+    moved
   }
 
   /** Delete part files present on disk but absent from the manifest —
@@ -613,10 +617,12 @@ object DataSkipping {
     * `invalidVersions` are log entries time travel can no longer serve.
     */
   final case class FsckReport(missingFiles: Seq[String], orphanFiles: Seq[String],
-      rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long]) {
+      rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long],
+      unreadableFiles: Seq[String] = Nil) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanFiles.isEmpty &&
-        rowMismatches.isEmpty && invalidVersions.isEmpty
+        rowMismatches.isEmpty && invalidVersions.isEmpty &&
+        unreadableFiles.isEmpty
   }
 
   /** Store consistency audit — the operational `fsck` every table
@@ -633,27 +639,44 @@ object DataSkipping {
     val listed = m.files.map(_.file).toSet
     val missing = m.files.map(_.file).filterNot(onDisk)
     val orphans = onDisk.toSeq.sorted.filterNot(listed)
-    val mismatches =
-      if (!checkRows || m.files.isEmpty) Nil
+    val (mismatches, unreadable) =
+      if (!checkRows || m.files.isEmpty) (Nil, Nil)
       else {
         val present = m.files.filter(f => onDisk.contains(f.file))
-        if (present.isEmpty) Nil
+        if (present.isEmpty) (Nil, Nil)
         else {
-          val actual = spark.read.parquet(present.map(f => s"$dir/${f.file}"): _*)
-            .groupBy(input_file_name().as("__file"))
-            .agg(count(lit(1)).as("__rows"))
-            .collect()
-            .map(r => r.getString(0).split('/').last -> r.getAs[Long]("__rows"))
-            .toMap
-          present.flatMap { f =>
+          // fast path: one pass over every listed file. CORRUPT bytes
+          // are exactly what a deep scrub exists to report, so a
+          // failure falls back to per-file reads that classify each
+          // file instead of crashing the audit.
+          def countAll(fs: Seq[FileStats]): Map[String, Long] =
+            spark.read.parquet(fs.map(f => s"$dir/${f.file}"): _*)
+              .groupBy(input_file_name().as("__file"))
+              .agg(count(lit(1)).as("__rows"))
+              .collect()
+              .map(r => r.getString(0).split('/').last -> r.getAs[Long]("__rows"))
+              .toMap
+          val (actual, bad) =
+            try (countAll(present), List.empty[String])
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                val perFile = present.map { f =>
+                  try Right(f.file -> countAll(Seq(f)).getOrElse(f.file, 0L))
+                  catch { case scala.util.control.NonFatal(_) => Left(f.file) }
+                }
+                (perFile.collect { case Right(kv) => kv }.toMap,
+                  perFile.collect { case Left(n) => n }.toList)
+            }
+          val mm = present.filterNot(f => bad.contains(f.file)).flatMap { f =>
             val a = actual.getOrElse(f.file, 0L)
             if (a == f.rows) None else Some((f.file, f.rows, a))
           }
+          (mm, bad)
         }
       }
     val valid = validVersions(spark, dir).toSet
     val invalid = listVersions(spark, dir).filterNot(valid)
-    FsckReport(missing, orphans, mismatches, invalid)
+    FsckReport(missing, orphans, mismatches, invalid, unreadable)
   }
 
   /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files

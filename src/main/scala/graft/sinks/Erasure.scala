@@ -114,18 +114,24 @@ object Erasure {
     val (whole, partial) = hits.partition(f =>
       f.mins(si) >= lo && f.maxs(si) <= hi &&
         f.nulls.nonEmpty && f.nulls(si) == 0L)
-    var rowsDeleted = 0L
-    whole.foreach { f =>
-      val target = new Path(dir, f.file)
-      target.getFileSystem(conf).delete(target, false): Unit
-      rowsDeleted += f.rows
-    }
     val keep = col(keyCol).isNull || !col(keyCol).between(lo, hi)
     val (removed, rewritten, partialRows) = dropRows(spark, dir, partial, keep)
-    rowsDeleted += partialRows
+    val rowsDeleted = partialRows + whole.map(_.rows).sum
+    // the COMMIT comes first; the wholly-doomed files delete AFTER it —
+    // the store's delete-last protocol (compaction step 4): a crash
+    // before the commit leaves the manifest and files consistent (the
+    // erasure simply hasn't happened for those files), a crash after it
+    // leaves post-commit orphans that manifest-driven reads already
+    // ignore and the next maintenance entry sweeps. Deleting first
+    // would let a crash strand a manifest that references missing
+    // files — every pruned read of the store would then fail.
     DataSkipping.patchManifest(spark, dir,
       whole.map(_.file) ++ removed, rewritten): Unit
     DataSkipping.truncateVersions(spark, dir)
+    whole.foreach { f =>
+      val target = new Path(dir, f.file)
+      target.getFileSystem(conf).delete(target, false): Unit
+    }
     ErasureReport(m.files.size, rewritten.size,
       whole.size + removed.size, rowsDeleted)
   }

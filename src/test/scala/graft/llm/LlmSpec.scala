@@ -1194,6 +1194,45 @@ class LlmSpec extends SparkSuite {
     }: Unit
   }
 
+  test("appendToInvertedIndexEpoch: retries are exactly-once, and a crash between the two commits recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-epoch")
+    dir.toFile.deleteOnExit()
+    val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "y z w"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildInvertedIndex(corpus.filter(col("doc_id") <= 2),
+      "doc_id", "text", dir.toString, numFiles = 1, bloomExpected = 100L): Unit
+    val e1 = corpus.filter(col("doc_id") === 3)
+    // the epoch lands once...
+    TextAnalysis.appendToInvertedIndexEpoch(e1, "doc_id", "text",
+      dir.toString, numFiles = 1, epochId = 1L): Unit
+    val after1 = TextAnalysis.readCorpusStats(spark, dir.toString)
+    assert(after1 === TextAnalysis.CorpusStats(3L, 7L, 1L))
+    // ...a full retry is a double no-op (postings AND stats)...
+    TextAnalysis.appendToInvertedIndexEpoch(e1, "doc_id", "text",
+      dir.toString, numFiles = 1, epochId = 1L): Unit
+    assert(TextAnalysis.readCorpusStats(spark, dir.toString) === after1)
+    assert(TextAnalysis.lookupTerms(spark, dir.toString, Seq("y"))
+      .count() === 2L, "no duplicated postings on retry")
+    // ...and a crash BETWEEN the commits (postings committed, sidecar
+    // behind — simulated by rewinding the sidecar) recovers on retry:
+    // the append no-ops via the manifest ledger, the stats catch up.
+    val e2 = corpus.filter(col("doc_id") === 4)
+    TextAnalysis.appendToInvertedIndexEpoch(e2, "doc_id", "text",
+      dir.toString, numFiles = 1, epochId = 2L): Unit
+    val mf = java.nio.file.Paths.get(dir.toString, "_corpus_stats.json")
+    java.nio.file.Files.write(mf,
+      """{"nDocs":3,"totalTokens":7,"lastEpoch":1}""".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir.toString, "._corpus_stats.json.crc")): Unit
+    TextAnalysis.appendToInvertedIndexEpoch(e2, "doc_id", "text",
+      dir.toString, numFiles = 1, epochId = 2L): Unit
+    assert(TextAnalysis.readCorpusStats(spark, dir.toString) ===
+      TextAnalysis.CorpusStats(4L, 9L, 2L), "the sidecar catches up exactly once")
+    assert(TextAnalysis.lookupTerms(spark, dir.toString, Seq("w"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq ===
+      Seq((3L, 1L), (4L, 2L)))
+  }
+
   test("appendToInvertedIndex: merged index serves exactly; sidecar stats advance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-append")
     dir.toFile.deleteOnExit()
@@ -1325,6 +1364,11 @@ class LlmSpec extends SparkSuite {
     assert(mid > 0L && mid < 1000000L)
     // an empty epoch has no distribution: fully drifted, never a crash
     assert(tv(Seq.empty[(Long, String)].toDF("doc_id", "text")) === 1000000L)
+    // an empty/broken PROFILE alarms too — never a silent NULL that
+    // would disable a tv_ppm > threshold gate forever
+    val emptyProfile = profile.filter(col("c_t") < 0)
+    assert(TextAnalysis.driftAgainstProfile(ref, "text", emptyProfile)
+      .collect().head.getLong(2) === 1000000L)
   }
 
   test("sourceDrift: identical distributions read 0 ppm, disjoint vocabularies read 1000000") {

@@ -301,6 +301,18 @@ class DataSkippingSpec extends SparkSuite {
     val r2 = DataSkipping.fsck(spark, dir, checkRows = true)
     assert(r2.rowMismatches === Seq((victim, m.files.head.rows, 3L)),
       s"the deep scrub must report (file, manifestRows, actualRows): $r2")
+
+    // corrupt BYTES are the main thing a deep scrub exists to find:
+    // the audit must REPORT the unreadable file, not crash on it
+    val garbage = m.files(2).file
+    Files.write(Paths.get(dir, garbage), "not a parquet file".getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(dir, s".$garbage.crc")): Unit
+    val r3 = DataSkipping.fsck(spark, dir, checkRows = true)
+    assert(r3.unreadableFiles === Seq(garbage),
+      s"corrupt bytes must be classified, not thrown: $r3")
+    assert(r3.rowMismatches === Seq((victim, m.files.head.rows, 3L)),
+      "readable files are still scrubbed on the fallback path")
+    assert(!r3.clean)
   }
 
   test("metadataSummary: counts and bounds fold from the manifest; all-NULL columns yield NULL bounds") {
