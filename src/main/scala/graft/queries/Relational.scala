@@ -489,6 +489,38 @@ object Relational {
           min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
     }),
 
+    // RETRACTION — the DELETE half of q133's incremental-view story
+    // (the Flink retract-stream move): erased/expired rows subtract
+    // their PARTIALS from the maintained state — counts and sums are
+    // algebraic both ways, so the state never re-reads history; groups
+    // whose count hits zero vanish. (min/max are deliberately absent:
+    // they are NOT retractable without the group's raw rows — the
+    // documented boundary of the technique.) The gate retracts the
+    // mod-7 batch from the full state and must equal a recompute over
+    // the complement.
+    "q191_rollup_retract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          cents(col("value")).as("v"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_cents"))
+      val state = partial(ev).alias("st")
+      // NULL group keys are real groups (events carries NULL user_ids):
+      // the retraction must hit them too, hence the null-safe join keys
+      val retract = partial(ev.filter(col("event_id") % 7 === 0))
+        .withColumnRenamed("n_events", "r_n")
+        .withColumnRenamed("sum_cents", "r_sum").alias("r")
+      state.join(retract,
+          col("st.user_id") <=> col("r.user_id") &&
+            col("st.event_type") <=> col("r.event_type"), "left")
+        .select(col("st.user_id").as("user_id"),
+          col("st.event_type").as("event_type"),
+          (col("st.n_events") - coalesce(col("r_n"), lit(0L))).as("n_events"),
+          (col("st.sum_cents") - coalesce(col("r_sum"), lit(0L))).as("sum_cents"))
+        .filter(col("n_events") > 0L)
+    }),
+
     // Session PATH analysis (the clickstream journey report): events
     // sessionize per user on a 30-min gap, each session folds to its
     // ordered event-type path string, and the corpus's top-20 paths
@@ -1425,6 +1457,12 @@ object Relational {
         |  CAST(SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
         |  CAST(COALESCE(MAX(GREATEST(gap - 1, 0)), 0) AS BIGINT) AS max_gap
         |FROM g GROUP BY 1""".stripMargin,
+
+    // Retraction ≡ recompute over the complement (the spec).
+    "q191_rollup_retract" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
 
     // The FULL recompute is the spec: merged algebraic state must be
     // indistinguishable from aggregating the raw union.
