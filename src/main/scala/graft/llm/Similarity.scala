@@ -67,6 +67,24 @@ object Similarity {
       extra.map { case (c, a) => col(c).as(a) }: _*)
   }
 
+  /** Cosine RERANK of a pre-filtered candidate id set — the second
+    * stage of hybrid (lexical → semantic) retrieval: an inverted-index
+    * term lookup (or any other cheap filter) produces `candidateIds`
+    * (a one-column `doc_id` frame), and only THOSE vectors score
+    * against the broadcast queries. The vector work is candidate-sized,
+    * never corpus-sized — the whole point of the hybrid shape: the
+    * index prunes, the embedding ranks. Semantics are exactly
+    * [[bruteForceTopK]] restricted to the candidates (self-matches
+    * excluded, same quantized-cosine total order).
+    */
+  def rerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      candidateIds: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = querySide(emb, idCol, vecCol, queryPred)
+    val c = candSide(emb, idCol, vecCol)
+      .join(candidateIds.toDF("neighbor_id").distinct(), Seq("neighbor_id"), "left_semi")
+    ranked(c.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id")), k)
+  }
+
   /** Brute-force cosine top-k: every candidate scored against every
     * (broadcast) query. Self-matches excluded.
     */

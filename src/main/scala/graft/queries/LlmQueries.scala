@@ -1244,6 +1244,23 @@ object LlmQueries {
       graft.sinks.DataSkipping.metadataSummary(s, tmp, "l_orderkey")
     }),
 
+    // HYBRID retrieval (the RAG-serving shape): the inverted index
+    // produces the lexical candidate set (docs containing either query
+    // term — postings-pruned, corpus untouched), and only THOSE
+    // vectors rerank by quantized cosine against the broadcast query
+    // embedding (vec_id 7). Candidate-sized vector work; the oracle
+    // replays the q35 cosine chain restricted to the tokenized
+    // candidate set (doc_id ↔ vec_id, the corpus convention).
+    "q192_hybrid_search" -> ((s, dir) => {
+      val tmp = gateScratchDir(s, "q192") + "/idx"
+      TextAnalysis.buildInvertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", tmp, numFiles = 8, bloomExpected = 20000L): Unit
+      val cands = TextAnalysis.lookupTerms(s, tmp, Seq("join", "vector"))
+        .select(col("doc_id"))
+      Similarity.rerankTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        cands, col("vec_id") === 7, k = 10)
+    }),
+
     // SNAPSHOT EXPORT — pin a training run to an immutable copy: the
     // store commits three batches, version 2 exports as a
     // self-contained skipping store (files byte-copied, manifest
@@ -3121,6 +3138,28 @@ object LlmQueries {
          |exc AS (SELECT DISTINCT doc_id FROM tk WHERE term IN ('vector'))
          |SELECT doc_id, sum_tf FROM inc
          |WHERE doc_id NOT IN (SELECT doc_id FROM exc)""".stripMargin,
+
+    // The q35 cosine chain restricted to the lexical candidate set.
+    "q192_hybrid_search" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${toksSql("text")}) AS term
+         |  FROM documents),
+         |cd AS (SELECT DISTINCT doc_id FROM tk
+         |  WHERE term IN ('join', 'vector')),
+         |q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE vec_id = 7),
+         |c AS (SELECT vec_id AS neighbor_id, ${quantSql("embedding")} AS cv
+         |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cd)),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${dotSql("qv", "qv")} AS na,
+         |    ${dotSql("cv", "cv")} AS nb
+         |  FROM c, q WHERE neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, rank, dot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |             neighbor_id ASC) AS rank
+         |  FROM j)
+         |WHERE rank <= 10""".stripMargin,
 
     // Partition pruning never changes the answer — only the listing.
     "q188_hive_partitions" ->

@@ -1393,6 +1393,24 @@ class LlmSpec extends SparkSuite {
     assert(out("s3") === 666666L)
   }
 
+  test("rerankTopK: only candidate ids appear, ranking equals brute force restricted to them") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+        (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat / 11f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq(2L, 3L, 5L, 7L, 11L, 13L).toDF("doc_id")
+    val got = Similarity.rerankTopK(emb, "vec_id", "embedding",
+        cands, col("vec_id") === 0L, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).forall(Set(2L, 3L, 5L, 7L, 11L, 13L)),
+      "non-candidates must never surface")
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0L || col("vec_id").isin(2L, 3L, 5L, 7L, 11L, 13L)),
+        "vec_id", "embedding", col("vec_id") === 0L, 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === brute, "rerank ≡ brute force over the restricted pool")
+  }
+
   test("noveltyProfile: exact dups score 0, a unique doc scores the full million") {
     val out = Dedup.noveltyProfile(docs, "doc_id", "text", w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
