@@ -489,6 +489,38 @@ object Relational {
           min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
     }),
 
+    // GROWTH ACCOUNTING — the weekly engagement ledger (the board
+    // slide behind q131's retention triangle): every active (user,
+    // week) classifies as new (first week), retained (active the week
+    // before) or resurrected (gap behind), and a user absent after
+    // week w contributes churned to w+1 — so
+    // new + resurrected − churned telescopes to the WoW active delta.
+    // One user-keyed exchange feeds BOTH windows (lag + lead share the
+    // ordering), then a week-keyed count; no joins, no calendar grid.
+    "q193_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+        .filter(col("user_id").isNotNull && col("wk").isNotNull)
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk").asc)
+      val lagged = wk.withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("next", lead(col("wk"), 1).over(w))
+      val states = lagged.select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - 1, "retained")
+          .otherwise("resurrected").as("cls"))
+      val churn = lagged.filter(col("next").isNull || col("next") > col("wk") + 1)
+        .select((col("wk") + 1).as("wk"), lit("churned").as("cls"))
+      states.unionByName(churn)
+        .groupBy(col("wk"))
+        .agg(
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+          sum(when(col("cls") === "churned", 1L).otherwise(0L)).as("n_churned"))
+    }),
+
     // RETRACTION — the DELETE half of q133's incremental-view story
     // (the Flink retract-stream move): erased/expired rows subtract
     // their PARTIALS from the maintained state — counts and sums are
@@ -1457,6 +1489,27 @@ object Relational {
         |  CAST(SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
         |  CAST(COALESCE(MAX(GREATEST(gap - 1, 0)), 0) AS BIGINT) AS max_gap
         |FROM g GROUP BY 1""".stripMargin,
+
+    // Same lag/lead derivation; churn lands on week w+1.
+    "q193_growth_accounting" ->
+      """WITH wkt AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+        |  FROM wkt),
+        |states AS (SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN prev = wk - 1 THEN 'retained' ELSE 'resurrected' END AS cls
+        |  FROM l
+        |  UNION ALL
+        |  SELECT wk + 1 AS wk, 'churned' AS cls FROM l
+        |  WHERE next IS NULL OR next > wk + 1)
+        |SELECT wk,
+        |  CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM states GROUP BY 1""".stripMargin,
 
     // Retraction ≡ recompute over the complement (the spec).
     "q191_rollup_retract" ->
