@@ -80,8 +80,13 @@ object Similarity {
   def rerankTopK(emb: DataFrame, idCol: String, vecCol: String,
       candidateIds: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = querySide(emb, idCol, vecCol, queryPred)
-    val c = candSide(emb, idCol, vecCol)
-      .join(candidateIds.toDF("neighbor_id").distinct(), Seq("neighbor_id"), "left_semi")
+    // prune BEFORE the quantize/norm projection: the semi-join cannot
+    // push below candSide's Generate barrier on its own, and quantizing
+    // a 100M-vector corpus to keep 1k candidates would defeat the shape
+    val pruned = emb.join(
+      candidateIds.toDF("__cand_id").distinct(),
+      col(idCol) === col("__cand_id"), "left_semi")
+    val c = candSide(pruned, idCol, vecCol)
     ranked(c.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id")), k)
   }
 

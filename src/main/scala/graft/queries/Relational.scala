@@ -27,6 +27,14 @@ object Relational {
   /** Exact integer cents from a double (deterministic across engines). */
   private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
 
+  /** The shared events projection of the incremental-view gates (q133
+    * merge, q191 retraction): exact integer cents, never raw doubles.
+    */
+  private def eventsCents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        cents(col("value")).as("v"))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map(
@@ -474,9 +482,7 @@ object Relational {
     }),
 
     "q133_incremental_rollup" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          cents(col("value")).as("v"))
+      val ev = eventsCents(s, dir)
       def partial(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_cents"),
@@ -531,17 +537,22 @@ object Relational {
     // mod-7 batch from the full state and must equal a recompute over
     // the complement.
     "q191_rollup_retract" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          cents(col("value")).as("v"))
+      val ev = eventsCents(s, dir)
+      // the algebraic state carries the NON-NULL value count alongside
+      // the sum: SQL's SUM over a group with only NULL values is NULL,
+      // not 0, and subtraction alone cannot tell the two apart — the
+      // count makes the retracted state reproduce SQL exactly even
+      // when every surviving value is NULL
       def partial(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("user_id"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_cents"))
+          .agg(count(lit(1)).as("n_events"), count(col("v")).as("n_vals"),
+            sum(col("v")).as("sum_cents"))
       val state = partial(ev).alias("st")
       // NULL group keys are real groups (events carries NULL user_ids):
       // the retraction must hit them too, hence the null-safe join keys
       val retract = partial(ev.filter(col("event_id") % 7 === 0))
         .withColumnRenamed("n_events", "r_n")
+        .withColumnRenamed("n_vals", "r_nv")
         .withColumnRenamed("sum_cents", "r_sum").alias("r")
       state.join(retract,
           col("st.user_id") <=> col("r.user_id") &&
@@ -549,7 +560,9 @@ object Relational {
         .select(col("st.user_id").as("user_id"),
           col("st.event_type").as("event_type"),
           (col("st.n_events") - coalesce(col("r_n"), lit(0L))).as("n_events"),
-          (col("st.sum_cents") - coalesce(col("r_sum"), lit(0L))).as("sum_cents"))
+          when(col("st.n_vals") - coalesce(col("r_nv"), lit(0L)) > 0L,
+            col("st.sum_cents") - coalesce(col("r_sum"), lit(0L)))
+            .otherwise(lit(null).cast("long")).as("sum_cents"))
         .filter(col("n_events") > 0L)
     }),
 
