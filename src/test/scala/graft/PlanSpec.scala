@@ -644,6 +644,15 @@ class PlanSpec extends SparkSuite {
       "the partition predicate must reach partition discovery, not the row filter:\n" + p)
   }
 
+  test("q192: hybrid rerank prunes candidates with a semi-join BEFORE the quantize pass; only the broadcast query crosses") {
+    val p = plan("q192_hybrid_search")
+    assert(p.contains("LeftSemi"),
+      "the candidate semi-join must restrict the corpus before scoring:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query side must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q161: equi-depth boundaries come from the PARALLEL ranking — range partition, no data window through one task") {
     val p = plan("q161_equi_depth")
     assert(p.toLowerCase.contains("rangepartitioning"),
