@@ -210,6 +210,19 @@ class DataSkippingSpec extends SparkSuite {
       val m2 = DataSkipping.readManifest(spark, dir)
       assert(m2.files.map(_.rows).sum === surModel.length.toLong,
         s"trial $trial: patched manifest rows must cover the survivors")
+
+      // random retention range ON TOP of the key erasure: survivors ≡
+      // the composed NOT-IN + NOT-BETWEEN model, manifest still exact
+      val (rlo, rhi) = { val x = rnd.nextInt(keySpan).toLong; (x, x + rnd.nextInt(keySpan).toLong) }
+      Erasure.deleteRange(spark, dir, "a", rlo, rhi): Unit
+      val after = spark.read.parquet(dir).orderBy("payload").collect()
+      val afterModel = df.filter(col("a").isNull ||
+          (!col("a").isin(doomed: _*) && !col("a").between(rlo, rhi)))
+        .orderBy("payload").collect()
+      assert(after === afterModel, s"trial $trial: range delete diverged")
+      val m3 = DataSkipping.readManifest(spark, dir)
+      assert(m3.files.map(_.rows).sum === afterModel.length.toLong,
+        s"trial $trial: range-patched manifest rows must cover the survivors")
     }
   }
 
