@@ -144,15 +144,28 @@ object Pipeline {
 
   /** C2 — dispatch one classified input to its reader. Any throw is
     * captured (C3) and the input skipped.
+    *
+    * Big workbooks route to the DISTRIBUTED xlsx parse (S6): at or
+    * above `xlsxDistributedBytes` (default
+    * [[graft.sources.XlsxDistributed.SingleBookDistributedBytes]]) the
+    * sheet parses in an executor task instead of on the driver pool —
+    * identical frame either way (PipelineSpec pins it), so the
+    * threshold trades driver memory/CPU for a task dispatch, never
+    * semantics.
     */
   def readInput(spark: SparkSession, input: ClassifiedInput,
       fileOrd: Int, trainHours: => DataFrame, history: => DataFrame,
-      eagerEmptyGuard: Boolean = true)
+      eagerEmptyGuard: Boolean = true,
+      xlsxDistributedBytes: Long =
+        graft.sources.XlsxDistributed.SingleBookDistributedBytes)
       : Either[InputError, ReaderOutput] =
     try {
       val path = input.path
       val report = input.report
       val base = input.sheet match {
+        case Some(si) if new File(path).length() >= xlsxDistributedBytes =>
+          graft.sources.XlsxDistributed.readClassifiedSingle(spark, path, si,
+            input.headerIdx, report.schema)
         case Some(si) => graft.sources.Xlsx.readClassified(spark, path, si,
           input.headerIdx, report.schema)
         case None => HeaderSniffer.readClassified(spark, path, input.headerIdx, report)

@@ -549,7 +549,12 @@ object Relational {
             sum(col("v")).as("sum_cents"))
       val state = partial(ev).alias("st")
       // NULL group keys are real groups (events carries NULL user_ids):
-      // the retraction must hit them too, hence the null-safe join keys
+      // the retraction must hit them too, hence the null-safe join keys.
+      // NULL event_ids (none exist in this table, but the predicate
+      // doesn't get to assume that) are NEVER retracted: `% 7 === 0` is
+      // NULL-out on a NULL id, and the oracle's complement says
+      // `<> 0 OR IS NULL` so both sides keep NULL-id rows — the
+      // equivalence is NULL-symmetric, not invariant-dependent
       val retract = partial(ev.filter(col("event_id") % 7 === 0))
         .withColumnRenamed("n_events", "r_n")
         .withColumnRenamed("n_vals", "r_nv")
@@ -1524,11 +1529,13 @@ object Relational {
         |  CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
         |FROM states GROUP BY 1""".stripMargin,
 
-    // Retraction ≡ recompute over the complement (the spec).
+    // Retraction ≡ recompute over the complement (the spec). The
+    // complement keeps NULL event_ids (never retracted on either side).
     "q191_rollup_retract" ->
       """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE event_id % 7 <> 0 OR event_id IS NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // The FULL recompute is the spec: merged algebraic state must be
     // indistinguishable from aggregating the raw union.

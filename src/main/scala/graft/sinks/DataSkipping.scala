@@ -62,9 +62,16 @@ import graft.functions.BloomAgg
   * erased keys' min/max/Bloom metadata). [[vacuumVersions]] expires
   * history and deletes unreferenced part files (the VACUUM move).
   *
-  * Single-writer discipline as everywhere in this package: the manifest
-  * describes the directory as of its write; patch it after any
-  * append/compaction (stats collection is idempotent).
+  * Single-writer discipline as everywhere in this package — and since
+  * round 14 it is ENFORCED, not just documented: every commit is a
+  * compare-and-swap on the version log (the version file is created
+  * atomically no-overwrite, and maintenance operations pass the version
+  * they read at as the fence base), so of two interleaving writers
+  * exactly one commits and the other throws
+  * `ConcurrentModificationException` before the latest pointer moves —
+  * re-read and re-run is the loser's recovery. The manifest describes
+  * the directory as of its write; patch it after any append/compaction
+  * (stats collection is idempotent).
   */
 object DataSkipping {
 
@@ -143,6 +150,7 @@ object DataSkipping {
       numFiles: Int): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val spark = df.sparkSession
+    val base = currentVersion(spark, dir) // writer-fence base
     val before = listPartFiles(spark, dir).toSet
     df.withColumn("__layout", layoutKey)
       .repartitionByRange(numFiles, col("__layout"))
@@ -150,7 +158,7 @@ object DataSkipping {
       .drop("__layout")
       .write.mode(SaveMode.Append).parquet(dir)
     val added = listPartFiles(spark, dir).filterNot(before)
-    patchManifest(spark, dir, Nil, added)
+    patchManifest(spark, dir, Nil, added, Some(base))
   }
 
   /** MERGE (upsert) a keyed batch into the store in ONE manifest
@@ -173,6 +181,7 @@ object DataSkipping {
       updates: DataFrame, layoutKey: Column, numFiles: Int = 1,
       maxKeys: Int = 1000000): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    val base = currentVersion(spark, dir) // writer-fence base
     val m = readManifest(spark, dir)
     val keyRows = updates.select(col(keyCol)).limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
@@ -194,7 +203,12 @@ object DataSkipping {
       .write.mode(SaveMode.Append).parquet(dir)
     val added = listPartFiles(spark, dir).filterNot(before)
     // 3) ONE commit: drops + rewrites + additions together
-    patchManifest(spark, dir, removed, rewritten ++ added)
+    val patched = patchManifest(spark, dir, removed, rewritten ++ added, Some(base))
+    // 4) files the drop pass EMPTIED delete last, post-commit
+    // (delete-last protocol — pre-commit they were still manifest-
+    // listed and intact; post-commit they are sweepable orphans)
+    Erasure.deleteFiles(dir, removed, spark.sessionState.newHadoopConf())
+    patched
   }
 
   /** Exactly-once epoch append — the streaming-ingest form of
@@ -212,6 +226,7 @@ object DataSkipping {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(epochId >= 0, "epochId must be >= 0")
     val prefix = s"part-e$epochId-"
+    val base = currentVersion(spark, dir) // writer-fence base
     val m = readManifest(spark, dir)
     if (m.files.exists(_.file.startsWith(prefix))) return m // committed
     sweepOrphans(spark, dir) // half-landed files of a crashed attempt
@@ -231,7 +246,7 @@ object DataSkipping {
         name
       }.toIndexedSeq.sorted
     fs.delete(tmp, true): Unit
-    patchManifest(spark, dir, Nil, moved) // the commit
+    patchManifest(spark, dir, Nil, moved, Some(base)) // the commit
   }
 
   /** Compact the store's SMALL files (manifest rows < `minRows`) into
@@ -262,13 +277,14 @@ object DataSkipping {
       minRows: Long, targetFiles: Int = 1): SkipManifest = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     sweepOrphans(spark, dir)
+    val base = currentVersion(spark, dir) // writer-fence base
     val m = readManifest(spark, dir)
     val smalls = m.files.filter(_.rows < minRows)
     if (smalls.size <= 1) return m
     val moved = moveInClustered(spark, dir, ".compact_tmp",
       spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*),
       layoutKey, targetFiles)
-    val patched = patchManifest(spark, dir, smalls.map(_.file), moved) // commit
+    val patched = patchManifest(spark, dir, smalls.map(_.file), moved, Some(base)) // commit
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     smalls.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
     patched
@@ -301,10 +317,11 @@ object DataSkipping {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     sweepOrphans(spark, dir)
+    val base = currentVersion(spark, dir) // writer-fence base
     val old = readManifest(spark, dir)
     if (old.files.isEmpty) {
       val m = SkipManifest(statsCols, Vector.empty, bloomCols, bloomExpected, bloomFpp)
-      writeManifestFile(spark, dir, m)
+      writeManifestFile(spark, dir, m, Some(base))
       return m
     }
     val moved = moveInClustered(spark, dir, ".recluster_tmp",
@@ -313,7 +330,7 @@ object DataSkipping {
     val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
       statsCols, bloomCols, bloomExpected, bloomFpp)
     val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
-    writeManifestFile(spark, dir, m) // the commit: file set + stats config swap
+    writeManifestFile(spark, dir, m, Some(base)) // the commit: file set + stats config swap
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
     m
@@ -386,9 +403,18 @@ object DataSkipping {
     * Sidecar parameters (cols, bloom sizing) come from the existing
     * manifest. If nothing remains, an empty manifest is written without
     * touching any data file.
+    *
+    * `expectedBase` is the writer fence ([[currentVersion]]): pass the
+    * version the operation READ its manifest at and the commit is a
+    * compare-and-swap — if any other writer committed in between, this
+    * commit throws [[java.util.ConcurrentModificationException]]
+    * instead of silently interleaving with (and possibly undoing) the
+    * other writer's changes. Every maintenance entry point in this
+    * package passes it; `None` skips the check (initial builds).
     */
   def patchManifest(spark: SparkSession, dir: String,
-      removedFiles: Seq[String], rewrittenFiles: Seq[String]): SkipManifest = {
+      removedFiles: Seq[String], rewrittenFiles: Seq[String],
+      expectedBase: Option[Long] = None): SkipManifest = {
     val old = readManifest(spark, dir)
     val touched = (removedFiles ++ rewrittenFiles).toSet
     val kept = old.files.filterNot(f => touched.contains(f.file))
@@ -397,9 +423,16 @@ object DataSkipping {
       else statsFor(spark, rewrittenFiles.map(f => s"$dir/$f"),
         old.cols, old.bloomCols, old.bloomExpected, old.bloomFpp)
     val m = old.copy(files = (kept ++ fresh).sortBy(_.file).toIndexedSeq)
-    writeManifestFile(spark, dir, m)
+    writeManifestFile(spark, dir, m, expectedBase)
     m
   }
+
+  /** The store's latest committed version (0 on an empty log) — what a
+    * maintenance operation captures alongside its [[readManifest]] and
+    * hands back to its commit as the fence base ([[patchManifest]]).
+    */
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    listVersions(spark, dir).lastOption.getOrElse(0L)
 
   /** One column-pruned stats pass over exactly `paths`: per file, row
     * count, min/max of `statsCols`, Bloom of `bloomCols`. The collect is
@@ -443,8 +476,20 @@ object DataSkipping {
   /** Serialize (legacy-stable): the bloom header fields and per-file
     * `blooms` arrays appear only when `bloomCols` is non-empty, so
     * bloom-free manifests stay byte-identical to the v1 format.
+    *
+    * WRITER FENCE: the version file is created with overwrite=FALSE —
+    * an atomic create that makes the append-only log the commit
+    * arbiter. Two racing writers both compute `next`; exactly one
+    * create succeeds, the loser throws ConcurrentModificationException
+    * before the latest pointer moves. `expectedBase` additionally
+    * rejects a STALE writer (one whose read predates another's commit)
+    * even when no race is in flight at commit instant — the
+    * compare-and-swap on the version number the caller read at.
+    * Single-writer discipline is thus enforced, not just documented:
+    * the loser fails loudly and must re-read + re-run.
     */
-  private def writeManifestFile(spark: SparkSession, outDir: String, m: SkipManifest): Unit = {
+  private def writeManifestFile(spark: SparkSession, outDir: String, m: SkipManifest,
+      expectedBase: Option[Long] = None): Unit = {
     val text = new StringBuilder
     val bloomHeader =
       if (m.bloomCols.isEmpty) ""
@@ -466,19 +511,33 @@ object DataSkipping {
     val bytes = text.toString.getBytes("UTF-8")
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(outDir).getFileSystem(conf)
-    def put(name: String): Unit = {
-      val out = fs.create(new Path(outDir, name), true)
+    def put(name: String, overwrite: Boolean): Unit = {
+      val out = fs.create(new Path(outDir, name), overwrite)
       try out.write(bytes) finally out.close()
     }
     // version file FIRST, latest second: the latest pointer is always
     // backed by a version; a crash between the two leaves an extra
     // version file, which is harmless (the log is append-only)
-    val next = listVersions(spark, outDir).lastOption.getOrElse(0L) + 1L
-    put(versionName(next))
+    val cur = listVersions(spark, outDir).lastOption.getOrElse(0L)
+    expectedBase.foreach { base =>
+      if (cur != base) throw new java.util.ConcurrentModificationException(
+        s"stale writer fenced: this operation read $outDir at v$base but " +
+          s"the latest commit is now v$cur — another writer committed in " +
+          "between; re-read the manifest and re-run")
+    }
+    val next = cur + 1L
+    try put(versionName(next), overwrite = false)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer fenced: version v$next of $outDir was " +
+            "committed by another writer while this commit was in flight; " +
+            "re-read the manifest and re-run")
+    }
     // the LATEST pointer swaps in atomically (write-aside + rename with
     // OVERWRITE): a concurrent manifest-driven reader sees either the
     // old complete manifest or the new complete one, never a torn write
-    put(s".$ManifestName.tmp")
+    put(s".$ManifestName.tmp", overwrite = true)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
     fc.rename(new Path(outDir, s".$ManifestName.tmp"),
       new Path(outDir, ManifestName),
@@ -632,6 +691,16 @@ object DataSkipping {
     * files, the deep scrub a scheduled integrity job runs). Read-only:
     * reports, never repairs — orphan sweeping and manifest patching
     * stay explicit maintenance decisions.
+    *
+    * One known benign `rowMismatches` cause: an INTERRUPTED erasure or
+    * upsert that rewrote a straddling file in place but crashed before
+    * its [[patchManifest]] commit. The file then holds FEWER rows than
+    * its manifest entry while the entry's stats stay a superset (pruned
+    * reads remain exact); re-running the interrupted operation
+    * completes the commit and clears the report. Fewer-rows-than-
+    * manifest after a known maintenance crash is therefore a resumable
+    * state, not corruption — more-rows or unreadable bytes are the
+    * genuinely alarming classes.
     */
   def fsck(spark: SparkSession, dir: String, checkRows: Boolean = false): FsckReport = {
     val m = readManifest(spark, dir)
@@ -686,7 +755,12 @@ object DataSkipping {
     * do). At 100 TB the difference is a driver-side fold over a JSON
     * sidecar versus a full-table scan. Returns one row
     * (n_rows, min_k, max_k); bounds are NULL when every value in the
-    * column is NULL (the empty-range sentinels filter out).
+    * column is NULL. All-null files are identified by their recorded
+    * null count (`nulls(i) == rows`) when the manifest carries one, so
+    * a column whose GENUINE extreme is Long.MaxValue/MinValue (the
+    * `coalesce(k, Long.MaxValue)` layout idiom) still reports exact
+    * bounds; only legacy (null-count-free) manifests fall back to
+    * treating the empty-range sentinels as the all-null marker.
     */
   def metadataSummary(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
     val m = readManifest(spark, dir)
@@ -694,10 +768,12 @@ object DataSkipping {
     require(i >= 0, s"column '$keyCol' has no stats in $dir/$ManifestName " +
       s"(stats cols: ${m.cols.mkString(", ")})")
     val rows = m.files.map(_.rows).sum
-    val minK = m.files.map(_.mins(i)).filter(_ != Long.MaxValue)
-      .minOption.map(java.lang.Long.valueOf).orNull
-    val maxK = m.files.map(_.maxs(i)).filter(_ != Long.MinValue)
-      .maxOption.map(java.lang.Long.valueOf).orNull
+    def hasValue(f: FileStats): Boolean =
+      if (f.nulls.nonEmpty) f.nulls(i) < f.rows
+      else f.mins(i) != Long.MaxValue || f.maxs(i) != Long.MinValue
+    val valued = m.files.filter(hasValue)
+    val minK = valued.map(_.mins(i)).minOption.map(java.lang.Long.valueOf).orNull
+    val maxK = valued.map(_.maxs(i)).maxOption.map(java.lang.Long.valueOf).orNull
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       Seq(org.apache.spark.sql.Row(rows, minK, maxK)).asJava,
@@ -713,7 +789,10 @@ object DataSkipping {
     * erasure/compaction/vacuum on the SOURCE can invalidate — the
     * reproducibility guarantee [[readPrunedAt]] alone cannot give
     * (time travel dies when maintenance removes the referenced files,
-    * [[validVersions]]). Cost = the snapshot's bytes (a deep copy is
+    * [[validVersions]]). The destination must be a FRESH directory:
+    * an existing store there (manifest present) fails loudly, and
+    * stray part/version files from a crashed prior export are swept
+    * before copying. Cost = the snapshot's bytes (a deep copy is
     * the point; the manifest's relative file names make a zero-copy
     * shallow clone impossible and UNDESIRABLE here — a shallow clone
     * would silently break under source-side erasure).
@@ -728,7 +807,23 @@ object DataSkipping {
     val src = new Path(dir)
     val dst = new Path(destDir)
     val fs = dst.getFileSystem(conf)
+    // the destination must not already be a live store: exporting over
+    // one would mix stale part files with the fresh manifest (orphans +
+    // a misleading version log). A COMPLETE store always has a manifest
+    // (it commits last), so its presence fails loudly; manifest-free
+    // part files can only be leftovers of a crashed prior export, and
+    // those sweep so the retry lands clean.
+    require(!fs.exists(new Path(dst, ManifestName)),
+      s"destination $destDir already holds a skipping store " +
+        s"($ManifestName exists) — export into a fresh directory")
     fs.mkdirs(dst): Unit
+    fs.listStatus(dst).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("part-") && !n.endsWith(".crc")) ||
+          VersionRe.pattern.matcher(n).matches()
+      }
+      .foreach(p => fs.delete(p, false): Unit)
     m.files.foreach { f =>
       org.apache.hadoop.fs.FileUtil.copy(
         src.getFileSystem(conf), new Path(src, f.file),

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * rerun completes it. Leftover dot-prefixed `.erasure_tmp_*` dirs from
   * a crashed run are invisible to directory readers and are swept at
   * the start of the next run. A file whose every row is doomed is
-  * deleted outright; if EVERY file empties, the patch writes an empty
-  * manifest rather than failing schema inference on an empty dir.
+  * deleted outright — but only AFTER the manifest commit that drops its
+  * entry (delete-last, so no crash window can strand a manifest
+  * referencing a missing file); if EVERY file empties, the patch writes
+  * an empty manifest rather than failing schema inference on an empty
+  * dir.
   *
   * NULL keys are never deleted: a NULL can't equal a listed key, and
   * the keep-predicate says so explicitly because `!isin` alone would
@@ -63,6 +66,7 @@ object Erasure {
   def delete(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Any]): ErasureReport = {
     require(keys.nonEmpty, "keys must be non-empty")
+    val base = DataSkipping.currentVersion(spark, dir) // writer-fence base
     val m = DataSkipping.readManifest(spark, dir)
     val conf = spark.sessionState.newHadoopConf()
     sweepStaleTmp(new Path(dir), conf)
@@ -71,11 +75,16 @@ object Erasure {
     if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
     val (removedFiles, rewrittenFiles, rowsDeleted) =
       dropKeyRows(spark, dir, hits, keyCol, keys)
-    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles): Unit
+    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles,
+      Some(base)): Unit
     // right-to-be-forgotten truncates the version LOG too: older
     // manifests reference pre-erasure files and carry the erased keys'
     // min/max/Bloom metadata — forgetting must forget history
     DataSkipping.truncateVersions(spark, dir)
+    // wholly-emptied files delete LAST, after the commit (delete-last
+    // protocol): a crash before the commit leaves them manifest-listed
+    // and intact; after it they are orphans pruned reads ignore
+    deleteFiles(dir, removedFiles, conf)
     ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
   }
 
@@ -103,6 +112,7 @@ object Erasure {
   def deleteRange(spark: SparkSession, dir: String, keyCol: String,
       lo: Long, hi: Long): ErasureReport = {
     require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    val base = DataSkipping.currentVersion(spark, dir) // writer-fence base
     val m = DataSkipping.readManifest(spark, dir)
     val si = m.cols.indexOf(keyCol)
     require(si >= 0, s"column '$keyCol' has no range stats in " +
@@ -117,21 +127,23 @@ object Erasure {
     val keep = col(keyCol).isNull || !col(keyCol).between(lo, hi)
     val (removed, rewritten, partialRows) = dropRows(spark, dir, partial, keep)
     val rowsDeleted = partialRows + whole.map(_.rows).sum
-    // the COMMIT comes first; the wholly-doomed files delete AFTER it —
-    // the store's delete-last protocol (compaction step 4): a crash
-    // before the commit leaves the manifest and files consistent (the
-    // erasure simply hasn't happened for those files), a crash after it
-    // leaves post-commit orphans that manifest-driven reads already
-    // ignore and the next maintenance entry sweeps. Deleting first
-    // would let a crash strand a manifest that references missing
-    // files — every pruned read of the store would then fail.
+    // the COMMIT comes first; ALL doomed files (listing-decided wholes
+    // AND rewrite-path files that emptied) delete AFTER it — the
+    // store's delete-last protocol (compaction step 4): a crash before
+    // the commit leaves the manifest and files consistent (the erasure
+    // simply hasn't happened for those files), a crash after it leaves
+    // post-commit orphans that manifest-driven reads already ignore
+    // and the next maintenance entry sweeps. Deleting first would let
+    // a crash strand a manifest that references missing files — every
+    // pruned read of the store would then fail. (Straddling files
+    // rewrite in place BEFORE the commit; a crash in that window
+    // leaves their manifest stats stale-but-safe — a superset, so
+    // pruned reads stay exact — but fsck checkRows will report a
+    // rowMismatch until the rerun completes; see [[DataSkipping.fsck]].)
     DataSkipping.patchManifest(spark, dir,
-      whole.map(_.file) ++ removed, rewritten): Unit
+      whole.map(_.file) ++ removed, rewritten, Some(base)): Unit
     DataSkipping.truncateVersions(spark, dir)
-    whole.foreach { f =>
-      val target = new Path(dir, f.file)
-      target.getFileSystem(conf).delete(target, false): Unit
-    }
+    deleteFiles(dir, whole.map(_.file) ++ removed, conf)
     ErasureReport(m.files.size, rewritten.size,
       whole.size + removed.size, rowsDeleted)
   }
@@ -139,10 +151,12 @@ object Erasure {
   /** The shared drop-rows-by-key rewrite loop ([[delete]] and
     * [[DataSkipping.upsertKeys]]): for each candidate file, survivors
     * rewrite IN PLACE via the atomic-overwrite swap (the target always
-    * holds either the old complete file or the new complete one), fully
-    * doomed files delete, false-positive hits stay untouched. Returns
-    * (removed, rewritten, rowsDropped) WITHOUT committing — the caller
-    * owns the manifest commit so it can fold more changes into one.
+    * holds either the old complete file or the new complete one),
+    * false-positive hits stay untouched. Returns
+    * (removed, rewritten, rowsDropped) WITHOUT committing OR deleting:
+    * the caller owns the manifest commit so it can fold more changes
+    * into one, and it must physically delete the removed files ONLY
+    * AFTER that commit ([[deleteFiles]] — the delete-last protocol).
     */
   private[sinks] def dropKeyRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats], keyCol: String,
@@ -152,6 +166,16 @@ object Erasure {
 
   /** Rewrite each candidate file to its `keep`-satisfying survivors —
     * the predicate-generic core of [[dropKeyRows]] and [[deleteRange]].
+    *
+    * A file whose EVERY row is doomed is NOT deleted here: it is only
+    * reported in the removed list, and the caller physically deletes it
+    * AFTER its manifest commit (the store's delete-last protocol).
+    * Deleting pre-commit would let a crash in the window strand a
+    * manifest that still references the missing file — every pruned
+    * read would then fail. Pre-commit the original file stays on disk
+    * and manifest-listed (reads consistent); post-commit it is an
+    * orphan that manifest-driven reads already ignore and the caller
+    * (or the next maintenance entry's sweep) removes.
     */
   private def dropRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats],
@@ -167,7 +191,6 @@ object Erasure {
       val keptRows = survivors.count()
       rowsDeleted += f.rows - keptRows
       if (keptRows == 0) {
-        fs.delete(target, false): Unit
         removedFiles ::= f.file
       } else if (keptRows < f.rows) {
         val tmp = new Path(dir, s".erasure_tmp_${f.file}")
@@ -187,6 +210,18 @@ object Erasure {
     }
     (removedFiles, rewrittenFiles, rowsDeleted)
   }
+
+  /** Post-commit physical delete of files a drop pass emptied (and,
+    * for [[deleteRange]], the listing-decided wholly-doomed set) — the
+    * last step of every erasure/upsert, strictly AFTER the manifest
+    * commit that stopped referencing them.
+    */
+  private[sinks] def deleteFiles(dir: String, files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    files.foreach { n =>
+      val target = new Path(dir, n)
+      target.getFileSystem(conf).delete(target, false): Unit
+    }
 
   /** Remove `.erasure_tmp_*` leftovers of a crashed prior run: their
     * targets were never overwritten (the rename is the last step), so

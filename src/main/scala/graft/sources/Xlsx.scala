@@ -150,6 +150,24 @@ object Xlsx {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  /** One sheet from raw workbook bytes — the executor-side form of
+    * [[readSheet]] ([[XlsxDistributed.readClassifiedSingle]]): bytes
+    * land in an executor-local temp file (the zip central directory
+    * needs random access) and ONLY the requested sheet parses — the
+    * other sheets' XML is never touched, unlike the whole-workbook
+    * [[parseWorkbookBytes]].
+    */
+  private[sources] def readSheetBytes(label: String, bytes: Array[Byte],
+      sheetIndex: Int): Seq[Seq[String]] = {
+    val tmp = java.nio.file.Files.createTempFile("graft-xlsx", ".zip")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      withZip(tmp.toString) { zip =>
+        readSheetOf(zip, sheetIndex, Int.MaxValue, label)
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** All-string DataFrame of the sheet body below `headerIdx`, with the
     * report's schema (the xlsx analog of HeaderSniffer.readClassified).
     */

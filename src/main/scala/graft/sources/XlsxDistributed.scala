@@ -30,6 +30,42 @@ import graft.schema.ReportType
   */
 object XlsxDistributed {
 
+  /** Routing threshold for [[readClassifiedSingle]]: a workbook at or
+    * above this byte size parses on an EXECUTOR instead of the driver
+    * pool ([[graft.pipeline.Pipeline.readInput]] consults it). 32 MB:
+    * well past the reference's own report sizes (driver-pool parse
+    * stays the low-latency default there), but under it long before a
+    * workbook's unzipped XML (~10× the zip) plus its shared-string pool
+    * could pressure driver memory when a pool of 16 parses runs
+    * concurrently.
+    */
+  val SingleBookDistributedBytes: Long = 32L * 1024 * 1024
+
+  /** Executor-side form of [[Xlsx.readClassified]] for ONE workbook —
+    * identical output frame (same schema, same all-string body rows in
+    * sheet order), different execution venue: the workbook ships
+    * through a `binaryFile` scan and its single classified sheet parses
+    * in an executor task, so a big workbook costs the driver nothing
+    * but the listing. One file → one task → one partition, which also
+    * preserves the parse-order row sequence the pipeline's
+    * `monotonically_increasing_id` tiebreaker relies on.
+    */
+  def readClassifiedSingle(spark: SparkSession, path: String, sheetIndex: Int,
+      headerIdx: Int, schema: graft.schema.ReportSchema): DataFrame = {
+    import spark.implicits._
+    val struct = schema.allStringStruct
+    val width = struct.size
+    val rows = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        Xlsx.readSheetBytes(p, bytes, sheetIndex).drop(headerIdx + 1).map { r =>
+          (0 until width).map(i => if (i < r.length) r(i) else null): Seq[String]
+        }
+      }
+    spark.createDataFrame(rows.rdd.map(Row.fromSeq), struct)
+  }
+
   /** One parsed sheet row: `cells` is the all-string row exactly as the
     * driver-side [[Xlsx.readSheet]] renders it (nulls for empty cells,
     * date-styled serials rendered).

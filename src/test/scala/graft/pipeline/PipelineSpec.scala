@@ -284,6 +284,44 @@ class PipelineSpec extends SparkSuite {
     assert(peak.get() === 8, s"expected all 8 units concurrently in flight (peak was ${peak.get()})")
   }
 
+  test("S6 routing: a workbook over the byte threshold reads via the executor-side parse, frame-identical to the driver path") {
+    val in = tmpDir("graft-dist-route")
+    val occCells = (d: String, od: String) => (0 until 24).map(i =>
+      Map(0 -> d, 1 -> od, 5 -> "T1", 6 -> "C1", 14 -> "5", 8 -> "q")
+        .getOrElse(i, "1"))
+    writeStrXlsx(s"$in/big.xlsx",
+      Seq(Seq("junk above"), Schemas.occupancy.header,
+        occCells("2024-01-01 00:00:00", "AB"),
+        occCells("2024-01-02 00:00:00", "CD"),
+        occCells("2024-01-03 00:00:00", "EF")))
+    val (classified, un) = Pipeline.classifyAll(spark, in)
+    assert(classified.size === 1 && un.isEmpty)
+    val ci = classified.head
+
+    // the two execution venues must produce the IDENTICAL frame
+    val driverSide = graft.sources.Xlsx.readClassified(spark, ci.path,
+      ci.sheet.get, ci.headerIdx, ci.report.schema)
+    val executorSide = graft.sources.XlsxDistributed.readClassifiedSingle(
+      spark, ci.path, ci.sheet.get, ci.headerIdx, ci.report.schema)
+    assert(executorSide.schema === driverSide.schema)
+    assert(executorSide.collect().toSeq.sortBy(_.toString)
+      === driverSide.collect().toSeq.sortBy(_.toString))
+
+    // end-to-end through readInput: threshold 0 forces the distributed
+    // route; the reader output (minus the venue-dependent physical
+    // tiebreaker ids) matches the default driver route
+    def goodRows(threshold: Long) =
+      Pipeline.readInput(spark, ci, 0, spark.emptyDataFrame,
+          spark.emptyDataFrame, xlsxDistributedBytes = threshold)
+        .toOption.get.good.drop("__file_ord", "__row_ord")
+    val viaDriver = goodRows(Long.MaxValue)
+    val viaExecutor = goodRows(0L)
+    assert(viaExecutor.columns.toSeq === viaDriver.columns.toSeq)
+    assert(viaExecutor.collect().toSeq.sortBy(_.toString)
+      === viaDriver.collect().toSeq.sortBy(_.toString))
+    assert(viaExecutor.count() === 3L)
+  }
+
   test("J1: a dimension key with a NULL probe value counts as missing (reference null-check parity)") {
     import graft.enrich.Enrichment
     val fact = Seq(("T1", 1), ("T2", 2), ("T3", 3)).toDF("k", "v")
