@@ -75,6 +75,23 @@ object LlmQueries {
     f.getAbsolutePath
   }
 
+  /** Clear a prior invocation's EXPORT destination. The store guard
+    * ([[graft.sinks.DataSkipping.exportSnapshot]] refuses a destination
+    * already holding a manifest) exists to catch production mistakes;
+    * a gate query re-run in the same JVM (bench passes share one
+    * scratch dir per appId) legitimately re-exports over its own
+    * previous output, so the caller deletes it first — exactly the
+    * explicit decision the guard forces.
+    */
+  private def freshScratch(path: String): String = {
+    def rm(d: java.io.File): Unit = {
+      Option(d.listFiles()).foreach(_.foreach(rm))
+      d.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    path
+  }
+
   private def docsCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
@@ -1210,7 +1227,7 @@ object LlmQueries {
     // end, feed-sized, never a re-copy.
     "q189_replicate_feed" -> ((s, dir) => {
       val base = gateScratchDir(s, "q189")
-      val (up, down) = (base + "/up", base + "/down")
+      val (up, down) = (base + "/up", freshScratch(base + "/down"))
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       graft.sinks.DataSkipping.writeWithStats(
         ord.filter(col("o_orderkey") % 3 === 0), up, col("o_orderkey"),
@@ -1270,7 +1287,7 @@ object LlmQueries {
     // guarantee time travel alone cannot give).
     "q184_snapshot_export" -> ((s, dir) => {
       val base = gateScratchDir(s, "q184")
-      val (store, dest) = (base + "/store", base + "/export")
+      val (store, dest) = (base + "/store", freshScratch(base + "/export"))
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
       graft.sinks.DataSkipping.writeWithStats(

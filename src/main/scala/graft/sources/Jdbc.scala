@@ -8,11 +8,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** JDBC sources and the partition-overwrite load protocol (SURVEY §2.1
   * S7-S9, §2.2 K4-K7, K10).
   *
-  * The container has no database, so nothing here is exercised by the
-  * oracle gate; the SQL-building logic is pure and unit-tested, and the
-  * protocol sequencing mirrors the reference exactly
-  * (`reports_exporter_v0.83.py:1304-1394`). The file-backed equivalent
-  * (graft.sinks.PartitionOverwriteSink) carries the tested semantics.
+  * The container has no PostgreSQL server, so the COPY byte stream is
+  * the one seam a first deploy exercises blind (scripts/pg_smoke.sh);
+  * everything else — reads, the full delete→append→audit→constraint
+  * protocol — runs END TO END against embedded Derby in JdbcSpec over a
+  * real JDBC driver. The SQL builders are additionally pure and
+  * string-tested, and the sequencing mirrors the reference exactly
+  * (`reports_exporter_v0.83.py:1304-1394, 1801-1817`). The file-backed
+  * equivalent (graft.sinks.PartitionOverwriteSink) carries the same
+  * semantics for parquet targets.
   */
 object Jdbc {
 
@@ -90,10 +94,36 @@ object Jdbc {
     def recreateConstraints(fn: String): String = s"SELECT $fn()"
   }
 
-  /** K4-K6 — the delete-then-load protocol against a JDBC sink: per-streak
-    * ranged DELETEs, the bulk append, then per-day audit rows — the
-    * sequencing of `export_train_list` (`:1304-1394`). The DELETE/audit
-    * statements run on the driver connection; only the bulk append is
+  /** K7 wiring — the constraint drop/recreate hooks around a bulk load.
+    * `active` iff the batch STRICTLY exceeds the threshold (reference
+    * `:1801`: `df.shape[0] > rows_threshold_constraint_removal`); the
+    * caller supplies `rows` (it already knows its batch size — no
+    * hidden count job). The two statements are opaque dialect strings:
+    * on PostgreSQL render them with [[Sql.dropConstraints]]/
+    * [[Sql.recreateConstraints]] (`SELECT fn(...)`); other engines use
+    * their own invocation form (e.g. Derby `CALL proc(...)`, which is
+    * how JdbcSpec live-executes the protocol end-to-end).
+    */
+  final case class ConstraintHooks(dropSql: String, recreateSql: String,
+      rows: Long, threshold: Long = Sql.BulkLoadThreshold) {
+    def active: Boolean = rows > threshold
+  }
+
+  private def execStatements(connFactory: () => Connection, sqls: Seq[String]): Unit = {
+    val conn = connFactory()
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach(st.execute(_)) finally st.close()
+    } finally conn.close()
+  }
+
+  /** K4-K7 — the delete-then-load protocol against a JDBC sink: optional
+    * constraint DROP (big batches only), per-streak ranged DELETEs, the
+    * bulk append, per-day audit rows, then the constraint RECREATE —
+    * the sequencing of `export_train_list` under `export_report`
+    * (`reports_exporter_v0.83.py:1304-1394, 1801-1817`: the hooks wrap
+    * the WHOLE export, deletes included). The DELETE/audit/hook
+    * statements run on driver connections; only the bulk append is
     * distributed.
     *
     * The append path is selected by `copy`: `Some(api)` streams each
@@ -105,24 +135,22 @@ object Jdbc {
       dateCol: String, streaks: Seq[(String, String)], days: Seq[String],
       auditTable: String, runStamp: String, user: String,
       props: Properties, connFactory: () => Connection,
-      copy: Option[graft.sinks.PgCopy.CopyApi] = None): Unit = {
-    val conn = connFactory()
-    try {
-      val st = conn.createStatement()
-      streaks.foreach { case (a, b) => st.execute(Sql.deleteRange(table, dateCol, a, b)) }
-      st.close()
-    } finally conn.close()
+      copy: Option[graft.sinks.PgCopy.CopyApi] = None,
+      hooks: Option[ConstraintHooks] = None): Unit = {
+    val armed = hooks.filter(_.active)
+    armed.foreach(h => execStatements(connFactory, Seq(h.dropSql)))
+
+    execStatements(connFactory,
+      streaks.map { case (a, b) => Sql.deleteRange(table, dateCol, a, b) })
 
     copy match {
       case Some(api) => graft.sinks.PgCopy.copyLoad(df, table, connFactory, api)
       case None => df.write.mode(SaveMode.Append).jdbc(url, table, props)
     }
 
-    val conn2 = connFactory()
-    try {
-      val st = conn2.createStatement()
-      days.foreach(d => st.execute(Sql.auditInsert(auditTable, runStamp, table, "overwrite", d, user)))
-      st.close()
-    } finally conn2.close()
+    execStatements(connFactory,
+      days.map(d => Sql.auditInsert(auditTable, runStamp, table, "overwrite", d, user)))
+
+    armed.foreach(h => execStatements(connFactory, Seq(h.recreateSql)))
   }
 }

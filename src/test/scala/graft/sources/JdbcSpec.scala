@@ -104,6 +104,66 @@ class JdbcSpec extends SparkSuite {
     assert(daySet(Jdbc.Sql.deleteDayAnsi, "2024-03-11") === Set(5L))
   }
 
+  test("K4-K7: the FULL protocol executes live — constraints drop, delete, append, audit, constraints recreate, in order") {
+    // real DDL through real hooks: the table carries an actual PRIMARY
+    // KEY; the drop/recreate statements are Derby procedures whose
+    // bodies ALTER TABLE over a nested connection (the PG deploy's
+    // server-side functions, minus the dialect). Each hook records the
+    // table's row count at invocation, which pins the SEQUENCING:
+    // drop must see the PRE-delete count, recreate the POST-append one.
+    exec(
+      """CREATE TABLE tgt2 ("day" VARCHAR(10) NOT NULL, "id" INT NOT NULL, CONSTRAINT pk_tgt2 PRIMARY KEY ("day", "id"))""",
+      """INSERT INTO tgt2 VALUES ('2024-01-01', 100), ('2024-01-03', 300)""",
+      """CREATE TABLE audit2 ("timestamp" VARCHAR(20), "table" VARCHAR(20), OPERATION VARCHAR(20), PERIOD VARCHAR(20), "user" VARCHAR(20))""",
+      """CREATE PROCEDURE DROP_TGT2_PK(IN s VARCHAR(64), IN t VARCHAR(64))
+        | LANGUAGE JAVA PARAMETER STYLE JAVA MODIFIES SQL DATA
+        | EXTERNAL NAME 'graft.sources.JdbcHookFns.dropPk'""".stripMargin,
+      """CREATE PROCEDURE ADD_TGT2_PK()
+        | LANGUAGE JAVA PARAMETER STYLE JAVA MODIFIES SQL DATA
+        | EXTERNAL NAME 'graft.sources.JdbcHookFns.addPk'""".stripMargin)
+    JdbcHookFns.calls.clear()
+
+    val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))
+      .toDF("day", "id")
+    Jdbc.partitionOverwriteLoad(df, url, "tgt2", "day",
+      streaks = Seq(("2024-01-01", "2024-01-02")),
+      days = Seq("2024-01-01", "2024-01-02"),
+      auditTable = "audit2", runStamp = "2024-06-01 12:00", user = "graft",
+      props = new Properties, connFactory = () => connect(),
+      hooks = Some(Jdbc.ConstraintHooks(
+        dropSql = "CALL DROP_TGT2_PK('APP', 'TGT2')",
+        recreateSql = "CALL ADD_TGT2_PK()",
+        rows = 3L, threshold = 2L)))
+
+    // content: overlapping day replaced, disjoint day kept
+    val rows = Jdbc.dimTable(spark, url, "tgt2")
+      .orderBy("day", "id").as[(String, Int)].collect().toSeq
+    assert(rows === Seq(("2024-01-01", 1), ("2024-01-01", 2),
+      ("2024-01-02", 3), ("2024-01-03", 300)))
+    // sequencing: drop saw both preexisting rows (it runs BEFORE the
+    // deletes — reference wraps the whole export); recreate saw the
+    // final 4 (after delete of 1 and append of 3)
+    import scala.jdk.CollectionConverters._
+    assert(JdbcHookFns.calls.asScala.toList === List(("drop", 2L), ("recreate", 4L)))
+    // the constraint is really back: a duplicate key must be rejected
+    val dup = intercept[java.sql.SQLException] {
+      exec("""INSERT INTO tgt2 VALUES ('2024-01-02', 3)""")
+    }
+    assert(dup.getSQLState.startsWith("23"), s"expected a PK violation, got ${dup.getSQLState}")
+
+    // below-threshold batches never fire the hooks (strictly-greater,
+    // reference :1801)
+    JdbcHookFns.calls.clear()
+    Jdbc.partitionOverwriteLoad(
+      Seq(("2024-01-05", 9)).toDF("day", "id"), url, "tgt2", "day",
+      streaks = Seq(("2024-01-05", "2024-01-05")), days = Seq("2024-01-05"),
+      auditTable = "audit2", runStamp = "2024-06-01 12:05", user = "graft",
+      props = new Properties, connFactory = () => connect(),
+      hooks = Some(Jdbc.ConstraintHooks("CALL DROP_TGT2_PK('APP', 'TGT2')",
+        "CALL ADD_TGT2_PK()", rows = 1L, threshold = 1L)))
+    assert(JdbcHookFns.calls.isEmpty, "rows == threshold must NOT trip the hooks")
+  }
+
   test("K4-K6: partitionOverwriteLoad round-trips delete -> append -> audit on a live database") {
     exec(
       """CREATE TABLE tgt ("day" VARCHAR(10), "id" INT)""",
@@ -121,5 +181,46 @@ class JdbcSpec extends SparkSuite {
     val audits = Jdbc.dimTable(spark, url, "audit_log")
       .select("PERIOD").as[String].collect().sorted.toSeq
     assert(audits === Seq("2024-01-01", "2024-01-02"))
+  }
+}
+
+/** Bodies of the Derby constraint-hook procedures (JdbcSpec "K4-K7").
+  * A top-level object so the compiler emits STATIC forwarders — the
+  * form Derby's `EXTERNAL NAME` binding requires. Each runs real DDL
+  * over the routine's nested connection (`jdbc:default:connection`),
+  * the embedded analog of the reference's server-side
+  * drop/recreate-constraints functions, and records the target table's
+  * row count at invocation so the spec can assert WHEN in the protocol
+  * it fired.
+  */
+object JdbcHookFns {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+
+  private def withNested[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection("jdbc:default:connection")
+    try f(c) finally c.close()
+  }
+
+  private def countTgt2(c: Connection): Long = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT COUNT(*) FROM tgt2")
+      rs.next(); rs.getLong(1)
+    } finally st.close()
+  }
+
+  def dropPk(schema: String, table: String): Unit = withNested { c =>
+    calls.add(("drop", countTgt2(c))): Unit
+    val st = c.createStatement()
+    try st.execute("ALTER TABLE tgt2 DROP CONSTRAINT pk_tgt2"): Unit
+    finally st.close()
+  }
+
+  def addPk(): Unit = withNested { c =>
+    calls.add(("recreate", countTgt2(c))): Unit
+    val st = c.createStatement()
+    try st.execute(
+      """ALTER TABLE tgt2 ADD CONSTRAINT pk_tgt2 PRIMARY KEY ("day", "id")"""): Unit
+    finally st.close()
   }
 }
