@@ -9,6 +9,7 @@ tables, sorts columns by name + rows by all columns, and compares values
 exactly. Exit 0 iff everything matches.
 """
 import json
+import os
 import math
 import sys
 
@@ -40,7 +41,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; GenScale scale-ups are
+        # directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     # A requested query that the dump doesn't know is an ERROR, not a

@@ -95,14 +95,14 @@ object LlmQueries {
   private def docsCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
-      (col("doc_id") + 10000).as("doc_id"),
+      (-col("doc_id") * 2 - 1).as("doc_id"),
       concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text")))
   }
 
   private val corpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
+      |SELECT -2 * doc_id - 1, text || ' extra duplicated tail marker tokens'
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** The t→s→f→sc CTE chain ending at sc = (doc_id, score): the
@@ -189,7 +189,7 @@ object LlmQueries {
     "q30_exact_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = d.unionByName(
-        d.filter(col("doc_id") % 7 === 0).select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        d.filter(col("doc_id") % 7 === 0).select((-col("doc_id") * 2 - 2).as("doc_id"), col("text")))
       Dedup.exactDupGroups(corpus, "doc_id", "text")
         .select(col("doc_id"), col("dup_hash"), col("group_size"), col("canonical_id"))
     }),
@@ -277,7 +277,7 @@ object LlmQueries {
     "q60_incremental_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = d.filter(col("doc_id") % 10 === 0).select(
-        (col("doc_id") + 10000).as("doc_id"),
+        (-col("doc_id") * 2 - 1).as("doc_id"),
         concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text"))
       Dedup.incrementalNearDups(
         Dedup.signatureTable(batch, "doc_id", "text"),
@@ -356,7 +356,7 @@ object LlmQueries {
     "q66_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val src = e.unionByName(e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((-col("vec_id") * 2 - 2).as("vec_id"), col("embedding")))
       Similarity.semanticDedup(src, "vec_id", "embedding",
         k = 4, iters = 2, num = 19, den = 20)
     }),
@@ -511,9 +511,9 @@ object LlmQueries {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = d
         .unionByName(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .select((-col("doc_id") * 2 - 2).as("doc_id"), col("text")))
         .unionByName(d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"),
+          .select((-col("doc_id") * 2 - 1).as("doc_id"),
             concat(col("text"), lit(" extra duplicated tail marker tokens")).as("text")))
       CurationPipeline.curate(corpus, "doc_id", "text")
     }),
@@ -524,7 +524,7 @@ object LlmQueries {
     "q38_cosine_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+        .select((-col("vec_id") * 2 - 2).as("vec_id"), col("embedding"), col("label"))
       Similarity.cosineNearDupPairs(e.unionByName(copies), "vec_id", "embedding", "label", 19, 20)
     }),
 
@@ -536,7 +536,7 @@ object LlmQueries {
     "q52_bucket_cost_profile" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("label"))
+        .select((-col("vec_id") * 2 - 2).as("vec_id"), col("label"))
       Similarity.bucketCostProfile(e.unionByName(copies), "label")
     }),
 
@@ -2370,7 +2370,7 @@ object LlmQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0)
+        |  SELECT -2 * doc_id - 2, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT doc_id, md5(text) AS dup_hash,
         |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
@@ -2468,7 +2468,7 @@ object LlmQueries {
 
     // Replays the store check over the union corpus (per-doc signatures
     // are identical whichever relation computes them): new side =
-    // ids >= 10000, store side = the original documents.
+    // negative ids (the clone space), store side = the original documents.
     "q60_incremental_dedup" -> {
       val matchSum = (0 until 12)
         .map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)")
@@ -2477,7 +2477,7 @@ object LlmQueries {
          |${lshBandsFromSetsSql(wordSetsSql("corpus"))},
          |cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-         |  WHERE a.doc_id < 10000 AND b.doc_id >= 10000),
+         |  WHERE a.doc_id >= 0 AND b.doc_id < 0),
          |m AS (SELECT new_id, corpus_id,
          |    CAST($matchSum AS BIGINT) AS n_sig_match
          |  FROM cand
@@ -2544,7 +2544,7 @@ object LlmQueries {
       s"""WITH RECURSIVE semsrc AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |  SELECT -2 * vec_id - 2, embedding FROM embeddings WHERE vec_id % 25 = 0),
          |${kmeansChainSql("semsrc")},
          |v AS (SELECT q.id, q.qv, a2.cluster FROM q JOIN a2 ON q.id = a2.id),
          |pr AS (SELECT a.id AS id_a, b.id AS id_b,
@@ -2840,9 +2840,9 @@ object LlmQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+         |  SELECT -2 * doc_id - 2, text FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 10000, text || ' extra duplicated tail marker tokens'
+         |  SELECT -2 * doc_id - 1, text || ' extra duplicated tail marker tokens'
          |  FROM documents WHERE doc_id % 10 = 0),
          |ex AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM corpus),
          |kept AS (SELECT doc_id, text FROM ex WHERE doc_id = canon),
@@ -2863,7 +2863,7 @@ object LlmQueries {
       """WITH corpus AS (
         |  SELECT vec_id, label FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000, label FROM embeddings WHERE vec_id % 25 = 0),
+        |  SELECT -2 * vec_id - 2, label FROM embeddings WHERE vec_id % 25 = 0),
         |b AS (SELECT label, COUNT(*) AS sz FROM corpus GROUP BY label)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
@@ -2875,7 +2875,7 @@ object LlmQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding, label FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
+         |  SELECT -2 * vec_id - 2, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
          |v AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv FROM corpus),
          |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${dotSql("a.qv", "b.qv")} AS dot,

@@ -145,20 +145,38 @@ object DataSkipping {
     * table, and existing entries stay verbatim. Per-file ranges of the
     * new files may overlap the old ones' (each batch clusters
     * independently); [[Compaction]] is the periodic re-tighten.
+    *
+    * CONCURRENCY-SAFE BY CONSTRUCTION (the one maintenance op parallel
+    * ingest genuinely runs in parallel):
+    *  - the batch stages in a writer-unique dot-tmp dir, so two
+    *    appends never share Spark's job staging (concurrent writes to
+    *    ONE output path corrupt each other under FileOutputCommitter);
+    *  - the commit registers exactly the file names THIS writer moved
+    *    in — never a directory-listing diff, which could capture (and
+    *    prematurely commit a partial view of) a neighbor's half-moved
+    *    batch;
+    *  - a writer that loses the commit CAS deletes ITS OWN moved files
+    *    before rethrowing (the self-cleaning loser), so no orphan
+    *    accumulates and no shared sweep — which could delete a
+    *    neighbor's in-flight files — is ever needed. Wrap with
+    *    [[withFenceRetry]] and independent appenders all commit,
+    *    serialized by the CAS.
     */
   def appendWithStats(df: DataFrame, dir: String, layoutKey: Column,
       numFiles: Int): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val spark = df.sparkSession
     val base = currentVersion(spark, dir) // writer-fence base
-    val before = listPartFiles(spark, dir).toSet
-    df.withColumn("__layout", layoutKey)
-      .repartitionByRange(numFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
-      .write.mode(SaveMode.Append).parquet(dir)
-    val added = listPartFiles(spark, dir).filterNot(before)
-    patchManifest(spark, dir, Nil, added, Some(base))
+    val moved = moveInClustered(spark, dir,
+      s".append_tmp_${java.util.UUID.randomUUID()}", df, layoutKey, numFiles)
+    try patchManifest(spark, dir, Nil, moved, Some(base))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the CAS: remove exactly OUR files (still orphans —
+        // invisible to every reader) and let the caller retry clean
+        Erasure.deleteFiles(dir, moved, spark.sessionState.newHadoopConf())
+        throw e
+    }
   }
 
   /** MERGE (upsert) a keyed batch into the store in ONE manifest
@@ -366,7 +384,12 @@ object DataSkipping {
 
   /** Delete part files present on disk but absent from the manifest —
     * the leftovers of a crash between a compaction's move and its
-    * commit (or after its commit, before the old files' delete).
+    * commit (or after its commit, before the old files' delete) — and
+    * stale `.append_tmp_*` staging dirs of crashed appends. EXCLUSIVE
+    * by nature (it cannot tell a crashed writer's debris from a LIVE
+    * writer's in-flight files), so it runs only inside the
+    * maintenance-window ops (compaction, recluster, epoch ingest) —
+    * never in a concurrent-append path.
     */
   private[sinks] def sweepOrphans(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
@@ -375,6 +398,9 @@ object DataSkipping {
     val listed = readManifest(spark, dir).files.map(_.file).toSet
     listPartFiles(spark, dir).filterNot(listed)
       .foreach(n => fs.delete(new Path(dir, n), false): Unit)
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith(".append_tmp_"))
+      .foreach(t => fs.delete(t, true): Unit)
   }
 
   /** Build and write the manifest for an existing parquet directory.
@@ -433,6 +459,40 @@ object DataSkipping {
     */
   def currentVersion(spark: SparkSession, dir: String): Long =
     listVersions(spark, dir).lastOption.getOrElse(0L)
+
+  /** OPTIMISTIC CONCURRENCY on top of the writer fence: run `op` (a
+    * fenced maintenance operation on the store), and when it loses the
+    * commit CAS to a concurrent writer, re-run it against the new
+    * manifest — the Delta/Iceberg commit-retry loop. The fence
+    * guarantees SAFETY (no interleaved commit can corrupt the store);
+    * this loop adds PROGRESS (independent writers all eventually
+    * commit, serialized by the CAS). No shared cleanup happens here —
+    * a sweep could delete a NEIGHBOR's in-flight files; instead each
+    * op is responsible for its own lost-attempt debris
+    * ([[appendWithStats]] is the self-cleaning model: it deletes
+    * exactly its own moved files before rethrowing).
+    *
+    * Commutativity is the CALLER's judgment: two appends of different
+    * batches compose under any order; an append retried across someone
+    * else's erasure re-appends its batch unchanged. An op whose INPUT
+    * depends on a read of the store (read-modify-write) re-reads
+    * inside `op` by construction (every op starts at readManifest), so
+    * the retry sees the winner's state — serializable, never a lost
+    * update.
+    */
+  def withFenceRetry[A](maxAttempts: Int = 5)(op: => A): A = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** One column-pruned stats pass over exactly `paths`: per file, row
     * count, min/max of `statsCols`, Bloom of `bloomCols`. The collect is

@@ -652,6 +652,51 @@ class DataSkippingSpec extends SparkSuite {
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 100L)
   }
 
+  test("optimistic concurrency: racing appenders all commit under withFenceRetry; no batch is lost, torn, or duplicated") {
+    val dir = tmpDir("graft-occ")
+    val base = (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "writer")
+    DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 2,
+      statsCols = Seq("k")): Unit
+
+    // four writers, each appending a distinct batch, all released at
+    // once: the fence serializes the commits, withFenceRetry replays
+    // the losers, and the self-cleaning loser protocol leaves zero
+    // debris. 4 writers × 25 rows, batches disjoint by construction.
+    val start = new java.util.concurrent.CountDownLatch(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val batch = (0 until 25)
+            .map(i => (1000L * w + i, w.toLong)).toDF("k", "writer")
+          start.countDown(); start.await()
+          DataSkipping.withFenceRetry(maxAttempts = 10) {
+            DataSkipping.appendWithStats(batch, dir, col("k"), numFiles = 1)
+          }
+          w.toLong
+        }
+      })
+    }
+    try futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdownNow()
+
+    // every batch fully present exactly once
+    val got = DataSkipping.readPruned(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+    assert(got.count() === 200L)
+    val perWriter = got.groupBy("writer").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perWriter === Map(0L -> 100L, 1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L))
+    // the log advanced once per committed append, serialized
+    assert(DataSkipping.currentVersion(spark, dir) === 5L)
+    // zero debris: losers deleted their own moved files; nothing
+    // orphaned, nothing missing, counts exact
+    val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+    assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
+      audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
+      s"concurrent appends must leave a clean store: $audit")
+  }
+
   test("metadataSummary: a GENUINE Long.MaxValue extreme is not mistaken for the all-null sentinel") {
     // the coalesce(k, Long.MaxValue) layout idiom puts real MaxValue
     // values in a stats column; with null counts in the manifest the
