@@ -40,6 +40,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # let blocking operators spill — but CAPPED: the sf1-scale PQ
+    # oracles otherwise fill the disk (observed 79 GB of temp blocks
+    # before OOM). An oracle that cannot recompute inside the cap is
+    # recorded as oracle-infeasible at that scale, not retried bigger.
+    spill = os.environ.get("ORACLE_SPILL_DIR", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         # driver testdata is one file per table; GenScale scale-ups are
         # directories of part files — glob those
