@@ -212,16 +212,25 @@ object DataSkipping {
     // 1) drop matched keys from hit files (no commit yet)
     val hits = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
     val (removed, rewritten, _) = Erasure.dropKeyRows(spark, dir, hits, keyCol, keys)
-    // 2) land the batch as orphan files (invisible to manifest reads)
-    val before = listPartFiles(spark, dir).toSet
-    updates.withColumn("__layout", layoutKey)
-      .repartitionByRange(numFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
-      .write.mode(SaveMode.Append).parquet(dir)
-    val added = listPartFiles(spark, dir).filterNot(before)
+    // 2) land the batch as orphan files (invisible to manifest reads),
+    // staged in a writer-unique tmp dir and committed by NAME — the
+    // same discipline as appendWithStats, so an upsert racing a
+    // concurrent append never shares job staging and never captures
+    // (or prematurely commits a partial view of) the appender's
+    // half-moved batch
+    val added = moveInClustered(spark, dir,
+      s".append_tmp_${java.util.UUID.randomUUID()}", updates, layoutKey, numFiles)
     // 3) ONE commit: drops + rewrites + additions together
-    val patched = patchManifest(spark, dir, removed, rewritten ++ added, Some(base))
+    val patched =
+      try patchManifest(spark, dir, removed, rewritten ++ added, Some(base))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: remove OUR batch files (still orphans); the
+          // in-place survivor rewrites stay — stale-but-safe stats, and
+          // a re-run's drop pass is an idempotent no-op on them
+          Erasure.deleteFiles(dir, added, spark.sessionState.newHadoopConf())
+          throw e
+      }
     // 4) files the drop pass EMPTIED delete last, post-commit
     // (delete-last protocol — pre-commit they were still manifest-
     // listed and intact; post-commit they are sweepable orphans)
