@@ -153,6 +153,20 @@ object Pipeline {
     * threshold trades driver memory/CPU for a task dispatch, never
     * semantics.
     */
+  /** Workbook size for the distributed-parse routing decision, resolved
+    * through the Hadoop FileSystem of the path's SCHEME — `java.io.File`
+    * answers 0 for any non-local path (HDFS/S3), which would silently
+    * route every big remote workbook back onto the driver pool, the
+    * exact failure mode the threshold exists to prevent. A vanished
+    * file answers 0 and falls through to the driver-pool reader, whose
+    * open error the C3 isolation already captures.
+    */
+  private[pipeline] def inputBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p).getLen
+    catch { case _: java.io.IOException => 0L }
+  }
+
   def readInput(spark: SparkSession, input: ClassifiedInput,
       fileOrd: Int, trainHours: => DataFrame, history: => DataFrame,
       eagerEmptyGuard: Boolean = true,
@@ -163,7 +177,7 @@ object Pipeline {
       val path = input.path
       val report = input.report
       val base = input.sheet match {
-        case Some(si) if new File(path).length() >= xlsxDistributedBytes =>
+        case Some(si) if inputBytes(spark, path) >= xlsxDistributedBytes =>
           graft.sources.XlsxDistributed.readClassifiedSingle(spark, path, si,
             input.headerIdx, report.schema)
         case Some(si) => graft.sources.Xlsx.readClassified(spark, path, si,

@@ -189,11 +189,14 @@ object DataSkipping {
     * (enforced on the batch — a duplicate-keyed upsert is ambiguous);
     * NULL keys rejected; batch keys driver-collected, so batches are
     * update-list-sized (`maxKeys` guard — for bulk rewrites use
-    * [[writeWithStats]]). Atomicity: the single [[patchManifest]] at
-    * the end is the commit — manifest-driven readers see the old table
-    * until then (in-place survivor swaps leave stats stale-but-safe:
-    * pruning bounds only widen), and the batch's files are orphans
-    * until committed. A crash re-runs cleanly after [[sweepOrphans]].
+    * [[writeWithStats]]). Atomicity: EVERYTHING stages first — the
+    * batch's files AND the hit files' survivor rewrites
+    * ([[Erasure.stageDropRows]]) land as orphans invisible to
+    * manifest-driven reads — and the single [[patchManifest]] CAS at
+    * the end is the commit; replaced originals delete strictly AFTER
+    * it. A lost CAS (or a crash, or an abandoned retry) therefore
+    * loses nothing: every committed file is still byte-identical, and
+    * the loser deletes exactly its own staged names before rethrowing.
     */
   def upsertKeys(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, layoutKey: Column, numFiles: Int = 1,
@@ -209,9 +212,10 @@ object DataSkipping {
     val keys = keyRows.map(_.get(0)).toIndexedSeq
     require(keys.distinct.length == keys.length,
       s"update batch must be unique per '$keyCol' (an ambiguous upsert)")
-    // 1) drop matched keys from hit files (no commit yet)
+    // 1) STAGE matched keys' survivor rewrites as fresh orphan files —
+    // no committed file is touched (a lost CAS must lose nothing)
     val hits = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
-    val (removed, rewritten, _) = Erasure.dropKeyRows(spark, dir, hits, keyCol, keys)
+    val d = Erasure.stageDropKeyRows(spark, dir, hits, keyCol, keys)
     // 2) land the batch as orphan files (invisible to manifest reads),
     // staged in a writer-unique tmp dir and committed by NAME — the
     // same discipline as appendWithStats, so an upsert racing a
@@ -220,21 +224,24 @@ object DataSkipping {
     // half-moved batch
     val added = moveInClustered(spark, dir,
       s".append_tmp_${java.util.UUID.randomUUID()}", updates, layoutKey, numFiles)
-    // 3) ONE commit: drops + rewrites + additions together
+    // 3) ONE CAS commit: replaced-out originals + staged survivors +
+    // batch additions together
     val patched =
-      try patchManifest(spark, dir, removed, rewritten ++ added, Some(base))
+      try patchManifest(spark, dir, d.removed, d.replacedNew ++ added, Some(base))
       catch {
         case e: java.util.ConcurrentModificationException =>
-          // lost the CAS: remove OUR batch files (still orphans); the
-          // in-place survivor rewrites stay — stale-but-safe stats, and
-          // a re-run's drop pass is an idempotent no-op on them
-          Erasure.deleteFiles(dir, added, spark.sessionState.newHadoopConf())
+          // lost the CAS: remove exactly OUR staged names (batch AND
+          // survivor files — all still orphans); every committed file
+          // is byte-identical, so the retry re-runs against the
+          // winner's manifest with nothing lost
+          Erasure.deleteFiles(dir, added ++ d.replacedNew,
+            spark.sessionState.newHadoopConf())
           throw e
       }
-    // 4) files the drop pass EMPTIED delete last, post-commit
+    // 4) replaced/emptied ORIGINALS delete last, post-commit
     // (delete-last protocol — pre-commit they were still manifest-
     // listed and intact; post-commit they are sweepable orphans)
-    Erasure.deleteFiles(dir, removed, spark.sessionState.newHadoopConf())
+    Erasure.deleteFiles(dir, d.removed, spark.sessionState.newHadoopConf())
     patched
   }
 
@@ -256,9 +263,17 @@ object DataSkipping {
     val base = currentVersion(spark, dir) // writer-fence base
     val m = readManifest(spark, dir)
     if (m.files.exists(_.file.startsWith(prefix))) return m // committed
-    sweepOrphans(spark, dir) // half-landed files of a crashed attempt
+    // a crashed PRIOR attempt of THIS epoch may have half-landed files;
+    // sweep exactly those (name-identified by the epoch prefix) and this
+    // epoch's tmp dir — never the general orphan sweep, which cannot
+    // tell crashed debris from a LIVE concurrent appendWithStats
+    // writer's staged or just-moved pre-commit files. Epoch retries are
+    // sequential by the foreachBatch contract, so "my prefix, not in
+    // the manifest" is provably my own debris.
     val tmp = new Path(dir, s".epoch_tmp_$epochId")
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    listPartFiles(spark, dir).filter(_.startsWith(prefix))
+      .foreach(n => fs.delete(new Path(dir, n), false): Unit)
     fs.delete(tmp, true): Unit
     batch.withColumn("__layout", layoutKey)
       .repartitionByRange(numFiles, col("__layout"))
@@ -397,8 +412,9 @@ object DataSkipping {
     * stale `.append_tmp_*` staging dirs of crashed appends. EXCLUSIVE
     * by nature (it cannot tell a crashed writer's debris from a LIVE
     * writer's in-flight files), so it runs only inside the
-    * maintenance-window ops (compaction, recluster, epoch ingest) —
-    * never in a concurrent-append path.
+    * maintenance-window ops (compaction, recluster) — never in a
+    * concurrent-append path; [[appendEpoch]] instead sweeps only its
+    * OWN epoch's name-identified debris for the same reason.
     */
   private[sinks] def sweepOrphans(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
@@ -408,7 +424,8 @@ object DataSkipping {
     listPartFiles(spark, dir).filterNot(listed)
       .foreach(n => fs.delete(new Path(dir, n), false): Unit)
     fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith(".append_tmp_"))
+      .filter(t => t.getName.startsWith(".append_tmp_") ||
+        t.getName.startsWith(".erasure_tmp_"))
       .foreach(t => fs.delete(t, true): Unit)
   }
 
@@ -595,7 +612,7 @@ object DataSkipping {
           "between; re-read the manifest and re-run")
     }
     val next = cur + 1L
-    try put(versionName(next), overwrite = false)
+    try createExclusive(fs, new Path(outDir, versionName(next)), bytes)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -606,12 +623,48 @@ object DataSkipping {
     // the LATEST pointer swaps in atomically (write-aside + rename with
     // OVERWRITE): a concurrent manifest-driven reader sees either the
     // old complete manifest or the new complete one, never a torn write
+    // — and createExclusive above already arbitrated the writer race
+    // before the pointer moves, so losers never reach this line
     put(s".$ManifestName.tmp", overwrite = true)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
     fc.rename(new Path(outDir, s".$ManifestName.tmp"),
       new Path(outDir, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** Atomic create-no-overwrite of the version file — the arbiter the
+    * whole CAS rests on, so it must be GENUINELY exclusive. Hadoop's
+    * `fs.create(path, overwrite = false)` is only atomic where the
+    * underlying store makes it so (HDFS): on `LocalFileSystem` it is an
+    * exists() check followed by a plain create — a TOCTOU window in
+    * which two simultaneous committers can both pass, both "win", and
+    * the second latest-pointer swap silently discards the first
+    * writer's manifest. For `file://` the create therefore goes through
+    * `java.nio.file.Files.newOutputStream(CREATE_NEW)`, which maps to
+    * open(O_CREAT|O_EXCL) — atomic at the kernel. Other schemes use the
+    * Hadoop call: HDFS qualifies; a deployment targeting a store
+    * WITHOUT atomic no-overwrite create (bare S3A) must front the log
+    * with a coordinator that has one (the same requirement Delta's
+    * LogStore docs state for S3).
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      bytes: Array[Byte]): Unit =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      Option(local.getParent).foreach(d => java.nio.file.Files.createDirectories(d): Unit)
+      val out =
+        try java.nio.file.Files.newOutputStream(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+        }
+      try out.write(bytes) finally out.close()
+    } else {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+    }
 
   // -------------------------------------------------- version log / travel
 
@@ -691,7 +744,20 @@ object DataSkipping {
     val aByName = a.files.map(f => f.file -> f).toMap
     val bByName = b.files.map(f => f.file -> f).toMap
     val addedFiles = b.files.filterNot(f => aByName.contains(f.file)).map(_.file)
-    val droppedFiles = a.files.filterNot(f => bByName.contains(f.file)).map(_.file)
+    // dropped files whose bytes are GONE from disk cannot emit delete
+    // rows — and in this store they never need to: a file leaves the
+    // manifest with its content destroyed only through rewrite-shaped
+    // maintenance (upsert replacement, compaction, recluster), all of
+    // which re-assert every surviving row under NEW names in the same
+    // commit — those rows arrive as inserts, and a consumer applying
+    // inserts as idempotent upserts converges to the same state. True
+    // row DELETIONS (erasure) truncate the version log outright, so no
+    // feed can span them. Files dropped with bytes still present
+    // (nothing in the maintenance set does this today) emit real
+    // delete rows.
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val droppedFiles = a.files.filterNot(f => bByName.contains(f.file))
+      .map(_.file).filter(f => fs.exists(new Path(dir, f)))
     val changedFiles = a.files.filter(f =>
       bByName.get(f.file).exists(_ != f)).map(_.file)
     def read(files: Seq[String]): Option[DataFrame] =
@@ -879,20 +945,33 @@ object DataSkipping {
     // the destination must not already be a live store: exporting over
     // one would mix stale part files with the fresh manifest (orphans +
     // a misleading version log). A COMPLETE store always has a manifest
-    // (it commits last), so its presence fails loudly; manifest-free
-    // part files can only be leftovers of a crashed prior export, and
-    // those sweep so the retry lands clean.
+    // (it commits last), so its presence fails loudly. Part/version
+    // files WITHOUT a manifest are only sweepable when the in-progress
+    // marker proves a prior EXPORT left them: ordinary Spark parquet
+    // output also has manifest-free part files, and silently sweeping
+    // it would destroy a user's data before any guard could fire — so
+    // an unmarked non-empty destination refuses instead.
     require(!fs.exists(new Path(dst, ManifestName)),
       s"destination $destDir already holds a skipping store " +
         s"($ManifestName exists) — export into a fresh directory")
     fs.mkdirs(dst): Unit
-    fs.listStatus(dst).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith("part-") && !n.endsWith(".crc")) ||
-          VersionRe.pattern.matcher(n).matches()
-      }
-      .foreach(p => fs.delete(p, false): Unit)
+    val marker = new Path(dst, ExportMarkerName)
+    val leftovers = fs.listStatus(dst).map(_.getPath).filter { p =>
+      val n = p.getName
+      (n.startsWith("part-") && !n.endsWith(".crc")) ||
+        VersionRe.pattern.matcher(n).matches()
+    }
+    if (leftovers.nonEmpty) {
+      require(fs.exists(marker),
+        s"destination $destDir holds part/version files but no " +
+          s"$ExportMarkerName marker: that is someone's data, not a " +
+          "crashed export's leftovers — export into a fresh directory")
+      leftovers.foreach(p => fs.delete(p, false): Unit)
+    }
+    // marker FIRST: it brands everything that lands after it as this
+    // export's debris until the manifest commit completes, which is
+    // what entitles a retry to sweep
+    val mo = fs.create(marker, true); mo.close()
     m.files.foreach { f =>
       org.apache.hadoop.fs.FileUtil.copy(
         src.getFileSystem(conf), new Path(src, f.file),
@@ -900,8 +979,16 @@ object DataSkipping {
         false, true, conf): Unit
     }
     writeManifestFile(spark, destDir, m)
+    fs.delete(marker, false): Unit
     m
   }
+
+  /** Crashed-export marker: present at a destination from the moment an
+    * export starts until its manifest commits, so a RETRY can prove the
+    * part/version files it finds there are its predecessor's debris and
+    * not a user's parquet directory.
+    */
+  val ExportMarkerName = "_export_inprogress"
 
   /** Parse the manifest back (hand-rolled like the writer — the format
     * is ours, one file object per line between the header/footer lines;

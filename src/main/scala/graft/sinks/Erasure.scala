@@ -21,28 +21,29 @@ import org.apache.spark.sql.functions._
   * never re-read and stay byte-identical, which also means their
   * downstream caches/replicas stay valid.
   *
-  * Each hit file is rewritten write-aside-then-swap; the swap is a
-  * single rename-with-OVERWRITE of the rewritten file onto the target
-  * (`FileContext.rename(…, Options.Rename.OVERWRITE)`), so there is no
-  * window where the survivors exist only in the temp dir: a crash
-  * before the rename leaves the ORIGINAL file (and manifest) fully
-  * intact — the erasure simply hasn't happened yet for that file and a
-  * rerun completes it. Leftover dot-prefixed `.erasure_tmp_*` dirs from
-  * a crashed run are invisible to directory readers and are swept at
-  * the start of the next run. A file whose every row is doomed is
-  * deleted outright — but only AFTER the manifest commit that drops its
-  * entry (delete-last, so no crash window can strand a manifest
-  * referencing a missing file); if EVERY file empties, the patch writes
-  * an empty manifest rather than failing schema inference on an empty
-  * dir.
+  * The drop pass is STAGED, never in place ([[stageDropRows]]): every
+  * hit file's survivors land as fresh orphan part files first, ONE
+  * manifest commit (a CAS on the version log) swaps the hit files'
+  * entries for the staged names, and only after that commit are the
+  * originals physically deleted (delete-last, so no crash window can
+  * strand a manifest referencing a missing file). Until the commit,
+  * every committed file is byte-identical and the staged survivors are
+  * invisible to manifest-driven reads — so a crash, a lost CAS, or an
+  * abandoned retry loses nothing; the loser deletes its own staged
+  * names and the next run re-stages from intact originals. Leftover
+  * dot-prefixed `.erasure_tmp_*` staging dirs of a crashed run are
+  * invisible to directory readers and are swept at the start of the
+  * next run. If EVERY file empties, the patch writes an empty manifest
+  * rather than failing schema inference on an empty dir.
   *
   * NULL keys are never deleted: a NULL can't equal a listed key, and
   * the keep-predicate says so explicitly because `!isin` alone would
   * evaluate to NULL and silently drop them — the suite pins this.
   *
-  * The driver loop is manifest-sized (hit files only); each iteration
-  * reads one file twice (count + rewrite), both file-local and
-  * column-complete by necessity (the file is being rewritten).
+  * Cost shape: ONE column-complete Spark job over exactly the hit
+  * files (they are being rewritten, so every column must move), plus a
+  * driver loop over the hit list reading staged parquet FOOTERS —
+  * never a per-file count-then-rewrite job pair, and never the table.
   */
 object Erasure {
 
@@ -73,19 +74,28 @@ object Erasure {
     val hits = DataSkipping.candidateFiles(m, keyCol, keys,
       s"$dir/${DataSkipping.ManifestName}")
     if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
-    val (removedFiles, rewrittenFiles, rowsDeleted) =
-      dropKeyRows(spark, dir, hits, keyCol, keys)
-    DataSkipping.patchManifest(spark, dir, removedFiles, rewrittenFiles,
-      Some(base)): Unit
+    val d = stageDropKeyRows(spark, dir, hits, keyCol, keys)
+    if (d.untouched) return ErasureReport(m.files.size, 0, 0, 0L)
+    try
+      DataSkipping.patchManifest(spark, dir, d.removed, d.replacedNew,
+        Some(base)): Unit
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the CAS: the staged survivors are still orphans and every
+        // committed file is byte-identical — delete our names and let
+        // the caller re-run against the winner's manifest
+        deleteFiles(dir, d.replacedNew, conf)
+        throw e
+    }
     // right-to-be-forgotten truncates the version LOG too: older
     // manifests reference pre-erasure files and carry the erased keys'
     // min/max/Bloom metadata — forgetting must forget history
     DataSkipping.truncateVersions(spark, dir)
-    // wholly-emptied files delete LAST, after the commit (delete-last
+    // doomed originals delete LAST, after the commit (delete-last
     // protocol): a crash before the commit leaves them manifest-listed
     // and intact; after it they are orphans pruned reads ignore
-    deleteFiles(dir, removedFiles, conf)
-    ErasureReport(m.files.size, rewrittenFiles.size, removedFiles.size, rowsDeleted)
+    deleteFiles(dir, d.removed, conf)
+    ErasureReport(m.files.size, d.replacedOld.size, d.emptied.size, d.rowsDeleted)
   }
 
   /** Retention / TTL enforcement — erase every row whose `keyCol` (a
@@ -125,90 +135,141 @@ object Erasure {
       f.mins(si) >= lo && f.maxs(si) <= hi &&
         f.nulls.nonEmpty && f.nulls(si) == 0L)
     val keep = col(keyCol).isNull || !col(keyCol).between(lo, hi)
-    val (removed, rewritten, partialRows) = dropRows(spark, dir, partial, keep)
-    val rowsDeleted = partialRows + whole.map(_.rows).sum
+    val d = stageDropRows(spark, dir, partial, keep)
+    val rowsDeleted = d.rowsDeleted + whole.map(_.rows).sum
     // the COMMIT comes first; ALL doomed files (listing-decided wholes
-    // AND rewrite-path files that emptied) delete AFTER it — the
-    // store's delete-last protocol (compaction step 4): a crash before
-    // the commit leaves the manifest and files consistent (the erasure
-    // simply hasn't happened for those files), a crash after it leaves
-    // post-commit orphans that manifest-driven reads already ignore
-    // and the next maintenance entry sweeps. Deleting first would let
-    // a crash strand a manifest that references missing files — every
-    // pruned read of the store would then fail. (Straddling files
-    // rewrite in place BEFORE the commit; a crash in that window
-    // leaves their manifest stats stale-but-safe — a superset, so
-    // pruned reads stay exact — but fsck checkRows will report a
-    // rowMismatch until the rerun completes; see [[DataSkipping.fsck]].)
-    DataSkipping.patchManifest(spark, dir,
-      whole.map(_.file) ++ removed, rewritten, Some(base)): Unit
+    // AND drop-pass files) delete AFTER it — the store's delete-last
+    // protocol (compaction step 4): a crash before the commit leaves
+    // the manifest and files consistent (the erasure simply hasn't
+    // happened yet: straddling files' survivors are still ORPHANS, the
+    // originals byte-identical), a crash after it leaves post-commit
+    // orphans that manifest-driven reads already ignore and the next
+    // maintenance entry sweeps. Deleting first would let a crash strand
+    // a manifest that references missing files — every pruned read of
+    // the store would then fail.
+    try
+      DataSkipping.patchManifest(spark, dir,
+        whole.map(_.file) ++ d.removed, d.replacedNew, Some(base)): Unit
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteFiles(dir, d.replacedNew, conf) // staged orphans; store intact
+        throw e
+    }
     DataSkipping.truncateVersions(spark, dir)
-    deleteFiles(dir, whole.map(_.file) ++ removed, conf)
-    ErasureReport(m.files.size, rewritten.size,
-      whole.size + removed.size, rowsDeleted)
+    deleteFiles(dir, whole.map(_.file) ++ d.removed, conf)
+    ErasureReport(m.files.size, d.replacedOld.size,
+      whole.size + d.emptied.size, rowsDeleted)
   }
 
-  /** The shared drop-rows-by-key rewrite loop ([[delete]] and
-    * [[DataSkipping.upsertKeys]]): for each candidate file, survivors
-    * rewrite IN PLACE via the atomic-overwrite swap (the target always
-    * holds either the old complete file or the new complete one),
-    * false-positive hits stay untouched. Returns
-    * (removed, rewritten, rowsDropped) WITHOUT committing OR deleting:
-    * the caller owns the manifest commit so it can fold more changes
-    * into one, and it must physically delete the removed files ONLY
-    * AFTER that commit ([[deleteFiles]] — the delete-last protocol).
+  /** Result of a STAGED drop pass ([[stageDropRows]]) — nothing is
+    * committed and no committed file has been touched yet:
+    *  - each hit file with PARTIAL survivors lands in `replacedOld`,
+    *    its survivor rows staged under fresh orphan `replacedNew`
+    *    names; the caller's single manifest commit swaps the olds out
+    *    for the news together;
+    *  - `emptied` are hit files whose EVERY row is doomed (entry drops
+    *    at the commit, file deletes post-commit);
+    *  - false-positive hits (Bloom/range said maybe, no row matched)
+    *    appear in neither list and stay byte-identical on disk.
     */
-  private[sinks] def dropKeyRows(spark: SparkSession, dir: String,
+  private[sinks] final case class StagedDrop(replacedOld: List[String],
+      replacedNew: List[String], emptied: List[String], rowsDeleted: Long) {
+    def removed: List[String] = emptied ++ replacedOld
+    def untouched: Boolean = replacedOld.isEmpty && emptied.isEmpty
+  }
+
+  /** Key-list form of [[stageDropRows]] ([[delete]] and
+    * [[DataSkipping.upsertKeys]]). NULL keys always survive: `!isin`
+    * alone evaluates to NULL on them and would silently drop them.
+    */
+  private[sinks] def stageDropKeyRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats], keyCol: String,
-      keys: Seq[Any]): (List[String], List[String], Long) =
-    dropRows(spark, dir, hits,
+      keys: Seq[Any]): StagedDrop =
+    stageDropRows(spark, dir, hits,
       col(keyCol).isNull || !col(keyCol).isin(keys: _*))
 
-  /** Rewrite each candidate file to its `keep`-satisfying survivors —
-    * the predicate-generic core of [[dropKeyRows]] and [[deleteRange]].
+  /** STAGE the `keep`-survivors of every candidate file as fresh orphan
+    * part files — the shared drop core of [[delete]], [[deleteRange]]
+    * and [[DataSkipping.upsertKeys]], and deliberately NOT an in-place
+    * rewrite: until the caller's manifest commit, every committed file
+    * is byte-identical and the staged survivors are orphans invisible
+    * to manifest-driven reads, so a lost commit CAS (or an abandoned
+    * retry) loses NOTHING — the loser just deletes its staged names.
+    * An in-place rewrite here would mutate committed files before the
+    * commit, an unrecoverable data-loss state on abandonment.
     *
-    * A file whose EVERY row is doomed is NOT deleted here: it is only
-    * reported in the removed list, and the caller physically deletes it
-    * AFTER its manifest commit (the store's delete-last protocol).
-    * Deleting pre-commit would let a crash in the window strand a
-    * manifest that still references the missing file — every pruned
-    * read would then fail. Pre-commit the original file stays on disk
-    * and manifest-listed (reads consistent); post-commit it is an
-    * orphan that manifest-driven reads already ignore and the caller
-    * (or the next maintenance entry's sweep) removes.
+    * One COLUMN-COMPLETE Spark job reads all hit files together
+    * (tagged by `input_file_name`), filters to survivors, and writes
+    * them partitioned by source file into a dot-tmp staging dir —
+    * hit-sized, one job, instead of a count-then-rewrite pair of jobs
+    * per file. Per-source survivor counts come from the staged parquet
+    * FOOTERS (driver-side metadata reads, no extra job) and classify
+    * each hit: no survivors → emptied; all rows survive → false
+    * positive, staged copy discarded, original untouched; partial →
+    * the staged file moves into the directory under a fresh unique
+    * name, returned as `replacedNew`.
     */
-  private def dropRows(spark: SparkSession, dir: String,
+  private[sinks] def stageDropRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats],
-      keep: org.apache.spark.sql.Column): (List[String], List[String], Long) = {
+      keep: org.apache.spark.sql.Column): StagedDrop = {
+    if (hits.isEmpty) return StagedDrop(Nil, Nil, Nil, 0L)
     val conf = spark.sessionState.newHadoopConf()
-    var rewrittenFiles = List.empty[String]
-    var removedFiles = List.empty[String]
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val tmp = new Path(dir, s".erasure_tmp_stage_${java.util.UUID.randomUUID()}")
+    val src = spark.read.parquet(hits.map(f => s"$dir/${f.file}"): _*)
+    src.withColumn("__src", element_at(split(input_file_name(), "/"), -1))
+      .filter(keep)
+      .repartition(col("__src"))
+      .write.partitionBy("__src").mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // staged layout: tmp/__src=<file name>/part-...; a source with no
+    // survivors writes no partition dir at all
+    val stagedBySrc: Map[String, Seq[Path]] =
+      if (!fs.exists(tmp)) Map.empty
+      else fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("__src="))
+        .map { d =>
+          val srcName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(d.getName.stripPrefix("__src="))
+          val parts = fs.listStatus(d).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+            .toIndexedSeq
+          srcName -> parts
+        }.toMap
+    var replacedOld = List.empty[String]
+    var replacedNew = List.empty[String]
+    var emptied = List.empty[String]
     var rowsDeleted = 0L
     hits.foreach { f =>
-      val target = new Path(dir, f.file)
-      val fs = target.getFileSystem(conf)
-      val survivors = spark.read.parquet(target.toString).filter(keep)
-      val keptRows = survivors.count()
-      rowsDeleted += f.rows - keptRows
-      if (keptRows == 0) {
-        removedFiles ::= f.file
-      } else if (keptRows < f.rows) {
-        val tmp = new Path(dir, s".erasure_tmp_${f.file}")
-        survivors.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-        // atomic-overwrite swap: the target always holds either the old
-        // complete file or the new complete file, never neither
-        val fc = FileContext.getFileContext(fs.getUri, conf)
-        fc.rename(part, target, Options.Rename.OVERWRITE)
-        fs.delete(tmp, true): Unit
-        rewrittenFiles ::= f.file
+      val staged = stagedBySrc.getOrElse(f.file, Nil)
+      val kept = staged.map(parquetRowCount(_, conf)).sum
+      rowsDeleted += f.rows - kept
+      if (kept == 0) {
+        emptied ::= f.file
+      } else if (kept < f.rows) {
+        staged.foreach { p =>
+          val fresh = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+          val fc = FileContext.getFileContext(fs.getUri, conf)
+          fc.rename(p, new Path(dir, fresh))
+          replacedNew ::= fresh
+        }
+        replacedOld ::= f.file
       }
-      // keptRows == f.rows: a range/bloom hit with no actual key present
-      // (false positive) — the file is left untouched (and uncounted)
+      // kept == f.rows: a range/bloom hit with no matching row (false
+      // positive) — original untouched, staged copy dies with the tmp dir
     }
-    (removedFiles, rewrittenFiles, rowsDeleted)
+    fs.delete(tmp, true): Unit
+    StagedDrop(replacedOld, replacedNew, emptied, rowsDeleted)
+  }
+
+  /** Committed row count from the parquet footer — a driver-side
+    * metadata read (no Spark job) sized to the hit list.
+    */
+  private def parquetRowCount(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Post-commit physical delete of files a drop pass emptied (and,

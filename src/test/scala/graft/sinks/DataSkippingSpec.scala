@@ -546,7 +546,7 @@ class DataSkippingSpec extends SparkSuite {
     assert(touched.size < v1Files.size, "the narrow range must also prune within v1")
   }
 
-  test("change feed: append-only diff reads only the new files; in-place rewrites invalidate old snapshots and surface as upserts") {
+  test("change feed: append-only diff reads only the new files; an upsert's staged replacement re-asserts survivors as inserts") {
     val dir = tmpDir("graft-feed")
     val b1 = (0L until 100L).map(i => (i, i)).toDF("k", "v")
     val b2 = (100L until 150L).map(i => (i, i)).toDF("k", "v")
@@ -561,24 +561,33 @@ class DataSkippingSpec extends SparkSuite {
       "the append-only feed must not touch base files")
     // same-version feed is empty
     assert(DataSkipping.changesBetween(spark, dir, 2L, 2L).count() === 0L)
-    // an in-place rewrite (upsert) invalidates the snapshots before it
+    // an upsert REPLACES a hit file under new names (staged rewrite,
+    // never in place) and deletes the original post-commit — the
+    // snapshots referencing the deleted file invalidate
     DataSkipping.upsertKeys(spark, dir, "k",
       Seq((5L, 999L)).toDF("k", "v"), col("k")): Unit
     val valid = DataSkipping.validVersions(spark, dir)
     assert(!valid.contains(1L) && !valid.contains(2L),
       s"pre-rewrite snapshots must be invalid, got $valid")
     assert(valid.contains(DataSkipping.listVersions(spark, dir).last))
-    // the feed across the rewrite: the new value arrives as an insert
-    // (it lands in an ADDED file), and the rewritten file's surviving
-    // rows re-emit as upserts (the safe overapproximation)
+    // the feed across the upsert: the new value AND the replaced file's
+    // surviving rows all arrive as inserts (the survivors live in an
+    // ADDED staged file; a consumer applying inserts as idempotent
+    // upserts converges) — and the replaced ORIGINAL, physically gone,
+    // emits no unreadable delete rows
     val feed2 = DataSkipping.changesBetween(spark, dir, 2L,
       DataSkipping.listVersions(spark, dir).last)
     assert(feed2.filter(col("__change") === "insert")
       .filter(col("k") === 5L && col("v") === 999L).count() === 1L)
-    assert(feed2.filter(col("__change") === "upsert").count() > 0L,
-      "the rewritten file's rows must re-emit")
-    assert(feed2.filter(col("__change") === "upsert" && col("k") === 5L).count() === 0L,
-      "the dropped old row is gone from the rewritten file")
+    assert(feed2.filter(col("k") === 5L).count() === 1L,
+      "the dropped old row must not re-emit under any change class")
+    assert(feed2.filter(col("__change") === "delete").count() === 0L,
+      "a replaced-and-deleted original must not surface as delete rows")
+    // every surviving row of the replaced file re-asserts as an insert
+    val replacedSurvivors = feed2.filter(col("__change") === "insert" &&
+      col("k") =!= 5L)
+    assert(replacedSurvivors.count() > 0L,
+      "the replaced file's surviving rows must re-emit as inserts")
   }
 
   test("vacuum expires history; erasure truncates the version log (RTBF forgets history)") {
@@ -729,13 +738,31 @@ class DataSkippingSpec extends SparkSuite {
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 10L,
       "the refused export must leave the existing store untouched")
 
-    // a CRASHED prior export left part files but no manifest (the
-    // manifest commits last): the retry sweeps them and lands clean
+    // ORDINARY parquet output at the destination — part files, no
+    // manifest, no in-progress marker — is SOMEONE'S DATA, not export
+    // debris: the export must refuse rather than sweep it (a crashed
+    // export always leaves the marker, written before any copy)
+    val plain = tmpDir("graft-export-guard-plain") + "/theirs"
+    Files.createDirectories(Paths.get(plain)): Unit
+    val theirs = Paths.get(plain, "part-00000-users-own-output.parquet")
+    Files.write(theirs, Array[Byte](7, 7, 7)): Unit
+    intercept[IllegalArgumentException] {
+      DataSkipping.exportSnapshot(spark, dir, 1L, plain)
+    }: Unit
+    assert(Files.exists(theirs),
+      "a refused export must not touch the user's unmarked part files")
+
+    // a CRASHED prior export left part files AND the in-progress marker
+    // (written first, removed only after the manifest commit): the
+    // retry proves the debris is its predecessor's, sweeps, lands clean
     val dest = tmpDir("graft-export-guard-dst") + "/snap"
     Files.createDirectories(Paths.get(dest)): Unit
     val stale = Paths.get(dest, "part-stale-from-crashed-export.parquet")
     Files.write(stale, Array[Byte](9, 9, 9)): Unit
+    Files.write(Paths.get(dest, DataSkipping.ExportMarkerName), Array[Byte]()): Unit
     val m = DataSkipping.exportSnapshot(spark, dir, 1L, dest)
+    assert(!Files.exists(Paths.get(dest, DataSkipping.ExportMarkerName)),
+      "a completed export removes its in-progress marker")
     assert(!Files.exists(stale), "crashed-export leftovers must sweep")
     assert(DataSkipping.fsck(spark, dest).clean,
       "the retried export is a clean self-contained store")
@@ -745,41 +772,54 @@ class DataSkippingSpec extends SparkSuite {
       DataSkipping.readManifest(spark, dest).files.map(_.file).toSet)
   }
 
-  test("erasure/upsert delete LAST: an emptied file outlives the drop pass until the manifest commit") {
-    // the crash-window contract: dropKeyRows reports emptied files
-    // without touching them — pre-commit the store stays exactly
-    // consistent (file on disk, manifest-listed, content unchanged);
-    // the physical delete is the caller's post-commit step
+  test("staged drop: pre-commit every committed file is byte-identical and survivors are orphans; delete-last finishes post-commit") {
+    // the lost-CAS/crash contract: stageDropRows touches NO committed
+    // file — emptied/replaced originals stay intact and manifest-listed
+    // until the caller's commit, staged survivors are orphans invisible
+    // to manifest-driven reads, so abandoning the operation at any
+    // pre-commit point loses nothing
     val dir = tmpDir("graft-delete-last")
     val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
     val m = DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 4,
       statsCols = Seq("k"))
-    // doom every row of exactly one file
+    val bytesBefore = m.files.map(f =>
+      f.file -> Files.readAllBytes(Paths.get(dir, f.file)).toSeq).toMap
+    // doom every row of one file and HALF of another
     val victim = m.files.head
-    val keys = spark.read.parquet(s"$dir/${victim.file}")
+    val half = m.files(1)
+    val victimKeys = spark.read.parquet(s"$dir/${victim.file}")
       .select("k").collect().map(_.getLong(0)).toSeq
+    val halfKeys = spark.read.parquet(s"$dir/${half.file}")
+      .select("k").collect().map(_.getLong(0)).sorted.take((half.rows / 2).toInt).toSeq
+    val keys = victimKeys ++ halfKeys
     val hits = m.files.filter(f => keys.exists(k => k >= f.mins(0) && k <= f.maxs(0)))
-    val (removed, rewritten, dropped) =
-      Erasure.dropKeyRows(spark, dir, hits, "k", keys)
-    assert(removed === List(victim.file) && rewritten.isEmpty &&
-      dropped === victim.rows)
-    assert(Files.exists(Paths.get(dir, victim.file)),
-      "pre-commit the emptied file MUST still exist: a crash here must " +
-        "not strand a manifest referencing a missing file")
-    // pre-commit reads (manifest untouched) still serve the old table
+    val d = Erasure.stageDropKeyRows(spark, dir, hits, "k", keys)
+    assert(d.emptied === List(victim.file) && d.replacedOld === List(half.file) &&
+      d.rowsDeleted === victim.rows + halfKeys.size)
+    assert(d.replacedNew.nonEmpty, "the half file's survivors must be staged")
+    // pre-commit: EVERY committed file is byte-identical on disk
+    m.files.foreach { f =>
+      assert(Files.readAllBytes(Paths.get(dir, f.file)).toSeq === bytesBefore(f.file),
+        s"pre-commit ${f.file} must be untouched: a lost CAS must lose nothing")
+    }
+    // pre-commit reads (manifest untouched) still serve the old table;
+    // the staged survivors are orphans the manifest-driven read ignores
     assert(DataSkipping.readPruned(spark, dir,
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 100L)
+    d.replacedNew.foreach(n => assert(Files.exists(Paths.get(dir, n))))
     // the caller's commit + post-commit delete finish the protocol
-    DataSkipping.patchManifest(spark, dir, removed, rewritten): Unit
-    Erasure.deleteFiles(dir, removed, spark.sessionState.newHadoopConf())
+    DataSkipping.patchManifest(spark, dir, d.removed, d.replacedNew): Unit
+    Erasure.deleteFiles(dir, d.removed, spark.sessionState.newHadoopConf())
     assert(!Files.exists(Paths.get(dir, victim.file)))
+    assert(!Files.exists(Paths.get(dir, half.file)))
     val audit = DataSkipping.fsck(spark, dir, checkRows = true)
     assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
       audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
       s"the completed protocol leaves the store consistent: $audit")
     assert(audit.invalidVersions === Seq(1L),
-      "only the pre-delete snapshot (whose file is gone) invalidates")
+      "only the pre-delete snapshot (whose files are gone) invalidates")
     assert(DataSkipping.readPruned(spark, dir,
-      Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 100L - victim.rows)
+      Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() ===
+      100L - victim.rows - halfKeys.size)
   }
 }
