@@ -1088,17 +1088,35 @@ object DataSkipping {
     require(keys.nonEmpty, "keys must be non-empty")
     val m = readManifest(spark, dir)
     val keep = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
-    val residual = col(keyCol).isin(keys: _*)
+    // the residual IN: literals for lookup-sized lists, a broadcast
+    // semi-join past Erasure.IsinMaxKeys (a million-literal IN is a
+    // million-node expression tree; the join probes a hash set per row)
+    def residual(df: DataFrame): DataFrame =
+      if (keys.lengthCompare(Erasure.IsinMaxKeys) <= 0)
+        df.filter(col(keyCol).isin(keys: _*))
+      else
+        df.join(broadcast(Erasure.keyListDf(spark, keys, "__wanted")),
+          col(keyCol) === col("__wanted"), "left_semi")
     if (keep.isEmpty)
-      spark.read.parquet(dir).filter(residual).limit(0)
+      residual(spark.read.parquet(dir)).limit(0)
     else
-      spark.read.parquet(keep.map(f => s"$dir/${f.file}"): _*).filter(residual)
+      residual(spark.read.parquet(keep.map(f => s"$dir/${f.file}"): _*))
   }
 
   /** Files that might contain any of `keys` on `keyCol` — the shared
     * candidate set of [[readPrunedKeys]] and [[Erasure]]. Bloom and
     * range evidence intersect when both exist; at least one must.
     * String keys require a Bloom sidecar (range stats are long-only).
+    *
+    * SUBLINEAR in the key list (erasure lists run to [[Erasure]]'s
+    * 1M-key guard against 100k-file manifests — a naive
+    * keys-per-file loop is the driver bottleneck there): long keys
+    * sort ONCE, each file's range intersection is then a binary search
+    * (O(files · log keys)), and the Bloom sidecar — when present — is
+    * probed with only the keys INSIDE that file's range (already
+    * adjacent in the sorted array), early-exiting on the first hit.
+    * Bloom-only (string) keys pre-encode their UTF-8 probe bytes once
+    * instead of re-encoding per file.
     */
   private[sinks] def candidateFiles(m: SkipManifest, keyCol: String,
       keys: Seq[Any], where: String): Seq[FileStats] = {
@@ -1110,14 +1128,40 @@ object DataSkipping {
       s"column '$keyCol' has no usable sidecar for these keys in $where " +
         s"(stats cols: ${m.cols.mkString(", ")}; bloom cols: ${m.bloomCols.mkString(", ")}; " +
         s"string keys need a bloom sidecar)")
-    m.files.filter { f =>
-      val rangeHit = !rangeUsable ||
-        longKeys.exists(k => k >= f.mins(si) && k <= f.maxs(si))
-      lazy val bloomHit = bi < 0 || {
-        val bloom = f.bloom(bi)
-        keys.exists(k => BloomAgg.mightContain(bloom, k))
+    if (rangeUsable) {
+      val sorted = longKeys.toArray
+      java.util.Arrays.sort(sorted)
+      m.files.filter { f =>
+        val lo = f.mins(si)
+        val hi = f.maxs(si)
+        var i = java.util.Arrays.binarySearch(sorted, lo)
+        if (i < 0) i = -i - 1 // insertion point: first key >= lo
+        i < sorted.length && sorted(i) <= hi && (bi < 0 || {
+          val bloom = f.bloom(bi)
+          var hit = false
+          while (!hit && i < sorted.length && sorted(i) <= hi) {
+            hit = bloom.mightContainLong(sorted(i)); i += 1
+          }
+          hit
+        })
       }
-      rangeHit && bloomHit
+    } else {
+      // bloom-only: encode each key's probe form ONCE (a string key
+      // re-encoded per file dominates the probe itself)
+      val probes: Array[Either[Array[Byte], Long]] = keys.iterator.map {
+        case s: String => Left(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case l: Long   => Right(l)
+        case i: Int    => Right(i.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bloom probe supports Long and String keys, got ${other.getClass.getName}")
+      }.toArray
+      m.files.filter { f =>
+        val bloom = f.bloom(bi)
+        probes.exists {
+          case Left(b)  => bloom.mightContainBinary(b)
+          case Right(l) => bloom.mightContainLong(l)
+        }
+      }
     }
   }
 }

@@ -178,15 +178,52 @@ object Erasure {
     def untouched: Boolean = replacedOld.isEmpty && emptied.isEmpty
   }
 
+  /** Above this, a key list stops being an `isin` literal chain and
+    * becomes a broadcast anti-join: a million-literal IN is a
+    * million-node expression tree (analysis and codegen blow up long
+    * before the data does), while a broadcast hash anti-join probes
+    * the same set at O(1) per row.
+    */
+  private[sinks] val IsinMaxKeys = 10000
+
   /** Key-list form of [[stageDropRows]] ([[delete]] and
     * [[DataSkipping.upsertKeys]]). NULL keys always survive: `!isin`
-    * alone evaluates to NULL on them and would silently drop them.
+    * alone evaluates to NULL on them and would silently drop them —
+    * and LEFT ANTI agrees, because a NULL key equals no doomed key.
     */
   private[sinks] def stageDropKeyRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats], keyCol: String,
       keys: Seq[Any]): StagedDrop =
-    stageDropRows(spark, dir, hits,
-      col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+    if (keys.lengthCompare(IsinMaxKeys) <= 0)
+      stageDropRows(spark, dir, hits,
+        col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+    else
+      stageDrop(spark, dir, hits, df =>
+        df.join(broadcast(keyListDf(spark, keys, "__doomed")),
+          col(keyCol) === col("__doomed"), "left_anti"))
+
+  /** A driver key list as a one-column DataFrame (for the broadcast
+    * semi/anti-join form of a big IN). Lists are homogeneous — they
+    * are the values of one column.
+    */
+  private[sinks] def keyListDf(spark: SparkSession, keys: Seq[Any],
+      name: String): org.apache.spark.sql.DataFrame = keys.head match {
+    case _: Long | _: Int =>
+      spark.createDataset(keys.map {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"mixed key list: ${other.getClass.getName} among longs")
+      })(org.apache.spark.sql.Encoders.scalaLong).toDF(name)
+    case _: String =>
+      spark.createDataset(keys.map {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"mixed key list: ${other.getClass.getName} among strings")
+      })(org.apache.spark.sql.Encoders.STRING).toDF(name)
+    case other => throw new IllegalArgumentException(
+      s"key lists support Long and String, got ${other.getClass.getName}")
+  }
 
   /** STAGE the `keep`-survivors of every candidate file as fresh orphan
     * part files — the shared drop core of [[delete]], [[deleteRange]]
@@ -211,15 +248,20 @@ object Erasure {
     */
   private[sinks] def stageDropRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats],
-      keep: org.apache.spark.sql.Column): StagedDrop = {
+      keep: org.apache.spark.sql.Column): StagedDrop =
+    stageDrop(spark, dir, hits, _.filter(keep))
+
+  private def stageDrop(spark: SparkSession, dir: String,
+      hits: Seq[DataSkipping.FileStats],
+      survive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : StagedDrop = {
     if (hits.isEmpty) return StagedDrop(Nil, Nil, Nil, 0L)
     val conf = spark.sessionState.newHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val tmp = new Path(dir, s".erasure_tmp_stage_${java.util.UUID.randomUUID()}")
     val src = spark.read.parquet(hits.map(f => s"$dir/${f.file}"): _*)
-    src.withColumn("__src", element_at(split(input_file_name(), "/"), -1))
-      .filter(keep)
+    survive(src.withColumn("__src", element_at(split(input_file_name(), "/"), -1)))
       .repartition(col("__src"))
       .write.partitionBy("__src").mode(SaveMode.Overwrite).parquet(tmp.toString)
     // staged layout: tmp/__src=<file name>/part-...; a source with no

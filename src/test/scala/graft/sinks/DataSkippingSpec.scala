@@ -822,4 +822,39 @@ class DataSkippingSpec extends SparkSuite {
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() ===
       100L - victim.rows - halfKeys.size)
   }
+
+  test("candidateFiles: 100k keys x 1k manifest entries is a driver-side blink, no false negatives, range-tight") {
+    // the erasure-list shape the verdict flagged: a naive
+    // keys-per-file loop is O(files x keys) = 1e8 here; the sorted
+    // binary search + range-restricted bloom probes must answer in
+    // well under a second wall-driver time
+    val span = 100L
+    val files = (0 until 1000).map { i =>
+      val lo = i * 1000L // file i holds exactly [i*1000, i*1000+99]
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(span, 0.01)
+      (lo until lo + span).foreach(bloom.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      DataSkipping.FileStats(f"part-$i%05d", span, Seq(lo), Seq(lo + span - 1),
+        Seq(java.util.Base64.getEncoder.encodeToString(bos.toByteArray)), Seq(0L))
+    }
+    val m = DataSkipping.SkipManifest(Seq("k"), files, Seq("k"))
+    // keys cover only the FIRST half's ranges: the 500 hit-free files
+    // are where a naive loop pays the full 100k probes each
+    val rnd = new scala.util.Random(7)
+    val keys: Seq[Any] = Seq.fill(100000)(rnd.nextLong(500L * 1000L))
+    val t0 = System.nanoTime()
+    val fast = DataSkipping.candidateFiles(m, "k", keys, "test").map(_.file).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 5.0, f"candidateFiles took $secs%.2f s on 100k x 1k — not sublinear")
+    // NO FALSE NEGATIVES: every file that truly contains a key is a candidate
+    val containing = keys.collect { case k: Long if k % 1000L < span => f"part-${k / 1000L}%05d" }.toSet
+    assert(containing.nonEmpty && containing.subsetOf(fast),
+      "a file containing a listed key was skipped")
+    // RANGE-TIGHT: no candidate outside the keyed half (bloom false
+    // positives there are unreachable — their ranges hold no key, and
+    // range evidence restricts the probes)
+    assert(fast.forall(_.stripPrefix("part-").toInt < 500),
+      "a file whose range holds no key must never be a candidate")
+  }
 }

@@ -219,4 +219,23 @@ class ErasureSpec extends SparkSuite {
     assert(!Files.exists(stale), "crashed-run leftovers must be swept")
     assert(spark.read.parquet(dir).count() === 99L)
   }
+
+  test("a key list past IsinMaxKeys takes the broadcast anti-join path: law-equal, NULL keys survive") {
+    // 15k doomed keys would be a 15k-literal IN; the anti-join form
+    // must produce exactly the same survivors, including every
+    // NULL-keyed row (NULL equals no doomed key in either form)
+    val dir = tmpDir("graft-erase-bigk")
+    val rows = (0 until 30000).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      (0 until 50).map(i => (null.asInstanceOf[java.lang.Long], 1000000L + i))
+    DataSkipping.writeWithStats(rows.toDF("k", "payload"), dir, col("k"),
+      numFiles = 4, statsCols = Seq("k"))
+    val doomed: Seq[Long] = (0L until 30000L by 2L)
+    assert(doomed.size > Erasure.IsinMaxKeys, "fixture must exercise the join path")
+    val rpt = Erasure.deleteKeys(spark, dir, "k", doomed)
+    assert(rpt.rowsDeleted === 15000L)
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 15050L)
+    assert(left.filter(col("k").isNull).count() === 50L, "NULL keys must survive")
+    assert(left.filter(col("k") % 2 === 0).count() === 0L, "every even key erased")
+  }
 }
