@@ -326,7 +326,16 @@ object DataSkipping {
     val moved = moveInClustered(spark, dir, ".compact_tmp",
       spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*),
       layoutKey, targetFiles)
-    val patched = patchManifest(spark, dir, smalls.map(_.file), moved, Some(base)) // commit
+    val patched =
+      try patchManifest(spark, dir, smalls.map(_.file), moved, Some(base)) // commit
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // self-cleaning loser (the appendWithStats discipline): our
+          // moved files are still orphans; the age-gated sweep won't
+          // collect young debris for us, so delete exactly our names
+          Erasure.deleteFiles(dir, moved, spark.sessionState.newHadoopConf())
+          throw e
+      }
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     smalls.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
     patched
@@ -372,7 +381,13 @@ object DataSkipping {
     val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
       statsCols, bloomCols, bloomExpected, bloomFpp)
     val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
-    writeManifestFile(spark, dir, m, Some(base)) // the commit: file set + stats config swap
+    try writeManifestFile(spark, dir, m, Some(base)) // the commit: file set + stats config swap
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // self-cleaning loser: our re-clustered files are still orphans
+        Erasure.deleteFiles(dir, moved, spark.sessionState.newHadoopConf())
+        throw e
+    }
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
     m
@@ -406,26 +421,43 @@ object DataSkipping {
     moved
   }
 
+  /** Minimum age before the orphan sweeps may collect an unlisted part
+    * file or staging dir: anything younger might be a LIVE concurrent
+    * writer's staged or just-moved pre-commit files (appendWithStats /
+    * upsertKeys run concurrently by design). Crashed-run debris is, by
+    * definition, older than this by the time a maintenance window
+    * opens; a writer that stalls longer than the grace mid-commit is
+    * outside the store's liveness contract (the Delta/Iceberg VACUUM
+    * retention argument in miniature).
+    */
+  private[sinks] val SweepGraceMs: Long = 10L * 60 * 1000
+
   /** Delete part files present on disk but absent from the manifest —
     * the leftovers of a crash between a compaction's move and its
     * commit (or after its commit, before the old files' delete) — and
-    * stale `.append_tmp_*` staging dirs of crashed appends. EXCLUSIVE
-    * by nature (it cannot tell a crashed writer's debris from a LIVE
-    * writer's in-flight files), so it runs only inside the
-    * maintenance-window ops (compaction, recluster) — never in a
-    * concurrent-append path; [[appendEpoch]] instead sweeps only its
-    * OWN epoch's name-identified debris for the same reason.
+    * stale `.append_tmp_*`/`.erasure_tmp_*` staging dirs of crashed
+    * appends/upserts. Runs only inside the maintenance-window ops
+    * (compaction, recluster), and is AGE-GATED by [[SweepGraceMs]]:
+    * entries younger than the grace window are skipped, because a
+    * listing cannot tell a crashed writer's debris from a live
+    * concurrent appender's in-flight files — age can.
+    * [[appendEpoch]] instead sweeps only its OWN epoch's
+    * name-identified debris and needs no grace.
     */
   private[sinks] def sweepOrphans(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dir, ManifestName))) return
     val listed = readManifest(spark, dir).files.map(_.file).toSet
-    listPartFiles(spark, dir).filterNot(listed)
-      .foreach(n => fs.delete(new Path(dir, n), false): Unit)
-    fs.listStatus(p).map(_.getPath)
-      .filter(t => t.getName.startsWith(".append_tmp_") ||
-        t.getName.startsWith(".erasure_tmp_"))
+    val cutoff = System.currentTimeMillis() - SweepGraceMs
+    fs.listStatus(p)
+      .filter(_.getModificationTime < cutoff)
+      .map(_.getPath)
+      .filter { t =>
+        val n = t.getName
+        (n.startsWith("part-") && !n.endsWith(".crc") && !listed.contains(n)) ||
+          n.startsWith(".append_tmp_") || n.startsWith(".erasure_tmp_")
+      }
       .foreach(t => fs.delete(t, true): Unit)
   }
 

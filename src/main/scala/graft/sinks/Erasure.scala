@@ -260,6 +260,7 @@ object Erasure {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val tmp = new Path(dir, s".erasure_tmp_stage_${java.util.UUID.randomUUID()}")
+    try {
     val src = spark.read.parquet(hits.map(f => s"$dir/${f.file}"): _*)
     survive(src.withColumn("__src", element_at(split(input_file_name(), "/"), -1)))
       .repartition(col("__src"))
@@ -300,8 +301,11 @@ object Erasure {
       // kept == f.rows: a range/bloom hit with no matching row (false
       // positive) — original untouched, staged copy dies with the tmp dir
     }
-    fs.delete(tmp, true): Unit
     StagedDrop(replacedOld, replacedNew, emptied, rowsDeleted)
+    // the staging dir dies on EVERY path (a mid-job failure — e.g. a
+    // concurrent compaction deleted a hit file under our read — must
+    // not leave a half-written tmp for the aged sweep to find)
+    } finally fs.delete(tmp, true): Unit
   }
 
   /** Committed row count from the parquet footer — a driver-side
@@ -326,14 +330,20 @@ object Erasure {
       target.getFileSystem(conf).delete(target, false): Unit
     }
 
-  /** Remove `.erasure_tmp_*` leftovers of a crashed prior run: their
-    * targets were never overwritten (the rename is the last step), so
-    * the temp contents are stale garbage, not the only copy of data.
+  /** Remove `.erasure_tmp_*` leftovers of a crashed prior run: staged
+    * survivors that were never committed (the manifest CAS is the last
+    * step), so the temp contents are stale garbage, not the only copy
+    * of data. AGE-GATED like [[DataSkipping.sweepOrphans]]: a staging
+    * dir younger than the grace window may belong to a LIVE concurrent
+    * upsert, which stages under the same prefix.
     */
   private def sweepStaleTmp(dir: Path, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = dir.getFileSystem(conf)
+    val cutoff = System.currentTimeMillis() - DataSkipping.SweepGraceMs
     if (fs.exists(dir))
-      fs.listStatus(dir).map(_.getPath)
+      fs.listStatus(dir)
+        .filter(_.getModificationTime < cutoff)
+        .map(_.getPath)
         .filter(_.getName.startsWith(".erasure_tmp_"))
         .foreach(p => fs.delete(p, true): Unit)
   }

@@ -445,10 +445,14 @@ class DataSkippingSpec extends SparkSuite {
     assert(DataSkipping.readManifest(spark, dir).files.size === 5)
 
     // plant an orphan (a crashed run's moved-but-uncommitted file): it
-    // must be swept, not read, not counted
+    // must be swept, not read, not counted. Backdated past the sweep
+    // grace window — a YOUNG orphan is indistinguishable from a live
+    // concurrent appender's in-flight file and must survive the sweep.
     val anyPart = DataSkipping.readManifest(spark, dir).files.head.file
-    java.nio.file.Files.copy(Paths.get(dir, anyPart),
-      Paths.get(dir, "part-orphan-from-crash.parquet"))
+    val planted = Paths.get(dir, "part-orphan-from-crash.parquet")
+    java.nio.file.Files.copy(Paths.get(dir, anyPart), planted)
+    Files.setLastModifiedTime(planted, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DataSkipping.SweepGraceMs - 60000L)): Unit
 
     val m1 = DataSkipping.compactSmallFiles(spark, dir, col("a"),
       minRows = 100L, targetFiles = 1)
@@ -704,6 +708,110 @@ class DataSkippingSpec extends SparkSuite {
     assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
       audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
       s"concurrent appends must leave a clean store: $audit")
+  }
+
+  test("optimistic concurrency: upsert racing append — CAS serializes, the loser re-runs staged-clean, nothing lost or torn (4 trials)") {
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir(s"graft-occ-upsert-$trial")
+      val base = (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "writer")
+      DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 2,
+        statsCols = Seq("k")): Unit
+      val start = new java.util.concurrent.CountDownLatch(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val up = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val updates = Seq((10L, 7L), (11L, 7L), (2000L + trial, 7L)).toDF("k", "writer")
+          start.countDown(); start.await()
+          DataSkipping.withFenceRetry(maxAttempts = 10) {
+            DataSkipping.upsertKeys(spark, dir, "k", updates, col("k"), numFiles = 1)
+          }: Unit
+        }
+      })
+      val ap = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val batch = (0 until 25).map(i => (3000L + i, 1L)).toDF("k", "writer")
+          start.countDown(); start.await()
+          DataSkipping.withFenceRetry(maxAttempts = 10) {
+            DataSkipping.appendWithStats(batch, dir, col("k"), numFiles = 1)
+          }: Unit
+        }
+      })
+      try { up.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        ap.get(120, java.util.concurrent.TimeUnit.SECONDS) }
+      finally pool.shutdownNow()
+
+      val got = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size === 126, s"trial $trial: 100 base + 1 inserted + 25 appended")
+      assert(got(10L) === 7L && got(11L) === 7L && got(2000L + trial) === 7L,
+        s"trial $trial: the upsert's replacements and insert must all land")
+      assert(got(5L) === 0L && (3000L until 3025L).forall(got(_) === 1L),
+        s"trial $trial: untouched base rows and the whole appended batch survive")
+      // one commit per writer, serialized by the CAS
+      assert(DataSkipping.currentVersion(spark, dir) === 3L)
+      val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
+        audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
+        s"trial $trial: racing upsert+append must leave a clean store: $audit")
+    }
+  }
+
+  test("maintenance interleaving: erasure racing compaction — the content law holds whichever order commits (4 trials)") {
+    // Destructive maintenance ops are documented exclusive-window, but
+    // their CAS-loser paths must still compose safely when violated:
+    // each op either wins and the other re-runs against the winner's
+    // manifest, or fails mid-read (the winner deleted a file under it)
+    // and re-runs whole. Either way: doomed keys erased exactly once,
+    // compaction content-invariant, store fsck-clean.
+    def retryOp[A](maxAttempts: Int)(op: => A): A = {
+      var last: Throwable = null
+      (1 to maxAttempts).foreach { _ =>
+        try return op
+        catch { case scala.util.control.NonFatal(e) => last = e }
+      }
+      throw last
+    }
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir(s"graft-occ-erase-compact-$trial")
+      val all = (0 until 400).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+      DataSkipping.writeWithStats(all.filter(col("k") < 100), dir, col("k"),
+        numFiles = 1, statsCols = Seq("k")): Unit
+      (1 to 3).foreach(r => DataSkipping.appendWithStats(
+        all.filter(col("k") >= r * 100 && col("k") < (r + 1) * 100), dir,
+        col("k"), numFiles = 1): Unit)
+      val doomed = Seq(5L, 17L, 123L, 250L + trial)
+      val start = new java.util.concurrent.CountDownLatch(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val er = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.countDown(); start.await()
+          retryOp(10) { Erasure.delete(spark, dir, "k", doomed) }: Unit
+        }
+      })
+      val co = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.countDown(); start.await()
+          retryOp(10) { DataSkipping.compactSmallFiles(spark, dir, col("k"),
+            minRows = Long.MaxValue, targetFiles = 2) }: Unit
+        }
+      })
+      try { er.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        co.get(180, java.util.concurrent.TimeUnit.SECONDS) }
+      finally pool.shutdownNow()
+
+      val got = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        .as[(Long, Long)].collect().toMap
+      val want = (0 until 400).map(_.toLong).filterNot(doomed.contains)
+      assert(got.keySet === want.toSet,
+        s"trial $trial: doomed keys erased exactly once, everything else intact")
+      assert(want.forall(k => got(k) === k), s"trial $trial: payloads intact")
+      val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
+        audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
+        s"trial $trial: racing erasure+compaction must leave a clean store: $audit")
+    }
   }
 
   test("metadataSummary: a GENUINE Long.MaxValue extreme is not mistaken for the all-null sentinel") {

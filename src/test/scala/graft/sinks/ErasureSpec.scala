@@ -215,6 +215,10 @@ class ErasureSpec extends SparkSuite {
     val stale = Paths.get(dir, ".erasure_tmp_part-crashed")
     Files.createDirectory(stale)
     Files.write(stale.resolve("junk"), Array[Byte](1, 2, 3))
+    // backdate past the sweep grace: a YOUNG .erasure_tmp_* dir may be
+    // a live concurrent upsert's staging and must survive the sweep
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DataSkipping.SweepGraceMs - 60000L)): Unit
     Erasure.deleteKeys(spark, dir, "k", Seq(5L)): Unit
     assert(!Files.exists(stale), "crashed-run leftovers must be swept")
     assert(spark.read.parquet(dir).count() === 99L)
