@@ -1910,7 +1910,7 @@ object LlmQueries {
     def distSql(cvRel: String): String =
       s"""CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
          |      i -> (q.qv[i] - $cvRel.qv[i]) * (q.qv[i] - $cvRel.qv[i]))) AS BIGINT)""".stripMargin
-    s"""q AS (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM $src),
+    s"""q AS MATERIALIZED (SELECT vec_id AS id, ${quantSql("embedding")} AS qv FROM $src),
        |seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM q
        |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
        |d1 AS (SELECT q.id, q.qv, s.c, ${distSql("s")} AS dist
@@ -1922,11 +1922,11 @@ object LlmQueries {
        |  GROUP BY 1, 2),
        |nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
        |  FROM sums GROUP BY 1),
-       |cent AS (SELECT seeds.c, COALESCE(nc.qv, seeds.qv) AS qv
+       |cent AS MATERIALIZED (SELECT seeds.c, COALESCE(nc.qv, seeds.qv) AS qv
        |  FROM seeds LEFT JOIN nc ON seeds.c = nc.c),
-       |d2 AS (SELECT q.id, s.c, ${distSql("s")} AS dist
+       |d2 AS MATERIALIZED (SELECT q.id, s.c, ${distSql("s")} AS dist
        |  FROM q CROSS JOIN cent s),
-       |a2 AS (SELECT id, c AS cluster, dist FROM d2
+       |a2 AS MATERIALIZED (SELECT id, c AS cluster, dist FROM d2
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
   }
 
@@ -1943,7 +1943,7 @@ object LlmQueries {
     def dist(aRel: String, bRel: String): String =
       s"""CAST(list_sum(list_transform(range(1, len($aRel.qv) + 1),
          |      i -> ($aRel.qv[i] - $bRel.qv[i]) * ($aRel.qv[i] - $bRel.qv[i]))) AS BIGINT)""".stripMargin
-    s"""${p}q AS (SELECT id, list_slice(qv, ${j * sub + 1}, ${(j + 1) * sub}) AS qv FROM $srcRel),
+    s"""${p}q AS MATERIALIZED (SELECT id, list_slice(qv, ${j * sub + 1}, ${(j + 1) * sub}) AS qv FROM $srcRel),
        |${p}seeds AS (SELECT row_number() OVER (ORDER BY $h, id) - 1 AS c, qv FROM ${p}q
        |  QUALIFY row_number() OVER (ORDER BY $h, id) <= 4),
        |${p}d1 AS (SELECT q.id, q.qv, s.c, ${dist("q", "s")} AS dist
@@ -1955,11 +1955,11 @@ object LlmQueries {
        |  GROUP BY 1, 2),
        |${p}nc AS (SELECT cluster AS c, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS qv
        |  FROM ${p}sums GROUP BY 1),
-       |${p}cent AS (SELECT s.c, COALESCE(n.qv, s.qv) AS qv
+       |${p}cent AS MATERIALIZED (SELECT s.c, COALESCE(n.qv, s.qv) AS qv
        |  FROM ${p}seeds s LEFT JOIN ${p}nc n ON s.c = n.c),
        |${p}d2 AS (SELECT q.id, s.c, ${dist("q", "s")} AS dist
        |  FROM ${p}q q CROSS JOIN ${p}cent s),
-       |${p}a2 AS (SELECT id, c AS cluster, dist FROM ${p}d2
+       |${p}a2 AS MATERIALIZED (SELECT id, c AS cluster, dist FROM ${p}d2
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) = 1)""".stripMargin
   }
 
@@ -1974,7 +1974,7 @@ object LlmQueries {
   private def ivfPqBaseSql: String =
     s"""${kmeansChainSql()},
        |${(0 until 4).map(j => pqChainSql(j, 16)).mkString(",\n")},
-       |cand AS (SELECT q.id AS neighbor_id, a2.cluster AS cell,
+       |cand AS MATERIALIZED (SELECT q.id AS neighbor_id, a2.cluster AS cell,
        |    p0_a2.cluster AS c0, p1_a2.cluster AS c1,
        |    p2_a2.cluster AS c2, p3_a2.cluster AS c3
        |  FROM q
@@ -2076,11 +2076,11 @@ object LlmQueries {
     */
   private def ivfPqResidualBaseSql: String =
     s"""${kmeansChainSql()},
-       |res AS (SELECT q.id, a2.cluster AS cell,
+       |res AS MATERIALIZED (SELECT q.id, a2.cluster AS cell,
        |    list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] - cent.qv[i]) AS qv
        |  FROM q JOIN a2 ON q.id = a2.id JOIN cent ON cent.c = a2.cluster),
        |${(0 until 4).map(j => pqChainSql(j, 16, "res")).mkString(",\n")},
-       |rcand AS (SELECT res.id AS neighbor_id, res.cell,
+       |rcand AS MATERIALIZED (SELECT res.id AS neighbor_id, res.cell,
        |    p0_a2.cluster AS c0, p1_a2.cluster AS c1,
        |    p2_a2.cluster AS c2, p3_a2.cluster AS c3
        |  FROM res
