@@ -227,6 +227,30 @@ object Bench {
       checkpoint()
     }
 
+    // WARM-EXECUTION pass (VERDICT r14 item 8): the timed noop write
+    // re-analyzes, re-optimizes, and re-compiles the plan on every
+    // pass — for the wide readers (q23/q24: 53-column plans) that
+    // per-run cost is ~2-3 s of data-size-independent work a
+    // long-running deployment pays once, not per query. For every
+    // query whose median exceeds 1 s, ALSO time execution on a REUSED
+    // QueryExecution (build once, materialize once, then min of two
+    // re-executions of the cached toRdd): what re-running the same
+    // compiled plan costs. A lower bound on steady-state re-execution
+    // (shuffle outputs may be reused across the re-runs); the cold
+    // number above stays the honest fresh-run anchor.
+    val warmTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.filter(n => timings.get(n).exists(_ > 1.0)).foreach { name =>
+      try {
+        val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        qe.toRdd.foreach(_ => ()) // compile + first materialization
+        warmTimings(name) = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          qe.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case _: Throwable => () } // warm numbers are advisory
+    }
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -235,6 +259,7 @@ object Bench {
     } + "\""
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val qmins = minTimings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qwarm = warmTimings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val rts = retimed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val rtf = retimeFailures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
@@ -261,7 +286,7 @@ object Bench {
             "(>2.5x); artifact timings are contention-suspect — prefer queries_retimed")
       s""","calibration":[${probes.mkString(",")}],"contended":$contended"""
     }
-    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"total_retimed_complete":$totalRetimedComplete,"failures":$fs$calJson,"sf":"$sfDir"}"""
+    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_warm":$qwarm,"queries_retimed":$rts,"retime_failures":$rtf,"total_retimed":$totalRetimed,"total_retimed_complete":$totalRetimedComplete,"failures":$fs$calJson,"sf":"$sfDir"}"""
     println(artifact)
     // ALSO write the artifact straight to a file: stdout passes through
     // sbt, which prefixes the line with "[info] " — every round's driver
