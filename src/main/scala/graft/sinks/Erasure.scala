@@ -262,6 +262,9 @@ object Erasure {
     val tmp = new Path(dir, s".erasure_tmp_stage_${java.util.UUID.randomUUID()}")
     try {
     val src = spark.read.parquet(hits.map(f => s"$dir/${f.file}"): _*)
+    require(!src.columns.contains("__src"),
+      "the store schema reserves '__src' (the staged drop pass tags rows " +
+        "by source file under that name) — rename the column")
     survive(src.withColumn("__src", element_at(split(input_file_name(), "/"), -1)))
       .repartition(col("__src"))
       .write.partitionBy("__src").mode(SaveMode.Overwrite).parquet(tmp.toString)
