@@ -265,8 +265,13 @@ object Erasure {
     require(!src.columns.contains("__src"),
       "the store schema reserves '__src' (the staged drop pass tags rows " +
         "by source file under that name) — rename the column")
+    // one shuffle, sized to the HIT LIST (hash on source file): a
+    // task per hit file, not the session's shuffle-partition default —
+    // spark.sql.shuffle.partitions would cap a 100k-hit erasure's
+    // write parallelism at a few hundred tasks, and conversely waste
+    // mostly-empty tasks on a 2-hit upsert
     survive(src.withColumn("__src", element_at(split(input_file_name(), "/"), -1)))
-      .repartition(col("__src"))
+      .repartition(hits.size, col("__src"))
       .write.partitionBy("__src").mode(SaveMode.Overwrite).parquet(tmp.toString)
     // staged layout: tmp/__src=<file name>/part-...; a source with no
     // survivors writes no partition dir at all
