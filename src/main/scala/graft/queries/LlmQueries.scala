@@ -1219,12 +1219,14 @@ object LlmQueries {
 
     // REPLICATION FROM THE CHANGE FEED — the full incremental-consumer
     // loop: a downstream copy pins upstream v1 (snapshot export), the
-    // upstream advances by an append AND an in-place upsert, and the
+    // upstream advances by an append AND a staged upsert, and the
     // downstream rolls forward by applying changesBetween(1, 3) as a
-    // keyed CDC batch (inserts ∪ rewritten files' re-emitted rows, all
-    // idempotent upserts). The rolled-forward replica must hash-match
-    // the upstream's merged model — the lakehouse sync story end to
-    // end, feed-sized, never a re-copy.
+    // keyed CDC batch. With the version chain intact the feed is the
+    // TRUE DELTA (append batch + upsert batch — rewrite-origin
+    // survivor files and their replaced originals are provenance-
+    // skipped, never re-asserted). The rolled-forward replica must
+    // hash-match the upstream's merged model — the lakehouse sync
+    // story end to end, delta-sized, never a re-copy.
     "q189_replicate_feed" -> ((s, dir) => {
       val base = gateScratchDir(s, "q189")
       val (up, down) = (base + "/up", freshScratch(base + "/down"))

@@ -100,11 +100,26 @@ object DataSkipping {
     * rewrites instead of blind-deleting).
     */
   final case class FileStats(file: String, rows: Long, mins: Seq[Long], maxs: Seq[Long],
-      blooms: Seq[String] = Nil, nulls: Seq[Long] = Nil) {
+      blooms: Seq[String] = Nil, nulls: Seq[Long] = Nil,
+      origin: String = "") {
     /** Decode the i-th Bloom sidecar (aligned with `bloomCols`). */
     def bloom(i: Int): BloomFilter =
       BloomFilter.readFrom(Base64.getDecoder.decode(blooms(i)))
+    /** True when this file's content is a REWRITE of rows already
+      * committed at the previous version under other names (upsert
+      * survivor stage, compaction, recluster) rather than newly
+      * ingested rows — the provenance bit that lets
+      * [[changesBetween]] emit TRUE-DELTA feeds instead of
+      * re-asserting rewritten content.
+      */
+    def isRewrite: Boolean = origin == OriginRewrite
   }
+
+  /** `origin` value for files whose rows were already committed at the
+    * previous version under other names. "" (legacy manifests and
+    * freshly ingested files) means new content.
+    */
+  val OriginRewrite = "rewrite"
 
   /** `bloomExpected`/`bloomFpp` record the sidecar sizing so a patch
     * rebuilds rewritten files' filters with the original parameters.
@@ -227,7 +242,8 @@ object DataSkipping {
     // 3) ONE CAS commit: replaced-out originals + staged survivors +
     // batch additions together
     val patched =
-      try patchManifest(spark, dir, d.removed, d.replacedNew ++ added, Some(base))
+      try patchManifest(spark, dir, d.removed, d.replacedNew ++ added,
+        Some(base), rewriteOrigin = d.replacedNew.toSet)
       catch {
         case e: java.util.ConcurrentModificationException =>
           // lost the CAS: remove exactly OUR staged names (batch AND
@@ -327,7 +343,8 @@ object DataSkipping {
       spark.read.parquet(smalls.map(f => s"$dir/${f.file}"): _*),
       layoutKey, targetFiles)
     val patched =
-      try patchManifest(spark, dir, smalls.map(_.file), moved, Some(base)) // commit
+      try patchManifest(spark, dir, smalls.map(_.file), moved,
+        Some(base), rewriteOrigin = moved.toSet) // commit
       catch {
         case e: java.util.ConcurrentModificationException =>
           // self-cleaning loser (the appendWithStats discipline): our
@@ -380,6 +397,7 @@ object DataSkipping {
       layoutKey, numFiles)
     val fresh = statsFor(spark, moved.map(f => s"$dir/$f"),
       statsCols, bloomCols, bloomExpected, bloomFpp)
+      .map(_.copy(origin = OriginRewrite)) // re-clustered, not new content
     val m = SkipManifest(statsCols, fresh, bloomCols, bloomExpected, bloomFpp)
     try writeManifestFile(spark, dir, m, Some(base)) // the commit: file set + stats config swap
     catch {
@@ -498,7 +516,8 @@ object DataSkipping {
     */
   def patchManifest(spark: SparkSession, dir: String,
       removedFiles: Seq[String], rewrittenFiles: Seq[String],
-      expectedBase: Option[Long] = None): SkipManifest = {
+      expectedBase: Option[Long] = None,
+      rewriteOrigin: Set[String] = Set.empty): SkipManifest = {
     val old = readManifest(spark, dir)
     val touched = (removedFiles ++ rewrittenFiles).toSet
     val kept = old.files.filterNot(f => touched.contains(f.file))
@@ -506,6 +525,12 @@ object DataSkipping {
       if (rewrittenFiles.isEmpty) Vector.empty
       else statsFor(spark, rewrittenFiles.map(f => s"$dir/$f"),
         old.cols, old.bloomCols, old.bloomExpected, old.bloomFpp)
+        // provenance: names in rewriteOrigin hold content that was
+        // already committed at the base version under other names
+        // (staged survivor rewrites, compacted folds) — the change
+        // feed may skip them; everything else is fresh ingest
+        .map(f => if (rewriteOrigin.contains(f.file))
+          f.copy(origin = OriginRewrite) else f)
     val m = old.copy(files = (kept ++ fresh).sortBy(_.file).toIndexedSeq)
     writeManifestFile(spark, dir, m, expectedBase)
     m
@@ -623,7 +648,9 @@ object DataSkipping {
       val bloomField =
         if (f.blooms.isEmpty) ""
         else s""","blooms":${f.blooms.map(b => "\"" + b + "\"").mkString("[", ",", "]")}"""
-      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$nullsField$bloomField}"""
+      val originField =
+        if (f.origin.isEmpty) "" else s""","origin":"${f.origin}""""
+      s"""{"file":"${f.file}","rows":${f.rows},"mins":${f.mins.mkString("[", ",", "]")},"maxs":${f.maxs.mkString("[", ",", "]")}$nullsField$bloomField$originField}"""
     }.mkString(",\n")
     text ++= "\n]}\n"
     val bytes = text.toString.getBytes("UTF-8")
@@ -755,60 +782,97 @@ object DataSkipping {
   /** Change data feed between two committed versions — what an
     * incremental downstream consumer pulls to catch up ("everything
     * that changed since my last sync") without re-reading the table.
-    * The diff is computed at FILE granularity from the two manifests
-    * (a metadata decision): files present only in `toV` contribute
-    * inserts, files present only in `fromV` contribute deletes, and
-    * files whose entry CHANGED (rewritten in place by erasure/upsert —
-    * same name, different stats) contribute a row-level diff of just
-    * those files. For the dominant append-only history the feed reads
-    * exactly the new files and nothing else.
+    * The diff is computed at FILE granularity from the manifests (a
+    * metadata decision), and when every intermediate version file
+    * still exists the versions walk PAIRWISE, which makes the feed the
+    * TRUE DELTA: each step's freshly-INGESTED files (batch appends,
+    * upsert batches — `origin` empty) emit inserts, while
+    * rewrite-origin files (staged upsert survivors, compaction folds,
+    * recluster output — content the consumer's previous state already
+    * holds) are skipped along with the originals they replace. A pure
+    * reorganization step (compaction, recluster) therefore contributes
+    * NOTHING to the feed, and an upsert contributes exactly its batch
+    * — never a re-assertion of a 128 MB file's unchanged survivors
+    * because 3 of its rows changed. Inductively the consumer's state
+    * after applying step k's feed equals the upstream at version k+1
+    * (rewrites preserve content; upserted keys arrive from the batch),
+    * so the chained feed is exact.
     *
-    * Rows in the feed carry `__change` ∈ {insert, delete}: an updated
-    * row appears as delete(old) + insert(new), the CDC-stream
-    * convention [[graft.operators.CdcApply]] consumes. Both versions
-    * must still be valid ([[validVersions]]).
+    * When intermediate versions have been vacuumed the walk falls back
+    * to the conservative ENDPOINT diff: files only in `toV` re-emit as
+    * inserts (including rewrite-origin content — the consumer applies
+    * inserts as idempotent upserts and converges), files only in
+    * `fromV` emit deletes when their bytes still exist and are skipped
+    * when maintenance destroyed them (their surviving content was
+    * re-asserted under new names in the same commit), and same-name
+    * entry changes re-emit as upserts. True row DELETIONS (erasure)
+    * truncate the version log outright, so no feed spans them.
+    *
+    * Rows in the feed carry `__change` ∈ {insert, delete, upsert}: the
+    * CDC-stream convention [[graft.operators.CdcApply]] consumes. Both
+    * endpoint versions must still be valid ([[validVersions]]).
     */
   def changesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
-    val a = readManifestAt(spark, dir, fromV)
-    val b = readManifestAt(spark, dir, toV)
-    val aByName = a.files.map(f => f.file -> f).toMap
-    val bByName = b.files.map(f => f.file -> f).toMap
-    val addedFiles = b.files.filterNot(f => aByName.contains(f.file)).map(_.file)
-    // dropped files whose bytes are GONE from disk cannot emit delete
-    // rows — and in this store they never need to: a file leaves the
-    // manifest with its content destroyed only through rewrite-shaped
-    // maintenance (upsert replacement, compaction, recluster), all of
-    // which re-assert every surviving row under NEW names in the same
-    // commit — those rows arrive as inserts, and a consumer applying
-    // inserts as idempotent upserts converges to the same state. True
-    // row DELETIONS (erasure) truncate the version log outright, so no
-    // feed can span them. Files dropped with bytes still present
-    // (nothing in the maintenance set does this today) emit real
-    // delete rows.
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val droppedFiles = a.files.filterNot(f => bByName.contains(f.file))
-      .map(_.file).filter(f => fs.exists(new Path(dir, f)))
-    val changedFiles = a.files.filter(f =>
-      bByName.get(f.file).exists(_ != f)).map(_.file)
     def read(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("__change", lit(t))
-    // rewritten-in-place files: row-level diff of just those files'
-    // two generations is impossible from one disk state — the OLD rows
-    // are gone. What IS recoverable file-locally: the current rows of
-    // changed files are re-emitted as upserts (delete-then-insert of
-    // the same key is the safe overapproximation a CDC consumer
-    // already handles idempotently).
-    val parts =
-      read(addedFiles).map(tag(_, "insert")).toSeq ++
-      read(droppedFiles).map(tag(_, "delete")).toSeq ++
-      read(changedFiles).map(df => tag(df, "upsert")).toSeq
-    require(parts.nonEmpty || a.files == b.files,
-      s"no diffable content between v$fromV and v$toV")
+    /** One a→b diff plan: (inserts, deletes, upserts) file-name lists.
+      * `trueDelta` = consecutive-version mode (rewrite provenance
+      * usable), false = endpoint fallback (conservative).
+      */
+    def planDelta(a: SkipManifest, b: SkipManifest,
+        trueDelta: Boolean): (Seq[String], Seq[String], Seq[String]) = {
+      val aByName = a.files.map(f => f.file -> f).toMap
+      val bByName = b.files.map(f => f.file -> f).toMap
+      val added = b.files.filterNot(f => aByName.contains(f.file))
+      val rewriteStep = added.exists(_.isRewrite)
+      val inserts =
+        if (trueDelta) added.filterNot(_.isRewrite).map(_.file)
+        else added.map(_.file)
+      // deletes: in true-delta mode a rewrite-shaped step retains its
+      // dropped originals' content (survivors re-staged, matched keys
+      // re-ingested), so drops are not deletions; in endpoint mode the
+      // bytes-gone filter encodes the same fact after the fact
+      val dropped0 = a.files.filterNot(f => bByName.contains(f.file)).map(_.file)
+      val dropped =
+        if (trueDelta && rewriteStep) Nil
+        else dropped0.filter(f => fs.exists(new Path(dir, f)))
+      val changed = a.files.filter(f =>
+        bByName.get(f.file).exists(_ != f)).map(_.file)
+      (inserts, dropped, changed)
+    }
+    def materialize(p: (Seq[String], Seq[String], Seq[String])): Seq[DataFrame] =
+      read(p._1).map(tag(_, "insert")).toSeq ++
+        read(p._2).map(tag(_, "delete")).toSeq ++
+        read(p._3).map(tag(_, "upsert")).toSeq
+    val a = readManifestAt(spark, dir, fromV)
+    val b = readManifestAt(spark, dir, toV)
+    val versions = listVersions(spark, dir).toSet
+    // the chained (true-delta) walk needs every intermediate version
+    // file AND every file a step would read: a LATER reorganization
+    // may have physically folded an earlier step's ingest files away
+    // (this store deletes replaced originals eagerly, not at vacuum) —
+    // then the walk degrades to the conservative endpoint diff, which
+    // re-asserts the folded content as idempotent upsert-inserts
+    val chainPlans: Option[Seq[(Seq[String], Seq[String], Seq[String])]] =
+      if (!(fromV to toV).forall(versions.contains)) None
+      else {
+        val plans = (fromV until toV).map(v =>
+          planDelta(readManifestAt(spark, dir, v),
+            readManifestAt(spark, dir, v + 1), trueDelta = true))
+        val readable = plans.flatMap(p => p._1 ++ p._2 ++ p._3)
+          .forall(f => fs.exists(new Path(dir, f)))
+        if (readable) Some(plans) else None
+      }
+    val parts = chainPlans match {
+      case Some(plans) => plans.flatMap(materialize)
+      case None        => materialize(planDelta(a, b, trueDelta = false))
+    }
     parts.reduceOption(_ unionByName _)
       .getOrElse(readPrunedWith(spark, dir, b,
         Seq((b.cols.head, Long.MinValue, Long.MaxValue - 1))).limit(0)
@@ -1039,7 +1103,7 @@ object DataSkipping {
       """(?:,"bloomCols":\[([^\]]*)\],"bloomExpected":(\d+),"bloomFpp":([0-9.eE+-]+))?""" +
       ""","files":\[""").r
     val FileRe = ("""\{"file":"([^"]+)","rows":(\d+),"mins":\[([^\]]*)\],"maxs":\[([^\]]*)\]""" +
-      """(?:,"nulls":\[([^\]]*)\])?(?:,"blooms":\[([^\]]*)\])?\},?""").r
+      """(?:,"nulls":\[([^\]]*)\])?(?:,"blooms":\[([^\]]*)\])?(?:,"origin":"([^"]*)")?\},?""").r
     def names(s: String): Seq[String] =
       if (s == null || s.isEmpty) Nil
       else s.split(',').map(_.stripPrefix("\"").stripSuffix("\"")).toIndexedSeq
@@ -1059,7 +1123,7 @@ object DataSkipping {
         catch { case _: NumberFormatException => corrupt(s"non-long '$x'") }
       }.toIndexedSeq
     val files = lines.tail.dropRight(1).map {
-      case FileRe(f, r, mi, ma, nu, bl) =>
+      case FileRe(f, r, mi, ma, nu, bl, og) =>
         val (mins, maxs) = (longs(mi), longs(ma))
         if (mins.length != cols.length || maxs.length != cols.length)
           corrupt(s"file '$f' stats arity != ${cols.length}")
@@ -1070,7 +1134,8 @@ object DataSkipping {
         val blooms = names(bl)
         if (blooms.length != bloomCols.length)
           corrupt(s"file '$f' bloom arity ${blooms.length} != ${bloomCols.length}")
-        FileStats(f, r.toLong, mins, maxs, blooms, nulls)
+        FileStats(f, r.toLong, mins, maxs, blooms, nulls,
+          if (og == null) "" else og)
       case l => corrupt(s"bad file line '$l'")
     }
     SkipManifest(cols, files, bloomCols, bloomExpected, bloomFpp)

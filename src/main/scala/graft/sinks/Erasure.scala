@@ -78,7 +78,7 @@ object Erasure {
     if (d.untouched) return ErasureReport(m.files.size, 0, 0, 0L)
     try
       DataSkipping.patchManifest(spark, dir, d.removed, d.replacedNew,
-        Some(base)): Unit
+        Some(base), rewriteOrigin = d.replacedNew.toSet): Unit
     catch {
       case e: java.util.ConcurrentModificationException =>
         // lost the CAS: the staged survivors are still orphans and every
@@ -149,7 +149,8 @@ object Erasure {
     // the store would then fail.
     try
       DataSkipping.patchManifest(spark, dir,
-        whole.map(_.file) ++ d.removed, d.replacedNew, Some(base)): Unit
+        whole.map(_.file) ++ d.removed, d.replacedNew, Some(base),
+        rewriteOrigin = d.replacedNew.toSet): Unit
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteFiles(dir, d.replacedNew, conf) // staged orphans; store intact
