@@ -585,6 +585,21 @@ class DataSkippingSpec extends SparkSuite {
     assert(feed2.select("k", "v", "__change").collect().toSeq ===
       Seq(org.apache.spark.sql.Row(5L, 999L, "insert")),
       "the chained feed across an upsert is exactly the batch")
+    // an upsert that EMPTIES a whole hit file leaves NO survivor
+    // rewrite (the provenance skip never engages) — the feed stays
+    // exactly the batch because the emptied original's bytes are gone
+    // and every one of its rows was re-ingested by the batch
+    val v3 = DataSkipping.listVersions(spark, dir).last
+    val small = DataSkipping.readManifest(spark, dir).files.minBy(_.rows)
+    val allKeys = spark.read.parquet(s"$dir/${small.file}")
+      .select("k").as[Long].collect().toSeq
+    val wipe = allKeys.map(k => (k, k + 5000L)).toDF("k", "v")
+    DataSkipping.upsertKeys(spark, dir, "k", wipe, col("k")): Unit
+    val feed3 = DataSkipping.changesBetween(spark, dir, v3,
+      DataSkipping.listVersions(spark, dir).last)
+    assert(feed3.filter(col("__change") =!= "insert").count() === 0L)
+    assert(feed3.select("k").as[Long].collect().sorted.toSeq === allKeys.sorted,
+      "an emptying upsert's feed is exactly its batch — no deletes, no losses")
   }
 
   test("change feed provenance: reorganizations are feed-invisible; content ingested then compacted still arrives exactly once") {
