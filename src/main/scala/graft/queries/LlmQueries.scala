@@ -922,6 +922,26 @@ object LlmQueries {
         queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
     }),
 
+    // The SERVE half of q121 on its own clock (VERDICT r15 item 4):
+    // q121's 0.58 sf1 slope is the suite's worst only because train +
+    // WRITE + serve are timed as one, and the write is inherently
+    // data-sized. This gate builds the SAME index once per (session,
+    // sfDir) — the model sidecar is the build marker, so bench passes
+    // after the first reuse it — and every timed pass measures the
+    // partition-pruned serve path alone. Result and oracle are
+    // q121's exactly (same params, same corpus), so correctness stays
+    // value-anchored while the bench number isolates the serve slope.
+    "q194_ivfpq_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = gateScratchDir(s, "q194") +
+        "/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(tmp, Similarity.IvfPqModelFile).exists())
+        Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
+          cells = 4, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+    }),
+
     // The index LIFECYCLE gate: train + write on the BASE corpus only,
     // APPEND a disjoint batch encoded with the persisted model (no
     // retrain — the sidecar round-trip is the model used), run the
@@ -3035,6 +3055,16 @@ object LlmQueries {
     // The persisted-index serve must be bit-identical to the in-memory
     // composition — the oracle IS q99's chain.
     "q121_ivfpq_persisted" ->
+      s"""WITH $ivfPqChainSql
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10""".stripMargin,
+
+    // q194 serves the same persisted index as q121 (build memoized
+    // out of the timed path) — identical result, identical oracle.
+    "q194_ivfpq_serve" ->
       s"""WITH $ivfPqChainSql
          |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id

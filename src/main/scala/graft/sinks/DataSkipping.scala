@@ -54,13 +54,23 @@ import graft.functions.BloomAgg
   * Versioning / time travel: every manifest commit also lands as an
   * append-only `_skip_manifest.vNNNNN.json`, so [[readPrunedAt]] serves
   * "the table as of commit N" as a pure metadata decision — the
-  * Delta/Iceberg snapshot read on a plain parquet directory. Append-only
-  * histories stay valid forever; destructive maintenance bounds the
-  * horizon ([[validVersions]]): compaction/vacuum remove files older
-  * snapshots referenced, and [[Erasure]] TRUNCATES the log outright
-  * (right-to-be-forgotten must forget history — old manifests carry the
-  * erased keys' min/max/Bloom metadata). [[vacuumVersions]] expires
-  * history and deletes unreferenced part files (the VACUUM move).
+  * Delta/Iceberg snapshot read on a plain parquet directory.
+  *
+  * TOMBSTONED DELETES (round 16): rewrite-shaped maintenance
+  * (upsert, compaction, recluster) never physically deletes the files
+  * it replaces. Post-commit they become TOMBSTONES — on disk,
+  * referenced by OLDER version manifests, absent from the latest — so
+  * a concurrent reader that planned its scan from the previous
+  * manifest (or a [[readPrunedAt]] time-travel read) keeps every file
+  * it needs until [[vacuumVersions]] expires that history: vacuum is
+  * the ONLY physical deleter (the Delta/Iceberg VACUUM-retention
+  * model). The single exception is [[Erasure]]: right-to-be-forgotten
+  * must forget NOW, so erasure deletes its doomed files immediately,
+  * TRUNCATES the log outright (old manifests carry the erased keys'
+  * min/max/Bloom metadata), and clears every tombstone (an old row
+  * version of an erased key may live in a replaced file). Erasure is
+  * therefore the one op after which older snapshots die; everything
+  * else keeps history serveable until vacuum.
   *
   * Single-writer discipline as everywhere in this package — and since
   * round 14 it is ENFORCED, not just documented: every commit is a
@@ -208,10 +218,14 @@ object DataSkipping {
     * batch's files AND the hit files' survivor rewrites
     * ([[Erasure.stageDropRows]]) land as orphans invisible to
     * manifest-driven reads — and the single [[patchManifest]] CAS at
-    * the end is the commit; replaced originals delete strictly AFTER
-    * it. A lost CAS (or a crash, or an abandoned retry) therefore
-    * loses nothing: every committed file is still byte-identical, and
-    * the loser deletes exactly its own staged names before rethrowing.
+    * the end is the commit. A lost CAS (or a crash, or an abandoned
+    * retry) therefore loses nothing: every committed file is still
+    * byte-identical, and the loser deletes exactly its own staged
+    * names before rethrowing. Replaced originals are NOT deleted:
+    * they become tombstones (still referenced by older version
+    * manifests) so concurrent readers pinned to the previous version
+    * and time-travel reads survive the upsert; [[vacuumVersions]]
+    * reclaims them when their history expires.
     */
   def upsertKeys(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, layoutKey: Column, numFiles: Int = 1,
@@ -230,7 +244,7 @@ object DataSkipping {
     // 1) STAGE matched keys' survivor rewrites as fresh orphan files —
     // no committed file is touched (a lost CAS must lose nothing)
     val hits = candidateFiles(m, keyCol, keys, s"$dir/$ManifestName")
-    val d = Erasure.stageDropKeyRows(spark, dir, hits, keyCol, keys)
+    val d = Erasure.stageDropKeyRows(spark, dir, hits, keyCol, keys, m.cols)
     // 2) land the batch as orphan files (invisible to manifest reads),
     // staged in a writer-unique tmp dir and committed by NAME — the
     // same discipline as appendWithStats, so an upsert racing a
@@ -254,10 +268,12 @@ object DataSkipping {
             spark.sessionState.newHadoopConf())
           throw e
       }
-    // 4) replaced/emptied ORIGINALS delete last, post-commit
-    // (delete-last protocol — pre-commit they were still manifest-
-    // listed and intact; post-commit they are sweepable orphans)
-    Erasure.deleteFiles(dir, d.removed, spark.sessionState.newHadoopConf())
+    // 4) replaced/emptied ORIGINALS are NOT deleted: post-commit they
+    // are tombstones — still referenced by the pre-upsert version
+    // manifests, so a reader pinned to the previous version (a
+    // long-running scan, a readPrunedAt) never loses a file mid-scan,
+    // and the true-delta change feed keeps its chain readable.
+    // vacuumVersions is the physical deleter.
     patched
   }
 
@@ -300,7 +316,9 @@ object DataSkipping {
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
       .map { p =>
         val name = prefix + p.getName.stripPrefix("part-")
-        fs.rename(p, new Path(dir, name)): Unit
+        val dst = new Path(dir, name)
+        fs.rename(p, dst): Unit
+        touchAppeared(fs, dst)
         name
       }.toIndexedSeq.sorted
     fs.delete(tmp, true): Unit
@@ -323,13 +341,15 @@ object DataSkipping {
     *     manifest, so manifest-driven reads ignore them);
     *  3. [[patchManifest]] atomically swaps the small files' entries
     *     for the new files' (the commit);
-    *  4. the old small files are deleted LAST — after the commit they
-    *     are the orphans.
+    *  4. the old small files become TOMBSTONES — on disk, referenced
+    *     by the pre-compaction version manifests, reclaimed only by
+    *     [[vacuumVersions]] — so concurrent readers planned from the
+    *     previous manifest and time-travel reads survive.
     *
     * A crash at any point leaves manifest-driven reads exact: before 3
     * the olds are listed and intact; after 3 the news are listed and
     * complete. The next run (or any maintenance entry) sweeps orphan
-    * part files not listed in the manifest before doing new work.
+    * part files referenced by NO version before doing new work.
     */
   def compactSmallFiles(spark: SparkSession, dir: String, layoutKey: Column,
       minRows: Long, targetFiles: Int = 1): SkipManifest = {
@@ -353,8 +373,8 @@ object DataSkipping {
           Erasure.deleteFiles(dir, moved, spark.sessionState.newHadoopConf())
           throw e
       }
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    smalls.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
+    // the replaced smalls stay as tombstones (older versions still
+    // reference them); vacuumVersions reclaims them with their history
     patched
   }
 
@@ -371,12 +391,13 @@ object DataSkipping {
     *  2. new files move in as ORPHANS (absent from the manifest);
     *  3. ONE manifest write swaps the entire file set AND the stats
     *     config to the new key (the commit);
-    *  4. old files delete last (post-commit orphans, swept on crash).
+    *  4. old files become tombstones (the whole previous generation —
+    *     disk temporarily doubles, the documented recluster cost),
+    *     reclaimed by [[vacuumVersions]] when their history expires.
     *
     * After the commit, range/point pruning on the NEW key shrinks the
     * listing the way the old key used to. The version log records the
-    * commit; pre-recluster snapshots are invalidated (their files are
-    * gone) exactly as [[validVersions]] reports.
+    * commit; pre-recluster snapshots stay serveable until vacuum.
     */
   def recluster(spark: SparkSession, dir: String, layoutKey: Column,
       numFiles: Int, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -406,8 +427,7 @@ object DataSkipping {
         Erasure.deleteFiles(dir, moved, spark.sessionState.newHadoopConf())
         throw e
     }
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    old.files.foreach(f => fs.delete(new Path(dir, f.file), false): Unit)
+    // the old generation stays as tombstones until vacuumVersions
     m
   }
 
@@ -432,12 +452,31 @@ object DataSkipping {
     val moved = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
       .map { p =>
-        fs.rename(p, new Path(dir, p.getName)): Unit
+        val dst = new Path(dir, p.getName)
+        fs.rename(p, dst): Unit
+        touchAppeared(fs, dst)
         p.getName
       }.toIndexedSeq.sorted
     fs.delete(tmp, true): Unit
     moved
   }
+
+  /** Re-stamp a file's mtime to NOW as it is renamed into the store
+    * dir. The orphan-sweep age gate measures time-since-APPEARANCE,
+    * but rename preserves mtime — a part file whose WRITE phase took
+    * longer than the grace window would otherwise be sweep-eligible
+    * the instant it appears, letting a concurrent maintenance sweep
+    * delete a healthy writer's pre-commit files (and, if that sweep's
+    * op then commits nothing, the writer's CAS fence never trips and
+    * it commits a manifest referencing deleted files). Stamping at the
+    * rename makes the gate measure the right clock. Stores whose FS
+    * rejects setTimes fall back to the raw mtime — raise
+    * `graft.store.sweepGraceMs` there.
+    */
+  private[sinks] def touchAppeared(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit =
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case _: UnsupportedOperationException => () }
 
   /** Minimum age before the orphan sweeps may collect an unlisted part
     * file or staging dir: anything younger might be a LIVE concurrent
@@ -446,19 +485,41 @@ object DataSkipping {
     * definition, older than this by the time a maintenance window
     * opens; a writer that stalls longer than the grace mid-commit is
     * outside the store's liveness contract (the Delta/Iceberg VACUUM
-    * retention argument in miniature).
+    * retention argument in miniature). The age anchor is
+    * time-since-appearance-in-dir ([[touchAppeared]]), not write time.
+    * Deployments with slower storage or longer maintenance overlap can
+    * raise it via `-Dgraft.store.sweepGraceMs=...` (the VACUUM
+    * retention knob in miniature).
     */
   private[sinks] val SweepGraceMs: Long = 10L * 60 * 1000
 
-  /** Delete part files present on disk but absent from the manifest —
-    * the leftovers of a crash between a compaction's move and its
-    * commit (or after its commit, before the old files' delete) — and
-    * stale `.append_tmp_*`/`.erasure_tmp_*` staging dirs of crashed
-    * appends/upserts. Runs only inside the maintenance-window ops
-    * (compaction, recluster), and is AGE-GATED by [[SweepGraceMs]]:
-    * entries younger than the grace window are skipped, because a
-    * listing cannot tell a crashed writer's debris from a live
-    * concurrent appender's in-flight files — age can.
+  private[sinks] def sweepGraceMs: Long =
+    sys.props.get("graft.store.sweepGraceMs").flatMap(_.toLongOption)
+      .getOrElse(SweepGraceMs)
+
+  /** Every part file referenced by ANY committed version manifest (the
+    * latest included) — the set the tombstone machinery pivots on: a
+    * file on disk but outside it is debris; inside it but outside the
+    * LATEST manifest it is a tombstone an old snapshot still serves.
+    * Metadata-sized (one small JSON per commit).
+    */
+  private[sinks] def versionReferencedFiles(spark: SparkSession,
+      dir: String): Set[String] =
+    (readManifest(spark, dir).files.map(_.file) ++
+      listVersions(spark, dir).flatMap(v =>
+        readManifestAt(spark, dir, v).files.map(_.file))).toSet
+
+  /** Delete part files present on disk but referenced by NO committed
+    * version — the leftovers of a crash between a writer's move and
+    * its commit — and stale `.append_tmp_*`/`.erasure_tmp_*` staging
+    * dirs of crashed appends/upserts. TOMBSTONES (files an older
+    * version manifest still references) are never swept here: they
+    * are live history, reclaimed only by [[vacuumVersions]]. Runs only
+    * inside the maintenance-window ops (compaction, recluster), and is
+    * AGE-GATED by [[sweepGraceMs]]: entries younger than the grace
+    * window are skipped, because a listing cannot tell a crashed
+    * writer's debris from a live concurrent appender's in-flight files
+    * — age (since appearance, [[touchAppeared]]) can.
     * [[appendEpoch]] instead sweeps only its OWN epoch's
     * name-identified debris and needs no grace.
     */
@@ -466,8 +527,8 @@ object DataSkipping {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dir, ManifestName))) return
-    val listed = readManifest(spark, dir).files.map(_.file).toSet
-    val cutoff = System.currentTimeMillis() - SweepGraceMs
+    val listed = versionReferencedFiles(spark, dir)
+    val cutoff = System.currentTimeMillis() - sweepGraceMs
     fs.listStatus(p)
       .filter(_.getModificationTime < cutoff)
       .map(_.getPath)
@@ -767,17 +828,9 @@ object DataSkipping {
         present.contains(f.file) && latest.get(f.file).forall(_ == f)))
   }
 
-  /** Drop every version file except the newest — the right-to-be-
-    * forgotten companion ([[Erasure]] calls this after its commit):
-    * older manifests reference the pre-erasure files AND carry the
-    * erased keys' min/max/Bloom metadata, so forgetting must truncate
-    * the log, not just the data.
-    */
-  private[sinks] def truncateVersions(spark: SparkSession, dir: String): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    listVersions(spark, dir).dropRight(1)
-      .foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
-  }
+  // (log truncation lives in Erasure.forgetHistory, anchored on the
+  // erasure's own committed version — a newest-anchored truncate here
+  // raced concurrent commits)
 
   /** Change data feed between two committed versions — what an
     * incremental downstream consumer pulls to catch up ("everything
@@ -801,77 +854,78 @@ object DataSkipping {
     * When intermediate versions have been vacuumed the walk falls back
     * to the conservative ENDPOINT diff: files only in `toV` re-emit as
     * inserts (including rewrite-origin content — the consumer applies
-    * inserts as idempotent upserts and converges), files only in
-    * `fromV` emit deletes when their bytes still exist and are skipped
-    * when maintenance destroyed them (their surviving content was
-    * re-asserted under new names in the same commit), and same-name
-    * entry changes re-emit as upserts. True row DELETIONS (erasure)
-    * truncate the version log outright, so no feed spans them.
+    * inserts as idempotent upserts and converges), and same-name
+    * entry changes re-emit as upserts. The feed NEVER emits deletes:
+    * true row deletion happens only through [[Erasure]], which
+    * truncates the version log outright, so no feed window can span a
+    * deletion — every file dropped between two surviving versions is a
+    * rewrite-shaped reorganization whose content the same commit
+    * re-asserted (staged survivors, re-ingested batch keys, compacted
+    * folds). Under tombstoned deletes the chain stays readable across
+    * upserts/compactions until vacuum expires it, so the true-delta
+    * mode is the norm, not the lucky case.
     *
-    * Rows in the feed carry `__change` ∈ {insert, delete, upsert}: the
-    * CDC-stream convention [[graft.operators.CdcApply]] consumes. Both
-    * endpoint versions must still be valid ([[validVersions]]).
+    * Rows in the feed carry `__change` ∈ {insert, upsert} (the delete
+    * tag exists in the CDC convention [[graft.operators.CdcApply]]
+    * consumes, but this producer can never emit one). Both endpoint
+    * versions must still be valid ([[validVersions]]). Existence
+    * evidence comes from ONE directory listing, not a per-file
+    * RPC per step — O(1) listings per feed call.
     */
   def changesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = listPartFiles(spark, dir).toSet
     def read(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("__change", lit(t))
-    /** One a→b diff plan: (inserts, deletes, upserts) file-name lists.
+    /** One a→b diff plan: (inserts, upserts) file-name lists.
       * `trueDelta` = consecutive-version mode (rewrite provenance
-      * usable), false = endpoint fallback (conservative).
+      * usable), false = endpoint fallback (conservative re-assert).
       */
     def planDelta(a: SkipManifest, b: SkipManifest,
-        trueDelta: Boolean): (Seq[String], Seq[String], Seq[String]) = {
+        trueDelta: Boolean): (Seq[String], Seq[String]) = {
       val aByName = a.files.map(f => f.file -> f).toMap
       val bByName = b.files.map(f => f.file -> f).toMap
       val added = b.files.filterNot(f => aByName.contains(f.file))
-      val rewriteStep = added.exists(_.isRewrite)
       val inserts =
         if (trueDelta) added.filterNot(_.isRewrite).map(_.file)
         else added.map(_.file)
-      // deletes: in true-delta mode a rewrite-shaped step retains its
-      // dropped originals' content (survivors re-staged, matched keys
-      // re-ingested), so drops are not deletions; in endpoint mode the
-      // bytes-gone filter encodes the same fact after the fact
-      val dropped0 = a.files.filterNot(f => bByName.contains(f.file)).map(_.file)
-      val dropped =
-        if (trueDelta && rewriteStep) Nil
-        else dropped0.filter(f => fs.exists(new Path(dir, f)))
       val changed = a.files.filter(f =>
         bByName.get(f.file).exists(_ != f)).map(_.file)
-      (inserts, dropped, changed)
+      (inserts, changed)
     }
-    def materialize(p: (Seq[String], Seq[String], Seq[String])): Seq[DataFrame] =
+    def materialize(p: (Seq[String], Seq[String])): Seq[DataFrame] =
       read(p._1).map(tag(_, "insert")).toSeq ++
-        read(p._2).map(tag(_, "delete")).toSeq ++
-        read(p._3).map(tag(_, "upsert")).toSeq
+        read(p._2).map(tag(_, "upsert")).toSeq
     val a = readManifestAt(spark, dir, fromV)
     val b = readManifestAt(spark, dir, toV)
     val versions = listVersions(spark, dir).toSet
     // the chained (true-delta) walk needs every intermediate version
-    // file AND every file a step would read: a LATER reorganization
-    // may have physically folded an earlier step's ingest files away
-    // (this store deletes replaced originals eagerly, not at vacuum) —
-    // then the walk degrades to the conservative endpoint diff, which
-    // re-asserts the folded content as idempotent upsert-inserts
-    val chainPlans: Option[Seq[(Seq[String], Seq[String], Seq[String])]] =
+    // file AND every file a step would read. With tombstoned deletes
+    // both survive any upsert/compaction/recluster; only vacuum can
+    // break the chain, and then the walk degrades to the conservative
+    // endpoint diff, which re-asserts surviving content as idempotent
+    // upsert-inserts.
+    val chainPlans: Option[Seq[(Seq[String], Seq[String])]] =
       if (!(fromV to toV).forall(versions.contains)) None
       else {
         val plans = (fromV until toV).map(v =>
           planDelta(readManifestAt(spark, dir, v),
             readManifestAt(spark, dir, v + 1), trueDelta = true))
-        val readable = plans.flatMap(p => p._1 ++ p._2 ++ p._3)
-          .forall(f => fs.exists(new Path(dir, f)))
+        val readable = plans.iterator.flatMap(p => p._1 ++ p._2)
+          .forall(onDisk.contains)
         if (readable) Some(plans) else None
       }
     val parts = chainPlans match {
       case Some(plans) => plans.flatMap(materialize)
-      case None        => materialize(planDelta(a, b, trueDelta = false))
+      case None =>
+        val p = planDelta(a, b, trueDelta = false)
+        // defensive: the endpoint diff must also only read bytes that
+        // exist (an out-of-band delete or a legacy eager-delete store)
+        materialize((p._1.filter(onDisk.contains), p._2.filter(onDisk.contains)))
     }
     parts.reduceOption(_ unionByName _)
       .getOrElse(readPrunedWith(spark, dir, b,
@@ -879,9 +933,21 @@ object DataSkipping {
         .withColumn("__change", lit("insert")))
   }
 
-  /** Expire history: keep the newest `retainLast` version files, drop
-    * the rest, then delete part files referenced by NO retained version
-    * and not in the latest manifest — the Delta/Iceberg VACUUM move.
+  /** Expire history — THE store's physical deleter (rewrite-shaped
+    * maintenance only tombstones; [[Erasure]] is the RTBF exception):
+    * keep the newest `retainLast` version files, drop the rest, then
+    * delete part files referenced by NO retained version and not in
+    * the latest manifest — the Delta/Iceberg VACUUM move. Two classes
+    * of doomed file:
+    *  - tombstones whose last referencing version was just dropped —
+    *    deleted regardless of age (their history is expired; a reader
+    *    still pinned to an expired version is outside the retention
+    *    contract, exactly Delta's VACUUM-vs-old-reader rule);
+    *  - files referenced by NO version at all (crashed-writer debris)
+    *    — deleted only past the [[sweepGraceMs]] age gate, because a
+    *    LIVE concurrent writer's just-moved pre-commit files are also
+    *    version-unreferenced and age (since appearance) is the only
+    *    thing that tells them apart.
     * Returns the deleted part files.
     */
   def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int): Seq[String] = {
@@ -890,25 +956,40 @@ object DataSkipping {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val versions = listVersions(spark, dir)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
+    // capture what the dropped versions referenced BEFORE their files go
+    val dropReferenced = drop.flatMap(v =>
+      readManifestAt(spark, dir, v).files.map(_.file)).toSet
     drop.foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
     val referenced = keep.flatMap(v =>
       readManifestAt(spark, dir, v).files.map(_.file)).toSet ++
       readManifest(spark, dir).files.map(_.file).toSet
-    val doomed = listPartFiles(spark, dir).filterNot(referenced)
+    val cutoff = System.currentTimeMillis() - sweepGraceMs
+    val doomed = fs.listStatus(p).toIndexedSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && !n.endsWith(".crc") && !referenced.contains(n) &&
+          (dropReferenced.contains(n) || st.getModificationTime < cutoff)
+      }
+      .map(_.getPath.getName).sorted
     doomed.foreach(n => fs.delete(new Path(dir, n), false): Unit)
     doomed
   }
 
   /** [[fsck]] result: `missingFiles` are manifest-listed but absent on
     * disk (data loss — pruned reads will fail), `orphanFiles` are on
-    * disk but unlisted (crash leftovers — invisible to manifest reads,
-    * swept by maintenance), `rowMismatches` are (file, manifestRows,
-    * actualRows) disagreements (corruption or an out-of-band write),
+    * disk but referenced by NO version (crash leftovers — invisible to
+    * manifest reads, swept by maintenance), `tombstoneFiles` are on
+    * disk, absent from the LATEST manifest, but still referenced by an
+    * older version manifest — the normal post-upsert/compaction state
+    * under deferred deletes, serving time-travel reads until
+    * [[vacuumVersions]] reclaims them (NOT a defect: `clean` stays
+    * true), `rowMismatches` are (file, manifestRows, actualRows)
+    * disagreements (corruption or an out-of-band write),
     * `invalidVersions` are log entries time travel can no longer serve.
     */
   final case class FsckReport(missingFiles: Seq[String], orphanFiles: Seq[String],
       rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long],
-      unreadableFiles: Seq[String] = Nil) {
+      unreadableFiles: Seq[String] = Nil, tombstoneFiles: Seq[String] = Nil) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanFiles.isEmpty &&
         rowMismatches.isEmpty && invalidVersions.isEmpty &&
@@ -938,7 +1019,9 @@ object DataSkipping {
     val onDisk = listPartFiles(spark, dir).toSet
     val listed = m.files.map(_.file).toSet
     val missing = m.files.map(_.file).filterNot(onDisk)
-    val orphans = onDisk.toSeq.sorted.filterNot(listed)
+    val historic = versionReferencedFiles(spark, dir)
+    val (tombstones, orphans) =
+      onDisk.toSeq.sorted.filterNot(listed).partition(historic.contains)
     val (mismatches, unreadable) =
       if (!checkRows || m.files.isEmpty) (Nil, Nil)
       else {
@@ -976,7 +1059,7 @@ object DataSkipping {
       }
     val valid = validVersions(spark, dir).toSet
     val invalid = listVersions(spark, dir).filterNot(valid)
-    FsckReport(missing, orphans, mismatches, invalid, unreadable)
+    FsckReport(missing, orphans, mismatches, invalid, unreadable, tombstones)
   }
 
   /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files

@@ -41,9 +41,16 @@ import org.apache.spark.sql.functions._
   * evaluate to NULL and silently drop them — the suite pins this.
   *
   * Cost shape: ONE column-complete Spark job over exactly the hit
-  * files (they are being rewritten, so every column must move), plus a
-  * driver loop over the hit list reading staged parquet FOOTERS —
-  * never a per-file count-then-rewrite job pair, and never the table.
+  * files (they are being rewritten, so every column must move), plus
+  * staged parquet FOOTER reads over a bounded driver pool — never a
+  * per-file count-then-rewrite job pair, and never the table.
+  *
+  * Erasure is the store's ONE immediate physical deleter (rewrite
+  * maintenance tombstones; vacuum reclaims) — right-to-be-forgotten
+  * cannot defer: the commit is followed by log truncation and a sweep
+  * of every file the truncated history referenced (doomed originals
+  * AND accumulated tombstones, which may hold pre-update row versions
+  * of the erased keys).
   */
 object Erasure {
 
@@ -74,7 +81,7 @@ object Erasure {
     val hits = DataSkipping.candidateFiles(m, keyCol, keys,
       s"$dir/${DataSkipping.ManifestName}")
     if (hits.isEmpty) return ErasureReport(m.files.size, 0, 0, 0L)
-    val d = stageDropKeyRows(spark, dir, hits, keyCol, keys)
+    val d = stageDropKeyRows(spark, dir, hits, keyCol, keys, m.cols)
     if (d.untouched) return ErasureReport(m.files.size, 0, 0, 0L)
     try
       DataSkipping.patchManifest(spark, dir, d.removed, d.replacedNew,
@@ -87,15 +94,51 @@ object Erasure {
         deleteFiles(dir, d.replacedNew, conf)
         throw e
     }
-    // right-to-be-forgotten truncates the version LOG too: older
-    // manifests reference pre-erasure files and carry the erased keys'
-    // min/max/Bloom metadata — forgetting must forget history
-    DataSkipping.truncateVersions(spark, dir)
-    // doomed originals delete LAST, after the commit (delete-last
-    // protocol): a crash before the commit leaves them manifest-listed
-    // and intact; after it they are orphans pruned reads ignore
-    deleteFiles(dir, d.removed, conf)
+    forgetHistory(spark, dir, base + 1, conf)
     ErasureReport(m.files.size, d.replacedOld.size, d.emptied.size, d.rowsDeleted)
+  }
+
+  /** Right-to-be-forgotten post-commit teardown, shared by [[delete]]
+    * and [[deleteRange]] — the ONE place the store still deletes bytes
+    * outside [[DataSkipping.vacuumVersions]] (rewrite-shaped
+    * maintenance only tombstones). Forgetting must forget everything:
+    *  - every version file OLDER than the erasure's own commit
+    *    `committedV` deletes (those manifests reference the
+    *    pre-erasure files and carry the erased keys' min/max/Bloom
+    *    metadata);
+    *  - every part file that expired history referenced but no
+    *    surviving version does — the doomed originals AND every
+    *    accumulated TOMBSTONE — deletes physically: a tombstone from
+    *    an earlier upsert may hold a pre-update row version of an
+    *    erased key.
+    *
+    * Anchored on `committedV` (= the fence base + 1, which the CAS
+    * guarantees is OUR commit), never on "the newest version at
+    * teardown time": a concurrent writer may commit `committedV + 1`
+    * between our CAS and this teardown, and a newest-anchored
+    * truncate would then delete OUR version file — stranding our
+    * staged survivors as orphans — while a newest-anchored sweep
+    * could delete the concurrent winner's fresh files. Versions
+    * `>= committedV` (ours and anything built on it — the CAS chain
+    * means every later manifest derives from ours, so none carries
+    * erased-key metadata) survive untouched, and any old file their
+    * manifests still carry forward is in the keep set via OUR
+    * manifest. Safe against in-flight (uncommitted) writers too:
+    * only version-REFERENCED files are swept, and a writer's
+    * just-moved pre-commit files are referenced by no version.
+    */
+  private def forgetHistory(spark: SparkSession, dir: String,
+      committedV: Long,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val older = DataSkipping.listVersions(spark, dir).filter(_ < committedV)
+    val olderRefs = older.flatMap(v =>
+      DataSkipping.readManifestAt(spark, dir, v).files.map(_.file)).toSet
+    older.foreach(v =>
+      fs.delete(new Path(dir, DataSkipping.versionName(v)), false): Unit)
+    val keep = DataSkipping.listVersions(spark, dir).flatMap(v =>
+      DataSkipping.readManifestAt(spark, dir, v).files.map(_.file)).toSet
+    deleteFiles(dir, (olderRefs -- keep).toSeq.sorted, conf)
   }
 
   /** Retention / TTL enforcement — erase every row whose `keyCol` (a
@@ -135,7 +178,7 @@ object Erasure {
       f.mins(si) >= lo && f.maxs(si) <= hi &&
         f.nulls.nonEmpty && f.nulls(si) == 0L)
     val keep = col(keyCol).isNull || !col(keyCol).between(lo, hi)
-    val d = stageDropRows(spark, dir, partial, keep)
+    val d = stageDropRows(spark, dir, partial, keep, m.cols)
     val rowsDeleted = d.rowsDeleted + whole.map(_.rows).sum
     // the COMMIT comes first; ALL doomed files (listing-decided wholes
     // AND drop-pass files) delete AFTER it — the store's delete-last
@@ -156,8 +199,7 @@ object Erasure {
         deleteFiles(dir, d.replacedNew, conf) // staged orphans; store intact
         throw e
     }
-    DataSkipping.truncateVersions(spark, dir)
-    deleteFiles(dir, whole.map(_.file) ++ d.removed, conf)
+    forgetHistory(spark, dir, base + 1, conf)
     ErasureReport(m.files.size, d.replacedOld.size,
       whole.size + d.emptied.size, rowsDeleted)
   }
@@ -194,14 +236,14 @@ object Erasure {
     */
   private[sinks] def stageDropKeyRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats], keyCol: String,
-      keys: Seq[Any]): StagedDrop =
+      keys: Seq[Any], sortCols: Seq[String] = Nil): StagedDrop =
     if (keys.lengthCompare(IsinMaxKeys) <= 0)
       stageDropRows(spark, dir, hits,
-        col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+        col(keyCol).isNull || !col(keyCol).isin(keys: _*), sortCols)
     else
       stageDrop(spark, dir, hits, df =>
         df.join(broadcast(keyListDf(spark, keys, "__doomed")),
-          col(keyCol) === col("__doomed"), "left_anti"))
+          col(keyCol) === col("__doomed"), "left_anti"), sortCols)
 
   /** A driver key list as a one-column DataFrame (for the broadcast
     * semi/anti-join form of a big IN). Lists are homogeneous — they
@@ -240,22 +282,30 @@ object Erasure {
     * (tagged by `input_file_name`), filters to survivors, and writes
     * them partitioned by source file into a dot-tmp staging dir —
     * hit-sized, one job, instead of a count-then-rewrite pair of jobs
-    * per file. Per-source survivor counts come from the staged parquet
-    * FOOTERS (driver-side metadata reads, no extra job) and classify
-    * each hit: no survivors → emptied; all rows survive → false
-    * positive, staged copy discarded, original untouched; partial →
-    * the staged file moves into the directory under a fresh unique
-    * name, returned as `replacedNew`.
+    * per file. Survivors re-sort within each partition on `sortCols`
+    * (the manifest's stats columns): a hash-repartitioned rewrite
+    * would otherwise lose the within-file layout order every other
+    * write path establishes, silently degrading row-group skipping
+    * and scan locality on every file an upsert/erasure touches until
+    * a recluster. Per-source survivor counts come from the staged
+    * parquet FOOTERS (driver-side metadata reads over a bounded
+    * thread pool — a sequential loop would serialize O(hits) metadata
+    * RPCs on an object store) and classify each hit: no survivors →
+    * emptied; all rows survive → false positive, staged copy
+    * discarded, original untouched; partial → the staged file moves
+    * into the directory under a fresh unique name, returned as
+    * `replacedNew`.
     */
   private[sinks] def stageDropRows(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats],
-      keep: org.apache.spark.sql.Column): StagedDrop =
-    stageDrop(spark, dir, hits, _.filter(keep))
+      keep: org.apache.spark.sql.Column,
+      sortCols: Seq[String] = Nil): StagedDrop =
+    stageDrop(spark, dir, hits, _.filter(keep), sortCols)
 
   private def stageDrop(spark: SparkSession, dir: String,
       hits: Seq[DataSkipping.FileStats],
-      survive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : StagedDrop = {
+      survive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sortCols: Seq[String] = Nil): StagedDrop = {
     if (hits.isEmpty) return StagedDrop(Nil, Nil, Nil, 0L)
     val conf = spark.sessionState.newHadoopConf()
     val dirPath = new Path(dir)
@@ -273,6 +323,9 @@ object Erasure {
     // mostly-empty tasks on a 2-hit upsert
     survive(src.withColumn("__src", element_at(split(input_file_name(), "/"), -1)))
       .repartition(hits.size, col("__src"))
+      // keep per-source runs contiguous, then restore the within-file
+      // stats order the original clustered write established
+      .sortWithinPartitions(col("__src") +: sortCols.map(col): _*)
       .write.partitionBy("__src").mode(SaveMode.Overwrite).parquet(tmp.toString)
     // staged layout: tmp/__src=<file name>/part-...; a source with no
     // survivors writes no partition dir at all
@@ -288,13 +341,14 @@ object Erasure {
             .toIndexedSeq
           srcName -> parts
         }.toMap
+    val rowCounts = parquetRowCounts(stagedBySrc.values.flatten.toIndexedSeq, conf)
     var replacedOld = List.empty[String]
     var replacedNew = List.empty[String]
     var emptied = List.empty[String]
     var rowsDeleted = 0L
     hits.foreach { f =>
       val staged = stagedBySrc.getOrElse(f.file, Nil)
-      val kept = staged.map(parquetRowCount(_, conf)).sum
+      val kept = staged.map(rowCounts).sum
       rowsDeleted += f.rows - kept
       if (kept == 0) {
         emptied ::= f.file
@@ -302,7 +356,9 @@ object Erasure {
         staged.foreach { p =>
           val fresh = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
           val fc = FileContext.getFileContext(fs.getUri, conf)
-          fc.rename(p, new Path(dir, fresh))
+          val dst = new Path(dir, fresh)
+          fc.rename(p, dst)
+          DataSkipping.touchAppeared(fs, dst) // the sweep's age anchor
           replacedNew ::= fresh
         }
         replacedOld ::= f.file
@@ -327,6 +383,30 @@ object Erasure {
     try r.getRecordCount finally r.close()
   }
 
+  /** Footer row counts for the whole staged file list over a BOUNDED
+    * thread pool: each footer read is an independent metadata RPC, and
+    * a sequential driver loop serializes O(hits) of them — a 100k-hit
+    * erasure on an object store would pay ~100k round-trips one after
+    * another. 16 concurrent readers keeps the driver light while
+    * collapsing the wall time to hits/16 RPC rounds; local FS reads
+    * are fast either way, so the pool only ever helps.
+    */
+  private def parquetRowCounts(paths: IndexedSeq[Path],
+      conf: org.apache.hadoop.conf.Configuration): Map[Path, Long] = {
+    if (paths.isEmpty) return Map.empty
+    if (paths.size == 1) return Map(paths.head -> parquetRowCount(paths.head, conf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, paths.size))
+    try {
+      val futures = paths.map { p =>
+        p -> pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = parquetRowCount(p, conf)
+        })
+      }
+      futures.map { case (p, f) => p -> f.get() }.toMap
+    } finally pool.shutdownNow(): Unit
+  }
+
   /** Post-commit physical delete of files a drop pass emptied (and,
     * for [[deleteRange]], the listing-decided wholly-doomed set) — the
     * last step of every erasure/upsert, strictly AFTER the manifest
@@ -348,7 +428,7 @@ object Erasure {
     */
   private def sweepStaleTmp(dir: Path, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = dir.getFileSystem(conf)
-    val cutoff = System.currentTimeMillis() - DataSkipping.SweepGraceMs
+    val cutoff = System.currentTimeMillis() - DataSkipping.sweepGraceMs
     if (fs.exists(dir))
       fs.listStatus(dir)
         .filter(_.getModificationTime < cutoff)

@@ -265,7 +265,11 @@ class DataSkippingSpec extends SparkSuite {
               minRows = Long.MaxValue, targetFiles = 1 + rnd.nextInt(3)): Unit
             "compact"
         }
-        val got = spark.read.parquet(dir)
+        // manifest-driven read (the store's contract): upsert/compact
+        // leave tombstones on disk, so a bare directory read would see
+        // both generations — the manifest defines the table
+        val got = DataSkipping.readPruned(spark, dir,
+            Seq(("a", Long.MinValue, Long.MaxValue - 1)))
           .select("a", "b", "payload").orderBy("payload").collect().toSeq
         val want = state.sortBy(_._3)
           .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
@@ -296,11 +300,18 @@ class DataSkippingSpec extends SparkSuite {
     assert(m2.cols === Seq("k2"), "the stats config swaps with the layout")
     assert(m2.files.map(_.rows).sum === 4000L, "every row moves exactly once")
     assert(DataSkipping.readManifest(spark, dir) === m2)
-    // old files are gone; the directory holds exactly the new set
-    val onDisk = new java.io.File(dir).listFiles()
+    // the old generation stays as TOMBSTONES (pre-recluster snapshots
+    // keep serving) until vacuum expires their history and reclaims it
+    def onDisk() = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("part-")).toSet
-    assert(onDisk === m2.files.map(_.file).toSet)
-    assert(onDisk.intersect(oldFiles).isEmpty)
+    assert(oldFiles.subsetOf(onDisk()),
+      "pre-recluster files must tombstone, not vanish")
+    assert(DataSkipping.readPrunedAt(spark, dir,
+      Seq(("k1", 0L, 3999L)), 1L).count() === 4000L,
+      "the pre-recluster snapshot must stay serveable until vacuum")
+    DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+    assert(onDisk() === m2.files.map(_.file).toSet,
+      "vacuum reclaims the old generation exactly")
 
     // a narrow k2 range now prunes from the listing
     val pruned = DataSkipping.readPruned(spark, dir, Seq(("k2", 0L, 400L)))
@@ -566,14 +577,19 @@ class DataSkippingSpec extends SparkSuite {
     // same-version feed is empty
     assert(DataSkipping.changesBetween(spark, dir, 2L, 2L).count() === 0L)
     // an upsert REPLACES a hit file under new names (staged rewrite,
-    // never in place) and deletes the original post-commit — the
-    // snapshots referencing the deleted file invalidate
+    // never in place); the original becomes a TOMBSTONE still
+    // referenced by the older version manifests — so pre-upsert
+    // snapshots STAY valid (time travel and pinned readers survive)
+    // until vacuum expires them
     DataSkipping.upsertKeys(spark, dir, "k",
       Seq((5L, 999L)).toDF("k", "v"), col("k")): Unit
     val valid = DataSkipping.validVersions(spark, dir)
-    assert(!valid.contains(1L) && !valid.contains(2L),
-      s"pre-rewrite snapshots must be invalid, got $valid")
+    assert(valid.contains(1L) && valid.contains(2L),
+      s"tombstoned deletes must keep pre-upsert snapshots valid, got $valid")
     assert(valid.contains(DataSkipping.listVersions(spark, dir).last))
+    // and the pre-upsert snapshot still reads exactly (pinned reader)
+    assert(DataSkipping.readPrunedAt(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1)), 2L).count() === 150L)
     // TRUE-DELTA feed across the upsert (the version chain is intact,
     // so the walk uses rewrite provenance): the feed is EXACTLY the
     // upsert batch — the staged survivor file (origin=rewrite) and the
@@ -587,8 +603,10 @@ class DataSkippingSpec extends SparkSuite {
       "the chained feed across an upsert is exactly the batch")
     // an upsert that EMPTIES a whole hit file leaves NO survivor
     // rewrite (the provenance skip never engages) — the feed stays
-    // exactly the batch because the emptied original's bytes are gone
-    // and every one of its rows was re-ingested by the batch
+    // exactly the batch because a drop inside a surviving version
+    // chain is always rewrite-shaped (every emptied row's key was
+    // re-ingested by the batch; the tombstoned original is not a
+    // deletion)
     val v3 = DataSkipping.listVersions(spark, dir).last
     val small = DataSkipping.readManifest(spark, dir).files.minBy(_.rows)
     val allKeys = spark.read.parquet(s"$dir/${small.file}")
@@ -614,25 +632,22 @@ class DataSkippingSpec extends SparkSuite {
     // content, so the feed is EMPTY — not a 160-row re-assertion
     assert(DataSkipping.changesBetween(spark, dir, 2L, 3L).count() === 0L,
       "a pure reorganization step must be feed-invisible")
-    // a consumer synced at v1 pulls v1→v3: batch b2 entered at v2 but
-    // the compaction FOLDED its file away (this store deletes replaced
-    // originals eagerly), so the true-delta walk cannot read the
-    // v1→v2 step any more — the feed degrades to the conservative
-    // endpoint diff and re-asserts the folded content as idempotent
-    // inserts: nothing lost, every key arrives at least once
+    // a consumer synced at v1 pulls v1→v3: batch b2 entered at v2 and
+    // the compaction folded its file away from the LATEST manifest —
+    // but under tombstoned deletes the folded file still exists and
+    // the chain walk stays TRUE-DELTA across the reorganization: the
+    // feed is exactly b2, never a 160-row re-assertion (the r15
+    // verdict's law: a v1→vN feed stays true-delta across rewrites)
     val feed = DataSkipping.changesBetween(spark, dir, 1L, 3L)
     assert(feed.filter(col("__change") =!= "insert").count() === 0L)
     assert(feed.select("k").as[Long].collect().sorted.toSeq ===
-      (0L until 160L).toSeq,
-      "the endpoint fallback re-asserts the compacted content exactly once")
-    // vacuum the intermediate version: the chain breaks and the walk
-    // falls back to the conservative endpoint diff — rewrite-origin
-    // content re-emits as idempotent upsert-inserts, nothing is lost
+      (100L until 160L).toSeq,
+      "the chained feed across a compaction is exactly the ingested batch")
+    // vacuum the intermediate versions: expired history's tombstones
+    // are reclaimed and the chain is gone — the feed API is then out
+    // of range for v1 (documented horizon); the latest read still
+    // serves the full content
     DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
-    // (endpoint diff needs both manifests; only v3 survives vacuum, so
-    // the feed API is now out of range for v1 — the version files are
-    // gone, exactly the documented horizon bound. Nothing to assert
-    // beyond the read still serving the full content.)
     assert(DataSkipping.readPruned(spark, dir,
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 160L)
   }
@@ -643,9 +658,17 @@ class DataSkippingSpec extends SparkSuite {
     val b2 = (300L until 500L).map(i => (i, i * 2)).toDF("a", "p")
     DataSkipping.writeWithStats(b1, dir, col("a"), numFiles = 3, statsCols = Seq("a"))
     DataSkipping.appendWithStats(b2, dir, col("a"), numFiles = 2)
-    // plant an orphan (a crashed writer's leftover): vacuum removes it
+    // plant an orphan (a crashed writer's leftover). A YOUNG
+    // unreferenced file must SURVIVE vacuum (it is indistinguishable
+    // from a live concurrent writer's just-moved pre-commit file);
+    // backdated past the grace it is provably debris and goes.
     val orphan = Paths.get(dir, "part-orphan-crashed.parquet")
     Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(DataSkipping.vacuumVersions(spark, dir, retainLast = 2) === Nil,
+      "a young unreferenced file may be a live writer's — vacuum must skip it")
+    assert(Files.exists(orphan))
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DataSkipping.SweepGraceMs - 60000L)): Unit
     val deleted = DataSkipping.vacuumVersions(spark, dir, retainLast = 1)
     assert(deleted === Seq("part-orphan-crashed.parquet"))
     assert(!Files.exists(orphan))
@@ -972,6 +995,221 @@ class DataSkippingSpec extends SparkSuite {
     assert(DataSkipping.readPruned(spark, dir,
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() ===
       100L - victim.rows - halfKeys.size)
+  }
+
+  test("tombstoned deletes: vacuum is the only physical deleter; pinned snapshots survive upsert+compaction; fsck counts tombstones") {
+    val dir = tmpDir("graft-tombstone")
+    val b1 = (0L until 200L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(b1, dir, col("k"), numFiles = 4, statsCols = Seq("k"))
+    val v1Files = DataSkipping.readManifest(spark, dir).files.map(_.file).toSet
+    def onDisk() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    // upsert replaces one file; compaction folds everything
+    DataSkipping.upsertKeys(spark, dir, "k",
+      Seq((5L, 999L), (5000L, 1L)).toDF("k", "v"), col("k")): Unit
+    DataSkipping.compactSmallFiles(spark, dir, col("k"),
+      minRows = Long.MaxValue, targetFiles = 1): Unit
+    // NOTHING was physically deleted: every v1 file still on disk
+    assert(v1Files.subsetOf(onDisk()),
+      "rewrite maintenance must tombstone, never delete")
+    // every snapshot stays valid and reads exactly
+    assert(DataSkipping.validVersions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(DataSkipping.readPrunedAt(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1)), 1L)
+      .as[(Long, Long)].collect().toMap.apply(5L) === 5L,
+      "the pre-upsert snapshot must serve the pre-upsert value")
+    // fsck: tombstones are classified, NOT orphans, and the store is clean
+    val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+    assert(audit.clean, s"tombstones must not dirty the store: $audit")
+    assert(audit.orphanFiles.isEmpty && audit.tombstoneFiles.nonEmpty,
+      s"replaced files must report as tombstones: $audit")
+    // a maintenance sweep never collects them either (they are history)
+    DataSkipping.sweepOrphans(spark, dir)
+    assert(v1Files.subsetOf(onDisk()), "sweepOrphans must spare tombstones")
+    // vacuum expires the history and reclaims exactly the tombstones
+    val deleted = DataSkipping.vacuumVersions(spark, dir, retainLast = 1).toSet
+    assert(deleted === audit.tombstoneFiles.toSet,
+      "vacuum reclaims exactly the expired tombstones")
+    assert(DataSkipping.fsck(spark, dir, checkRows = true).tombstoneFiles.isEmpty)
+    assert(DataSkipping.readPruned(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 201L)
+  }
+
+  test("reader-vs-maintenance race: a scan pinned to the previous version survives a concurrent upsert commit (4 trials)") {
+    // The round-15 verdict's lead item: pre-tombstones, an upsert
+    // deleted its replaced originals immediately post-commit, so a
+    // long-running read planned from the previous manifest could die
+    // mid-scan with FileNotFoundException. Under tombstoned deletes
+    // the previous version's files persist until vacuum — the read
+    // must return the pinned version's EXACT content, every trial,
+    // with the upsert committing concurrently.
+    (1 to 4).foreach { trial =>
+      val dir = tmpDir(s"graft-race-read-$trial")
+      val base = (0L until 400L).map(i => (i, i)).toDF("k", "v")
+      DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 8,
+        statsCols = Seq("k")): Unit
+      val pinned = DataSkipping.currentVersion(spark, dir)
+      val start = new java.util.concurrent.CountDownLatch(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val reader = pool.submit(new java.util.concurrent.Callable[Map[Long, Long]] {
+        def call(): Map[Long, Long] = {
+          // plan BEFORE the barrier (the scan's file list is fixed at
+          // the pinned version), execute while the upsert runs
+          val df = DataSkipping.readPrunedAt(spark, dir,
+            Seq(("k", Long.MinValue, Long.MaxValue - 1)), pinned)
+          start.countDown(); start.await()
+          df.as[(Long, Long)].collect().toMap
+        }
+      })
+      val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val updates = (0L until 400L by 7L).map(k => (k, k + 100000L))
+            .toDF("k", "v")
+          start.countDown(); start.await()
+          DataSkipping.withFenceRetry(maxAttempts = 10) {
+            DataSkipping.upsertKeys(spark, dir, "k", updates, col("k"),
+              numFiles = 2)
+          }: Unit
+        }
+      })
+      try {
+        val got = reader.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        writer.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        assert(got === (0L until 400L).map(k => k -> k).toMap,
+          s"trial $trial: the pinned read must serve the pinned version exactly")
+      } finally pool.shutdownNow(): Unit
+      // and the upsert landed
+      assert(DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        .as[(Long, Long)].collect().toMap.apply(7L) === 100007L)
+    }
+  }
+
+  test("RTBF: erasure physically clears accumulated tombstones — old row versions of erased keys must not survive on disk") {
+    val dir = tmpDir("graft-rtbf-tomb")
+    val b1 = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(b1, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    // the upsert tombstones a file that still holds key 5's OLD row
+    DataSkipping.upsertKeys(spark, dir, "k",
+      Seq((5L, 999L)).toDF("k", "v"), col("k")): Unit
+    assert(DataSkipping.fsck(spark, dir).tombstoneFiles.nonEmpty)
+    // erase key 5: RTBF must remove the live row AND the tombstoned
+    // old version — a bare directory read (manifest or not) finds no
+    // trace of the key
+    Erasure.deleteKeys(spark, dir, "k", Seq(5L)): Unit
+    assert(DataSkipping.fsck(spark, dir).tombstoneFiles.isEmpty,
+      "erasure must clear tombstones (they may hold erased row versions)")
+    assert(spark.read.parquet(dir).filter(col("k") === 5L).count() === 0L,
+      "no on-disk byte may still hold the erased key")
+    assert(DataSkipping.listVersions(spark, dir).size === 1,
+      "erasure truncates history to its own commit")
+    assert(DataSkipping.readPruned(spark, dir,
+      Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 99L)
+  }
+
+  test("sweep age gate anchors on APPEARANCE time: a slow-written file re-stamps at move-in and survives the sweep") {
+    // rename preserves mtime, so a writer whose WRITE phase outlived
+    // the grace window used to move in files that were instantly
+    // sweep-eligible (ADVICE r16 medium). The movers now re-stamp
+    // mtime at the rename; this pins both halves of the fix.
+    val dir = tmpDir("graft-sweep-anchor")
+    val df = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the slow writer: a staged file carrying a write-time
+    // mtime far past the grace, renamed into the store dir (rename
+    // preserves the stale stamp), then re-stamped as the movers do
+    val staged = Paths.get(dir, ".append_tmp_slow")
+    Files.createDirectory(staged)
+    val f = staged.resolve("part-slow-writer.parquet")
+    Files.write(f, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - DataSkipping.SweepGraceMs - 120000L)): Unit
+    val dst = new org.apache.hadoop.fs.Path(dir, "part-slow-writer.parquet")
+    fs.rename(new org.apache.hadoop.fs.Path(f.toString), dst): Unit
+    assert(fs.getFileStatus(dst).getModificationTime <
+      System.currentTimeMillis() - DataSkipping.SweepGraceMs,
+      "fixture: rename must preserve the stale write-time mtime")
+    DataSkipping.touchAppeared(fs, dst)
+    assert(fs.getFileStatus(dst).getModificationTime >
+      System.currentTimeMillis() - 60000L,
+      "move-in must re-stamp to appearance time")
+    DataSkipping.sweepOrphans(spark, dir)
+    assert(Files.exists(Paths.get(dir, "part-slow-writer.parquet")),
+      "a just-appeared pre-commit file must survive the sweep")
+    // and the real movers apply the stamp: an upsert's staged survivor
+    // files land with fresh mtimes
+    DataSkipping.upsertKeys(spark, dir, "k",
+      Seq((5L, 999L)).toDF("k", "v"), col("k")): Unit
+    val cutoff = System.currentTimeMillis() - 60000L
+    DataSkipping.readManifest(spark, dir).files.foreach { mf =>
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, mf.file))
+        .getModificationTime > cutoff,
+        s"${mf.file}: moved-in files must carry appearance-time mtimes")
+    }
+    fs.delete(dst, false): Unit // cleanup the planted file
+  }
+
+  test("staged drop preserves the within-file layout order: an upsert survivor file stays sorted on the stats columns") {
+    val dir = tmpDir("graft-stage-sort")
+    // shuffled input so only the clustered write (and the survivor
+    // re-sort) can produce ordered files
+    val rnd = new scala.util.Random(5)
+    val df = rnd.shuffle((0L until 2000L).toList).map(i => (i, i)).toDF("k", "v")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    DataSkipping.upsertKeys(spark, dir, "k",
+      Seq((5L, 999L), (7L, 888L)).toDF("k", "v"), col("k"), numFiles = 1): Unit
+    val m = DataSkipping.readManifest(spark, dir)
+    // every manifest file (original, survivor rewrite, or batch) must
+    // be internally sorted on the stats column
+    m.files.foreach { f =>
+      val ks = spark.read.parquet(s"$dir/${f.file}")
+        .select("k").as[Long].collect().toSeq
+      assert(ks === ks.sorted,
+        s"${f.file}: within-file layout order lost (row-group skipping degrades)")
+    }
+  }
+
+  test("staged drop plan shape: ONE batched Spark job with a hit-sized shuffle — never a per-file job loop") {
+    val dir = tmpDir("graft-stage-plan")
+    val df = (0L until 4000L).map(i => (i, i)).toDF("k", "v")
+    val m = DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 8,
+      statsCols = Seq("k"))
+    // doom one key in EVERY file: 8 hits
+    val doomed = m.files.map(f => f.mins.head)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffleParts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        shuffleParts.add(ss.stageInfo.numTasks): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = Erasure.stageDropKeyRows(spark, dir, m.files, "k", doomed, m.cols)
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(300)
+      }
+      assert(d.replacedOld.size === 8)
+      // ONE batched write for the whole hit list — under AQE the
+      // shuffle materializes as its own job and the parquet read adds
+      // one more, so "one logical pass" shows as <= 4 scheduler jobs;
+      // a per-file loop would schedule >= 8 (one per hit). The footer
+      // classification runs zero jobs (driver-side metadata reads).
+      assert(jobs.get() <= 4,
+        s"staged drop must be one batched pass, saw ${jobs.get()} jobs for 8 hits")
+      // the shuffle is sized to the HIT LIST, not the session default
+      assert(shuffleParts.toArray(Array.empty[Integer]).exists(_ == 8),
+        s"expected a hits-sized (8-task) stage, saw ${shuffleParts.toArray.mkString(",")}")
+      // cleanup the staged orphans (nothing was committed here)
+      Erasure.deleteFiles(dir, d.replacedNew, spark.sessionState.newHadoopConf())
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("candidateFiles: 100k keys x 1k manifest entries is a driver-side blink, no false negatives, range-tight") {
