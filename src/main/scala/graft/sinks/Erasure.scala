@@ -84,8 +84,12 @@ object Erasure {
     val d = stageDropKeyRows(spark, dir, hits, keyCol, keys, m.cols)
     if (d.untouched) return ErasureReport(m.files.size, 0, 0, 0L)
     try
+      // forceCheckpoint: RTBF deletes the older version files, so the
+      // erasure's own commit must be a FULL manifest — a delta would
+      // need the predecessors erasure is about to destroy
       DataSkipping.patchManifest(spark, dir, d.removed, d.replacedNew,
-        Some(base), rewriteOrigin = d.replacedNew.toSet): Unit
+        Some(base), rewriteOrigin = d.replacedNew.toSet,
+        known = Some(m), forceCheckpoint = true): Unit
     catch {
       case e: java.util.ConcurrentModificationException =>
         // lost the CAS: the staged survivors are still orphans and every
@@ -191,9 +195,12 @@ object Erasure {
     // a manifest that references missing files — every pruned read of
     // the store would then fail.
     try
+      // forceCheckpoint: same RTBF rule as delete — the commit must
+      // stand alone once forgetHistory destroys its predecessors
       DataSkipping.patchManifest(spark, dir,
         whole.map(_.file) ++ d.removed, d.replacedNew, Some(base),
-        rewriteOrigin = d.replacedNew.toSet): Unit
+        rewriteOrigin = d.replacedNew.toSet,
+        known = Some(m), forceCheckpoint = true): Unit
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteFiles(dir, d.replacedNew, conf) // staged orphans; store intact

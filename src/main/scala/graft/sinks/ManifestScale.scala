@@ -62,12 +62,27 @@ object ManifestScale {
     val m = DataSkipping.readManifest(spark, dir)
     require(m.files.size == n, s"parse mismatch: ${m.files.size} != $n")
 
-    // patch: drop 5 entries, no rewritten files => zero data I/O; the
-    // timing is pure metadata (parse + diff + serialize + CAS commit)
-    val doomedNames = m.files.take(5).map(_.file)
-    val (_, patchS) = time(
-      DataSkipping.patchManifest(spark, dir, doomedNames, Nil,
-        Some(DataSkipping.currentVersion(spark, dir))))
+    // FULL-rewrite commit (the legacy path / checkpoint cost): drop 5
+    // entries, no rewritten files => zero data I/O; pure metadata
+    // (parse + diff + serialize whole + CAS commit)
+    val doomed1 = m.files.take(5).map(_.file)
+    val (_, patchFullS) = time(
+      DataSkipping.patchManifest(spark, dir, doomed1, Nil,
+        Some(DataSkipping.currentVersion(spark, dir)), forceCheckpoint = true))
+
+    // DELTA commit (the at-scale path, entries >= deltaThreshold):
+    // same hit-sized patch with the manifest already in hand (the
+    // shape every maintenance op has) — serialize KB, not the table
+    val m2 = DataSkipping.readManifest(spark, dir)
+    val doomed2 = m2.files.slice(5, 10).map(_.file)
+    val (_, patchDeltaS) = time(
+      DataSkipping.patchManifest(spark, dir, doomed2, Nil,
+        Some(DataSkipping.currentVersion(spark, dir)), known = Some(m2)))
+
+    // reconstruction read: latest is now a redirect -> checkpoint
+    // parse + delta apply (what every reader pays in delta mode)
+    val reconS = best(DataSkipping.readManifest(spark, dir))
+    require(DataSkipping.readManifest(spark, dir).files.size == n - 10)
 
     // candidate planning: 10k random keys against the 1M entries
     val rnd = new scala.util.Random(11)
@@ -80,7 +95,10 @@ object ManifestScale {
     val perEntryBytes = 2 * 8 * 2 + 2 * 8 + 40 + 64 // mins/maxs/nulls boxes + name + shell
     println(
       s"""{"entries":$n,"manifest_mb":${"%.1f".format(mb)},""" +
-        s""""read_s":${"%.3f".format(readS)},"patch_commit_s":${"%.3f".format(patchS)},""" +
+        s""""read_s":${"%.3f".format(readS)},""" +
+        s""""patch_full_commit_s":${"%.3f".format(patchFullS)},""" +
+        s""""patch_delta_commit_s":${"%.3f".format(patchDeltaS)},""" +
+        s""""reconstruct_read_s":${"%.3f".format(reconS)},""" +
         s""""candidate_10k_keys_s":${"%.3f".format(candS)},""" +
         s""""est_heap_mb":${"%.0f".format(n.toLong * perEntryBytes / 1e6)}}""")
     spark.stop()

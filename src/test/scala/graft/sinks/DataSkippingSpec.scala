@@ -1212,6 +1212,76 @@ class DataSkippingSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("checkpointed log: delta commits above the threshold are law-equal — time travel, feeds, vacuum, erasure all exact") {
+    // Force delta mode at toy scale: every commit from v2 on writes a
+    // KB delta (except each 4th version, a full checkpoint). The laws
+    // must be indistinguishable from the legacy full-rewrite log.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "4"
+    try {
+      val dir = tmpDir("graft-deltalog")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def all() = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+      // v1: initial write (always full — no predecessor)
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      // v2..v3: appends (deltas), v4: append (checkpoint boundary)
+      (1 to 3).foreach { b =>
+        DataSkipping.appendWithStats(
+          (100L * b until 100L * b + 50L).map(i => (i, i)).toDF("k", "v"),
+          dir, col("k"), numFiles = 1): Unit
+      }
+      assert(!DataSkipping.isDeltaVersion(fs, dir, 1L), "v1 must be full")
+      assert(DataSkipping.isDeltaVersion(fs, dir, 2L), "v2 must be a delta")
+      assert(DataSkipping.isDeltaVersion(fs, dir, 3L), "v3 must be a delta")
+      assert(!DataSkipping.isDeltaVersion(fs, dir, 4L),
+        "every checkpointEvery-th version must be a full checkpoint")
+      assert(all().count() === 250L)
+      // v5: an upsert (delta with removed+added) — reconstruction must
+      // apply the drop AND the adds
+      DataSkipping.upsertKeys(spark, dir, "k",
+        Seq((5L, 999L), (9999L, 1L)).toDF("k", "v"), col("k")): Unit
+      assert(DataSkipping.isDeltaVersion(fs, dir, 5L))
+      assert(all().as[(Long, Long)].collect().toMap.apply(5L) === 999L)
+      assert(all().count() === 251L)
+      // time travel reconstructs EVERY version exactly
+      val expect = Seq(100L, 150L, 200L, 250L, 251L)
+      (1 to 5).foreach { v =>
+        assert(DataSkipping.readPrunedAt(spark, dir,
+          Seq(("k", Long.MinValue, Long.MaxValue - 1)), v.toLong).count()
+          === expect(v - 1), s"version $v reconstruction")
+      }
+      assert(DataSkipping.validVersions(spark, dir) === Seq(1L, 2L, 3L, 4L, 5L))
+      // the chained feed across delta versions is still the true delta
+      val feed = DataSkipping.changesBetween(spark, dir, 2L, 5L)
+      assert(feed.filter(col("__change") =!= "insert").count() === 0L)
+      assert(feed.count() === 102L, "two appends (100) + the upsert batch (2)")
+      // fsck clean (tombstone from the upsert classified, not orphaned)
+      val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(audit.clean && audit.tombstoneFiles.nonEmpty, s"$audit")
+      // vacuum with the latest a DELTA: retention must extend back to
+      // its checkpoint (v4) so reconstruction survives
+      DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+      assert(DataSkipping.listVersions(spark, dir) === Seq(4L, 5L),
+        "retention extends to the checkpoint a kept delta chains through")
+      assert(all().count() === 251L)
+      assert(DataSkipping.readPrunedAt(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)), 5L).count() === 251L)
+      // erasure: forced checkpoint + history truncation stand alone
+      Erasure.deleteKeys(spark, dir, "k", Seq(7L, 107L)): Unit
+      assert(DataSkipping.listVersions(spark, dir) === Seq(6L))
+      assert(!DataSkipping.isDeltaVersion(fs, dir, 6L),
+        "an erasure commit must be a full checkpoint (its bases are destroyed)")
+      assert(all().count() === 249L)
+      assert(DataSkipping.fsck(spark, dir, checkRows = true).clean)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
   test("candidateFiles: 100k keys x 1k manifest entries is a driver-side blink, no false negatives, range-tight") {
     // the erasure-list shape the verdict flagged: a naive
     // keys-per-file loop is O(files x keys) = 1e8 here; the sorted
