@@ -242,7 +242,7 @@ object DataSkipping {
       maxKeys: Int = 1000000): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val base = currentVersion(spark, dir) // writer-fence base
-    val m = readManifest(spark, dir)
+    val m = readManifestBase(spark, dir, base) // at the base, never the pointer
     val keyRows = updates.select(col(keyCol)).limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
       s"update batch exceeds maxKeys=$maxKeys: upsertKeys is for " +
@@ -303,7 +303,7 @@ object DataSkipping {
     require(epochId >= 0, "epochId must be >= 0")
     val prefix = s"part-e$epochId-"
     val base = currentVersion(spark, dir) // writer-fence base
-    val m = readManifest(spark, dir)
+    val m = readManifestBase(spark, dir, base) // at the base, never the pointer
     if (m.files.exists(_.file.startsWith(prefix))) return m // committed
     // a crashed PRIOR attempt of THIS epoch may have half-landed files;
     // sweep exactly those (name-identified by the epoch prefix) and this
@@ -366,7 +366,7 @@ object DataSkipping {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     sweepOrphans(spark, dir)
     val base = currentVersion(spark, dir) // writer-fence base
-    val m = readManifest(spark, dir)
+    val m = readManifestBase(spark, dir, base) // at the base, never the pointer
     val smalls = m.files.filter(_.rows < minRows)
     if (smalls.size <= 1) return m
     val moved = moveInClustered(spark, dir, ".compact_tmp",
@@ -417,7 +417,7 @@ object DataSkipping {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     sweepOrphans(spark, dir)
     val base = currentVersion(spark, dir) // writer-fence base
-    val old = readManifest(spark, dir)
+    val old = readManifestBase(spark, dir, base) // at the base, never the pointer
     if (old.files.isEmpty) {
       val m = SkipManifest(statsCols, Vector.empty, bloomCols, bloomExpected, bloomFpp)
       writeManifestFile(spark, dir, m, Some(base))
@@ -595,9 +595,15 @@ object DataSkipping {
     // manifest under the same fence base: manifest and version are
     // 1:1, so if the CAS passes, the caller's copy was current — and
     // if it wasn't, the CAS throws before anything is written. At 1M
-    // entries this saves a full reconstruct per commit.
+    // entries this saves a full reconstruct per commit. Without
+    // `known`, a FENCED commit reads at its base version
+    // ([[readManifestBase]] — the immutable file, never the pointer,
+    // which can lag the log head after a crashed commit).
     val old = known.filter(_ => expectedBase.isDefined)
-      .getOrElse(readManifest(spark, dir))
+      .getOrElse(expectedBase match {
+        case Some(b) => readManifestBase(spark, dir, b)
+        case None => readManifest(spark, dir)
+      })
     val touched = (removedFiles ++ rewrittenFiles).toSet
     val kept = old.files.filterNot(f => touched.contains(f.file))
     val fresh =
@@ -654,6 +660,25 @@ object DataSkipping {
     */
   def currentVersion(spark: SparkSession, dir: String): Long =
     listVersions(spark, dir).lastOption.getOrElse(0L)
+
+  /** The manifest a FENCED WRITER must build on: the content at its
+    * fence `base`, read from the immutable version file — never the
+    * mutable latest pointer. The two can disagree after a crash
+    * between a commit's version-file CAS and its pointer swap: the
+    * version file (the CAS arbiter) then holds a commit the pointer
+    * never published. A writer that fenced on the log head but read
+    * the stale pointer would commit a delta the reconstruction applies
+    * ON TOP of the crashed version it never saw — survivors of a
+    * crashed upsert double-count under a later fold (the law pins
+    * this). Reading at the base adopts the crashed commit instead;
+    * the pointer self-heals at the next commit's swap, and readers in
+    * between serve the pointer's (older, committed, tombstone-intact)
+    * snapshot.
+    */
+  private[sinks] def readManifestBase(spark: SparkSession, dir: String,
+      base: Long): SkipManifest =
+    if (base == 0L) readManifest(spark, dir) // empty log: legacy error/empty semantics
+    else readManifestAt(spark, dir, base)
 
   /** OPTIMISTIC CONCURRENCY on top of the writer fence: run `op` (a
     * fenced maintenance operation on the store), and when it loses the
@@ -801,8 +826,18 @@ object DataSkipping {
     * [[readManifestAt]]'s reconstruction).
     *
     * Version file FIRST, latest second: the latest pointer is always
-    * backed by a version; a crash between the two leaves an extra
-    * version file, which is harmless (the log is append-only).
+    * backed by a version. A crash between the two leaves a version
+    * file the pointer never published — the COMMIT still stands,
+    * because the version file is the CAS arbiter every later writer
+    * fences against: the next fenced operation reads its manifest at
+    * that head ([[readManifestBase]]) and so ADOPTS the crashed
+    * commit, and its own pointer swap heals the pointer forward.
+    * Readers in the window serve the pointer's older snapshot, whose
+    * files tombstoning keeps intact. (Writers must never mix the
+    * head as a fence base with the pointer as content — in delta mode
+    * that commits a delta the reconstruction applies on top of the
+    * unseen crashed version; the crash-adoption law pins the
+    * double-count that caused.)
     */
   private def commitVersion(spark: SparkSession, outDir: String,
       bytes: Array[Byte], expectedBase: Option[Long],
@@ -1093,6 +1128,21 @@ object DataSkipping {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val versions = listVersions(spark, dir)
     var (drop, keep) = versions.splitAt(math.max(0, versions.size - retainLast))
+    // the latest POINTER may lag the log head by one crashed commit
+    // (version file landed, pointer swap lost — see
+    // [[readManifestBase]]): in delta mode it is a redirect whose
+    // target reconstructs through version files, so that target (and
+    // below, its chain) must stay retained or a vacuum inside the
+    // crash window breaks every pointer read until the next commit
+    // heals the pointer. Data files were always safe (`referenced`
+    // unions the pointer's file set); this keeps the METADATA the
+    // pointer needs alive too.
+    pointerRedirectTarget(fs, dir).foreach { pv =>
+      while (drop.nonEmpty && drop.last >= pv) {
+        keep = drop.last +: keep
+        drop = drop.dropRight(1)
+      }
+    }
     // delta chains: a kept DELTA version reconstructs through its
     // predecessors — retention extends back to the nearest full
     // checkpoint so no surviving version loses its base (the
@@ -1322,6 +1372,23 @@ object DataSkipping {
     readManifestFile(spark, new Path(dir, ManifestName))
 
   private val RedirectRe = """\{"redirect":(\d+)\}""".r
+
+  /** The version the latest pointer redirects to, if it is a
+    * delta-mode redirect (None for a legacy full-manifest pointer or
+    * a missing one). Reads only the pointer's first bytes.
+    */
+  private def pointerRedirectTarget(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Long] = {
+    val mf = new Path(dir, ManifestName)
+    if (!fs.exists(mf)) return None
+    val in = fs.open(mf)
+    val head = try {
+      val b = new Array[Byte](64)
+      val n = in.read(b)
+      new String(b, 0, math.max(n, 0), "UTF-8")
+    } finally in.close()
+    RedirectRe.findPrefixMatchOf(head).map(_.group(1).toLong)
+  }
 
   private def readManifestFile(spark: SparkSession, p: Path): SkipManifest = {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

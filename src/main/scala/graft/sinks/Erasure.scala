@@ -75,7 +75,7 @@ object Erasure {
       keys: Seq[Any]): ErasureReport = {
     require(keys.nonEmpty, "keys must be non-empty")
     val base = DataSkipping.currentVersion(spark, dir) // writer-fence base
-    val m = DataSkipping.readManifest(spark, dir)
+    val m = DataSkipping.readManifestBase(spark, dir, base) // at the base, never the pointer
     val conf = spark.sessionState.newHadoopConf()
     sweepStaleTmp(new Path(dir), conf)
     val hits = DataSkipping.candidateFiles(m, keyCol, keys,
@@ -170,7 +170,7 @@ object Erasure {
       lo: Long, hi: Long): ErasureReport = {
     require(lo <= hi, s"lo=$lo must be <= hi=$hi")
     val base = DataSkipping.currentVersion(spark, dir) // writer-fence base
-    val m = DataSkipping.readManifest(spark, dir)
+    val m = DataSkipping.readManifestBase(spark, dir, base) // at the base, never the pointer
     val si = m.cols.indexOf(keyCol)
     require(si >= 0, s"column '$keyCol' has no range stats in " +
       s"$dir/${DataSkipping.ManifestName} (stats cols: ${m.cols.mkString(", ")})")

@@ -1212,6 +1212,83 @@ class DataSkippingSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("crashed commit (version file landed, pointer swap lost): the next fenced writer adopts it — reads exact, rows never doubled or lost") {
+    // The crash window commitVersion documents: the version-file CAS
+    // lands, the process dies before the latest-pointer rename. The
+    // version file is then the durable arbiter — a later fenced writer
+    // MUST build on it (its base is the log head), never on the stale
+    // pointer content. Building on the pointer while fencing on the
+    // head is the corruption: in delta mode the later commit's delta
+    // would reconstruct ON TOP of the crashed version it never saw —
+    // a compaction folding the pre-crash file set then DOUBLES every
+    // row the crashed upsert's survivors carry. Exercised in both log
+    // formats; the pointer itself self-heals at the next commit's swap.
+    for ((mode, thresholdProp) <- Seq(("delta", Some("1")), ("legacy", None))) {
+      thresholdProp.foreach(v => sys.props("graft.store.deltaThreshold") = v)
+      sys.props("graft.store.checkpointEvery") = "100" // keep post-crash commits deltas
+      try {
+        val dir = tmpDir(s"graft-crashadopt-$mode")
+        val mf = Paths.get(dir, DataSkipping.ManifestName)
+        def all() = DataSkipping.readPruned(spark, dir,
+          Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        // v1: 100 rows in 2 files; v2: +50 rows
+        DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+          dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+        DataSkipping.appendWithStats(
+          (100L until 150L).map(i => (i, i)).toDF("k", "v"),
+          dir, col("k"), numFiles = 1): Unit
+        // v3 commits, but its pointer swap "crashes": restore the v2
+        // pointer bytes after the op (the version file stays — exactly
+        // the state a kill between CAS and rename leaves behind)
+        val pointerBeforeCrash = Files.readAllBytes(mf)
+        DataSkipping.upsertKeys(spark, dir, "k",
+          Seq((5L, 999L), (9999L, 1L)).toDF("k", "v"), col("k")): Unit
+        Files.write(mf, pointerBeforeCrash): Unit
+        Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
+        assert(DataSkipping.currentVersion(spark, dir) === 3L)
+        // a reader between the crash and the next commit serves the
+        // pointer's snapshot — v2, a committed state (files tombstoned,
+        // not deleted, so the scan is exact)
+        assert(all().count() === 150L, s"[$mode] pre-adoption reader")
+        // a vacuum INSIDE the crash window must not break pointer
+        // reads: in delta mode retention extends to the pointer's
+        // redirect target (and its chain), in legacy mode the
+        // self-contained pointer's data files are `referenced`-spared
+        DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+        assert(all().count() === 150L,
+          s"[$mode] pointer read broken by a crash-window vacuum")
+        // v4: a fenced compaction folding everything it sees. It must
+        // see v3 (its fence base), so the upsert survives the fold.
+        DataSkipping.compactSmallFiles(spark, dir, col("k"),
+          minRows = Long.MaxValue / 2, targetFiles = 1): Unit
+        val rows = all().as[(Long, Long)].collect()
+        assert(rows.length === 151,
+          s"[$mode] expected 151 rows post-adoption, got ${rows.length} — " +
+            "the crashed upsert was lost or its survivors double-counted")
+        val byKey = rows.groupBy(_._1)
+        assert(byKey.forall(_._2.length == 1),
+          s"[$mode] duplicated keys: ${byKey.filter(_._2.length > 1).keys.take(5).mkString(",")}")
+        assert(byKey(5L).head._2 === 999L, s"[$mode] upsert's update lost")
+        assert(byKey.contains(9999L), s"[$mode] upsert's insert lost")
+        // the pointer healed at v4's swap: a plain pointer read now
+        // serves the adopted lineage
+        assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 151L)
+        // any file the vacuum spared ONLY for the stale pointer is,
+        // after the heal, version-unreferenced debris — the age-gated
+        // sweep collects it on the next maintenance pass (grace forced
+        // to 0 to model the age-out); fsck is then clean
+        sys.props("graft.store.sweepGraceMs") = "0"
+        try DataSkipping.sweepOrphans(spark, dir)
+        finally sys.props.remove("graft.store.sweepGraceMs"): Unit
+        assert(DataSkipping.fsck(spark, dir, checkRows = true).clean,
+          s"[$mode] fsck after adoption")
+      } finally {
+        sys.props.remove("graft.store.deltaThreshold"): Unit
+        sys.props.remove("graft.store.checkpointEvery"): Unit
+      }
+    }
+  }
+
   test("checkpointed log: delta commits above the threshold are law-equal — time travel, feeds, vacuum, erasure all exact") {
     // Force delta mode at toy scale: every commit from v2 on writes a
     // KB delta (except each 4th version, a full checkpoint). The laws
