@@ -928,9 +928,14 @@ object LlmQueries {
     // data-sized. This gate builds the SAME index once per (session,
     // sfDir) — the model sidecar is the build marker, so bench passes
     // after the first reuse it — and every timed pass measures the
-    // partition-pruned serve path alone. Result and oracle are
-    // q121's exactly (same params, same corpus), so correctness stays
-    // value-anchored while the bench number isolates the serve slope.
+    // partition-pruned serve path alone, against a FIXED-SIZE probe
+    // set (the 100 lowest vec_ids — dense from 0 at every sf). A
+    // data-proportional probe set (q121's % 50) made the first sf1
+    // replay of this gate read superlinear (slope 1.77) purely
+    // because queries scaled 10× with the corpus; a serving system's
+    // QPS does not grow with corpus size, so the fixed batch is both
+    // the honest workload and the number that isolates the serve
+    // path's own data-side scaling.
     "q194_ivfpq_serve" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val tmp = gateScratchDir(s, "q194") +
@@ -939,7 +944,7 @@ object LlmQueries {
         Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
           cells = 4, m = 4, k = 4, iters = 2)
       Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+        queryPred = col("vec_id") < 100, topK = 10, nprobe = 1)
     }),
 
     // The index LIFECYCLE gate: train + write on the BASE corpus only,
@@ -2012,7 +2017,8 @@ object LlmQueries {
     * then ADC against only those cells' codes. (query, neighbor) stays
     * unique at any nprobe because a neighbor lives in exactly one cell.
     */
-  private def ivfPqScoredSql(nprobe: Int, tag: String = ""): String = {
+  private def ivfPqScoredSql(nprobe: Int, tag: String = "",
+      queryWhere: String = "q.id % 50 = 0"): String = {
     def adcDist(j: Int): String =
       s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
          |      i -> (qs$tag.s$j[i] - b$j.qv[i]) * (qs$tag.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
@@ -2021,7 +2027,7 @@ object LlmQueries {
        |  FROM q JOIN (SELECT id, c FROM d2
        |    QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) <= $nprobe) r
        |    ON q.id = r.id
-       |  WHERE q.id % 50 = 0),
+       |  WHERE $queryWhere),
        |scored$tag AS (SELECT qs$tag.query_id, cand.neighbor_id,
        |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
        |  FROM cand JOIN qs$tag ON cand.cell = qs$tag.cell
@@ -3063,9 +3069,11 @@ object LlmQueries {
          |WHERE rk <= 10""".stripMargin,
 
     // q194 serves the same persisted index as q121 (build memoized
-    // out of the timed path) — identical result, identical oracle.
+    // out of the timed path) against a FIXED 100-probe batch
+    // (vec_id < 100) — the serve-slope clock's workload.
     "q194_ivfpq_serve" ->
-      s"""WITH $ivfPqChainSql
+      s"""WITH $ivfPqBaseSql,
+         |${ivfPqScoredSql(1, queryWhere = "q.id < 100")}
          |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
