@@ -1083,13 +1083,22 @@ object DataSkipping {
     // upsert-inserts.
     val chainPlans: Option[Seq[(Seq[String], Seq[String])]] =
       if (!(fromV to toV).forall(versions.contains)) None
-      else {
+      else try {
         val plans = (fromV until toV).map(v =>
           planDelta(readManifestAt(spark, dir, v),
             readManifestAt(spark, dir, v + 1), trueDelta = true))
         val readable = plans.iterator.flatMap(p => p._1 ++ p._2)
           .forall(onDisk.contains)
         if (readable) Some(plans) else None
+      } catch {
+        // the listing above is a snapshot: a concurrent vacuum can
+        // expire an INTERMEDIATE version file between it and the
+        // per-step read here, and a writer crashed mid-create can
+        // leave a truncated (unparsable) version file in the chain.
+        // Both break only the true-delta WALK — the endpoints were
+        // already read above — so the feed degrades to the
+        // conservative endpoint diff instead of failing the job.
+        case scala.util.control.NonFatal(_) => None
       }
     val parts = chainPlans match {
       case Some(plans) => plans.flatMap(materialize)

@@ -620,6 +620,40 @@ class DataSkippingSpec extends SparkSuite {
       "an emptying upsert's feed is exactly its batch — no deletes, no losses")
   }
 
+  test("change feed: an unreadable INTERMEDIATE version degrades the walk to the endpoint diff; an unreadable ENDPOINT fails loudly") {
+    // Two ways a chain step's version file can be unreadable at the
+    // walk's read even though the pre-walk listing saw it: a vacuum
+    // that won the listing-to-read race, and a writer crashed
+    // mid-create (truncated bytes). Both must cost only the
+    // true-delta property — the feed degrades to the conservative
+    // endpoint diff — never the job. An unreadable ENDPOINT is
+    // different: the consumer asked for a diff against a state that
+    // cannot be reconstructed, and that must stay loud.
+    val dir = tmpDir("graft-feed-trunc")
+    DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    DataSkipping.appendWithStats(
+      (100L until 150L).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1): Unit
+    DataSkipping.appendWithStats(
+      (150L until 180L).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1): Unit
+    // intact chain first: the 1->3 feed is the two appended batches
+    assert(DataSkipping.changesBetween(spark, dir, 1L, 3L).count() === 80L)
+    // truncate the INTERMEDIATE version file (zero bytes)
+    val v2 = Paths.get(dir, DataSkipping.versionName(2L))
+    val v2Bytes = Files.readAllBytes(v2)
+    Files.write(v2, Array.empty[Byte]): Unit
+    val feed = DataSkipping.changesBetween(spark, dir, 1L, 3L)
+    assert(feed.count() === 80L,
+      "the degraded endpoint diff must still carry the added content")
+    assert(feed.filter(col("__change") =!= "insert").count() === 0L)
+    // an unreadable ENDPOINT stays loud
+    Files.write(v2, v2Bytes): Unit
+    Files.write(Paths.get(dir, DataSkipping.versionName(1L)), Array.empty[Byte]): Unit
+    intercept[IllegalStateException] {
+      DataSkipping.changesBetween(spark, dir, 1L, 3L).count()
+    }
+  }
+
   test("change feed provenance: reorganizations are feed-invisible; content ingested then compacted still arrives exactly once") {
     val dir = tmpDir("graft-feed-prov")
     val b1 = (0L until 100L).map(i => (i, i)).toDF("k", "v")
