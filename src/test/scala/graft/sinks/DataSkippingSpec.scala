@@ -765,49 +765,75 @@ class DataSkippingSpec extends SparkSuite {
       Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 100L)
   }
 
-  test("optimistic concurrency: racing appenders all commit under withFenceRetry; no batch is lost, torn, or duplicated") {
-    val dir = tmpDir("graft-occ")
-    val base = (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "writer")
-    DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 2,
-      statsCols = Seq("k")): Unit
+  test("optimistic concurrency: racing appenders all commit under withFenceRetry; no batch is lost, torn, or duplicated — both log formats") {
+    // Runs once in the legacy single-file log and once in delta mode
+    // with a checkpoint boundary landing MID-RACE (checkpointEvery=3:
+    // v3 is a full checkpoint among the racers' delta commits), so the
+    // CAS, the redirect pointer, and reconstruction are all exercised
+    // under genuine contention.
+    for ((mode, thresholdProp) <- Seq(("legacy", None), ("delta", Some("1")))) {
+      thresholdProp.foreach(v => sys.props("graft.store.deltaThreshold") = v)
+      if (thresholdProp.isDefined) sys.props("graft.store.checkpointEvery") = "3"
+      try {
+        val dir = tmpDir(s"graft-occ-$mode")
+        val base = (0 until 100).map(i => (i.toLong, 0L)).toDF("k", "writer")
+        DataSkipping.writeWithStats(base, dir, col("k"), numFiles = 2,
+          statsCols = Seq("k")): Unit
 
-    // four writers, each appending a distinct batch, all released at
-    // once: the fence serializes the commits, withFenceRetry replays
-    // the losers, and the self-cleaning loser protocol leaves zero
-    // debris. 4 writers × 25 rows, batches disjoint by construction.
-    val start = new java.util.concurrent.CountDownLatch(4)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val futures = (1 to 4).map { w =>
-      pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
-          val batch = (0 until 25)
-            .map(i => (1000L * w + i, w.toLong)).toDF("k", "writer")
-          start.countDown(); start.await()
-          DataSkipping.withFenceRetry(maxAttempts = 10) {
-            DataSkipping.appendWithStats(batch, dir, col("k"), numFiles = 1)
-          }
-          w.toLong
+        // four writers, each appending a distinct batch, all released at
+        // once: the fence serializes the commits, withFenceRetry replays
+        // the losers, and the self-cleaning loser protocol leaves zero
+        // debris. 4 writers × 25 rows, batches disjoint by construction.
+        val start = new java.util.concurrent.CountDownLatch(4)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val futures = (1 to 4).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              val batch = (0 until 25)
+                .map(i => (1000L * w + i, w.toLong)).toDF("k", "writer")
+              start.countDown(); start.await()
+              DataSkipping.withFenceRetry(maxAttempts = 10) {
+                DataSkipping.appendWithStats(batch, dir, col("k"), numFiles = 1)
+              }
+              w.toLong
+            }
+          })
         }
-      })
-    }
-    try futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
-    finally pool.shutdownNow()
+        try futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        finally pool.shutdownNow()
 
-    // every batch fully present exactly once
-    val got = DataSkipping.readPruned(spark, dir,
-      Seq(("k", Long.MinValue, Long.MaxValue - 1)))
-    assert(got.count() === 200L)
-    val perWriter = got.groupBy("writer").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(perWriter === Map(0L -> 100L, 1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L))
-    // the log advanced once per committed append, serialized
-    assert(DataSkipping.currentVersion(spark, dir) === 5L)
-    // zero debris: losers deleted their own moved files; nothing
-    // orphaned, nothing missing, counts exact
-    val audit = DataSkipping.fsck(spark, dir, checkRows = true)
-    assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
-      audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
-      s"concurrent appends must leave a clean store: $audit")
+        // every batch fully present exactly once
+        val got = DataSkipping.readPruned(spark, dir,
+          Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        assert(got.count() === 200L, s"[$mode]")
+        val perWriter = got.groupBy("writer").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(perWriter === Map(0L -> 100L, 1L -> 25L, 2L -> 25L, 3L -> 25L, 4L -> 25L),
+          s"[$mode]")
+        // the log advanced once per committed append, serialized
+        assert(DataSkipping.currentVersion(spark, dir) === 5L, s"[$mode]")
+        if (thresholdProp.isDefined) {
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          assert(!DataSkipping.isDeltaVersion(fs, dir, 3L),
+            "the mid-race checkpoint boundary must be a full checkpoint")
+          assert((2L to 5L).exists(v => v != 3L &&
+            DataSkipping.isDeltaVersion(fs, dir, v)),
+            "racing commits above the threshold must write deltas")
+          // every intermediate version reconstructs exactly
+          (1L to 5L).foreach(v => DataSkipping.readManifestAt(spark, dir, v): Unit)
+        }
+        // zero debris: losers deleted their own moved files; nothing
+        // orphaned, nothing missing, counts exact
+        val audit = DataSkipping.fsck(spark, dir, checkRows = true)
+        assert(audit.missingFiles.isEmpty && audit.orphanFiles.isEmpty &&
+          audit.rowMismatches.isEmpty && audit.unreadableFiles.isEmpty,
+          s"[$mode] concurrent appends must leave a clean store: $audit")
+      } finally {
+        sys.props.remove("graft.store.deltaThreshold"): Unit
+        sys.props.remove("graft.store.checkpointEvery"): Unit
+      }
+    }
   }
 
   test("optimistic concurrency: upsert racing append — CAS serializes, the loser re-runs staged-clean, nothing lost or torn (4 trials)") {
