@@ -678,7 +678,54 @@ object DataSkipping {
   private[sinks] def readManifestBase(spark: SparkSession, dir: String,
       base: Long): SkipManifest =
     if (base == 0L) readManifest(spark, dir) // empty log: legacy error/empty semantics
-    else readManifestAt(spark, dir, base)
+    else try readManifestAt(spark, dir, base) catch {
+      case e: IllegalStateException if quarantineCrashedHead(spark, dir, base, e) =>
+        // the unparsable file was the never-published log HEAD (a
+        // writer crashed mid-create, truncating its bytes) — it is now
+        // quarantined; re-anchor on the restored head. The caller's
+        // fence base is stale, so its commit will CME once and retry
+        // clean under withFenceRetry — liveness restored without an
+        // operator, and nothing published was touched.
+        readManifestBase(spark, dir, currentVersion(spark, dir))
+    }
+
+  /** LIVENESS repair for the one crash residue that would otherwise
+    * brick every fenced maintenance op: a writer killed mid-create of
+    * its version file leaves unparsable bytes at the log head, and
+    * since fenced writers read at the head ([[readManifestBase]]),
+    * every subsequent op would fail its base read forever. Quarantine
+    * (rename to `.corrupt`, keeping forensics) is safe ONLY under all
+    * of:
+    *  - the failing file IS the version we are reading (the corrupt
+    *    error names it) — a parse failure deeper in a delta chain
+    *    means a PUBLISHED predecessor rotted, which no repair can
+    *    reconstruct: stays loud;
+    *  - it is the current log HEAD — nothing chains through it yet;
+    *  - the latest pointer does not redirect to it — unpublished by
+    *    construction (the crash happened before the pointer swap; a
+    *    published pointer is always backed by the bytes that parsed
+    *    at commit time);
+    *  - it is older than [[sweepGraceMs]] — a LIVE writer sits between
+    *    its open(O_EXCL) and close for microseconds, never minutes.
+    * Racing repairers are benign: the rename is atomic, the loser's
+    * missing-source failure still reports "head changed, retry".
+    */
+  private def quarantineCrashedHead(spark: SparkSession, dir: String,
+      base: Long, cause: IllegalStateException): Boolean = {
+    val msg = Option(cause.getMessage).getOrElse("")
+    if (!msg.contains(versionName(base))) return false
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (listVersions(spark, dir).lastOption != Some(base)) return false
+    if (pointerRedirectTarget(fs, dir).contains(base)) return false
+    val vf = new Path(dir, versionName(base))
+    val age = try System.currentTimeMillis() - fs.getFileStatus(vf).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return true } // raced: already repaired
+    if (age < sweepGraceMs) return false
+    try fs.rename(vf, new Path(dir, versionName(base) + ".corrupt")): Unit
+    catch { case _: java.io.IOException => () } // loser of a repair race
+    !listVersions(spark, dir).lastOption.contains(base)
+  }
 
   /** OPTIMISTIC CONCURRENCY on top of the writer fence: run `op` (a
     * fenced maintenance operation on the store), and when it loses the
@@ -949,6 +996,9 @@ object DataSkipping {
         else names.split(',').map(_.stripPrefix("\"").stripSuffix("\"")).toSet
       case _ => corrupt(s"bad header '${lines.head}'")
     }
+    // same terminator law as parseManifest: a line-boundary-truncated
+    // delta must fail loudly, never apply minus its tail entries
+    if (lines.last != "]}") corrupt("missing ']}' terminator (truncated write)")
     val added = parseEntries(lines.tail.dropRight(1),
       base.cols.length, base.bloomCols.length, corrupt)
     base.copy(files =
@@ -1433,6 +1483,11 @@ object DataSkipping {
           if (bf == null) DefaultBloomFpp else bf.toDouble)
       case _ => corrupt(s"bad header '${lines.head}'")
     }
+    // the serialized form always ends with a `]}` line: a write
+    // truncated at a LINE boundary would otherwise parse silently
+    // minus its tail entries (FileRe tolerates the joining comma) —
+    // silent file loss on read. Truncation must be LOUD.
+    if (lines.last != "]}") corrupt("missing ']}' terminator (truncated write)")
     val files = parseEntries(lines.tail.dropRight(1),
       cols.length, bloomCols.length, corrupt)
     SkipManifest(cols, files, bloomCols, bloomExpected, bloomFpp)

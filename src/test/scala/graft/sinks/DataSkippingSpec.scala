@@ -1349,6 +1349,73 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("truncated manifest bytes are LOUD, and an unparsable never-published head quarantines: maintenance stays live") {
+    // Half 1 — truncation detection: a write cut at a LINE boundary
+    // used to parse silently minus its tail entries (the entry regex
+    // tolerates the joining comma and the closing `]}` was dropped
+    // unchecked) — silent file loss on every read. It must throw.
+    val dirA = tmpDir("graft-trunc-loud")
+    DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      dirA, col("k"), numFiles = 4, statsCols = Seq("k"))
+    val mfA = Paths.get(dirA, DataSkipping.ManifestName)
+    val whole = new String(Files.readAllBytes(mfA), "UTF-8")
+    val truncated = whole.linesIterator.toVector.dropRight(2).mkString("\n")
+    Files.write(mfA, truncated.getBytes("UTF-8")): Unit
+    Files.deleteIfExists(Paths.get(dirA, s".${DataSkipping.ManifestName}.crc")): Unit
+    val loud = intercept[IllegalStateException] {
+      DataSkipping.readManifest(spark, dirA)
+    }
+    assert(loud.getMessage.contains("truncated"),
+      s"line-boundary truncation must be loud, got: ${loud.getMessage}")
+
+    // Half 2 — liveness: a writer crashed mid-create leaves an
+    // unparsable file at the log HEAD; fenced writers read at the head
+    // (crash adoption), so without repair every maintenance op is
+    // bricked forever. The head is never-published (the pointer swap
+    // never ran), so it quarantines (.corrupt, forensics kept) and the
+    // op retries clean under the standard fence-retry discipline.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "100"
+    sys.props("graft.store.sweepGraceMs") = "0" // age-gate: test clock
+    try {
+      val dirB = tmpDir("graft-trunc-live")
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dirB, col("k"), numFiles = 2, statsCols = Seq("k"))
+      DataSkipping.appendWithStats(
+        (100L until 150L).map(i => (i, i)).toDF("k", "v"), dirB, col("k"), 1): Unit
+      // the crashed head: v3's bytes cut mid-stream, pointer untouched
+      val v2Bytes = Files.readAllBytes(Paths.get(dirB, DataSkipping.versionName(2L)))
+      Files.write(Paths.get(dirB, DataSkipping.versionName(3L)),
+        v2Bytes.take(v2Bytes.length / 2)): Unit
+      assert(DataSkipping.currentVersion(spark, dirB) === 3L)
+      // a fenced append: first attempt quarantines + CMEs (its fence
+      // base was the corrupt head), the retry commits clean
+      DataSkipping.withFenceRetry(maxAttempts = 5) {
+        DataSkipping.appendWithStats(
+          (150L until 175L).map(i => (i, i)).toDF("k", "v"), dirB, col("k"), 1)
+      }
+      assert(DataSkipping.readPruned(spark, dirB,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 175L)
+      // the quarantined residue is out of the log but kept on disk
+      assert(DataSkipping.listVersions(spark, dirB) === Seq(1L, 2L, 3L),
+        "the freed head number recommits")
+      assert(Files.exists(Paths.get(dirB, DataSkipping.versionName(3L) + ".corrupt")),
+        "forensics kept")
+      assert(DataSkipping.fsck(spark, dirB, checkRows = true).clean)
+      // readers never repair: time travel to a corrupt NON-head (make
+      // v2 corrupt out-of-band) stays loud
+      Files.write(Paths.get(dirB, DataSkipping.versionName(2L)),
+        v2Bytes.take(3)): Unit
+      intercept[IllegalStateException] {
+        DataSkipping.readManifestAt(spark, dirB, 2L)
+      }
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+      sys.props.remove("graft.store.sweepGraceMs"): Unit
+    }
+  }
+
   test("checkpointed log: delta commits above the threshold are law-equal — time travel, feeds, vacuum, erasure all exact") {
     // Force delta mode at toy scale: every commit from v2 on writes a
     // KB delta (except each 4th version, a full checkpoint). The laws
