@@ -486,7 +486,11 @@ object DataSkipping {
   private[sinks] def touchAppeared(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Unit =
     try fs.setTimes(p, System.currentTimeMillis(), -1)
-    catch { case _: UnsupportedOperationException => () }
+    // several Hadoop FileSystems surface unsupported/failed setTimes
+    // as plain IOException rather than UnsupportedOperationException;
+    // the documented degradation (raw mtime + a raised sweepGraceMs)
+    // must apply there too instead of failing a healthy append
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Minimum age before the orphan sweeps may collect an unlisted part
     * file or staging dir: anything younger might be a LIVE concurrent
@@ -514,10 +518,12 @@ object DataSkipping {
     * Metadata-sized (one small JSON per commit).
     */
   private[sinks] def versionReferencedFiles(spark: SparkSession,
-      dir: String): Set[String] =
-    (readManifest(spark, dir).files.map(_.file) ++
-      listVersions(spark, dir).flatMap(v =>
-        readManifestAt(spark, dir, v).files.map(_.file))).toSet
+      dir: String): Set[String] = {
+    val b = Set.newBuilder[String]
+    b ++= readManifest(spark, dir).files.map(_.file)
+    foldVersions(spark, dir)((_, m) => b ++= m.files.map(_.file)): Unit
+    b.result()
+  }
 
   /** Delete part files present on disk but referenced by NO committed
     * version — the leftovers of a crash between a writer's move and
@@ -682,11 +688,24 @@ object DataSkipping {
       case e: IllegalStateException if quarantineCrashedHead(spark, dir, base, e) =>
         // the unparsable file was the never-published log HEAD (a
         // writer crashed mid-create, truncating its bytes) — it is now
-        // quarantined; re-anchor on the restored head. The caller's
-        // fence base is stale, so its commit will CME once and retry
-        // clean under withFenceRetry — liveness restored without an
-        // operator, and nothing published was touched.
-        readManifestBase(spark, dir, currentVersion(spark, dir))
+        // quarantined. FENCE, don't re-anchor: the caller captured
+        // `base` before calling here, so returning the v(base−1)
+        // manifest would hand it a (base, manifest) pair that
+        // disagrees — and while it stages (Spark jobs, seconds), a
+        // concurrent fenced writer can legitimately recommit a FRESH
+        // v`base`, which this caller's eventual CAS would then pass
+        // against (the fence compares version NUMBERS, not file
+        // identity) and silently build over — a lost update (dropped
+        // batch in checkpoint mode, unrewritten duplicate keys in
+        // delta mode). Throwing the fence's own signal instead makes
+        // withFenceRetry re-run the op, which re-captures base and
+        // manifest as a consistent pair — liveness restored without
+        // an operator, and nothing published was touched.
+        throw new java.util.ConcurrentModificationException(
+          s"crashed head ${versionName(base)} of $dir quarantined: this " +
+            "operation's fence base no longer exists (and its number may " +
+            "be recommitted by a concurrent writer) — re-read the " +
+            "manifest and re-run")
     }
 
   /** LIVENESS repair for the one crash residue that would otherwise
@@ -983,6 +1002,43 @@ object DataSkipping {
     } else parseManifest(text, p)
   }
 
+  /** Fold the version log FORWARD in one pass over `[fromV, toV]`:
+    * each version file is read and parsed exactly ONCE — the first
+    * in-range version anchors via [[readManifestAt]] (one bounded
+    * chain walk), every later delta applies incrementally on top of
+    * the running manifest, every later checkpoint re-parses fresh —
+    * and each reconstructed (version, manifest) streams through `f`.
+    * Whole-log passes (vacuum, fsck's referenced-file set,
+    * [[validVersions]], the feed's pairwise walk) previously called
+    * [[readManifestAt]] PER VERSION, each call re-walking its delta
+    * chain back to a checkpoint — at the 1M-entry scale the
+    * checkpointed log targets that is O(versions × multi-second
+    * checkpoint parse), largely negating the delta-commit win. The
+    * fold makes a whole-log pass cost one parse per log file.
+    */
+  private[sinks] def foldVersions[A](spark: SparkSession, dir: String,
+      fromV: Long = 1L, toV: Long = Long.MaxValue)(
+      f: (Long, SkipManifest) => A): Seq[A] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var cur: Option[SkipManifest] = None
+    var prevV = Long.MinValue
+    listVersions(spark, dir).filter(v => v >= fromV && v <= toV).map { v =>
+      val p = new Path(dir, versionName(v))
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val m =
+        if (!text.startsWith("""{"delta":""")) parseManifest(text, p)
+        else cur match {
+          case Some(base) if prevV == v - 1 => applyDelta(base, text, p)
+          // range start (or a defensive log gap): ONE anchored chain walk
+          case _ => readManifestAt(spark, dir, v)
+        }
+      cur = Some(m)
+      prevV = v
+      f(v, m)
+    }
+  }
+
   private val DeltaHeaderRe = """\{"delta":true,"removed":\[([^\]]*)\],"files":\[""".r
 
   private def applyDelta(base: SkipManifest, text: String, p: Path): SkipManifest = {
@@ -1045,9 +1101,11 @@ object DataSkipping {
   def validVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val present = listPartFiles(spark, dir).toSet
     val latest = readManifest(spark, dir).files.map(f => f.file -> f).toMap
-    listVersions(spark, dir).filter(v =>
-      readManifestAt(spark, dir, v).files.forall(f =>
+    foldVersions(spark, dir)((v, m) =>
+      if (m.files.forall(f =>
         present.contains(f.file) && latest.get(f.file).forall(_ == f)))
+        Some(v)
+      else None).flatten
   }
 
   // (log truncation lives in Erasure.forgetHistory, anchored on the
@@ -1134,9 +1192,12 @@ object DataSkipping {
     val chainPlans: Option[Seq[(Seq[String], Seq[String])]] =
       if (!(fromV to toV).forall(versions.contains)) None
       else try {
-        val plans = (fromV until toV).map(v =>
-          planDelta(readManifestAt(spark, dir, v),
-            readManifestAt(spark, dir, v + 1), trueDelta = true))
+        // ONE forward fold over [fromV, toV] (each version file parsed
+        // once) instead of two chain-walking readManifestAt per step
+        val stepped = foldVersions(spark, dir, fromV, toV)((_, m) => m)
+        val plans = stepped.sliding(2).collect {
+          case Seq(ma, mb) => planDelta(ma, mb, trueDelta = true)
+        }.toIndexedSeq
         val readable = plans.iterator.flatMap(p => p._1 ++ p._2)
           .forall(onDisk.contains)
         if (readable) Some(plans) else None
@@ -1210,12 +1271,20 @@ object DataSkipping {
       keep = drop.last +: keep
       drop = drop.dropRight(1)
     }
-    // capture what the dropped versions referenced BEFORE their files go
-    val dropReferenced = drop.flatMap(v =>
-      readManifestAt(spark, dir, v).files.map(_.file)).toSet
+    // ONE forward fold classifies every version's file set (vs a
+    // per-version readManifestAt chain re-walk — O(versions ×
+    // checkpoint parse) at the 1M-entry scale), and it runs BEFORE
+    // the dropped version files are deleted, which the fold's
+    // incremental delta application needs anyway
+    val dropSet = drop.toSet
+    var dropReferenced = Set.empty[String]
+    var keepReferenced = Set.empty[String]
+    foldVersions(spark, dir) { (v, m) =>
+      if (dropSet.contains(v)) dropReferenced ++= m.files.map(_.file)
+      else keepReferenced ++= m.files.map(_.file)
+    }: Unit
     drop.foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
-    val referenced = keep.flatMap(v =>
-      readManifestAt(spark, dir, v).files.map(_.file)).toSet ++
+    val referenced = keepReferenced ++
       readManifest(spark, dir).files.map(_.file).toSet
     val cutoff = System.currentTimeMillis() - sweepGraceMs
     val doomed = fs.listStatus(p).toIndexedSeq
@@ -1442,9 +1511,18 @@ object DataSkipping {
     if (!fs.exists(mf)) return None
     val in = fs.open(mf)
     val head = try {
+      // a single in.read may legally return SHORT on HCFS streams; a
+      // short head would fail the redirect match and silently disarm
+      // vacuum's crash-window retention and the quarantine guard —
+      // read until 64 bytes or EOF
       val b = new Array[Byte](64)
-      val n = in.read(b)
-      new String(b, 0, math.max(n, 0), "UTF-8")
+      var off = 0
+      var n = in.read(b, off, b.length - off)
+      while (n > 0) {
+        off += n
+        n = if (off < b.length) in.read(b, off, b.length - off) else -1
+      }
+      new String(b, 0, off, "UTF-8")
     } finally in.close()
     RedirectRe.findPrefixMatchOf(head).map(_.group(1).toLong)
   }

@@ -1388,8 +1388,19 @@ class DataSkippingSpec extends SparkSuite {
       Files.write(Paths.get(dirB, DataSkipping.versionName(3L)),
         v2Bytes.take(v2Bytes.length / 2)): Unit
       assert(DataSkipping.currentVersion(spark, dirB) === 3L)
-      // a fenced append: first attempt quarantines + CMEs (its fence
-      // base was the corrupt head), the retry commits clean
+      // the quarantine path must FENCE (throw CME), never re-anchor:
+      // returning the v2 manifest while the caller keeps base=3 would
+      // let a concurrent writer's fresh v3 be silently built over by
+      // this writer's later CAS (the fence compares version NUMBERS
+      // only) — a lost update. The CME hands the retry loop a clean
+      // re-read instead.
+      intercept[java.util.ConcurrentModificationException] {
+        DataSkipping.readManifestBase(spark, dirB, 3L)
+      }
+      assert(DataSkipping.currentVersion(spark, dirB) === 2L,
+        "the corrupt head is quarantined by the fenced read")
+      // a fenced append: under the retry discipline the op commits
+      // clean against the restored head
       DataSkipping.withFenceRetry(maxAttempts = 5) {
         DataSkipping.appendWithStats(
           (150L until 175L).map(i => (i, i)).toDF("k", "v"), dirB, col("k"), 1)
