@@ -938,7 +938,31 @@ object DataSkipping {
     fc.rename(new Path(outDir, s".$ManifestName.tmp"),
       new Path(outDir, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // brand the directory at its FIRST commit (covers every init path —
+    // writeWithStats, exportSnapshot, legacy writeManifest): the marker
+    // is the on-disk hint that this directory is MANIFEST-DEFINED. A
+    // bare spark.read.parquet(dir) on a store that has seen upserts or
+    // compactions silently includes tombstoned files; readers must go
+    // through readPruned/readPrunedKeys/readPrunedAt. Best-effort: a
+    // marker-write failure never fails a commit that already stands.
+    if (next == 1L)
+      try {
+        val mk = fs.create(new Path(outDir, StoreMarkerName), true)
+        try mk.write(StoreMarkerText.getBytes("UTF-8")) finally mk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** On-disk hint that a directory is a manifest-defined skipping store
+    * (written at the first commit): directory-level parquet reads see
+    * tombstones; use the manifest-driven readers.
+    */
+  val StoreMarkerName = "_GRAFT_STORE"
+  private val StoreMarkerText: String =
+    "This directory is a manifest-defined skipping store: the table is\n" +
+      "the file set named by _skip_manifest.json, NOT the directory\n" +
+      "listing. After upserts/compactions a bare parquet read of the\n" +
+      "directory includes tombstoned (replaced) files. Read through\n" +
+      "DataSkipping.readPruned / readPrunedKeys / readPrunedAt.\n"
 
   /** Atomic create-no-overwrite of the version file — the arbiter the
     * whole CAS rests on, so it must be GENUINELY exclusive. Hadoop's
@@ -1106,6 +1130,124 @@ object DataSkipping {
         present.contains(f.file) && latest.get(f.file).forall(_ == f)))
         Some(v)
       else None).flatten
+  }
+
+  /** Per-version log health in ONE resilient forward pass: `Right(m)`
+    * when the version reconstructs, `Left(cause)` when its own bytes
+    * are unparsable OR its delta chain passes through a broken
+    * predecessor (transitively: every delta downstream of a corpse is
+    * broken until the next full checkpoint re-anchors). Never throws
+    * on corrupt content — this is the diagnostic walk behind [[fsck]]
+    * and [[recoverLog]]; [[readManifestAt]] stays loud for readers.
+    */
+  private[sinks] def logHealth(spark: SparkSession,
+      dir: String): Seq[(Long, Either[String, SkipManifest])] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var cur: Option[SkipManifest] = None
+    var prevV = Long.MinValue
+    listVersions(spark, dir).map { v =>
+      val p = new Path(dir, versionName(v))
+      val r: Either[String, SkipManifest] =
+        try {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (!text.startsWith("""{"delta":""")) Right(parseManifest(text, p))
+          else cur match {
+            case Some(base) if prevV == v - 1 => Right(applyDelta(base, text, p))
+            case None if prevV == v - 1 =>
+              Left(s"delta over broken v$prevV")
+            // log gap / range start: one anchored chain walk
+            case _ => Right(readManifestAt(spark, dir, v))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      cur = r.toOption
+      prevV = v
+      (v, r)
+    }
+  }
+
+  /** [[recoverLog]] outcome: `quarantined` version files renamed to
+    * `.corrupt` (forensics kept), `head` the log head after recovery,
+    * `rolledBackFrom` the pre-recovery head when the live table had to
+    * roll back (its commits were unreconstructible), `orphanedFiles`
+    * the part files those lost commits left behind — on disk, readable,
+    * re-appendable by the operator via [[patchManifest]] (or swept by
+    * the next age-gated maintenance pass if abandoned).
+    */
+  final case class RecoverReport(quarantined: Seq[Long], head: Long,
+      rolledBackFrom: Option[Long], orphanedFiles: Seq[String])
+
+  /** RECOVERY for a rotted MID-CHAIN version file — the one corruption
+    * class the head-quarantine liveness repair cannot touch: a
+    * published CHECKPOINT (or delta) whose bytes rotted after commit
+    * leaves every delta downstream of it unreconstructible until the
+    * next full checkpoint, so delta-mode reads of those versions fail
+    * loudly with no in-engine path forward. (Such a corpse can only be
+    * post-publication rot: a file truncated at COMMIT time is never
+    * published — the next fenced writer quarantines it at the head.)
+    *
+    * Two cases:
+    *  - the LIVE head still reconstructs (a later checkpoint
+    *    re-anchored the chain): the broken zone is history-only.
+    *    Quarantine its version files; the live table is untouched,
+    *    every still-reconstructible version reads exactly, time travel
+    *    to the zone (already broken) now reports the versions as gone.
+    *  - the head itself is in the broken zone: the latest commits'
+    *    METADATA is unrecoverable (their part files survive on disk).
+    *    Refuses by default — rolling back loses those commits — and
+    *    with `allowRollback = true` quarantines the zone, re-commits
+    *    the last reconstructible manifest as a FULL checkpoint (so the
+    *    latest pointer is valid again), and reports the lost commits'
+    *    files as `orphanedFiles` for operator re-append.
+    *
+    * Fenced like any maintenance op: the rollback commit CASes on the
+    * post-quarantine head, so a concurrent writer makes it retry.
+    * Quarantine renames are atomic; racing repairers are benign (the
+    * loser's rename fails on a missing source).
+    */
+  def recoverLog(spark: SparkSession, dir: String,
+      allowRollback: Boolean = false): RecoverReport = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val health = logHealth(spark, dir)
+    val broken = health.collect { case (v, Left(_)) => v }
+    val head = health.lastOption.map(_._1).getOrElse(0L)
+    if (broken.isEmpty) return RecoverReport(Nil, head, None, Nil)
+    val headGood = health.last._2.isRight
+    val good = health.collect { case (v, Right(_)) => v }
+    if (!headGood) {
+      require(good.nonEmpty,
+        s"no reconstructible version remains in $dir — the log is " +
+          "beyond in-engine recovery; rebuild the manifest from known-" +
+          "good data via writeManifest (tombstones will re-surface)")
+      require(allowRollback,
+        s"the live head v$head of $dir reconstructs through broken " +
+          s"version(s) ${broken.mkString(", ")} — recovery must ROLL " +
+          s"BACK to v${good.last}, losing the commits in between " +
+          s"(their part files survive as re-appendable orphans). " +
+          "Re-run with allowRollback = true to accept that.")
+    }
+    broken.foreach { v =>
+      try fs.rename(new Path(dir, versionName(v)),
+        new Path(dir, versionName(v) + ".corrupt")): Unit
+      catch { case _: java.io.IOException => () } // racing repairer
+    }
+    if (headGood) RecoverReport(broken, head, None, Nil)
+    else {
+      val newBase = good.last
+      val m = health.collectFirst { case (`newBase`, Right(mm)) => mm }.get
+      // the latest pointer may redirect into the quarantined zone:
+      // re-commit the recovered state as a full checkpoint so the
+      // pointer is valid again (fenced — quarantine made newBase the
+      // current head, and the corpse's renamed version number is free)
+      writeManifestFile(spark, dir, m, Some(newBase))
+      val live = versionReferencedFiles(spark, dir)
+      val orphans = listPartFiles(spark, dir).filterNot(live.contains).sorted
+      RecoverReport(broken, newBase + 1, Some(head), orphans)
+    }
   }
 
   // (log truncation lives in Erasure.forgetHistory, anchored on the
@@ -1308,11 +1450,24 @@ object DataSkipping {
     * [[vacuumVersions]] reclaims them (NOT a defect: `clean` stays
     * true), `rowMismatches` are (file, manifestRows, actualRows)
     * disagreements (corruption or an out-of-band write),
-    * `invalidVersions` are log entries time travel can no longer serve.
+    * `invalidVersions` are log entries time travel can no longer serve
+    * (files removed/rewritten, or the version's own bytes broken —
+    * [[recoverLog]] is the repair for the latter).
+    *
+    * Informational fields (do not flip `clean`):
+    * `quarantinedVersions` — `.corrupt` corpses a past repair kept for
+    * forensics; `pointerLag` — how many commits the latest pointer
+    * trails the log head (1 inside the window of a commit crashed
+    * between its version-file CAS and pointer swap: readers serve the
+    * previous committed snapshot until the next commit heals it; −1 =
+    * undeterminable); `vacuumOverdue` — tombstone bytes exceed live
+    * bytes (run [[vacuumVersions]]).
     */
   final case class FsckReport(missingFiles: Seq[String], orphanFiles: Seq[String],
       rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long],
-      unreadableFiles: Seq[String] = Nil, tombstoneFiles: Seq[String] = Nil) {
+      unreadableFiles: Seq[String] = Nil, tombstoneFiles: Seq[String] = Nil,
+      quarantinedVersions: Seq[Long] = Nil, pointerLag: Int = 0,
+      vacuumOverdue: Boolean = false) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanFiles.isEmpty &&
         rowMismatches.isEmpty && invalidVersions.isEmpty &&
@@ -1339,10 +1494,22 @@ object DataSkipping {
     */
   def fsck(spark: SparkSession, dir: String, checkRows: Boolean = false): FsckReport = {
     val m = readManifest(spark, dir)
-    val onDisk = listPartFiles(spark, dir).toSet
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses = if (hfs.exists(p)) hfs.listStatus(p).toIndexedSeq else IndexedSeq.empty
+    val sizes = statuses.map(s => s.getPath.getName -> s.getLen).toMap
+    val onDisk = statuses.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.endsWith(".crc")).toSet
     val listed = m.files.map(_.file).toSet
     val missing = m.files.map(_.file).filterNot(onDisk)
-    val historic = versionReferencedFiles(spark, dir)
+    // RESILIENT health walk (never throws on a rotted version file —
+    // the audit must report that state, not crash on it): referenced
+    // sets come from the reconstructible versions; broken ones land in
+    // invalidVersions below
+    val health = logHealth(spark, dir)
+    val historic = (m.files.map(_.file) ++ health.collect {
+      case (_, Right(hm)) => hm.files.map(_.file)
+    }.flatten).toSet
     val (tombstones, orphans) =
       onDisk.toSeq.sorted.filterNot(listed).partition(historic.contains)
     val (mismatches, unreadable) =
@@ -1380,9 +1547,37 @@ object DataSkipping {
           (mm, bad)
         }
       }
-    val valid = validVersions(spark, dir).toSet
-    val invalid = listVersions(spark, dir).filterNot(valid)
-    FsckReport(missing, orphans, mismatches, invalid, unreadable, tombstones)
+    // time-travel validity, from the (already computed) health walk:
+    // same rule as validVersions, plus broken-bytes versions
+    val latestByName = m.files.map(f => f.file -> f).toMap
+    val invalid = health.collect {
+      case (v, Left(_)) => v
+      case (v, Right(hm)) if !hm.files.forall(f =>
+        onDisk.contains(f.file) && latestByName.get(f.file).forall(_ == f)) => v
+    }
+    val quarantined = statuses.map(_.getPath.getName).collect {
+      case n if n.endsWith(".corrupt") =>
+        n.stripSuffix(".corrupt") match {
+          case VersionRe(v) => Some(v.toLong)
+          case _ => None
+        }
+    }.flatten.sorted
+    val head = health.lastOption.map(_._1).getOrElse(0L)
+    val lag: Int =
+      if (health.isEmpty) 0
+      else pointerRedirectTarget(hfs, dir) match {
+        case Some(t) => (head - t).toInt
+        case None =>
+          // full-bytes pointer: identify which version's content it
+          // holds by structural equality against the walk
+          health.reverseIterator.collectFirst {
+            case (v, Right(hm)) if hm == m => (head - v).toInt
+          }.getOrElse(-1)
+      }
+    val liveBytes = m.files.iterator.flatMap(f => sizes.get(f.file)).sum
+    val tombBytes = tombstones.iterator.flatMap(sizes.get).sum
+    FsckReport(missing, orphans, mismatches, invalid, unreadable, tombstones,
+      quarantined, lag, tombBytes > liveBytes && tombBytes > 0L)
   }
 
   /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files
@@ -1610,8 +1805,33 @@ object DataSkipping {
     * layout only decides how many files the listing keeps.
     */
   def readPruned(spark: SparkSession, dir: String,
-      bounds: Seq[(String, Long, Long)]): DataFrame =
+      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    warnIfPointerLags(spark, dir)
     readPrunedWith(spark, dir, readManifest(spark, dir), bounds)
+  }
+
+  /** Crash-window staleness OBSERVABILITY (the design keeps read-side
+    * repair out — it would race the commit path): between a commit's
+    * version-file CAS and its pointer swap, readers serve the previous
+    * committed snapshot, bounded by commit cadence. Detection is two
+    * tiny RPCs (64-byte pointer head + one exists probe), delta-mode
+    * pointers only (full-bytes pointers would need a manifest compare —
+    * [[fsck]]'s `pointerLag` covers those), and best-effort: never
+    * throws, never blocks the read.
+    */
+  private def warnIfPointerLags(spark: SparkSession, dir: String): Unit =
+    try {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      pointerRedirectTarget(fs, dir).foreach { t =>
+        if (fs.exists(new Path(dir, versionName(t + 1))))
+          log.warn(s"latest pointer of $dir lags the version log (serves " +
+            s"v$t while v${t + 1} is committed — a writer crashed between " +
+            "its version-file CAS and pointer swap): reading the previous " +
+            "committed snapshot until the next commit heals the pointer")
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def readPrunedWith(spark: SparkSession, dir: String, m: SkipManifest,
       bounds: Seq[(String, Long, Long)]): DataFrame = {

@@ -1310,6 +1310,11 @@ class DataSkippingSpec extends SparkSuite {
         // pointer's snapshot — v2, a committed state (files tombstoned,
         // not deleted, so the scan is exact)
         assert(all().count() === 150L, s"[$mode] pre-adoption reader")
+        // staleness is OBSERVABLE: fsck surfaces the pointer trailing
+        // the log head by exactly the crashed commit (readers never
+        // repair it — that would race the commit path)
+        assert(DataSkipping.fsck(spark, dir).pointerLag === 1,
+          s"[$mode] crash-window pointer lag not reported")
         // a vacuum INSIDE the crash window must not break pointer
         // reads: in delta mode retention extends to the pointer's
         // redirect target (and its chain), in legacy mode the
@@ -1331,8 +1336,10 @@ class DataSkippingSpec extends SparkSuite {
         assert(byKey(5L).head._2 === 999L, s"[$mode] upsert's update lost")
         assert(byKey.contains(9999L), s"[$mode] upsert's insert lost")
         // the pointer healed at v4's swap: a plain pointer read now
-        // serves the adopted lineage
+        // serves the adopted lineage, and the reported lag returns to 0
         assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 151L)
+        assert(DataSkipping.fsck(spark, dir).pointerLag === 0,
+          s"[$mode] pointer lag must heal at the next commit")
         // any file the vacuum spared ONLY for the stale pointer is,
         // after the heal, version-unreferenced debris — the age-gated
         // sweep collects it on the next maintenance pass (grace forced
@@ -1425,6 +1432,129 @@ class DataSkippingSpec extends SparkSuite {
       sys.props.remove("graft.store.checkpointEvery"): Unit
       sys.props.remove("graft.store.sweepGraceMs"): Unit
     }
+  }
+
+  test("mid-chain rotted checkpoint: fsck reports without crashing, recoverLog quarantines the zone, every still-valid version reads exactly") {
+    // Post-publication rot of an INTERMEDIATE version file (a file
+    // truncated at commit time is never published — the head
+    // quarantine handles that): every delta downstream of the corpse
+    // is unreconstructible until the next full checkpoint. The store
+    // must (a) audit that state without crashing, (b) repair it via
+    // recoverLog when the LIVE head is unaffected, (c) keep every
+    // still-reconstructible version value-exact through the repair.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-midchain-rot")
+      def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
+        (lo until hi).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1)
+      def countAt(v: Long) = DataSkipping.readPrunedAt(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)), v).count()
+      // v1 full(init), v2 delta, v3 CHECKPOINT, v4 delta, v5 delta,
+      // v6 CHECKPOINT, v7 delta — counts 100/150/175/185/190/195/200
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      app(100, 150); app(150, 175); app(175, 185)
+      app(185, 190); app(190, 195); app(195, 200): Unit
+      // rot the v3 checkpoint AFTER publication
+      val v3p = Paths.get(dir, DataSkipping.versionName(3L))
+      val v3Bytes = Files.readAllBytes(v3p)
+      Files.write(v3p, v3Bytes.take(v3Bytes.length / 2)): Unit
+      // the live head (anchored at the v6 checkpoint) is unaffected
+      assert(DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 200L)
+      // the audit reports the whole broken zone [corpse, next ckpt)
+      // instead of crashing on the first unparsable version
+      val pre = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(pre.invalidVersions === Seq(3L, 4L, 5L), s"got $pre")
+      assert(!pre.clean)
+      // loud for direct readers, in the whole zone
+      intercept[IllegalStateException] { DataSkipping.readManifestAt(spark, dir, 4L) }
+      // recovery: live head good -> history-only repair, no rollback
+      val rep = DataSkipping.recoverLog(spark, dir)
+      assert(rep.quarantined === Seq(3L, 4L, 5L))
+      assert(rep.rolledBackFrom.isEmpty && rep.orphanedFiles.isEmpty)
+      assert(DataSkipping.listVersions(spark, dir) === Seq(1L, 2L, 6L, 7L))
+      assert(Files.exists(Paths.get(dir, DataSkipping.versionName(3L) + ".corrupt")),
+        "forensics kept")
+      // every surviving version reads value-exact across the gap
+      assert(countAt(1L) === 100L); assert(countAt(2L) === 150L)
+      assert(countAt(6L) === 195L); assert(countAt(7L) === 200L)
+      assert(DataSkipping.validVersions(spark, dir) === Seq(1L, 2L, 6L, 7L))
+      // the audit is clean again and classifies the corpses
+      val post = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(post.clean, s"got $post")
+      assert(post.quarantinedVersions === Seq(3L, 4L, 5L))
+      // maintenance liveness: the next fenced commit lands normally
+      app(200, 205): Unit
+      assert(DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count() === 205L)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("rotted checkpoint under the LIVE head: recoverLog refuses silently losing commits, rollback is explicit, orphans re-append") {
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-head-rot")
+      def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
+        (lo until hi).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1)
+      def total() = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count()
+      // v1 full, v2 delta, v3 CHECKPOINT, v4 delta, v5 delta (head) —
+      // counts 100/150/175/185/190
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      app(100, 150); app(150, 175); app(175, 185); app(185, 190): Unit
+      val v3p = Paths.get(dir, DataSkipping.versionName(3L))
+      val v3Bytes = Files.readAllBytes(v3p)
+      Files.write(v3p, v3Bytes.take(v3Bytes.length / 2)): Unit
+      // the HEAD reconstructs through the corpse: its commits' metadata
+      // is genuinely lost. Recovery must not silently discard them.
+      intercept[IllegalArgumentException] { DataSkipping.recoverLog(spark, dir) }
+      val rep = DataSkipping.recoverLog(spark, dir, allowRollback = true)
+      assert(rep.quarantined === Seq(3L, 4L, 5L))
+      assert(rep.rolledBackFrom === Some(5L))
+      // rolled back to v2's content, re-committed as a full checkpoint
+      // (v3 — the corpse's freed number) so the latest pointer is valid
+      assert(rep.head === 3L)
+      assert(total() === 150L)
+      assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 150L)
+      // the lost commits' part files survive as re-appendable orphans
+      assert(rep.orphanedFiles.size === 3)
+      // ... and the documented runbook works: re-append them hit-sized
+      DataSkipping.patchManifest(spark, dir, Nil, rep.orphanedFiles,
+        Some(DataSkipping.currentVersion(spark, dir))): Unit
+      assert(total() === 190L, "re-appended orphans restore the lost rows")
+      val post = DataSkipping.fsck(spark, dir, checkRows = true)
+      assert(post.clean, s"got $post")
+      assert(post.quarantinedVersions === Seq(3L, 4L, 5L))
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("store marker written at init; fsck flags vacuum-overdue when tombstone bytes exceed live bytes") {
+    val dir = tmpDir("graft-marker")
+    DataSkipping.writeWithStats((0L until 200L).map(i => (i, i)).toDF("k", "v"),
+      dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+    // the on-disk hint that this directory is manifest-defined (a bare
+    // spark.read.parquet(dir) on an upserted store includes tombstones)
+    assert(Files.exists(Paths.get(dir, DataSkipping.StoreMarkerName)),
+      "init must brand the directory")
+    assert(!DataSkipping.fsck(spark, dir).vacuumOverdue)
+    // two whole-table rewrites -> two tombstoned generations > live
+    DataSkipping.recluster(spark, dir, col("k"), 2, Seq("k")): Unit
+    DataSkipping.recluster(spark, dir, col("k"), 2, Seq("k")): Unit
+    assert(DataSkipping.fsck(spark, dir).vacuumOverdue,
+      "two tombstoned generations must flag vacuum as overdue")
+    DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+    assert(!DataSkipping.fsck(spark, dir).vacuumOverdue,
+      "vacuum reclaims the tombstones and clears the flag")
   }
 
   test("checkpointed log: delta commits above the threshold are law-equal — time travel, feeds, vacuum, erasure all exact") {
