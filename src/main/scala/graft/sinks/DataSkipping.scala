@@ -521,7 +521,12 @@ object DataSkipping {
       dir: String): Set[String] = {
     val b = Set.newBuilder[String]
     b ++= readManifest(spark, dir).files.map(_.file)
-    foldVersions(spark, dir)((_, m) => b ++= m.files.map(_.file)): Unit
+    // anchor: cumulative state at the log start (the first retained
+    // version may be a delta whose base was truncated away) — one
+    // bounded chain walk; own-names cover every later entry event
+    listVersions(spark, dir).headOption.foreach(first =>
+      b ++= readManifestAt(spark, dir, first).files.map(_.file))
+    versionOwnNames(spark, dir)((_, ns) => b ++= ns)
     b.result()
   }
 
@@ -1170,6 +1175,50 @@ object DataSkipping {
     }
   }
 
+  /** Stream each version file's OWN entry names (a checkpoint's full
+    * listing, a delta's added names) in log order — the primitive
+    * behind the referenced-name unions ([[vacuumVersions]], the orphan
+    * sweep): a name present at ANY version entered it via the log
+    * start, a delta add, or a checkpoint listing at-or-before that
+    * version, so `union of cumulative states over a version RANGE =
+    * cumulative state at the range start (the caller's one anchored
+    * [[readManifestAt]]) ∪ own-names of the range's files`. No
+    * cumulative reconstruction, no per-version O(table) work — a
+    * 10k-version backlog costs one cheap parse per log FILE. Name
+    * extraction is a prefix/indexOf scan (the full-entry regex is the
+    * dominant cost when 100k-entry checkpoints are re-listed every
+    * K-th version); truncation stays LOUD via the same header +
+    * terminator laws as the full parser — a deleter must never act on
+    * a partial picture ([[recoverLog]] is the repair).
+    */
+  private[sinks] def versionOwnNames(spark: SparkSession, dir: String)(
+      f: (Long, Seq[String]) => Unit): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    listVersions(spark, dir).foreach { v =>
+      val p = new Path(dir, versionName(v))
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def corrupt(why: String): Nothing =
+        throw new IllegalStateException(s"corrupt skip manifest $p: $why")
+      val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+      if (lines.isEmpty) corrupt("empty")
+      val headerOk =
+        if (text.startsWith("""{"delta":"""))
+          DeltaHeaderRe.pattern.matcher(lines.head).matches()
+        else ColsRe.pattern.matcher(lines.head).matches()
+      if (!headerOk) corrupt(s"bad header '${lines.head}'")
+      if (lines.last != "]}") corrupt("missing ']}' terminator (truncated write)")
+      val pre = "{\"file\":\""
+      f(v, lines.tail.dropRight(1).map { l =>
+        if (!l.startsWith(pre)) corrupt(s"bad file line '$l'")
+        val e = l.indexOf('"', pre.length)
+        if (e < 0) corrupt(s"bad file line '$l'")
+        l.substring(pre.length, e)
+      })
+    }
+  }
+
   /** [[recoverLog]] outcome: `quarantined` version files renamed to
     * `.corrupt` (forensics kept), `head` the log head after recovery,
     * `rolledBackFrom` the pre-recovery head when the live table had to
@@ -1413,18 +1462,28 @@ object DataSkipping {
       keep = drop.last +: keep
       drop = drop.dropRight(1)
     }
-    // ONE forward fold classifies every version's file set (vs a
+    // referenced-name unions in ONE cheap own-names pass (vs a
     // per-version readManifestAt chain re-walk — O(versions ×
-    // checkpoint parse) at the 1M-entry scale), and it runs BEFORE
-    // the dropped version files are deleted, which the fold's
-    // incremental delta application needs anyway
+    // checkpoint parse) at the 1M-entry scale): `union of cumulative
+    // states over a range = cumulative at the range start ∪ own-names
+    // of the range's files` (see [[versionOwnNames]]). Two anchored
+    // walks (log start for the dropped prefix, first kept version for
+    // the suffix), both bounded by checkpointEvery — and all of it
+    // runs BEFORE the dropped version files are deleted
     val dropSet = drop.toSet
     var dropReferenced = Set.empty[String]
     var keepReferenced = Set.empty[String]
-    foldVersions(spark, dir) { (v, m) =>
-      if (dropSet.contains(v)) dropReferenced ++= m.files.map(_.file)
-      else keepReferenced ++= m.files.map(_.file)
-    }: Unit
+    versions.headOption.foreach { first =>
+      val anchor = readManifestAt(spark, dir, first).files.map(_.file)
+      if (dropSet.contains(first)) dropReferenced ++= anchor
+      else keepReferenced ++= anchor
+    }
+    keep.headOption.foreach(kh =>
+      keepReferenced ++= readManifestAt(spark, dir, kh).files.map(_.file))
+    versionOwnNames(spark, dir) { (v, names) =>
+      if (dropSet.contains(v)) dropReferenced ++= names
+      else keepReferenced ++= names
+    }
     drop.foreach(v => fs.delete(new Path(dir, versionName(v)), false): Unit)
     val referenced = keepReferenced ++
       readManifest(spark, dir).files.map(_.file).toSet
