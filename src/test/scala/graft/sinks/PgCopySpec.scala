@@ -230,4 +230,28 @@ class PgCopySpec extends SparkSuite {
     assert(FakeDb.payloads.toArray(Array.empty[String]).flatMap(_.split("\n")).sorted.toSeq
       === Seq("0", "1", "2", "3"))
   }
+
+  test("deploy-day smoke DRY RUN: framing + full K4-K7 protocol pass live on Derby (what pg_smoke.sh --dry-run runs)") {
+    // the harness half of the K4 story: everything except pgjdbc's
+    // CopyManager itself executes for real — 2-partition COPY framing
+    // round-trip (NULL vs '', embedded quotes/newlines, timestamp
+    // text), armed constraint hooks via real ALTER TABLE, per-streak
+    // ranged deletes, a DOUBLE load proving run idempotence, audit
+    // appends, and the recreated PK enforcing. The CSV-insert double
+    // parses the exact COPY byte stream under csv rules on the same
+    // connection/transaction the real CopyManager would use.
+    assert(PgSmoke.dryRun(spark, db = "graft_pgsmoke_spec"),
+      "dry-run smoke must pass end to end")
+  }
+
+  test("CsvInsertCopyApi parses the encoder's exact grammar: quotes doubled, unquoted empty is NULL, quoted empty is ''") {
+    val parsed = PgSmoke.CsvInsertCopyApi.parseCsv(
+      "1,plain,2024-01-02 03:04:05.6\n" +
+        "2,\"comma, \"\"quote\"\"\nnewline\",\n" +
+        "3,\"\",x\n")
+    assert(parsed === Vector(
+      Vector("1", "plain", "2024-01-02 03:04:05.6"),
+      Vector("2", "comma, \"quote\"\nnewline", null),
+      Vector("3", "", "x")))
+  }
 }
