@@ -1264,8 +1264,7 @@ object DataSkipping {
     val health = logHealth(spark, dir)
     val broken = health.collect { case (v, Left(_)) => v }
     val head = health.lastOption.map(_._1).getOrElse(0L)
-    if (broken.isEmpty) return RecoverReport(Nil, head, None, Nil)
-    val headGood = health.last._2.isRight
+    val headGood = broken.isEmpty || health.last._2.isRight
     val good = health.collect { case (v, Right(_)) => v }
     if (!headGood) {
       require(good.nonEmpty,
@@ -1284,19 +1283,45 @@ object DataSkipping {
         new Path(dir, versionName(v) + ".corrupt")): Unit
       catch { case _: java.io.IOException => () } // racing repairer
     }
-    if (headGood) RecoverReport(broken, head, None, Nil)
-    else {
-      val newBase = good.last
-      val m = health.collectFirst { case (`newBase`, Right(mm)) => mm }.get
-      // the latest pointer may redirect into the quarantined zone:
-      // re-commit the recovered state as a full checkpoint so the
-      // pointer is valid again (fenced — quarantine made newBase the
-      // current head, and the corpse's renamed version number is free)
-      writeManifestFile(spark, dir, m, Some(newBase))
-      val live = versionReferencedFiles(spark, dir)
-      val orphans = listPartFiles(spark, dir).filterNot(live.contains).sorted
-      RecoverReport(broken, newBase + 1, Some(head), orphans)
+    val report =
+      if (headGood) RecoverReport(broken, head, None, Nil)
+      else {
+        val newBase = good.last
+        val m = health.collectFirst { case (`newBase`, Right(mm)) => mm }.get
+        // the head's content is lost: re-commit the last reconstructible
+        // manifest as a full checkpoint (fenced — quarantine made
+        // newBase the current head, and the corpse's renamed version
+        // number is free); the commit's own pointer swap revalidates
+        // the latest pointer
+        writeManifestFile(spark, dir, m, Some(newBase))
+        val live = versionReferencedFiles(spark, dir)
+        val orphans = listPartFiles(spark, dir).filterNot(live.contains).sorted
+        RecoverReport(broken, newBase + 1, Some(head), orphans)
+      }
+    // DEAD-POINTER heal (both paths): the latest pointer may REDIRECT
+    // into the zone just quarantined — a commit whose pointer swap ran
+    // but whose version file later rotted, or one quarantined by a
+    // previous repair. A redirect at a missing version fails EVERY
+    // pointer read (readPruned/readManifest) until the next commit
+    // swaps it; re-point it at the surviving head with the same atomic
+    // write-aside + rename. Racing a concurrent commit's swap leaves
+    // at worst a lag-1 pointer — the ordinary crash-window state the
+    // next commit heals. (Full-bytes pointers are self-contained and
+    // never die this way; only redirects are touched.)
+    val vsAfter = listVersions(spark, dir)
+    pointerRedirectTarget(fs, dir).foreach { t =>
+      if (!vsAfter.contains(t)) vsAfter.lastOption.foreach { h =>
+        val conf = spark.sessionState.newHadoopConf()
+        val bytes = s"""{"redirect":$h}\n""".getBytes("UTF-8")
+        val out = fs.create(new Path(dir, s".$ManifestName.tmp"), true)
+        try out.write(bytes) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(new Path(dir, s".$ManifestName.tmp"),
+          new Path(dir, ManifestName),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
+    report
   }
 
   // (log truncation lives in Erasure.forgetHistory, anchored on the

@@ -1485,6 +1485,18 @@ class DataSkippingSpec extends SparkSuite {
       val post = DataSkipping.fsck(spark, dir, checkRows = true)
       assert(post.clean, s"got $post")
       assert(post.quarantinedVersions === Seq(3L, 4L, 5L))
+      // DEAD POINTER: a redirect into the quarantined zone (a commit
+      // whose pointer swap ran but whose version file later rotted)
+      // fails every pointer read; recoverLog re-points it at the
+      // surviving head even with nothing left to quarantine
+      Files.write(Paths.get(dir, DataSkipping.ManifestName),
+        """{"redirect":3}""".getBytes("UTF-8")): Unit
+      Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
+      intercept[Exception] { DataSkipping.readManifest(spark, dir) }
+      val rep2 = DataSkipping.recoverLog(spark, dir)
+      assert(rep2.quarantined.isEmpty && rep2.head === 7L)
+      assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 200L,
+        "the healed pointer serves the surviving head")
       // maintenance liveness: the next fenced commit lands normally
       app(200, 205): Unit
       assert(DataSkipping.readPruned(spark, dir,
