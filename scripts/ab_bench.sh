@@ -80,8 +80,8 @@ for t, r in runs.items():
         drift = True
 print()
 if drift:
-    print("BRACKET UNSTABLE (A2 vs A1 beyond ±25% on some gate, or a run "
-          "was contended): the sitting drifted — rerun on an idle box.")
+    print("BRACKET UNSTABLE (A2/A1 outside [0.80, 1.25] on some gate, or a "
+          "run was contended): the sitting drifted — rerun on an idle box.")
 else:
     print(f"Bracket stable. B/minA > ~1.15 across the family = commit-"
           f"attributable ({a}→{b}); otherwise the cross-round artifact "

@@ -489,8 +489,17 @@ object DataSkipping {
     // several Hadoop FileSystems surface unsupported/failed setTimes
     // as plain IOException rather than UnsupportedOperationException;
     // the documented degradation (raw mtime + a raised sweepGraceMs)
-    // must apply there too instead of failing a healthy append
-    catch { case scala.util.control.NonFatal(_) => () }
+    // must apply there too instead of failing a healthy append — but
+    // LOUDLY: a silently un-re-stamped file whose write outlasted the
+    // grace window is sweep-eligible the instant it appears, and the
+    // operator can only raise sweepGraceMs if told the clock degraded
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"setTimes failed on $p (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — the sweep age gate falls back to raw " +
+          "mtime for this file; raise graft.store.sweepGraceMs if this " +
+          "filesystem cannot re-stamp appearance times")
+    }
 
   /** Minimum age before the orphan sweeps may collect an unlisted part
     * file or staging dir: anything younger might be a LIVE concurrent
@@ -936,13 +945,7 @@ object DataSkipping {
     // old complete pointer or the new complete one, never a torn write
     // — and createExclusive above already arbitrated the writer race
     // before the pointer moves, so losers never reach this line
-    val lb = latestBytes(next)
-    val out = fs.create(new Path(outDir, s".$ManifestName.tmp"), true)
-    try out.write(lb) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(new Path(outDir, s".$ManifestName.tmp"),
-      new Path(outDir, ManifestName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(fs, conf, outDir, latestBytes(next))
     // brand the directory at its FIRST commit (covers every init path —
     // writeWithStats, exportSnapshot, legacy writeManifest): the marker
     // is the on-disk hint that this directory is MANIFEST-DEFINED. A
@@ -955,6 +958,23 @@ object DataSkipping {
         val mk = fs.create(new Path(outDir, StoreMarkerName), true)
         try mk.write(StoreMarkerText.getBytes("UTF-8")) finally mk.close()
       } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** The ONE copy of the latest-pointer swap protocol (commit path and
+    * [[recoverLog]]'s dead-pointer heal): write-aside to a dot-tmp,
+    * then an atomic FileContext rename with OVERWRITE — a concurrent
+    * reader sees either the old complete pointer or the new complete
+    * one, never a torn write.
+    */
+  private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, outDir: String,
+      bytes: Array[Byte]): Unit = {
+    val out = fs.create(new Path(outDir, s".$ManifestName.tmp"), true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(new Path(outDir, s".$ManifestName.tmp"),
+      new Path(outDir, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** On-disk hint that a directory is a manifest-defined skipping store
@@ -1047,24 +1067,49 @@ object DataSkipping {
     */
   private[sinks] def foldVersions[A](spark: SparkSession, dir: String,
       fromV: Long = 1L, toV: Long = Long.MaxValue)(
-      f: (Long, SkipManifest) => A): Seq[A] = {
+      f: (Long, SkipManifest) => A): Seq[A] =
+    foldVersionsCore(spark, dir, fromV, toV).map {
+      case (_, Left(e)) => throw e // loud view: readers must not skip rot
+      case (v, Right(m)) => f(v, m)
+    }
+
+  /** The ONE copy of the forward-fold reconstruction law (both
+    * [[foldVersions]] — loud — and [[logHealth]] — resilient — are
+    * views over it): each version file reads and parses exactly once;
+    * the first in-range version anchors via [[readManifestAt]] (one
+    * bounded chain walk), a contiguous delta applies incrementally on
+    * the running manifest, a checkpoint re-parses fresh, and a delta
+    * over a broken predecessor is broken itself (transitively, until
+    * the next checkpoint re-anchors).
+    */
+  private def foldVersionsCore(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[(Long, Either[Throwable, SkipManifest])] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     var cur: Option[SkipManifest] = None
     var prevV = Long.MinValue
+    var prevBroken = false
     listVersions(spark, dir).filter(v => v >= fromV && v <= toV).map { v =>
       val p = new Path(dir, versionName(v))
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val m =
-        if (!text.startsWith("""{"delta":""")) parseManifest(text, p)
-        else cur match {
-          case Some(base) if prevV == v - 1 => applyDelta(base, text, p)
-          // range start (or a defensive log gap): ONE anchored chain walk
-          case _ => readManifestAt(spark, dir, v)
-        }
-      cur = Some(m)
+      val r: Either[Throwable, SkipManifest] =
+        try {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (!text.startsWith("""{"delta":""")) Right(parseManifest(text, p))
+          else cur match {
+            case Some(base) if prevV == v - 1 => Right(applyDelta(base, text, p))
+            case None if prevV == v - 1 && prevBroken =>
+              Left(new IllegalStateException(
+                s"corrupt skip manifest ${new Path(dir, versionName(v))}: " +
+                  s"delta over broken v$prevV"))
+            // range start (or a defensive log gap): ONE anchored chain walk
+            case _ => Right(readManifestAt(spark, dir, v))
+          }
+        } catch { case scala.util.control.NonFatal(e) => Left(e) }
+      cur = r.toOption
       prevV = v
-      f(v, m)
+      prevBroken = r.isLeft
+      (v, r)
     }
   }
 
@@ -1146,34 +1191,10 @@ object DataSkipping {
     * and [[recoverLog]]; [[readManifestAt]] stays loud for readers.
     */
   private[sinks] def logHealth(spark: SparkSession,
-      dir: String): Seq[(Long, Either[String, SkipManifest])] = {
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    var cur: Option[SkipManifest] = None
-    var prevV = Long.MinValue
-    listVersions(spark, dir).map { v =>
-      val p = new Path(dir, versionName(v))
-      val r: Either[String, SkipManifest] =
-        try {
-          val in = fs.open(p)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          if (!text.startsWith("""{"delta":""")) Right(parseManifest(text, p))
-          else cur match {
-            case Some(base) if prevV == v - 1 => Right(applyDelta(base, text, p))
-            case None if prevV == v - 1 =>
-              Left(s"delta over broken v$prevV")
-            // log gap / range start: one anchored chain walk
-            case _ => Right(readManifestAt(spark, dir, v))
-          }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-      cur = r.toOption
-      prevV = v
-      (v, r)
+      dir: String): Seq[(Long, Either[String, SkipManifest])] =
+    foldVersionsCore(spark, dir, 1L, Long.MaxValue).map { case (v, r) =>
+      (v, r.left.map(e => Option(e.getMessage).getOrElse(e.getClass.getName)))
     }
-  }
 
   /** Stream each version file's OWN entry names (a checkpoint's full
     * listing, a delta's added names) in log order — the primitive
@@ -1279,10 +1300,29 @@ object DataSkipping {
           "Re-run with allowRollback = true to accept that.")
     }
     broken.foreach { v =>
-      try fs.rename(new Path(dir, versionName(v)),
-        new Path(dir, versionName(v) + ".corrupt")): Unit
-      catch { case _: java.io.IOException => () } // racing repairer
+      // Hadoop rename signals refusal by RETURNING FALSE (e.g. the
+      // .corrupt destination already exists from a previous repair of
+      // a recommitted-then-rotted version number) — fall back to a
+      // stamped name so the corpse always leaves the log; a racing
+      // repairer's missing-source failure is benign (verified below)
+      val src = new Path(dir, versionName(v))
+      val moved =
+        try fs.rename(src, new Path(dir, versionName(v) + ".corrupt"))
+        catch { case _: java.io.IOException => false }
+      if (!moved && fs.exists(src)) {
+        try fs.rename(src, new Path(dir,
+          versionName(v) + s".corrupt.${System.currentTimeMillis()}")): Unit
+        catch { case _: java.io.IOException => () }
+      }
     }
+    // POST-CONDITION, not assumption: a repair that silently left a
+    // corpse in the log would claim success while readers keep failing
+    // and repeated repairs never converge
+    val remaining = listVersions(spark, dir).toSet
+    val stuck = broken.filter(remaining.contains)
+    require(stuck.isEmpty,
+      s"quarantine failed for version(s) ${stuck.mkString(", ")} of $dir — " +
+        "the filesystem refused the rename; repair did not complete")
     val report =
       if (headGood) RecoverReport(broken, head, None, Nil)
       else {
@@ -1295,7 +1335,19 @@ object DataSkipping {
         // the latest pointer
         writeManifestFile(spark, dir, m, Some(newBase))
         val live = versionReferencedFiles(spark, dir)
-        val orphans = listPartFiles(spark, dir).filterNot(live.contains).sorted
+        // AGE-GATED like every sweep: a concurrent appender's just-moved
+        // pre-commit files are also version-unreferenced, and only age
+        // since appearance tells them from the lost commits' files — an
+        // ungated report would lure the re-append runbook into
+        // double-counting a live writer's batch
+        val cutoff = System.currentTimeMillis() - sweepGraceMs
+        val orphans = fs.listStatus(new Path(dir)).toIndexedSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("part-") && !n.endsWith(".crc") &&
+              !live.contains(n) && st.getModificationTime < cutoff
+          }
+          .map(_.getPath.getName).sorted
         RecoverReport(broken, newBase + 1, Some(head), orphans)
       }
     // DEAD-POINTER heal (both paths): the latest pointer may REDIRECT
@@ -1311,14 +1363,8 @@ object DataSkipping {
     val vsAfter = listVersions(spark, dir)
     pointerRedirectTarget(fs, dir).foreach { t =>
       if (!vsAfter.contains(t)) vsAfter.lastOption.foreach { h =>
-        val conf = spark.sessionState.newHadoopConf()
-        val bytes = s"""{"redirect":$h}\n""".getBytes("UTF-8")
-        val out = fs.create(new Path(dir, s".$ManifestName.tmp"), true)
-        try out.write(bytes) finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-        fc.rename(new Path(dir, s".$ManifestName.tmp"),
-          new Path(dir, ManifestName),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
+          s"""{"redirect":$h}\n""".getBytes("UTF-8"))
       }
     }
     report
@@ -1503,7 +1549,10 @@ object DataSkipping {
       if (dropSet.contains(first)) dropReferenced ++= anchor
       else keepReferenced ++= anchor
     }
-    keep.headOption.foreach(kh =>
+    // second anchor only when the kept suffix starts PAST the log start
+    // (nothing dropped ⇒ the first walk already anchored it — don't pay
+    // a second checkpoint parse, multi-second at the 1M-entry scale)
+    keep.headOption.filterNot(versions.headOption.contains).foreach(kh =>
       keepReferenced ++= readManifestAt(spark, dir, kh).files.map(_.file))
     versionOwnNames(spark, dir) { (v, names) =>
       if (dropSet.contains(v)) dropReferenced ++= names

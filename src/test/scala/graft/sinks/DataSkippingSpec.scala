@@ -1510,6 +1510,9 @@ class DataSkippingSpec extends SparkSuite {
   test("rotted checkpoint under the LIVE head: recoverLog refuses silently losing commits, rollback is explicit, orphans re-append") {
     sys.props("graft.store.deltaThreshold") = "1"
     sys.props("graft.store.checkpointEvery") = "3"
+    // the orphan report is age-gated like every sweep (a live writer's
+    // just-moved files are also unreferenced); test clock = 0
+    sys.props("graft.store.sweepGraceMs") = "0"
     try {
       val dir = tmpDir("graft-head-rot")
       def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
@@ -1547,6 +1550,7 @@ class DataSkippingSpec extends SparkSuite {
     } finally {
       sys.props.remove("graft.store.deltaThreshold"): Unit
       sys.props.remove("graft.store.checkpointEvery"): Unit
+      sys.props.remove("graft.store.sweepGraceMs"): Unit
     }
   }
 
