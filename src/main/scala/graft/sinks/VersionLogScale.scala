@@ -32,14 +32,19 @@ import graft.GraftSession
   * sweep's LISTING (none exist; the sweep sees zero part files, which
   * isolates the metadata walk — exactly what this bench is for).
   *
-  * Usage: `runMain graft.sinks.VersionLogScale [versions] [baseEntries]`
-  * (default 10000, 1000). Prints one JSON line; numbers go in SCALE.md.
+  * Usage: `runMain graft.sinks.VersionLogScale [versions] [baseEntries]
+  * [checkpointEvery]` (default 10000, 1000, 10). The third axis backs
+  * the deployment claim that checkpoint cadence is the walk-cost knob
+  * at bigger entry counts: the referenced-name walk is checkpoint-
+  * listing-bound (V/K full listings of E names), so K=100 should cut
+  * it ~10× at the price of ≤K-delta pointer reconstruction. Prints one
+  * JSON line; numbers go in SCALE.md.
   */
 object VersionLogScale {
   def main(args: Array[String]): Unit = {
     val versions = args.headOption.map(_.toInt).getOrElse(10000)
     val baseEntries = args.lift(1).map(_.toInt).getOrElse(1000)
-    val ckptEvery = 10
+    val ckptEvery = args.lift(2).map(_.toInt).getOrElse(10)
     require(versions >= 2)
     val spark = GraftSession.getOrCreate("graft-versionlog-scale")
     sys.props("graft.store.deltaThreshold") = "1"
@@ -115,7 +120,7 @@ object VersionLogScale {
     val refAfterS = best(DataSkipping.versionReferencedFiles(spark, dir))
 
     println(
-      s"""{"versions":$versions,"base_entries":$baseEntries,""" +
+      s"""{"versions":$versions,"base_entries":$baseEntries,"checkpoint_every":$ckptEvery,""" +
         s""""list_versions_s":${"%.3f".format(listS)},""" +
         s""""pointer_read_s":${"%.3f".format(readS)},""" +
         s""""delta_commit_s":${"%.3f".format(commitS)},""" +
