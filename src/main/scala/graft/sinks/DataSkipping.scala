@@ -104,6 +104,9 @@ object DataSkipping {
     */
   private[sinks] def versionName(v: Long): String = f"_skip_manifest.v$v%05d.json"
   private val VersionRe = """_skip_manifest\.v(\d+)\.json""".r
+  // both quarantine spellings recoverLog produces: plain '.corrupt'
+  // and the stamped fallback '.corrupt.<millis>'
+  private val CorruptSuffixRe = """\.corrupt(\.\d+)?$""".r
 
   val DefaultBloomExpected = 100000L
   val DefaultBloomFpp = 0.01
@@ -966,15 +969,58 @@ object DataSkipping {
     * reader sees either the old complete pointer or the new complete
     * one, never a torn write.
     */
-  private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
+  private[sinks] def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration, outDir: String,
       bytes: Array[Byte]): Unit = {
-    val out = fs.create(new Path(outDir, s".$ManifestName.tmp"), true)
+    // UNIQUE write-aside per swap: a shared tmp name let
+    // [[recoverLog]]'s dead-pointer heal race a live commit's swap —
+    // the second create(overwrite=true) clobbered the first swapper's
+    // tmp between its write and rename, so the first rename threw
+    // FileNotFoundException and a commit whose version file had
+    // already CAS'd durably REPORTED failure (and withFenceRetry
+    // re-ran into a CME). With a nonce'd tmp the two swaps serialize
+    // on the destination rename only — last-wins, worst case the
+    // ordinary lag-1 pointer the next commit heals. A crash between
+    // write and rename strands the nonce'd dot-file; vacuum sweeps
+    // aged ones.
+    val tmp = new Path(outDir,
+      s".$ManifestName.tmp.${java.util.UUID.randomUUID().toString.take(13)}")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(new Path(outDir, s".$ManifestName.tmp"),
-      new Path(outDir, ManifestName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dst = new Path(outDir, ManifestName)
+    // On HDFS/object stores the OVERWRITE rename is atomic server-side.
+    // On the LOCAL filesystem it is delete-then-rename, so two racing
+    // swappers can each delete the destination and then collide on the
+    // low-level rename (FileAlreadyExists when the other lands first).
+    // Bounded retry: our tmp is nonce'd so it survives the failed
+    // attempt intact; if the storm outlasts the retries, leave the
+    // pointer as the OTHER swapper's value — a lag-≤1 pointer is the
+    // ordinary crash-window state the next commit heals — and sweep
+    // our tmp so it never reads as debris.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE); done = true }
+      catch {
+        case _: java.io.FileNotFoundException if !fs.exists(tmp) =>
+          // local ChecksumFs can throw on the .crc sidecar AFTER the
+          // data rename already moved our tmp — the only mover of a
+          // nonce'd tmp is our own rename, so a vanished tmp means the
+          // payload landed (or was last-wins superseded); done, not a
+          // retry storm
+          done = true
+        case scala.util.control.NonFatal(_) if attempt < 8 =>
+          attempt += 1
+          Thread.sleep(1L << math.min(attempt, 5))
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"pointer swap lost a local-FS rename race after $attempt retries " +
+            s"($dst): leaving the concurrent swapper's pointer (self-heals at the " +
+            s"next commit): $e")
+          try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+          done = true
+      }
+    }
   }
 
   /** On-disk hint that a directory is a manifest-defined skipping store
@@ -1358,8 +1404,12 @@ object DataSkipping {
     // swaps it; re-point it at the surviving head with the same atomic
     // write-aside + rename. Racing a concurrent commit's swap leaves
     // at worst a lag-1 pointer — the ordinary crash-window state the
-    // next commit heals. (Full-bytes pointers are self-contained and
-    // never die this way; only redirects are touched.)
+    // next commit heals — BECAUSE each swap writes aside to its own
+    // nonce'd tmp (see [[swapPointer]]): the two renames serialize on
+    // the destination only, so neither swapper can clobber the
+    // other's in-flight tmp and fail a commit that already stood.
+    // (Full-bytes pointers are self-contained and never die this way;
+    // only redirects are touched.)
     val vsAfter = listVersions(spark, dir)
     pointerRedirectTarget(fs, dir).foreach { t =>
       if (!vsAfter.contains(t)) vsAfter.lastOption.foreach { h =>
@@ -1414,6 +1464,63 @@ object DataSkipping {
     * evidence comes from ONE directory listing, not a per-file
     * RPC per step — O(1) listings per feed call.
     */
+  /** One a→b feed diff plan: (inserts, upserts) file-name lists.
+    * `trueDelta` = consecutive-version mode (rewrite provenance
+    * usable), false = endpoint fallback (conservative re-assert).
+    */
+  private def feedPlanDelta(a: SkipManifest, b: SkipManifest,
+      trueDelta: Boolean): (Seq[String], Seq[String]) = {
+    val aByName = a.files.map(f => f.file -> f).toMap
+    val bByName = b.files.map(f => f.file -> f).toMap
+    val added = b.files.filterNot(f => aByName.contains(f.file))
+    val inserts =
+      if (trueDelta) added.filterNot(_.isRewrite).map(_.file)
+      else added.map(_.file)
+    val changed = a.files.filter(f =>
+      bByName.get(f.file).exists(_ != f)).map(_.file)
+    (inserts, changed)
+  }
+
+  /** The feed's chained (true-delta) walk, or `None` when the walk
+    * cannot be trusted and [[changesBetween]] must degrade to the
+    * conservative endpoint diff. `versionsSnapshot` is the caller's
+    * FIRST listing — the fold inside takes its own SECOND one, and a
+    * vacuum racing between the two can expire LEADING versions
+    * without any parse failure (vacuum retains back to a checkpoint,
+    * so the first survivor anchors cleanly): the fold then comes back
+    * silently SHORTER, and an unchecked sliding(2) would emit plans
+    * for the surviving suffix only, dropping the leading change
+    * events. Coverage is therefore VERIFIED, never assumed — the
+    * walk's versions must equal `fromV to toV` exactly.
+    */
+  private[sinks] def chainedFeedPlans(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long, onDisk: Set[String],
+      versionsSnapshot: Set[Long]): Option[Seq[(Seq[String], Seq[String])]] =
+    if (!(fromV to toV).forall(versionsSnapshot.contains)) None
+    else try {
+      // ONE forward fold over [fromV, toV] (each version file parsed
+      // once) instead of two chain-walking readManifestAt per step
+      val stepped = foldVersions(spark, dir, fromV, toV)((v, m) => (v, m))
+      if (stepped.map(_._1) != (fromV to toV)) None
+      else {
+        val plans = stepped.map(_._2).sliding(2).collect {
+          case Seq(ma, mb) => feedPlanDelta(ma, mb, trueDelta = true)
+        }.toIndexedSeq
+        val readable = plans.iterator.flatMap(p => p._1 ++ p._2)
+          .forall(onDisk.contains)
+        if (readable) Some(plans) else None
+      }
+    } catch {
+      // the caller's listing is a snapshot: a concurrent vacuum can
+      // expire an INTERMEDIATE version file between it and the fold
+      // here, and a writer crashed mid-create can leave a truncated
+      // (unparsable) version file in the chain. Both break only the
+      // true-delta WALK — the endpoints were already read — so the
+      // feed degrades to the conservative endpoint diff instead of
+      // failing the job.
+      case scala.util.control.NonFatal(_) => None
+    }
+
   def changesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
@@ -1423,56 +1530,21 @@ object DataSkipping {
       else Some(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("__change", lit(t))
-    /** One a→b diff plan: (inserts, upserts) file-name lists.
-      * `trueDelta` = consecutive-version mode (rewrite provenance
-      * usable), false = endpoint fallback (conservative re-assert).
-      */
-    def planDelta(a: SkipManifest, b: SkipManifest,
-        trueDelta: Boolean): (Seq[String], Seq[String]) = {
-      val aByName = a.files.map(f => f.file -> f).toMap
-      val bByName = b.files.map(f => f.file -> f).toMap
-      val added = b.files.filterNot(f => aByName.contains(f.file))
-      val inserts =
-        if (trueDelta) added.filterNot(_.isRewrite).map(_.file)
-        else added.map(_.file)
-      val changed = a.files.filter(f =>
-        bByName.get(f.file).exists(_ != f)).map(_.file)
-      (inserts, changed)
-    }
+    def planDelta(a: SkipManifest, b: SkipManifest, trueDelta: Boolean) =
+      feedPlanDelta(a, b, trueDelta)
     def materialize(p: (Seq[String], Seq[String])): Seq[DataFrame] =
       read(p._1).map(tag(_, "insert")).toSeq ++
         read(p._2).map(tag(_, "upsert")).toSeq
     val a = readManifestAt(spark, dir, fromV)
     val b = readManifestAt(spark, dir, toV)
-    val versions = listVersions(spark, dir).toSet
     // the chained (true-delta) walk needs every intermediate version
     // file AND every file a step would read. With tombstoned deletes
     // both survive any upsert/compaction/recluster; only vacuum can
     // break the chain, and then the walk degrades to the conservative
     // endpoint diff, which re-asserts surviving content as idempotent
     // upsert-inserts.
-    val chainPlans: Option[Seq[(Seq[String], Seq[String])]] =
-      if (!(fromV to toV).forall(versions.contains)) None
-      else try {
-        // ONE forward fold over [fromV, toV] (each version file parsed
-        // once) instead of two chain-walking readManifestAt per step
-        val stepped = foldVersions(spark, dir, fromV, toV)((_, m) => m)
-        val plans = stepped.sliding(2).collect {
-          case Seq(ma, mb) => planDelta(ma, mb, trueDelta = true)
-        }.toIndexedSeq
-        val readable = plans.iterator.flatMap(p => p._1 ++ p._2)
-          .forall(onDisk.contains)
-        if (readable) Some(plans) else None
-      } catch {
-        // the listing above is a snapshot: a concurrent vacuum can
-        // expire an INTERMEDIATE version file between it and the
-        // per-step read here, and a writer crashed mid-create can
-        // leave a truncated (unparsable) version file in the chain.
-        // Both break only the true-delta WALK — the endpoints were
-        // already read above — so the feed degrades to the
-        // conservative endpoint diff instead of failing the job.
-        case scala.util.control.NonFatal(_) => None
-      }
+    val chainPlans = chainedFeedPlans(spark, dir, fromV, toV, onDisk,
+      listVersions(spark, dir).toSet)
     val parts = chainPlans match {
       case Some(plans) => plans.flatMap(materialize)
       case None =>
@@ -1570,6 +1642,14 @@ object DataSkipping {
       }
       .map(_.getPath.getName).sorted
     doomed.foreach(n => fs.delete(new Path(dir, n), false): Unit)
+    // stranded pointer write-asides: a crash between swapPointer's
+    // nonce'd tmp write and its rename leaves a dot-tmp file no reader
+    // ever sees — age-gated sweep (a LIVE swap's tmp is milliseconds
+    // old, never past the grace window)
+    fs.listStatus(p).toIndexedSeq
+      .filter(st => st.getPath.getName.startsWith(s".$ManifestName.tmp") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false): Unit)
     doomed
   }
 
@@ -1600,11 +1680,12 @@ object DataSkipping {
       rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long],
       unreadableFiles: Seq[String] = Nil, tombstoneFiles: Seq[String] = Nil,
       quarantinedVersions: Seq[Long] = Nil, pointerLag: Int = 0,
-      vacuumOverdue: Boolean = false) {
+      vacuumOverdue: Boolean = false,
+      brokenPointer: Option[Long] = None) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanFiles.isEmpty &&
         rowMismatches.isEmpty && invalidVersions.isEmpty &&
-        unreadableFiles.isEmpty
+        unreadableFiles.isEmpty && brokenPointer.isEmpty
   }
 
   /** Store consistency audit — the operational `fsck` every table
@@ -1626,20 +1707,34 @@ object DataSkipping {
     * genuinely alarming classes.
     */
   def fsck(spark: SparkSession, dir: String, checkRows: Boolean = false): FsckReport = {
-    val m = readManifest(spark, dir)
     val p = new Path(dir)
     val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // RESILIENT health walk (never throws on a rotted version file —
+    // the audit must report that state, not crash on it): referenced
+    // sets come from the reconstructible versions; broken ones land in
+    // invalidVersions below
+    val health = logHealth(spark, dir)
+    // DEAD-POINTER resilience, same rule: the latest pointer can
+    // redirect at a rotted/quarantined version (the exact state
+    // [[recoverLog]] exists to heal), and readManifest throws there —
+    // the audit that operators run to DIAGNOSE that state must report
+    // it (brokenPointer = the dead redirect target, pointerLag = -1),
+    // not crash on it. The live view falls back to the last
+    // reconstructible version so the rest of the report stays useful.
+    val mTry = try Right(readManifest(spark, dir))
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
+    val brokenPtr: Option[Long] =
+      if (mTry.isRight) None
+      else pointerRedirectTarget(hfs, dir).orElse(Some(-1L))
+    val m = mTry.getOrElse(
+      health.reverseIterator.collectFirst { case (_, Right(hm)) => hm }
+        .getOrElse(SkipManifest(Nil, Nil)))
     val statuses = if (hfs.exists(p)) hfs.listStatus(p).toIndexedSeq else IndexedSeq.empty
     val sizes = statuses.map(s => s.getPath.getName -> s.getLen).toMap
     val onDisk = statuses.map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && !n.endsWith(".crc")).toSet
     val listed = m.files.map(_.file).toSet
     val missing = m.files.map(_.file).filterNot(onDisk)
-    // RESILIENT health walk (never throws on a rotted version file —
-    // the audit must report that state, not crash on it): referenced
-    // sets come from the reconstructible versions; broken ones land in
-    // invalidVersions below
-    val health = logHealth(spark, dir)
     val historic = (m.files.map(_.file) ++ health.collect {
       case (_, Right(hm)) => hm.files.map(_.file)
     }.flatten).toSet
@@ -1688,16 +1783,23 @@ object DataSkipping {
       case (v, Right(hm)) if !hm.files.forall(f =>
         onDisk.contains(f.file) && latestByName.get(f.file).forall(_ == f)) => v
     }
-    val quarantined = statuses.map(_.getPath.getName).collect {
-      case n if n.endsWith(".corrupt") =>
-        n.stripSuffix(".corrupt") match {
-          case VersionRe(v) => Some(v.toLong)
-          case _ => None
-        }
-    }.flatten.sorted
+    // both corpse spellings count: recoverLog's plain '.corrupt' AND
+    // its stamped fallback '.corrupt.<millis>' (used when the plain
+    // destination already exists from a previous repair of a
+    // recommitted-then-rotted version number) — an audit that only saw
+    // the first would report a re-repaired store as quarantine-free
+    val quarantined = statuses.map(_.getPath.getName).flatMap { n =>
+      val stripped = CorruptSuffixRe.replaceFirstIn(n, "")
+      if (stripped == n) None
+      else stripped match {
+        case VersionRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.distinct.sorted
     val head = health.lastOption.map(_._1).getOrElse(0L)
     val lag: Int =
-      if (health.isEmpty) 0
+      if (brokenPtr.isDefined) -1
+      else if (health.isEmpty) 0
       else pointerRedirectTarget(hfs, dir) match {
         case Some(t) => (head - t).toInt
         case None =>
@@ -1710,7 +1812,7 @@ object DataSkipping {
     val liveBytes = m.files.iterator.flatMap(f => sizes.get(f.file)).sum
     val tombBytes = tombstones.iterator.flatMap(sizes.get).sum
     FsckReport(missing, orphans, mismatches, invalid, unreadable, tombstones,
-      quarantined, lag, tombBytes > liveBytes && tombBytes > 0L)
+      quarantined, lag, tombBytes > liveBytes && tombBytes > 0L, brokenPtr)
   }
 
   /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files

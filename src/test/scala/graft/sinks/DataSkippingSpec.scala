@@ -1485,6 +1485,13 @@ class DataSkippingSpec extends SparkSuite {
       val post = DataSkipping.fsck(spark, dir, checkRows = true)
       assert(post.clean, s"got $post")
       assert(post.quarantinedVersions === Seq(3L, 4L, 5L))
+      // recoverLog's STAMPED fallback spelling ('.corrupt.<millis>',
+      // used when the plain destination already exists) must stay
+      // visible to the audit too
+      Files.move(Paths.get(dir, DataSkipping.versionName(4L) + ".corrupt"),
+        Paths.get(dir, DataSkipping.versionName(4L) + ".corrupt.1755264000000")): Unit
+      assert(DataSkipping.fsck(spark, dir).quarantinedVersions === Seq(3L, 4L, 5L),
+        "a stamped corpse must not vanish from the quarantine report")
       // DEAD POINTER: a redirect into the quarantined zone (a commit
       // whose pointer swap ran but whose version file later rotted)
       // fails every pointer read; recoverLog re-points it at the
@@ -1493,6 +1500,12 @@ class DataSkippingSpec extends SparkSuite {
         """{"redirect":3}""".getBytes("UTF-8")): Unit
       Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
       intercept[Exception] { DataSkipping.readManifest(spark, dir) }
+      // the AUDIT must report the dead-pointer state (it exists to
+      // diagnose exactly this before recoverLog), never crash on it
+      val deadAudit = DataSkipping.fsck(spark, dir)
+      assert(deadAudit.brokenPointer === Some(3L), s"got $deadAudit")
+      assert(deadAudit.pointerLag === -1)
+      assert(!deadAudit.clean)
       val rep2 = DataSkipping.recoverLog(spark, dir)
       assert(rep2.quarantined.isEmpty && rep2.head === 7L)
       assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 200L,
@@ -1676,5 +1689,86 @@ class DataSkippingSpec extends SparkSuite {
     // range evidence restricts the probes)
     assert(fast.forall(_.stripPrefix("part-").toInt < 500),
       "a file whose range holds no key must never be a candidate")
+  }
+
+  test("feed coverage under a racing vacuum: a silently shorter fold degrades to the endpoint diff, never a suffix-only feed") {
+    // The chained walk's fold takes its OWN directory listing — a
+    // vacuum racing between changesBetween's first snapshot and that
+    // fold expires LEADING versions with no parse failure (vacuum
+    // retains back to a checkpoint, so the first survivor anchors
+    // cleanly). An unchecked walk would then emit plans for the
+    // surviving suffix only and silently DROP the leading change
+    // events. The law: a fold that does not cover [fromV, toV]
+    // exactly returns None (endpoint fallback), never a partial feed.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-feed-coverage")
+      DataSkipping.writeWithStats((0L until 50L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+      (1 to 6).foreach(b => DataSkipping.appendWithStats(
+        (50L * b until 50L * b + 10L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), 1): Unit)
+      val onDisk = DataSkipping.listPartFiles(spark, dir).toSet
+      val full = DataSkipping.chainedFeedPlans(spark, dir, 1L, 7L, onDisk,
+        (1L to 7L).toSet)
+      assert(full.exists(_.size === 6), "intact log: 6 pairwise plans")
+      // vacuum expires the leading versions for real...
+      DataSkipping.vacuumVersions(spark, dir, retainLast = 2): Unit
+      val survivors = DataSkipping.listVersions(spark, dir)
+      assert(survivors.head > 1L && survivors.last === 7L,
+        s"precondition: leading versions expired, got $survivors")
+      // ...but the caller still holds the STALE pre-vacuum snapshot
+      // (the race window): the walk must refuse, not emit a suffix
+      assert(DataSkipping.chainedFeedPlans(spark, dir, 1L, 7L, onDisk,
+        (1L to 7L).toSet).isEmpty,
+        "a fold that lost its leading versions must degrade to the endpoint diff")
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("pointer swap storm: concurrent swappers (commit vs recoverLog heal) never fail each other's rename; the pointer stays whole") {
+    // Regression law for the shared-write-aside race: both the commit
+    // path and recoverLog's dead-pointer heal swap the latest pointer;
+    // with ONE shared tmp name a racing create(overwrite) deleted the
+    // other swapper's tmp between write and rename, so a commit whose
+    // version file had already CAS'd durably threw
+    // FileNotFoundException. With nonce'd write-asides the storm must
+    // complete exception-free and leave a readable pointer.
+    val dir = tmpDir("graft-swap-storm")
+    DataSkipping.writeWithStats((0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+    DataSkipping.appendWithStats((10L until 20L).map(i => (i, i)).toDF("k", "v"),
+      dir, col("k"), 1): Unit
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq(1L, 2L).map { v =>
+      new Thread(() =>
+        try (1 to 300).foreach { _ =>
+          DataSkipping.swapPointer(fs, conf, dir,
+            s"""{"redirect":$v}\n""".getBytes("UTF-8"))
+        } catch { case t: Throwable => errs.add(t): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"swap storm threw: ${Option(errs.peek())}")
+    val m = DataSkipping.readManifest(spark, dir)
+    assert(m.files.map(_.rows).sum === 10L || m.files.map(_.rows).sum === 20L,
+      "the pointer serves one of the two swapped versions, whole")
+    // stranded write-asides (a swapper crashed between write and
+    // rename) are age-gated debris: vacuum sweeps old ones, spares
+    // fresh ones (a live swap's tmp is milliseconds old)
+    val stale = Paths.get(dir, s".${DataSkipping.ManifestName}.tmp.stranded")
+    Files.write(stale, "{}".getBytes("UTF-8")): Unit
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7 * 24 * 3600 * 1000L)): Unit
+    val fresh = Paths.get(dir, s".${DataSkipping.ManifestName}.tmp.fresh")
+    Files.write(fresh, "{}".getBytes("UTF-8")): Unit
+    DataSkipping.vacuumVersions(spark, dir, retainLast = 10): Unit
+    assert(!Files.exists(stale), "aged stranded tmp swept")
+    assert(Files.exists(fresh), "fresh (possibly live) tmp spared")
   }
 }
