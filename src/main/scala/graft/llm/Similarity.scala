@@ -670,9 +670,12 @@ object Similarity {
     */
   final case class IvfPqModel(cells: Int, m: Int, sub: Int,
       coarse: IndexedSeq[Seq[Long]],
-      books: IndexedSeq[IndexedSeq[Seq[Long]]])
+      books: IndexedSeq[IndexedSeq[Seq[Long]]],
+      trainedN: Long = -1L)
 
   val IvfPqModelFile = "_ivfpq_model.txt"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Train an IVF-PQ index ([[ivfPqTopK]]'s exact trainer — same seed
     * rule, same integer means, so the persisted index answers queries
@@ -703,7 +706,11 @@ object Similarity {
     require(cells > 0, "cells must be positive")
     val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
     val coarse = kmeansFitQuantized(q, cells, iters)
-    val model = IvfPqModel(cells, m, sub, coarse, books)
+    // corpus size AT TRAIN TIME, persisted with the model: the √N-cells
+    // serve rule (SCALE.md round-17 table: slope 0.51 frozen-cells vs
+    // 0.047 at √N cells) only holds while the corpus stays near its
+    // train-time size — [[ivfPqStaleness]] compares against this anchor
+    val model = IvfPqModel(cells, m, sub, coarse, books, trainedN = q.count())
     writeCodeTable(ivfPqEncodeQuantized(q, model), model, outDir, "overwrite")
     writeIvfPqModel(emb.sparkSession, outDir, model)
     model
@@ -801,6 +808,77 @@ object Similarity {
     graft.sinks.Compaction.compactPartitions(spark, indexDir,
       targetBytes = targetBytes, sortCols = Seq("id"))
 
+  /** Staleness audit of a persisted index. `currentN` counts the code
+    * table (parquet METADATA count — footer row counts, no data read);
+    * `idealCells` re-applies the measured √N-cells rule (SCALE.md:
+    * serve cost is Q·N/cells ADC candidates, so cells must grow like
+    * √N to keep the serve slope near-flat — frozen cells revert it
+    * toward 0.5) from the train-time anchor; `stale` trips when the
+    * corpus has outgrown the trained cell count by `staleFactor`
+    * (default 4 = the ideal cell count is ≥ 2× the trained one).
+    * Legacy sidecars without a trainedN anchor report -1 / never trip.
+    */
+  final case class IvfPqStaleness(cells: Int, trainedN: Long,
+      currentN: Long, idealCells: Int, stale: Boolean)
+
+  /** Growth factor at which [[ivfPqStaleness]] flags an index: 4×
+    * train-time N puts the √N-ideal cell count at 2× the trained one.
+    */
+  val IvfPqStaleFactor = 4.0
+
+  def ivfPqStaleness(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, staleFactor: Double = IvfPqStaleFactor)
+      : IvfPqStaleness = {
+    val model = readIvfPqModel(spark, indexDir)
+    val currentN = spark.read.parquet(indexDir).count()
+    val idealCells =
+      if (model.trainedN <= 0L) model.cells
+      else math.max(model.cells, math.ceil(
+        model.cells * math.sqrt(currentN.toDouble / model.trainedN)).toInt)
+    val stale = model.trainedN > 0L &&
+      currentN.toDouble / model.trainedN >= staleFactor
+    IvfPqStaleness(model.cells, model.trainedN, currentN, idealCells, stale)
+  }
+
+  /** Retrain a stale persisted index — the maintenance op that closes
+    * the staleness loop: re-trains from the CURRENT corpus (`emb` is
+    * the source of truth; the code table holds codes, not vectors) at
+    * the √N-ideal cell count, builds the fresh index ASIDE, then swaps
+    * it in with post-condition-verified renames (Hadoop signals refusal
+    * by returning false). Determinism: the trainer is seed-free and
+    * integer-exact, so a retrain serves bit-identically to a fresh
+    * [[ivfPqWriteIndex]] at the same cell count over the same corpus
+    * (law-pinned in LlmSpec).
+    *
+    * Single-maintainer contract (same as [[ivfPqCompactIndex]]): don't
+    * run concurrently with appends or serves on the same index. Crash
+    * windows are recoverable by hand: before the first rename nothing
+    * changed (a `.retrain.*` orphan to delete); between the renames the
+    * index name is briefly absent while both `.old.*` (complete old)
+    * and `.retrain.*` (complete new) exist.
+    */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 4, iters: Int = 2,
+      cellsOverride: Option[Int] = None): IvfPqModel = {
+    val st = ivfPqStaleness(spark, indexDir)
+    val newCells = cellsOverride.getOrElse(st.idealCells)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"$indexDir.retrain.$nonce"
+    val model = ivfPqWriteIndex(emb, idCol, vecCol, tmp, newCells, m, k, iters)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def mv(a: String, b: String): Unit =
+      require(fs.rename(new Path(a), new Path(b)), s"rename refused: $a -> $b")
+    val old = s"$indexDir.old.$nonce"
+    mv(indexDir, old)
+    mv(tmp, indexDir)
+    fs.delete(new Path(old), true): Unit
+    log.info(s"retrained IVF-PQ index $indexDir: cells ${st.cells} -> " +
+      s"$newCells (N ${st.trainedN} -> ${st.currentN})")
+    model
+  }
+
   /** Serialize the model sidecar: one `key=value` line per field, vector
     * entries `;`-separated, components `,`-separated — all longs, so the
     * round-trip is exact (no float formatting).
@@ -812,6 +890,7 @@ object Similarity {
       vs.map(_.mkString(",")).mkString(";")
     val text = new StringBuilder
     text ++= s"cells=${model.cells}\nm=${model.m}\nsub=${model.sub}\n"
+    if (model.trainedN >= 0) text ++= s"trainedN=${model.trainedN}\n"
     text ++= s"coarse=${vecs(model.coarse)}\n"
     model.books.zipWithIndex.foreach { case (b, j) =>
       text ++= s"book$j=${vecs(b)}\n"
@@ -868,7 +947,15 @@ object Similarity {
     val books = (0 until m).map(j => vecs(s"book$j", -1, sub))
     if (books.map(_.length).distinct.length > 1)
       corrupt(s"codebooks have differing sizes ${books.map(_.length)}")
-    IvfPqModel(cells, m, sub, vecs("coarse", cells, m * sub), books)
+    // LENIENT: sidecars written before the staleness anchor existed
+    // have no trainedN line — those indexes report unknown (-1) and
+    // the staleness signal never trips on them (no false alarms on a
+    // healthy legacy index; rewrite or retrain to gain the anchor)
+    val trainedN = kv.get("trainedN").map { v =>
+      try v.toLong catch { case _: NumberFormatException =>
+        corrupt(s"key 'trainedN' is not a long: '$v'") }
+    }.getOrElse(-1L)
+    IvfPqModel(cells, m, sub, vecs("coarse", cells, m * sub), books, trainedN)
   }
 
   /** Answer an ANN query FROM the persisted index — the serving path of
@@ -893,6 +980,21 @@ object Similarity {
     val model = readIvfPqModel(spark, indexDir)
     require(nprobe >= 1 && nprobe <= model.cells,
       s"nprobe must be in [1, cells=${model.cells}], got $nprobe")
+    // staleness tripwire (best-effort, metadata-count only, opt-out via
+    // -Dgraft.ivfpq.staleCheck=false): a frozen-cells index silently
+    // reverts toward the 0.5 serve slope as the corpus outgrows it —
+    // the serving path is where that degradation is FELT, so it is
+    // where the signal fires. Results stay correct either way.
+    if (sys.props.getOrElse("graft.ivfpq.staleCheck", "true").toBoolean &&
+        model.trainedN > 0L)
+      try {
+        val st = ivfPqStaleness(spark, indexDir)
+        if (st.stale)
+          log.warn(s"IVF-PQ index $indexDir is STALE: corpus " +
+            s"${st.currentN} vs trainedN ${st.trainedN} at cells=${st.cells} " +
+            s"(ideal ≈ ${st.idealCells}); serve cost grows ∝ N/cells — run " +
+            s"ivfPqRetrain on a maintenance cadence")
+      } catch { case scala.util.control.NonFatal(_) => () }
     val qBase = Dedup.once(
       emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
       "qqv", quantize(col("__v")))

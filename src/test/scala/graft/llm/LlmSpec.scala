@@ -685,6 +685,66 @@ class LlmSpec extends SparkSuite {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("ivf-pq staleness: the sqrt(N)-cells anchor trips at 4x growth; retrain clears it and serves hash-equal to a fresh build; legacy sidecars never trip") {
+    val emb = (0L until 256L).map(i => (i, Array(
+        (i % 4).toFloat, ((i / 4) % 4).toFloat,
+        ((i * 3) % 5).toFloat, ((i * 7) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 64L)
+    val extra = emb.filter(col("vec_id") >= 64L)
+    val live = java.nio.file.Files.createTempDirectory("graft-ivfpq-stale").toString
+    val model = Similarity.ivfPqWriteIndex(base, "vec_id", "embedding", live,
+      cells = 3, m = 2, k = 3, iters = 2)
+    // the train-time corpus size persists with the model...
+    assert(model.trainedN === 64L)
+    // ...and a just-built index is not stale (ideal cells = trained cells)
+    assert(Similarity.ivfPqStaleness(spark, live) ===
+      Similarity.IvfPqStaleness(3, 64L, 64L, 3, stale = false))
+    // frozen-model appends grow the corpus to 4x the anchor: the signal
+    // trips exactly at the measured threshold (ideal cells = 2x trained,
+    // the point where the serve slope has visibly reverted per SCALE.md)
+    Similarity.ivfPqAppendIndex(extra, "vec_id", "embedding", live): Unit
+    val st = Similarity.ivfPqStaleness(spark, live)
+    assert(st === Similarity.IvfPqStaleness(3, 64L, 256L, 6, stale = true))
+    // retrain at the sqrt(N)-ideal count clears the flag and re-anchors
+    val re = Similarity.ivfPqRetrain(spark, live, emb, "vec_id", "embedding",
+      m = 2, k = 3, iters = 2)
+    assert(re.cells === 6 && re.trainedN === 256L)
+    assert(Similarity.ivfPqStaleness(spark, live) ===
+      Similarity.IvfPqStaleness(6, 256L, 256L, 6, stale = false))
+    // the swap left no debris aside the index
+    val parent = java.nio.file.Paths.get(live).getParent
+    val debris = java.nio.file.Files.list(parent).iterator()
+    val liveName = java.nio.file.Paths.get(live).getFileName.toString
+    import scala.jdk.CollectionConverters._
+    assert(!debris.asScala.exists(p =>
+      p.getFileName.toString.startsWith(liveName + ".")), "retrain debris")
+    // retrained index serves BIT-IDENTICAL to a fresh build at the same
+    // cell count over the same corpus (the trainer is deterministic)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-fresh").toString
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", freshDir,
+      cells = 6, m = 2, k = 3, iters = 2): Unit
+    val pred = col("vec_id") % 16 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(rows(Similarity.ivfPqServeIndex(spark, live, emb, "vec_id",
+        "embedding", pred, topK = 5, nprobe = 2)) ===
+      rows(Similarity.ivfPqServeIndex(spark, freshDir, emb, "vec_id",
+        "embedding", pred, topK = 5, nprobe = 2)))
+    // LEGACY sidecar (no trainedN line): unknown anchor, never trips —
+    // no false alarms on a healthy pre-anchor index
+    val side = java.nio.file.Paths.get(freshDir, Similarity.IvfPqModelFile)
+    val legacy = java.nio.file.Files.readString(side).linesIterator
+      .filterNot(_.startsWith("trainedN=")).mkString("\n") + "\n"
+    java.nio.file.Files.writeString(side, legacy): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(freshDir, "." + Similarity.IvfPqModelFile + ".crc")): Unit
+    val lg = Similarity.ivfPqStaleness(spark, freshDir)
+    assert(lg === Similarity.IvfPqStaleness(6, -1L, 256L, 6, stale = false))
+  }
+
   test("readIvfPqModel: corrupt sidecars raise descriptive errors naming the path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad")
     def write(text: String): Unit =
