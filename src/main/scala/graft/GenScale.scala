@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
   *    store/index LIFECYCLE gates, whose cost is row- and byte-shaped,
   *    not the pair-join gates (SCALE.md records this caveat).
   *
-  * Usage: `runMain graft.GenScale <srcSfDir> <dstDir> <copies>`.
+  * Usage: `runMain graft.GenScale <srcSfDir> <dstDir> <copies> [zipfS]`.
+  * The optional `zipfS` (> 1, e.g. 1.2) additionally writes a
+  * `skew.parquet` table — one row per replicated lineitem row with a
+  * zipf(s)-distributed key — the skewed-join/agg fixture the bench
+  * corpus otherwise lacks (every base table is near-uniform).
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val zipfS: Option[Double] = args.lift(3).map(_.toDouble)
     require(copies >= 1, "copies must be >= 1")
+    zipfS.foreach(z => require(z > 1.0, s"zipfS must be > 1, got $z"))
     val spark = GraftSession.getOrCreate("graft-genscale")
 
     def table(name: String): DataFrame =
@@ -76,6 +82,26 @@ object GenScale {
     write(replicate(table("embeddings"),
       Seq("vec_id" -> span(table("embeddings"), "vec_id"))),
       "embeddings", copies)
+    // zipf(s) skew fixture: rank = floor(U^(-1/(s-1))) is the inverse
+    // CDF of the zipf tail (P(rank ≥ r) = r^-(s-1), so P(rank = r) ∝
+    // r^-s) — at s = 1.2 the hottest key holds ~13% of all rows, the
+    // single-giant-key-group shape the salting operators exist for. U
+    // is an xxhash64-derived uniform over the (already key-shifted)
+    // replicated rows, so the table is fully deterministic; ranks cap
+    // at 10M (the double→long cast must never see the unbounded tail).
+    zipfS.foreach { z =>
+      val skew = spark.read.parquet(s"$dst/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("__u",
+          (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(1000000L)).cast("double") + 1.0) / 1000000.0)
+        .select(
+          least(floor(pow(col("__u"), lit(-1.0 / (z - 1.0)))),
+            lit(1.0e7)).cast("long").as("k"),
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"))
+      write(skew, "skew", copies)
+      println(s"[genscale] wrote zipf($z) skew table")
+    }
     println(s"[genscale] wrote ${copies}x of $src to $dst")
     spark.stop()
   }

@@ -1229,6 +1229,44 @@ object Relational {
           sum(col("__p.k")).as("sum_k"),
           min(col("__p.k")).as("min_k"),
           max(col("__p.k")).as("max_k"))
+    }),
+
+    // The skew loop end-to-end on data where it MATTERS (q141 runs it
+    // on near-uniform events; this runs it on a genuinely hot-keyed
+    // input): 80% of lineitem rows collapse onto 3 keys — each hot
+    // group is ~27% of the table, the single-giant-key-group shape a
+    // plain hash aggregate funnels through one reducer's merge and AQE
+    // cannot pre-split. The loop closes sketch-first: count-min prices
+    // the skew without touching data twice, heavyKeyBound one-sides
+    // the hottest key, saltsForBound sizes the mitigation (pinned > 1
+    // here — on THIS input the loop must actually engage), and the
+    // two-phase salted aggregate answers. Salt placement cannot change
+    // a decomposable aggregate, so the oracle is the plain group-by
+    // (the q124/q127/q141 boolean-pin pattern). Derived key is integer
+    // arithmetic only — identical in Spark and DuckDB at any sf.
+    "q195_zipf_salted" -> ((s, dir) => {
+      import graft.operators.{Sketches, Skew}
+      val li = Tables.lineitem(s, dir).select(
+        when(pmod(col("l_orderkey"), lit(5L)) < 4,
+            pmod(col("l_orderkey"), lit(3L)))
+          .otherwise(lit(3L) + pmod(col("l_orderkey"), lit(9973L)))
+          .as("skew_key"),
+        cents(col("l_quantity")).as("q"))
+      val sketch = Sketches.countMin(li, "skew_key", depth = 4, width = 1024)
+      val bound = Skew.heavyKeyBound(sketch)
+      val salts = Skew.saltsForBound(bound, targetRowsPerReducer = 1000L)
+      val agg = Skew.saltedAggregate(li, Seq("skew_key"),
+        Seq(Skew.SaltedCount("n_rows"), Skew.SaltedSum("q", "sum_qty_cents"),
+          Skew.SaltedMin("q", "min_qty_cents"),
+          Skew.SaltedMax("q", "max_qty_cents")),
+        numSalts = salts)
+      val maxExact = li.groupBy(col("skew_key")).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__mx"))
+      agg.crossJoin(broadcast(maxExact))
+        .select(col("skew_key"), col("n_rows"), col("sum_qty_cents"),
+          col("min_qty_cents"), col("max_qty_cents"),
+          (lit(bound) >= col("__mx")).as("bound_one_sided_ok"),
+          lit(salts > 1 && salts <= 256).as("salts_multi"))
     })
   )
 
@@ -1455,6 +1493,20 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  TRUE AS bound_one_sided_ok, TRUE AS salts_sized
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Salt placement cannot change a decomposable aggregate; the
+    // oracle is the plain group-by over the same integer-derived hot
+    // key, plus the pinned loop booleans (the q141 pattern — but the
+    // salts_multi pin means the mitigation actually ENGAGED here).
+    "q195_zipf_salted" ->
+      """SELECT CASE WHEN l_orderkey % 5 < 4 THEN l_orderkey % 3
+        |    ELSE 3 + l_orderkey % 9973 END AS skew_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(MIN(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_qty_cents,
+        |  CAST(MAX(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_qty_cents,
+        |  TRUE AS bound_one_sided_ok, TRUE AS salts_multi
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // The TEXTBOOK correlated form — the decorrelated Spark plan must
     // reproduce it exactly (Q21's semantics pin).

@@ -652,7 +652,8 @@ object DataSkipping {
     val removedPresent = old.files.map(_.file).filter(touched.contains)
     val useDelta = !forceCheckpoint && expectedBase.isDefined &&
       m.files.size >= deltaThreshold &&
-      (expectedBase.get + 1) > 1 && (expectedBase.get + 1) % checkpointEvery != 0
+      (expectedBase.get + 1) > 1 &&
+      (expectedBase.get + 1) % checkpointCadence(m.files.size) != 0
     if (useDelta)
       commitVersion(spark, dir, serializeDelta(removedPresent, fresh),
         expectedBase, v => s"""{"redirect":$v}\n""".getBytes("UTF-8"))
@@ -671,11 +672,38 @@ object DataSkipping {
       .getOrElse(100000)
 
   /** Every N-th version is a full checkpoint in delta mode, bounding
-    * the reconstruction walk. `-Dgraft.store.checkpointEvery=` overrides.
+    * the reconstruction walk. `-Dgraft.store.checkpointEvery=` pins a
+    * STATIC cadence; unset, the cadence is ADAPTIVE in the manifest's
+    * entry count — see [[checkpointCadence]].
     */
-  private[sinks] def checkpointEvery: Long =
+  private[sinks] def checkpointEvery: Option[Long] =
     sys.props.get("graft.store.checkpointEvery").flatMap(_.toLongOption)
-      .getOrElse(10L)
+
+  /** The checkpoint cadence for a manifest of `entries` entries:
+    * `clamp(entries / 200, 10, 1000)` unless pinned by
+    * `-Dgraft.store.checkpointEvery=`.
+    *
+    * Why adaptive: a checkpoint costs O(entries) to write, a delta
+    * O(touched files) — so a STATIC cadence makes the amortized
+    * per-commit metadata cost grow with the table (entries/K per
+    * commit), exactly the scaling the delta log exists to avoid. Tying
+    * K to entries/200 holds that amortized term at ~200 entries per
+    * commit at any table size, and the measured anchor justifies the
+    * constant: at E=20k entries, K=100 (= E/200) cut the maintenance
+    * log walks 4.6× with flat reader cost (SCALE.md round-17 cadence
+    * table). The floor keeps the legacy K=10 for small delta-mode
+    * logs; the ceiling bounds a reader's worst-case delta chain to
+    * 1000 KB-sized parses regardless of table size.
+    *
+    * Readers need no knowledge of the cadence — version files are
+    * self-describing (`{"delta":` header), the reconstruction walk
+    * just backtracks to the nearest checkpoint — so the cadence can
+    * change MID-LOG (a growing table crosses clamp steps; an operator
+    * flips the override) with zero read-side coordination (law-pinned).
+    */
+  private[sinks] def checkpointCadence(entries: Int): Long =
+    checkpointEvery.getOrElse(
+      math.max(10L, math.min(1000L, entries.toLong / 200L)))
 
   /** The store's latest committed version (0 on an empty log) — what a
     * maintenance operation captures alongside its [[readManifest]] and

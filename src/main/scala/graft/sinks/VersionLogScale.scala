@@ -33,22 +33,34 @@ import graft.GraftSession
   * isolates the metadata walk — exactly what this bench is for).
   *
   * Usage: `runMain graft.sinks.VersionLogScale [versions] [baseEntries]
-  * [checkpointEvery]` (default 10000, 1000, 10). The third axis backs
-  * the deployment claim that checkpoint cadence is the walk-cost knob
-  * at bigger entry counts: the referenced-name walk is checkpoint-
+  * [checkpointEvery]` (default 10000, 1000, adaptive). The third axis
+  * backs the deployment claim that checkpoint cadence is the walk-cost
+  * knob at bigger entry counts: the referenced-name walk is checkpoint-
   * listing-bound (V/K full listings of E names), so K=100 should cut
-  * it ~10× at the price of ≤K-delta pointer reconstruction. Prints one
-  * JSON line; numbers go in SCALE.md.
+  * it ~10× at the price of ≤K-delta pointer reconstruction. The
+  * default `adaptive` exercises the production policy
+  * ([[DataSkipping.checkpointCadence]]: K = clamp(E/200, 10, 1000) —
+  * E=1k → 10, E=20k → 100); a numeric value pins a static cadence.
+  * Prints one JSON line; numbers go in SCALE.md.
   */
 object VersionLogScale {
   def main(args: Array[String]): Unit = {
     val versions = args.headOption.map(_.toInt).getOrElse(10000)
     val baseEntries = args.lift(1).map(_.toInt).getOrElse(1000)
-    val ckptEvery = args.lift(2).map(_.toInt).getOrElse(10)
     require(versions >= 2)
     val spark = GraftSession.getOrCreate("graft-versionlog-scale")
     sys.props("graft.store.deltaThreshold") = "1"
-    sys.props("graft.store.checkpointEvery") = ckptEvery.toString
+    val ckptEvery = args.lift(2).filterNot(_ == "adaptive") match {
+      case Some(s) =>
+        // a pinned static cadence: the commit path must match it
+        sys.props("graft.store.checkpointEvery") = s
+        s.toInt
+      case None =>
+        // the production policy: leave the override UNSET so the timed
+        // commit below exercises the adaptive path too
+        sys.props.remove("graft.store.checkpointEvery"): Unit
+        DataSkipping.checkpointCadence(baseEntries + 1).toInt
+    }
     val dir = Files.createTempDirectory("graft-versionlog-scale").toString
 
     def entry(name: String, lo: Long): String =
@@ -119,8 +131,32 @@ object VersionLogScale {
     val (vacuumed, vacS) = time(DataSkipping.vacuumVersions(spark, dir, retainLast = 100))
     val refAfterS = best(DataSkipping.versionReferencedFiles(spark, dir))
 
+    // INCREMENTAL follow-up (VERDICT r17 item 6): accrue a fresh,
+    // 10×-smaller backlog and vacuum again — the second vacuum must be
+    // NEW-backlog-sized, never history-sized. No persisted anchor is
+    // needed for that: the first vacuum DELETED the dropped version
+    // files, so the next walk's listVersions sees only survivors —
+    // the own-names walk is survivor-bounded by construction.
+    val head0 = DataSkipping.currentVersion(spark, dir)
+    val post = math.max(versions / 10, 100)
+    var pv = head0 + 1
+    while (pv <= head0 + post) {
+      val bytes =
+        if (pv % ckptEvery == 0) fullManifest(pv.toInt)
+        else
+          s"""{"delta":true,"removed":["${rollName(pv.toInt - 1)}"],"files":[""" +
+            "\n" + entry(rollName(pv.toInt), pv * 100) + "\n]}\n"
+      Files.write(Paths.get(dir, DataSkipping.versionName(pv)),
+        bytes.getBytes("UTF-8")): Unit
+      pv += 1
+    }
+    Files.write(Paths.get(dir, DataSkipping.ManifestName),
+      s"""{"redirect":${head0 + post}}\n""".getBytes("UTF-8")): Unit
+    val (vac2, vac2S) = time(DataSkipping.vacuumVersions(spark, dir, retainLast = 100))
+
     println(
       s"""{"versions":$versions,"base_entries":$baseEntries,"checkpoint_every":$ckptEvery,""" +
+        s""""cadence_policy":"${if (sys.props.contains("graft.store.checkpointEvery")) "static" else "adaptive"}",""" +
         s""""list_versions_s":${"%.3f".format(listS)},""" +
         s""""pointer_read_s":${"%.3f".format(readS)},""" +
         s""""delta_commit_s":${"%.3f".format(commitS)},""" +
@@ -129,7 +165,10 @@ object VersionLogScale {
         s""""feed_window100_s":${"%.3f".format(feedWindowS)},""" +
         s""""vacuum_s":${"%.3f".format(vacS)},""" +
         s""""vacuumed_files":${vacuumed.size},""" +
-        s""""referenced_walk_after_vacuum_s":${"%.3f".format(refAfterS)}}""")
+        s""""referenced_walk_after_vacuum_s":${"%.3f".format(refAfterS)},""" +
+        s""""post_versions":$post,""" +
+        s""""second_vacuum_s":${"%.3f".format(vac2S)},""" +
+        s""""second_vacuumed_files":${vac2.size}}""")
     spark.stop()
   }
 }

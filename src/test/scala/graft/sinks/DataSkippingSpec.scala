@@ -1771,4 +1771,185 @@ class DataSkippingSpec extends SparkSuite {
     assert(!Files.exists(stale), "aged stranded tmp swept")
     assert(Files.exists(fresh), "fresh (possibly live) tmp spared")
   }
+
+  test("concurrent readers during recoverLog: a pre-zone pin reads exactly throughout; an in-zone pin fails loudly, never partially") {
+    // The writer-side quarantine laws are pinned above; this pins the
+    // READER side of the same repair, interleaved with it: a time
+    // traveler pinned BEFORE the broken zone must read value-exact on
+    // every attempt while recoverLog runs (its chain anchors below the
+    // corpse — the repair never touches it), and one pinned INSIDE the
+    // zone must fail loudly on every attempt — corrupt-parse before
+    // the quarantine, version-missing after, NEVER a partial result —
+    // because readers reconstruct only through version files and the
+    // quarantine's rename is atomic per file.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-recover-readers")
+      def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
+        (lo until hi).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1)
+      def countAt(v: Long) = DataSkipping.readPrunedAt(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)), v).count()
+      // v1 full(100), v2 delta(150), v3 CKPT(175), v4 delta(185),
+      // v5 delta(190), v6 CKPT(195), v7 delta(200)
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      app(100, 150); app(150, 175); app(175, 185)
+      app(185, 190); app(190, 195); app(195, 200): Unit
+      val v3p = Paths.get(dir, DataSkipping.versionName(3L))
+      val v3Bytes = Files.readAllBytes(v3p)
+      Files.write(v3p, v3Bytes.take(v3Bytes.length / 2)): Unit
+      // interleaved harness: both readers hammer their pinned version
+      // on their own threads; the repair runs in the middle; each side
+      // must observe reads strictly BEFORE and strictly AFTER it
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pre = new java.util.concurrent.ConcurrentLinkedQueue[scala.util.Try[Long]]
+      val zone = new java.util.concurrent.ConcurrentLinkedQueue[scala.util.Try[Long]]
+      def reader(q: java.util.concurrent.ConcurrentLinkedQueue[scala.util.Try[Long]],
+          v: Long) = new Thread(() =>
+        while (!stop.get()) q.add(scala.util.Try(countAt(v))): Unit)
+      val threads = Seq(reader(pre, 2L), reader(zone, 4L))
+      threads.foreach(_.start())
+      def awaitAtLeast(preN: Int, zoneN: Int): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while ((pre.size < preN || zone.size < zoneN) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(pre.size >= preN && zone.size >= zoneN, "reader threads stalled")
+      }
+      awaitAtLeast(3, 3)
+      val rep = DataSkipping.recoverLog(spark, dir)
+      assert(rep.quarantined === Seq(3L, 4L, 5L) && rep.head === 7L)
+      // each pin observes reads strictly AFTER the repair too (the
+      // queues grow at very different rates: failing fast is cheap,
+      // a successful pruned read is a Spark job — await independently)
+      awaitAtLeast(pre.size + 3, zone.size + 3)
+      stop.set(true); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      // pre-zone pin: EVERY attempt, before/during/after, is exact
+      val preSeq = pre.asScala.toSeq
+      assert(preSeq.nonEmpty && preSeq.forall(_ == scala.util.Success(150L)),
+        s"pre-zone reader saw ${preSeq.filterNot(_ == scala.util.Success(150L)).take(3)}")
+      // in-zone pin: EVERY attempt fails loudly; no partial data ever
+      val zoneSeq = zone.asScala.toSeq
+      assert(zoneSeq.nonEmpty && zoneSeq.forall(_.isFailure),
+        s"in-zone reader got data from a broken version: " +
+          s"${zoneSeq.filter(_.isSuccess).take(3)}")
+      // post-repair: the surviving log serves exactly
+      assert(countAt(2L) === 150L && countAt(6L) === 195L && countAt(7L) === 200L)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("adaptive checkpoint cadence: K = clamp(E/200, 10, 1000); a cadence change mid-log leaves every reader exact") {
+    // the policy's fixed points (measured anchors: E=1k keeps the
+    // legacy floor 10; E=20k gives 100 — the 4.6x walk-cut row in
+    // SCALE.md; the ceiling bounds a reader's worst delta chain)
+    assert(DataSkipping.checkpointCadence(0) === 10L)
+    assert(DataSkipping.checkpointCadence(1000) === 10L)
+    assert(DataSkipping.checkpointCadence(20000) === 100L)
+    assert(DataSkipping.checkpointCadence(100000) === 500L)
+    assert(DataSkipping.checkpointCadence(Int.MaxValue) === 1000L)
+    // an explicit override pins a static cadence (what every law that
+    // synthesizes checkpoint positions relies on)
+    sys.props("graft.store.checkpointEvery") = "7"
+    try assert(DataSkipping.checkpointCadence(20000) === 7L)
+    finally sys.props.remove("graft.store.checkpointEvery"): Unit
+    // MID-LOG cadence change: version files are SELF-DESCRIBING (the
+    // '{"delta":' header sniff), so the reconstruction walk needs no
+    // knowledge of the cadence that wrote them — a store committed
+    // half at K=3 and half at K=5 (a growing table crossing a clamp
+    // step, or an operator flipping the override) must reconstruct
+    // exactly at every version, feed true-delta across the boundary,
+    // and audit clean, with zero read-side coordination.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-cadence-change")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      DataSkipping.writeWithStats((0L until 40L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+      (1 to 4).foreach(b => DataSkipping.appendWithStats(
+        (40L + 10L * (b - 1) until 40L + 10L * b).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 1): Unit)
+      sys.props("graft.store.checkpointEvery") = "5"
+      (5 to 9).foreach(b => DataSkipping.appendWithStats(
+        (40L + 10L * (b - 1) until 40L + 10L * b).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 1): Unit)
+      // checkpoints landed under BOTH cadences: v3 (K=3 era), v10
+      // (K=5 era); v6 — a would-be checkpoint under the old cadence —
+      // is a delta under the new one
+      assert(!DataSkipping.isDeltaVersion(fs, dir, 3L))
+      assert(DataSkipping.isDeltaVersion(fs, dir, 6L))
+      assert(!DataSkipping.isDeltaVersion(fs, dir, 10L))
+      (1 to 10).foreach { v =>
+        assert(DataSkipping.readPrunedAt(spark, dir,
+          Seq(("k", Long.MinValue, Long.MaxValue - 1)), v.toLong).count()
+          === 40L + 10L * (v - 1), s"version $v reconstruction")
+      }
+      val feed = DataSkipping.changesBetween(spark, dir, 1L, 10L)
+      assert(feed.filter(col("__change") =!= "insert").count() === 0L)
+      assert(feed.count() === 90L, "true delta across the cadence boundary")
+      assert(DataSkipping.fsck(spark, dir, checkRows = true).clean)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("incremental vacuum: vacuum-commit-vacuum ends exactly where one full-history vacuum ends; the second walk is survivor-bounded") {
+    // No persisted anchor is needed for an incremental sweep: vacuum
+    // DELETES the version files it drops, so the next vacuum's walk
+    // (listVersions + own-names) sees only survivors + new commits —
+    // new-backlog-sized by construction. The law: splitting history
+    // across two vacuums converges to the same store as one vacuum
+    // over the full history — same surviving versions, same content,
+    // same time-travel window, both audit-clean.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      def build(name: String): String = {
+        val dir = tmpDir(name)
+        DataSkipping.writeWithStats((0L until 20L).map(i => (i, i)).toDF("k", "v"),
+          dir, col("k"), numFiles = 1, statsCols = Seq("k"))
+        dir
+      }
+      def appendBatch(dir: String, b: Int): Unit =
+        DataSkipping.appendWithStats(
+          (20L + 10L * (b - 1) until 20L + 10L * b).map(i => (i, i)).toDF("k", "v"),
+          dir, col("k"), numFiles = 1): Unit
+      val a = build("graft-vac-incr")
+      val b = build("graft-vac-full")
+      (1 to 7).foreach(appendBatch(a, _))
+      DataSkipping.vacuumVersions(spark, a, retainLast = 2): Unit
+      val midVersions = DataSkipping.listVersions(spark, a)
+      assert(midVersions.head > 1L, "first vacuum expired the early log")
+      (8 to 12).foreach(appendBatch(a, _))
+      // the second vacuum's whole walk universe is survivors + the 5
+      // new commits — pre-first-vacuum versions are GONE from disk
+      assert(DataSkipping.listVersions(spark, a).size ===
+        midVersions.size + 5, "second walk is survivor-bounded")
+      DataSkipping.vacuumVersions(spark, a, retainLast = 2): Unit
+      (1 to 12).foreach(appendBatch(b, _))
+      DataSkipping.vacuumVersions(spark, b, retainLast = 2): Unit
+      // convergence: same surviving version numbers, same content,
+      // same valid time-travel window, both clean
+      assert(DataSkipping.listVersions(spark, a) ===
+        DataSkipping.listVersions(spark, b))
+      def content(dir: String) = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1)))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(content(a) === content(b) && content(a).size === 140)
+      assert(DataSkipping.validVersions(spark, a) ===
+        DataSkipping.validVersions(spark, b))
+      assert(DataSkipping.fsck(spark, a, checkRows = true).clean)
+      assert(DataSkipping.fsck(spark, b, checkRows = true).clean)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
 }
