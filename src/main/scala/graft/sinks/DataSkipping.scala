@@ -1702,14 +1702,24 @@ object DataSkipping {
     * between its version-file CAS and pointer swap: readers serve the
     * previous committed snapshot until the next commit heals it; −1 =
     * undeterminable); `vacuumOverdue` — tombstone bytes exceed live
-    * bytes (run [[vacuumVersions]]).
+    * bytes (run [[vacuumVersions]]); `staleIndexes` — persisted IVF-PQ
+    * indexes at or directly under the audited directory whose corpus
+    * has outgrown their train-time cell anchor
+    * ([[graft.llm.Similarity.ivfPqStaleness]] trips at 4× growth):
+    * they still serve CORRECTLY, but with a degraded candidate-scan
+    * slope (SCALE.md: frozen cells revert the √N serve slope toward
+    * 0.5) — run [[graft.llm.Similarity.ivfPqRetrain]]. The index
+    * world's `vacuumOverdue`. A model sidecar that EXISTS but cannot
+    * be parsed or counted lands in `unreadableFiles` instead — that
+    * index cannot serve at all, a genuine defect.
     */
   final case class FsckReport(missingFiles: Seq[String], orphanFiles: Seq[String],
       rowMismatches: Seq[(String, Long, Long)], invalidVersions: Seq[Long],
       unreadableFiles: Seq[String] = Nil, tombstoneFiles: Seq[String] = Nil,
       quarantinedVersions: Seq[Long] = Nil, pointerLag: Int = 0,
       vacuumOverdue: Boolean = false,
-      brokenPointer: Option[Long] = None) {
+      brokenPointer: Option[Long] = None,
+      staleIndexes: Seq[String] = Nil) {
     def clean: Boolean =
       missingFiles.isEmpty && orphanFiles.isEmpty &&
         rowMismatches.isEmpty && invalidVersions.isEmpty &&
@@ -1839,8 +1849,34 @@ object DataSkipping {
       }
     val liveBytes = m.files.iterator.flatMap(f => sizes.get(f.file)).sum
     val tombBytes = tombstones.iterator.flatMap(sizes.get).sum
-    FsckReport(missing, orphans, mismatches, invalid, unreadable, tombstones,
-      quarantined, lag, tombBytes > liveBytes && tombBytes > 0L, brokenPtr)
+    // Persisted-index staleness audit (VERDICT r18 item 6): an operator
+    // running fsck on a directory holding (or containing) a persisted
+    // IVF-PQ index gets the staleness verdict in the SAME report as the
+    // store's — previously `ivfPqStaleness` existed but nothing
+    // operational surfaced it. Candidates: the audited dir itself and
+    // its immediate subdirectories (the layout both gates use — index
+    // dirs beside or under the table dir); an index's own `cell=K/`
+    // children never carry a sidecar, so they can't double-report.
+    val sidecar = graft.llm.Similarity.IvfPqModelFile
+    val indexDirs = (IndexedSeq(p) ++
+        statuses.filter(_.isDirectory).map(_.getPath))
+      .filter { d =>
+        try hfs.exists(new Path(d, sidecar))
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    val indexAudits = indexDirs.map { d =>
+      val rel = if (d == p) "." else d.getName
+      try Right(rel -> graft.llm.Similarity.ivfPqStaleness(spark, d.toString))
+      catch {
+        case scala.util.control.NonFatal(_) => Left(s"$rel/$sidecar")
+      }
+    }
+    val staleIdx = indexAudits.collect { case Right((rel, st)) if st.stale => rel }
+    val badSidecars = indexAudits.collect { case Left(f) => f }
+    FsckReport(missing, orphans, mismatches, invalid,
+      unreadable ++ badSidecars, tombstones,
+      quarantined, lag, tombBytes > liveBytes && tombBytes > 0L, brokenPtr,
+      staleIdx)
   }
 
   /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data files

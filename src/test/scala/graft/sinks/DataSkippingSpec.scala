@@ -395,6 +395,47 @@ class DataSkippingSpec extends SparkSuite {
     assert(!r3.clean)
   }
 
+  test("fsck: a 4x-grown persisted index under the store dir flags staleIndexes; retrain clears it; a rotted sidecar is an unreadable file") {
+    import graft.llm.Similarity
+    val dir = tmpDir("graft-fsck-idx")
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    DataSkipping.writeWithStats(df, dir, col("k"), numFiles = 2,
+      statsCols = Seq("k")): Unit
+    val emb = (0L until 256L).map(i => (i, Array(
+        (i % 4).toFloat, ((i / 4) % 4).toFloat,
+        ((i * 3) % 5).toFloat, ((i * 7) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = s"$dir/ann_index"
+    Similarity.ivfPqWriteIndex(emb.filter(col("vec_id") < 64L),
+      "vec_id", "embedding", idx, cells = 3, m = 2, k = 3, iters = 2): Unit
+    // fresh index: store stays clean, nothing stale, and the index's
+    // own cell=K/ tree never pollutes the store's orphan/tombstone walk
+    val r0 = DataSkipping.fsck(spark, dir, checkRows = true)
+    assert(r0.clean && r0.staleIndexes.isEmpty, s"fresh index: $r0")
+    // frozen-model appends grow the corpus to 4x the train anchor —
+    // the SAME report an operator already runs now carries the flag
+    Similarity.ivfPqAppendIndex(emb.filter(col("vec_id") >= 64L),
+      "vec_id", "embedding", idx): Unit
+    val r1 = DataSkipping.fsck(spark, dir)
+    assert(r1.staleIndexes === Seq("ann_index"), s"grown index: $r1")
+    assert(r1.clean, "staleness is advisory (serves correctly, degraded slope)")
+    // the maintenance op the flag prescribes clears it
+    Similarity.ivfPqRetrain(spark, idx, emb, "vec_id", "embedding",
+      m = 2, k = 3, iters = 2): Unit
+    val r2 = DataSkipping.fsck(spark, dir)
+    assert(r2.clean && r2.staleIndexes.isEmpty, s"after retrain: $r2")
+    // a sidecar that exists but cannot be parsed is a DEFECT (the index
+    // cannot serve): unreadableFiles, clean = false — never a crash
+    Files.write(Paths.get(idx, Similarity.IvfPqModelFile),
+      "cells=garbage".getBytes("UTF-8"))
+    Files.deleteIfExists(
+      Paths.get(idx, "." + Similarity.IvfPqModelFile + ".crc")): Unit
+    val r3 = DataSkipping.fsck(spark, dir)
+    assert(r3.unreadableFiles === Seq(s"ann_index/${Similarity.IvfPqModelFile}"),
+      s"rotted sidecar: $r3")
+    assert(!r3.clean && r3.staleIndexes.isEmpty)
+  }
+
   test("metadataSummary: counts and bounds fold from the manifest; all-NULL columns yield NULL bounds") {
     val dir = tmpDir("graft-metacount")
     val rows = (0 until 90).map(i => (java.lang.Long.valueOf(i.toLong), i.toLong)) ++
