@@ -313,7 +313,7 @@ object LlmQueries {
       val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))
       Similarity.bucketedTopK(emb.join(assign, Seq("vec_id")),
-        "vec_id", "embedding", "cluster", col("vec_id") % 50 === 0, 3)
+        "vec_id", "embedding", "cluster", col("vec_id") % 50 === 0 && col("vec_id") < 2000, 3)
     }),
 
     // Corpus length-distribution profile: exact p50/p90/p99 token
@@ -497,12 +497,12 @@ object LlmQueries {
     // Brute-force cosine top-5 for 10 query vectors (integer-quantized).
     "q35_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5)),
+        col("vec_id") % 50 === 0 && col("vec_id") < 2000, 5)),
 
     // IVF-style bucketed top-3: queries only scored inside their bucket.
     "q36_ann_bucketed" -> ((s, dir) =>
       Similarity.bucketedTopK(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-        col("vec_id") % 50 === 0, 3)),
+        col("vec_id") % 50 === 0 && col("vec_id") < 2000, 3)),
 
     // The composed curation pipeline: exact dedup -> LSH near-dup removal
     // -> quality/language gate, over a corpus with BOTH kinds of injected
@@ -549,7 +549,7 @@ object LlmQueries {
         .withColumn("lsh_bucket", Similarity.lshBucketFromQuantized(col("qv"), 4))
         .select(col("vec_id"), col("embedding"), col("lsh_bucket"))
       Similarity.bucketedTopK(base, "vec_id", "embedding", "lsh_bucket",
-        col("vec_id") % 50 === 0, 3)
+        col("vec_id") % 50 === 0 && col("vec_id") < 2000, 3)
     }),
 
     // LSH band-bucket guard: the per-band bucket-size profile that
@@ -703,7 +703,7 @@ object LlmQueries {
     // query-slice-to-centroid distances — raw corpus vectors untouched.
     "q84_pq_adc_topk" -> ((s, dir) =>
       Similarity.pqAdcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, m = 4, k = 4, iters = 2, topK = 10)),
+        queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, m = 4, k = 4, iters = 2, topK = 10)),
 
     // RAG/context-window chunking: 32-token chunks, 8-token overlap over
     // the canonical token stream; gate hashes every chunk's text.
@@ -718,7 +718,7 @@ object LlmQueries {
     // measured answer to what bucket-restriction costs in quality.
     "q89_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pred = col("vec_id") % 50 === 0
+      val pred = col("vec_id") % 50 === 0 && col("vec_id") < 2000
       Similarity.annRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 3),
         Similarity.bucketedTopK(emb, "vec_id", "embedding", "label", pred, 3),
@@ -810,7 +810,7 @@ object LlmQueries {
       val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))
       Similarity.hardNegativesTopK(emb.join(assign, Seq("vec_id")),
-        "vec_id", "embedding", "cluster", "label", col("vec_id") % 50 === 0, 3)
+        "vec_id", "embedding", "cluster", "label", col("vec_id") % 50 === 0 && col("vec_id") < 2000, 3)
     }),
 
     // Composed IVF-PQ search — q63's learned coarse cells routing q84's
@@ -818,16 +818,27 @@ object LlmQueries {
     // k-means cell (nprobe=1), never the full code table.
     "q99_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, cells = 4, m = 4, k = 4,
+        queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, cells = 4, m = 4, k = 4,
         iters = 2, topK = 10)),
 
     // Measured recall@10 of the composed IVF-PQ search against exact
     // brute-force cosine ground truth — the combined quality cost of
     // cell-pruning + code quantization, the number a deployment tunes
     // nprobe/m against.
+    //
+    // SCALE-INVARIANT PROBE SET (round 19, the q194 rule extended to
+    // the whole ANN family): every probe predicate is
+    // `% 50 === 0 && vec_id < 2000` — identical to the old `% 50` at
+    // sf0.01/sf0.1 (max vec_id 1999, so every oracle pin is
+    // byte-for-byte unchanged), but Q stays 40 at ANY larger scale. The
+    // corpus-fraction form made recall MEASUREMENT cost (N/50)·N —
+    // quadratic; the first sf10 campaign run spent ~4 h in this family
+    // (interpreted ZipWith/ArrayAggregate ground-truth evals) before
+    // the bend was diagnosed. A deployment measures recall with a
+    // fixed probe sample; its QPS never grows with corpus size.
     "q100_ivfpq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pred = col("vec_id") % 50 === 0
+      val pred = col("vec_id") % 50 === 0 && col("vec_id") < 2000
       Similarity.annRecall(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10),
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
@@ -840,7 +851,7 @@ object LlmQueries {
     // of a deployed IVF index (q99 is the nprobe=1 point).
     "q101_ivfpq_nprobe2" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, cells = 4, m = 4, k = 4,
+        queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, cells = 4, m = 4, k = 4,
         iters = 2, topK = 10, nprobe = 2)),
 
     // The measured nprobe→recall curve (micro-averaged recall@10 vs
@@ -850,7 +861,7 @@ object LlmQueries {
     // corpus in added ADC work.
     "q102_ivfpq_recall_curve" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pred = col("vec_id") % 50 === 0
+      val pred = col("vec_id") % 50 === 0 && col("vec_id") < 2000
       // ONE brute-force ground-truth pass shared by every curve point:
       // persisted so point(2) reuses point(1)'s materialization instead
       // of replaying the full-scan scoring (the suite's most expensive
@@ -877,7 +888,7 @@ object LlmQueries {
     // within-cell detail instead of re-describing cell structure.
     "q103_ivfpq_residual" -> ((s, dir) =>
       Similarity.ivfPqResidualTopK(Tables.embeddings(s, dir), "vec_id",
-        "embedding", queryPred = col("vec_id") % 50 === 0, cells = 4,
+        "embedding", queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, cells = 4,
         m = 4, k = 4, iters = 2, topK = 10)),
 
     // The residual analog of q102's curve — same corpus, same params,
@@ -885,7 +896,7 @@ object LlmQueries {
     // encoding buy at each probe width".
     "q104_ivfpq_residual_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pred = col("vec_id") % 50 === 0
+      val pred = col("vec_id") % 50 === 0 && col("vec_id") < 2000
       // ONE brute-force ground-truth pass shared by every curve point:
       // persisted so point(2) reuses point(1)'s materialization instead
       // of replaying the full-scan scoring (the suite's most expensive
@@ -919,7 +930,7 @@ object LlmQueries {
       Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", tmp,
         cells = 4, m = 4, k = 4, iters = 2)
       Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+        queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, topK = 10, nprobe = 1)
     }),
 
     // The SERVE half of q121 on its own clock (VERDICT r15 item 4):
@@ -965,7 +976,7 @@ object LlmQueries {
       Similarity.ivfPqAppendIndex(extra, "vec_id", "embedding", tmp)
       Similarity.ivfPqCompactIndex(s, tmp)
       Similarity.ivfPqServeIndex(s, tmp, emb, "vec_id", "embedding",
-        queryPred = col("vec_id") % 50 === 0, topK = 10, nprobe = 1)
+        queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 2000, topK = 10, nprobe = 1)
     }),
 
     // File-level data skipping — the read-path payoff of q86's z-order
@@ -2018,7 +2029,7 @@ object LlmQueries {
     * unique at any nprobe because a neighbor lives in exactly one cell.
     */
   private def ivfPqScoredSql(nprobe: Int, tag: String = "",
-      queryWhere: String = "q.id % 50 = 0"): String = {
+      queryWhere: String = "q.id % 50 = 0 AND q.id < 2000"): String = {
     def adcDist(j: Int): String =
       s"""CAST(list_sum(list_transform(range(1, len(b$j.qv) + 1),
          |      i -> (qs$tag.s$j[i] - b$j.qv[i]) * (qs$tag.s$j[i] - b$j.qv[i]))) AS BIGINT)""".stripMargin
@@ -2085,7 +2096,7 @@ object LlmQueries {
        |qs AS (SELECT qall.id AS query_id, aall.cluster AS cell,
        |    ${(0 until 4).map(j => s"list_slice(qall.qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
        |  FROM qall JOIN aall ON qall.id = aall.id
-       |  WHERE qall.id % 50 = 0),
+       |  WHERE qall.id % 50 = 0 AND qall.id < 2000),
        |scored AS (SELECT qs.query_id, cand.neighbor_id,
        |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
        |  FROM cand JOIN qs ON cand.cell = qs.cell
@@ -2133,7 +2144,7 @@ object LlmQueries {
        |      QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, c) <= $nprobe) r
        |      ON q.id = r.id
        |    JOIN cent ON cent.c = r.c
-       |    WHERE q.id % 50 = 0)),
+       |    WHERE q.id % 50 = 0 AND q.id < 2000)),
        |scored$tag AS (SELECT qs$tag.query_id, rcand.neighbor_id,
        |    ${(0 until 4).map(adcDist).mkString(" +\n    ")} AS adc_dist
        |  FROM rcand JOIN qs$tag ON rcand.cell = qs$tag.cell
@@ -2353,7 +2364,7 @@ object LlmQueries {
          |qq AS (SELECT q.id AS query_id, a2.cluster, e.label AS q_label, q.qv FROM q
          |  JOIN a2 ON q.id = a2.id
          |  JOIN embeddings e ON q.id = e.vec_id
-         |  WHERE q.id % 50 = 0),
+         |  WHERE q.id % 50 = 0 AND q.id < 2000),
          |cc AS (SELECT q.id AS neighbor_id, a2.cluster, e.label AS c_label, q.qv AS cv FROM q
          |  JOIN a2 ON q.id = a2.id
          |  JOIN embeddings e ON q.id = e.vec_id),
@@ -2527,7 +2538,7 @@ object LlmQueries {
     "q63_ann_kmeans_bucketed" ->
       s"""WITH ${kmeansChainSql()},
          |qq AS (SELECT q.id AS query_id, a2.cluster, q.qv FROM q
-         |  JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0),
+         |  JOIN a2 ON q.id = a2.id WHERE q.id % 50 = 0 AND q.id < 2000),
          |cc AS (SELECT q.id AS neighbor_id, a2.cluster, q.qv AS cv FROM q
          |  JOIN a2 ON q.id = a2.id),
          |j AS (SELECT query_id, neighbor_id,
@@ -2829,7 +2840,7 @@ object LlmQueries {
 
     "q35_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS qv
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |c AS (SELECT vec_id AS neighbor_id, ${quantSql("embedding")} AS cv FROM embeddings),
          |j AS (SELECT query_id, neighbor_id,
          |    ${dotSql("qv", "cv")} AS dot,
@@ -2845,7 +2856,7 @@ object LlmQueries {
 
     "q36_ann_bucketed" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label, ${quantSql("embedding")} AS qv
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |c AS (SELECT vec_id AS neighbor_id, label, ${quantSql("embedding")} AS cv FROM embeddings),
          |j AS (SELECT query_id, neighbor_id,
          |    ${dotSql("qv", "cv")} AS dot,
@@ -2920,7 +2931,7 @@ object LlmQueries {
         .mkString(" + ")
       s"""WITH base AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
          |bk AS (SELECT vec_id, v, $bucket AS bucket FROM base),
-         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM bk WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM bk WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |c AS (SELECT vec_id AS neighbor_id, bucket, v AS cv FROM bk),
          |j AS (SELECT query_id, neighbor_id,
          |    ${dotSql("qv", "cv")} AS dot,
@@ -3033,7 +3044,7 @@ object LlmQueries {
          |  JOIN p3_a2 ON q.id = p3_a2.id),
          |qs AS (SELECT id AS query_id,
          |    ${(0 until 4).map(j => s"list_slice(qv, ${j * 16 + 1}, ${(j + 1) * 16}) AS s$j").mkString(",\n    ")}
-         |  FROM q WHERE id % 50 = 0),
+         |  FROM q WHERE id % 50 = 0 AND id < 2000),
          |scored AS (SELECT qs.query_id, cand.neighbor_id,
          |    ${(0 until 4).map(j => adcDist(j)).mkString(" +\n    ")} AS adc_dist
          |  FROM cand CROSS JOIN qs
@@ -3419,7 +3430,7 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
          |  FROM scored) WHERE rk <= 10),
-         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0 AND id < 2000),
          |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
          |    ${dotSql("cq.qv", "c.qv")} AS dot,
          |    ${dotSql("cq.qv", "cq.qv")} AS na,
@@ -3467,7 +3478,7 @@ object LlmQueries {
       s"""WITH $ivfPqBaseSql,
          |${ivfPqScoredSql(1, "1")},
          |${ivfPqScoredSql(2, "2")},
-         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0 AND id < 2000),
          |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
          |    ${dotSql("cq.qv", "c.qv")} AS dot,
          |    ${dotSql("cq.qv", "cq.qv")} AS na,
@@ -3513,7 +3524,7 @@ object LlmQueries {
       s"""WITH $ivfPqResidualBaseSql,
          |${ivfPqResidualScoredSql(1, "1")},
          |${ivfPqResidualScoredSql(2, "2")},
-         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0),
+         |cq AS (SELECT id AS query_id, qv FROM q WHERE id % 50 = 0 AND id < 2000),
          |exj AS (SELECT cq.query_id, c.id AS neighbor_id,
          |    ${dotSql("cq.qv", "c.qv")} AS dot,
          |    ${dotSql("cq.qv", "cq.qv")} AS na,
@@ -3551,7 +3562,7 @@ object LlmQueries {
           |    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
           |             neighbor_id ASC) AS rank""".stripMargin
       s"""WITH q AS (SELECT vec_id AS query_id, label, ${quantSql("embedding")} AS qv
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |c AS (SELECT vec_id AS neighbor_id, label, ${quantSql("embedding")} AS cv FROM embeddings),
          |exj AS (SELECT query_id, neighbor_id,
          |    ${dotSql("qv", "cv")} AS dot,
