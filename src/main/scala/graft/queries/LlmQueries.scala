@@ -1471,7 +1471,14 @@ object LlmQueries {
       graft.sinks.DataSkipping.writeWithStats(
         ord.filter(col("o_orderkey") % 3 =!= 0), tmp, col("o_orderkey"),
         numFiles = 6, statsCols = Seq("o_orderkey"))
-      val updates = ord.filter(col("o_orderkey") % 10 === 0)
+      // UPDATE-LIST-SIZED batch at every scale (the q100 probe-set rule
+      // applied to CDC fixtures): % 10 alone grew with the corpus and
+      // crossed upsertKeys' own maxKeys guard at sf10 — which is the
+      // guard doing its job; a real CDC batch is bounded by the feed,
+      // not the table. `< 150000` binds nothing at sf0.01/sf0.1 (dense
+      // keys 0..149999), so every oracle pin is byte-identical.
+      val updates = ord.filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderkey") < 150000L)
         .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"))
       graft.sinks.DataSkipping.upsertKeys(s, tmp, "o_orderkey", updates,
         col("o_orderkey"), numFiles = 2): Unit
@@ -3379,7 +3386,7 @@ object LlmQueries {
       """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_orderkey % 3 <> 0),
         |upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
-        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 150000)
         |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |UNION ALL
