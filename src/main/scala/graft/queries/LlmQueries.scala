@@ -1274,7 +1274,13 @@ object LlmQueries {
       graft.sinks.DataSkipping.appendWithStats(
         ord.filter(col("o_orderkey") % 3 === 1), up, col("o_orderkey"),
         numFiles = 2): Unit
-      val updates = ord.filter(col("o_orderkey") % 30 === 0)
+      // UPDATE-LIST-SIZED batch at every scale (the q165 rule): % 30
+      // alone grows with the corpus (5M keys at sf100 — past upsertKeys'
+      // maxKeys guard). A real CDC batch is bounded by the feed, not the
+      // table; `< 150000` binds nothing at sf0.01/sf0.1 (dense keys
+      // 0..149999), so every oracle pin is byte-identical.
+      val updates = ord.filter(col("o_orderkey") % 30 === 0 &&
+          col("o_orderkey") < 150000L)
         .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"))
       graft.sinks.DataSkipping.upsertKeys(s, up, "o_orderkey", updates,
         col("o_orderkey"), numFiles = 1): Unit
@@ -3246,7 +3252,7 @@ object LlmQueries {
       """WITH base AS (SELECT o_orderkey, o_custkey FROM orders
         |  WHERE o_orderkey % 3 IN (0, 1)),
         |upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
-        |  FROM orders WHERE o_orderkey % 30 = 0)
+        |  FROM orders WHERE o_orderkey % 30 = 0 AND o_orderkey < 150000)
         |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM base
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |UNION ALL
