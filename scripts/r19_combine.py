@@ -19,7 +19,16 @@ def main():
     s10 = json.load(open(sys.argv[3]))
 
     def mins(d):
-        return d.get("queries_min") or d["queries"]
+        # Least-contaminated per-gate estimate: min-of-passes, further
+        # floored by the post-suite retime where one exists (a co-tenant
+        # burst covering a gate's ENTIRE 3-pass window inflates even its
+        # min; the retime re-measures after the suite when the burst has
+        # cleared, with the same warmup+median methodology).
+        base = dict(d.get("queries_min") or d["queries"])
+        for name, t in (d.get("queries_retimed") or {}).items():
+            if name in base:
+                base[name] = min(base[name], t)
+        return base
 
     q01, q1, q10 = mins(s01), mins(s1), mins(s10)
     names = sorted(set(q01) & set(q1) & set(q10))

@@ -82,6 +82,15 @@ object SkewScale {
     val (_, plainJoinS) = minOf3 { plainJoin; 0L }
     val (_, saltedJoinS) = minOf3 { saltedJoin; 0L }
 
+    // counterfactual leg: AQE OFF isolates the static mitigation's raw
+    // effect — the regime where no runtime skew split exists (AQE
+    // disabled, or a shape its thresholds don't trip). Same data, same
+    // session, plans rebuilt per run so the toggle takes effect.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (_, plainJoinNoAqeS) = minOf3 { plainJoin; 0L }
+    val (_, saltedJoinNoAqeS) = minOf3 { saltedJoin; 0L }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
     println(
       s"""{"sf_dir":"$sfDir","n_rows":$n,"hot_key_rows":$hot,""" +
         s""""bound":$bound,"salts":$salts,"groups":$aggGroups,""" +
@@ -89,7 +98,9 @@ object SkewScale {
         s""""plain_agg_s":${"%.3f".format(plainAggS)},""" +
         s""""salted_agg_s":${"%.3f".format(saltedAggS)},""" +
         s""""plain_join_s":${"%.3f".format(plainJoinS)},""" +
-        s""""salted_join_s":${"%.3f".format(saltedJoinS)}}""")
+        s""""salted_join_s":${"%.3f".format(saltedJoinS)},""" +
+        s""""plain_join_noaqe_s":${"%.3f".format(plainJoinNoAqeS)},""" +
+        s""""salted_join_noaqe_s":${"%.3f".format(saltedJoinNoAqeS)}}""")
     spark.stop()
   }
 }

@@ -781,7 +781,14 @@ object DataSkipping {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (listVersions(spark, dir).lastOption != Some(base)) return false
-    if (pointerRedirectTarget(fs, dir).contains(base)) return false
+    // unreadable pointer bytes: we cannot rule out that the pointer
+    // PUBLISHED this head — quarantining a published head is
+    // data-visible, so refuse (the caller's original parse error
+    // propagates; recoverLog is the documented heal)
+    pointerRedirectTargetE(fs, dir) match {
+      case Right(t) => if (t.contains(base)) return false
+      case Left(_) => return false
+    }
     val vf = new Path(dir, versionName(base))
     val age = try System.currentTimeMillis() - fs.getFileStatus(vf).getModificationTime
       catch { case _: java.io.FileNotFoundException => return true } // raced: already repaired
@@ -1439,11 +1446,24 @@ object DataSkipping {
     // (Full-bytes pointers are self-contained and never die this way;
     // only redirects are touched.)
     val vsAfter = listVersions(spark, dir)
-    pointerRedirectTarget(fs, dir).foreach { t =>
-      if (!vsAfter.contains(t)) vsAfter.lastOption.foreach { h =>
-        swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
-          s"""{"redirect":$h}\n""".getBytes("UTF-8"))
+    pointerRedirectTargetE(fs, dir) match {
+      case Right(t) => t.foreach { tv =>
+        if (!vsAfter.contains(tv)) vsAfter.lastOption.foreach { h =>
+          swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
+            s"""{"redirect":$h}\n""".getBytes("UTF-8"))
+        }
       }
+      case Left(e) =>
+        // pointer bytes unreadable (stale .crc after an out-of-band
+        // overwrite, or rot): same heal as a dead redirect — re-point
+        // at the surviving head with the atomic write-aside swap,
+        // which rewrites data AND sidecar consistently
+        log.warn(s"recoverLog: latest pointer of $dir is unreadable " +
+          s"(${e.getMessage}) — re-pointing at the surviving head")
+        vsAfter.lastOption.foreach { h =>
+          swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
+            s"""{"redirect":$h}\n""".getBytes("UTF-8"))
+        }
     }
     report
   }
@@ -1619,11 +1639,23 @@ object DataSkipping {
     // heals the pointer. Data files were always safe (`referenced`
     // unions the pointer's file set); this keeps the METADATA the
     // pointer needs alive too.
-    pointerRedirectTarget(fs, dir).foreach { pv =>
-      while (drop.nonEmpty && drop.last >= pv) {
-        keep = drop.last +: keep
-        drop = drop.dropRight(1)
+    pointerRedirectTargetE(fs, dir) match {
+      case Right(t) => t.foreach { pv =>
+        while (drop.nonEmpty && drop.last >= pv) {
+          keep = drop.last +: keep
+          drop = drop.dropRight(1)
+        }
       }
+      case Left(e) =>
+        // the pointer's target is UNKNOWN — expiring any version could
+        // break the next pointer read permanently. Retain the full
+        // chain (vacuum still sweeps crash debris below) and say why;
+        // recoverLog heals the pointer, after which vacuum reclaims.
+        log.warn(s"vacuum: latest pointer of $dir is unreadable " +
+          s"(${e.getMessage}) — retaining the full version chain this " +
+          "pass; run recoverLog to heal the pointer")
+        keep = drop ++ keep
+        drop = drop.take(0)
     }
     // delta chains: a kept DELTA version reconstructs through its
     // predecessors — retention extends back to the nearest full
@@ -1763,7 +1795,26 @@ object DataSkipping {
       catch { case scala.util.control.NonFatal(e) => Left(e) }
     val brokenPtr: Option[Long] =
       if (mTry.isRight) None
-      else pointerRedirectTarget(hfs, dir).orElse(Some(-1L))
+      else pointerRedirectTargetE(hfs, dir).toOption.flatten.orElse(Some(-1L))
+    // UNREADABLE-pointer probe (distinct from a dead redirect: here the
+    // pointer file's own BYTES fail verification — stale .crc after an
+    // out-of-band overwrite, or rot). readManifest degrades to the log
+    // head for liveness, so the audit must detect this directly; it
+    // classifies with the other exists-but-cannot-read defects in
+    // unreadableFiles, and recoverLog is the heal.
+    val ptrUnreadable: Option[String] =
+      try {
+        val mfp = new Path(dir, ManifestName)
+        if (!hfs.exists(mfp)) None
+        else {
+          val in = hfs.open(mfp)
+          try { scala.io.Source.fromInputStream(in, "UTF-8").mkString; None }
+          finally in.close()
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => None // raced delete: missing, not unreadable
+        case _: java.io.IOException => Some(ManifestName)
+      }
     val m = mTry.getOrElse(
       health.reverseIterator.collectFirst { case (_, Right(hm)) => hm }
         .getOrElse(SkipManifest(Nil, Nil)))
@@ -1838,7 +1889,8 @@ object DataSkipping {
     val lag: Int =
       if (brokenPtr.isDefined) -1
       else if (health.isEmpty) 0
-      else pointerRedirectTarget(hfs, dir) match {
+      else if (ptrUnreadable.isDefined) -1 // bytes unverifiable: lag unknowable
+      else pointerRedirectTargetE(hfs, dir).toOption.flatten match {
         case Some(t) => (head - t).toInt
         case None =>
           // full-bytes pointer: identify which version's content it
@@ -1874,7 +1926,7 @@ object DataSkipping {
     val staleIdx = indexAudits.collect { case Right((rel, st)) if st.stale => rel }
     val badSidecars = indexAudits.collect { case Left(f) => f }
     FsckReport(missing, orphans, mismatches, invalid,
-      unreadable ++ badSidecars, tombstones,
+      unreadable ++ badSidecars ++ ptrUnreadable, tombstones,
       quarantined, lag, tombBytes > liveBytes && tombBytes > 0L, brokenPtr,
       staleIdx)
   }
@@ -1990,47 +2042,84 @@ object DataSkipping {
     * is ours, one file object per line between the header/footer lines;
     * v1 manifests without bloom fields parse with empty sidecars).
     */
-  def readManifest(spark: SparkSession, dir: String): SkipManifest =
-    readManifestFile(spark, new Path(dir, ManifestName))
+  def readManifest(spark: SparkSession, dir: String): SkipManifest = {
+    val mf = new Path(dir, ManifestName)
+    val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+    // read the POINTER's bytes under a tight catch: unreadable bytes
+    // (ChecksumException after an out-of-band overwrite, rot) or an
+    // unparsable full-bytes pointer degrade to the log head — the
+    // version files are the CAS arbiter and recoverLog's own heal
+    // target, so the head IS the committed truth; the pointer is its
+    // publication cache. A missing pointer and a readable-but-DEAD
+    // redirect keep today's loud behavior (FileNotFound propagates;
+    // readManifestAt stays loud for readers — fsck classifies it).
+    val textE: Either[Throwable, String] =
+      try {
+        val in = fs.open(mf)
+        try Right(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch {
+        case e: java.io.FileNotFoundException => throw e
+        case e: java.io.IOException => Left(e)
+      }
+    def headFallback(cause: Throwable): SkipManifest = {
+      val head = currentVersion(spark, dir)
+      if (head == 0L) throw cause // nothing to fall back to
+      log.warn(s"latest pointer of $dir is unreadable (${cause.getMessage})" +
+        s" — serving the log head v$head; run recoverLog to heal the pointer")
+      readManifestAt(spark, dir, head)
+    }
+    textE match {
+      case Left(e) => headFallback(e)
+      case Right(text) =>
+        RedirectRe.findPrefixMatchOf(text) match {
+          case Some(mt) => readManifestAt(spark, dir, mt.group(1).toLong)
+          case None =>
+            try parseManifest(text, mf)
+            catch { case e: IllegalStateException => headFallback(e) }
+        }
+    }
+  }
 
   private val RedirectRe = """\{"redirect":(\d+)\}""".r
 
   /** The version the latest pointer redirects to, if it is a
-    * delta-mode redirect (None for a legacy full-manifest pointer or
-    * a missing one). Reads only the pointer's first bytes.
+    * delta-mode redirect (Right(None) for a legacy full-manifest
+    * pointer or a missing one). Reads only the pointer's first bytes.
+    *
+    * Left(e) = the pointer file EXISTS but its bytes cannot be read —
+    * on a checksummed filesystem this is how an out-of-band overwrite
+    * surfaces (a raw write updates the data but not the `.crc`
+    * sidecar, so the next Hadoop read throws ChecksumException; found
+    * live in round 19 when a harness nio-wrote a pointer swapPointer
+    * had Hadoop-written). Callers choose the degrade: reads fall back
+    * to the log head, vacuum retains conservatively, [[recoverLog]]
+    * heals, [[fsck]] classifies — none of them crash.
     */
-  private def pointerRedirectTarget(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[Long] = {
+  private def pointerRedirectTargetE(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Either[java.io.IOException, Option[Long]] = {
     val mf = new Path(dir, ManifestName)
-    if (!fs.exists(mf)) return None
-    val in = fs.open(mf)
-    val head = try {
-      // a single in.read may legally return SHORT on HCFS streams; a
-      // short head would fail the redirect match and silently disarm
-      // vacuum's crash-window retention and the quarantine guard —
-      // read until 64 bytes or EOF
-      val b = new Array[Byte](64)
-      var off = 0
-      var n = in.read(b, off, b.length - off)
-      while (n > 0) {
-        off += n
-        n = if (off < b.length) in.read(b, off, b.length - off) else -1
-      }
-      new String(b, 0, off, "UTF-8")
-    } finally in.close()
-    RedirectRe.findPrefixMatchOf(head).map(_.group(1).toLong)
-  }
-
-  private def readManifestFile(spark: SparkSession, p: Path): SkipManifest = {
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // delta-mode latest pointer: a tiny redirect to the version whose
-    // reconstruction is the current manifest
-    RedirectRe.findPrefixMatchOf(text) match {
-      case Some(mt) =>
-        readManifestAt(spark, p.getParent.toString, mt.group(1).toLong)
-      case None => parseManifest(text, p)
+    if (!fs.exists(mf)) return Right(None)
+    try {
+      val in = fs.open(mf)
+      val head = try {
+        // a single in.read may legally return SHORT on HCFS streams; a
+        // short head would fail the redirect match and silently disarm
+        // vacuum's crash-window retention and the quarantine guard —
+        // read until 64 bytes or EOF
+        val b = new Array[Byte](64)
+        var off = 0
+        var n = in.read(b, off, b.length - off)
+        while (n > 0) {
+          off += n
+          n = if (off < b.length) in.read(b, off, b.length - off) else -1
+        }
+        new String(b, 0, off, "UTF-8")
+      } finally in.close()
+      Right(RedirectRe.findPrefixMatchOf(head).map(_.group(1).toLong))
+    } catch {
+      case e: java.io.FileNotFoundException => throw e // raced delete: caller's exists() world
+      case e: java.io.IOException => Left(e)
     }
   }
 
@@ -2121,7 +2210,7 @@ object DataSkipping {
   private def warnIfPointerLags(spark: SparkSession, dir: String): Unit =
     try {
       val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-      pointerRedirectTarget(fs, dir).foreach { t =>
+      pointerRedirectTargetE(fs, dir).toOption.flatten.foreach { t =>
         if (fs.exists(new Path(dir, versionName(t + 1))))
           log.warn(s"latest pointer of $dir lags the version log (serves " +
             s"v$t while v${t + 1} is committed — a writer crashed between " +

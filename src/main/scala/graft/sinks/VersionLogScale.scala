@@ -62,6 +62,21 @@ object VersionLogScale {
         DataSkipping.checkpointCadence(baseEntries + 1).toInt
     }
     val dir = Files.createTempDirectory("graft-versionlog-scale").toString
+    // the POINTER must go through the Hadoop fs: the engine's own
+    // pointer swaps (patchManifest below) write a `.crc` sidecar on
+    // the local ChecksumFileSystem, and a later raw nio overwrite
+    // would leave that sidecar stale — the next Hadoop read throws
+    // ChecksumException (found live: this harness corrupted its own
+    // store in round 19's first campaign run). Synthetic VERSION
+    // files stay nio-written — the engine never Hadoop-writes those
+    // names here, so no sidecar exists to go stale.
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writePointer(v: Long): Unit = {
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(dir, DataSkipping.ManifestName), true)
+      try out.write(s"""{"redirect":$v}\n""".getBytes("UTF-8")) finally out.close()
+    }
 
     def entry(name: String, lo: Long): String =
       s"""{"file":"$name","rows":100,"mins":[$lo],"maxs":[${lo + 99}],"nulls":[0]}"""
@@ -97,8 +112,7 @@ object VersionLogScale {
         bytes.getBytes("UTF-8")): Unit
       v += 1
     }
-    Files.write(Paths.get(dir, DataSkipping.ManifestName),
-      s"""{"redirect":$versions}\n""".getBytes("UTF-8")): Unit
+    writePointer(versions.toLong)
 
     def time[A](op: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -150,8 +164,7 @@ object VersionLogScale {
         bytes.getBytes("UTF-8")): Unit
       pv += 1
     }
-    Files.write(Paths.get(dir, DataSkipping.ManifestName),
-      s"""{"redirect":${head0 + post}}\n""".getBytes("UTF-8")): Unit
+    writePointer(head0 + post)
     val (vac2, vac2S) = time(DataSkipping.vacuumVersions(spark, dir, retainLast = 100))
 
     println(

@@ -1401,7 +1401,11 @@ class DataSkippingSpec extends SparkSuite {
     // Half 1 — truncation detection: a write cut at a LINE boundary
     // used to parse silently minus its tail entries (the entry regex
     // tolerates the joining comma and the closing `]}` was dropped
-    // unchecked) — silent file loss on every read. It must throw.
+    // unchecked) — silent file loss on every read. A truncated
+    // POINTER must never serve a smaller file set: with an intact
+    // version log it degrades to the COMPLETE log head (the pointer
+    // is a publication cache of the CAS-arbitrated log); with no log
+    // to fall back to (legacy manifest-only layout) it throws.
     val dirA = tmpDir("graft-trunc-loud")
     DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
       dirA, col("k"), numFiles = 4, statsCols = Seq("k"))
@@ -1410,8 +1414,16 @@ class DataSkippingSpec extends SparkSuite {
     val truncated = whole.linesIterator.toVector.dropRight(2).mkString("\n")
     Files.write(mfA, truncated.getBytes("UTF-8")): Unit
     Files.deleteIfExists(Paths.get(dirA, s".${DataSkipping.ManifestName}.crc")): Unit
+    assert(DataSkipping.readManifest(spark, dirA).files.size === 4,
+      "a truncated pointer over an intact log serves the COMPLETE head" +
+        " — never the tail-dropped parse")
+    // legacy manifest-only layout (no version log): nothing to fall
+    // back to — the truncated parse must throw
+    val dirL = tmpDir("graft-trunc-legacy")
+    Files.write(Paths.get(dirL, DataSkipping.ManifestName),
+      truncated.getBytes("UTF-8")): Unit
     val loud = intercept[IllegalStateException] {
-      DataSkipping.readManifest(spark, dirA)
+      DataSkipping.readManifest(spark, dirL)
     }
     assert(loud.getMessage.contains("truncated"),
       s"line-boundary truncation must be loud, got: ${loud.getMessage}")
@@ -1988,6 +2000,74 @@ class DataSkippingSpec extends SparkSuite {
         DataSkipping.validVersions(spark, b))
       assert(DataSkipping.fsck(spark, a, checkRows = true).clean)
       assert(DataSkipping.fsck(spark, b, checkRows = true).clean)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
+
+  test("out-of-band pointer overwrite (stale .crc): reads serve the log head, fsck classifies, vacuum retains, recoverLog heals") {
+    // The engine Hadoop-writes the latest pointer, so on a checksummed
+    // filesystem it carries a `.crc` sidecar. An out-of-band RAW
+    // overwrite (nio/shell — found live in round 19: a harness
+    // nio-wrote a pointer swapPointer had Hadoop-written) updates the
+    // data but not the sidecar, and every later Hadoop read throws
+    // ChecksumException. The pointer is a publication CACHE of the
+    // CAS-arbitrated version log, so unreadable bytes must degrade,
+    // not crash: reads serve the log head, fsck classifies the
+    // pointer in unreadableFiles (lag unknowable: -1), vacuum retains
+    // the full chain (the pointer's target is unknown — expiring a
+    // version could brick pointer reads permanently), and recoverLog
+    // re-points at the surviving head with a consistent sidecar.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-ptr-stale-crc")
+      def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
+        (lo until hi).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1)
+      def liveCount() = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count()
+      // v1 full(init), v2 delta, v3 CHECKPOINT — head count 175
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      app(100, 150); app(150, 175): Unit
+      // precondition: the engine's own pointer swap left a sidecar —
+      // without it the corruption shape under test cannot exist
+      assert(Files.exists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")),
+        "pointer .crc sidecar expected on the local checksummed fs")
+      // out-of-band raw overwrite: VALID redirect bytes to a real
+      // version — only the stale sidecar makes them unreadable, so
+      // every assertion below isolates the checksum path (a fallback
+      // that silently TRUSTED these bytes would serve v2's 150 rows)
+      Files.write(Paths.get(dir, DataSkipping.ManifestName),
+        """{"redirect":2}""".getBytes("UTF-8")): Unit
+      // 1. reads degrade to the log HEAD (the CAS arbiter): 175, not
+      //    150 (trusted corrupt bytes) and not a ChecksumException
+      assert(liveCount() === 175L)
+      // 2. the audit classifies without crashing: the pointer lands
+      //    with the exists-but-unreadable defects, lag is unknowable
+      val audit = DataSkipping.fsck(spark, dir)
+      assert(audit.unreadableFiles.contains(DataSkipping.ManifestName), s"got $audit")
+      assert(audit.pointerLag === -1)
+      assert(!audit.clean)
+      // 3. vacuum survives and retains the FULL chain (normal
+      //    retainLast=1 here would expire v1 and v2 — v3 is a
+      //    checkpoint, so no delta-chain extension applies)
+      DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+      assert(DataSkipping.listVersions(spark, dir) === Seq(1L, 2L, 3L),
+        "unreadable pointer must suspend version expiry")
+      // 4. recoverLog heals: pointer readable again, serving the head
+      val rep = DataSkipping.recoverLog(spark, dir)
+      assert(rep.head === 3L)
+      assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 175L)
+      assert(DataSkipping.fsck(spark, dir).clean)
+      // 5. the healed store resumes normal life: commits land, and
+      //    vacuum expiry works again
+      app(175, 200): Unit
+      assert(liveCount() === 200L)
+      DataSkipping.vacuumVersions(spark, dir, retainLast = 1): Unit
+      assert(DataSkipping.listVersions(spark, dir).size < 4,
+        "vacuum reclaims once the pointer is healed")
     } finally {
       sys.props.remove("graft.store.deltaThreshold"): Unit
       sys.props.remove("graft.store.checkpointEvery"): Unit
