@@ -86,6 +86,9 @@ object GraftExtensions {
     (new FunctionIdentifier("array_dot_product"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_product"),
       (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))),
+    (new FunctionIdentifier("array_l2_sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "array_l2_sq"),
+      (children: Seq[Expression]) => ArrayL2Sq(children.head, children(1))),
     (new FunctionIdentifier("ngram_poly_hash_set"),
       new ExpressionInfo(classOf[NgramPolyHashSet].getName, "ngram_poly_hash_set"),
       (children: Seq[Expression]) => NgramPolyHashSet(children.head,

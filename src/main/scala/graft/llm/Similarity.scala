@@ -38,6 +38,18 @@ object Similarity {
   def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Native squared-L2 distance (codegen one-pass; see
+    * [[graft.functions.ArrayL2Sq]]) — the per-centroid assignment and
+    * ADC-scoring inner loop.
+    */
+  def l2Sq(a: Column, b: Column): Column = graft.functions.ArrayL2Sq(a, b)
+
+  /** Built-in-composed squared L2 (the spec [[l2Sq]] must equal; kept
+    * for the equivalence property test).
+    */
+  def l2SqComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
   /** Norms are computed per VECTOR before the join (the join output only
     * evaluates the cross dot product per pair) — at n candidates × m
     * queries this is n+m norm computations instead of n·m.
@@ -289,8 +301,7 @@ object Similarity {
   private def assignStructArray(vec: Column, centroids: IndexedSeq[Seq[Long]]): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
-        aggregate(zip_with(vec, array(c.map(lit): _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+        l2Sq(vec, array(c.map(lit): _*)).as("d"),
         lit(i.toLong).as("c"))
     }: _*)
 
@@ -507,10 +518,9 @@ object Similarity {
   private def adcDist(books: IndexedSeq[IndexedSeq[Seq[Long]]], sub: Int): Column =
     books.indices.map { j =>
       val bookLit = array(books(j).map(c => array(c.map(lit): _*)): _*)
-      aggregate(zip_with(
+      l2Sq(
         slice(col("qqv"), j * sub + 1, sub),
-        element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1),
-        (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+        element_at(bookLit, element_at(col("codes"), j + 1).cast("int") + 1))
     }.reduce(_ + _)
 
   private def adcRanked(scored: DataFrame, topK: Int): DataFrame = {

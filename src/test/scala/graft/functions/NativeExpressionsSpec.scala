@@ -96,6 +96,28 @@ class NativeExpressionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("native array_l2_sq equals the composed zip_with+aggregate spec, and raises on length mismatch") {
+    import graft.llm.Similarity
+    val gen = Gen.listOfN(200, Gen.choose(1, 64).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-1000L, 1000L)), Gen.listOfN(n, Gen.choose(-1000L, 1000L)))))
+    val cases = gen.apply(Gen.Parameters.default, Seed(29L)).get
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      Similarity.l2Sq(col("a"), col("b")).as("native"),
+      Similarity.l2SqComposed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // SQL surface registered alongside the other natives
+    assert(spark.sql("SELECT array_l2_sq(array(1L, 2L), array(3L, 5L)) AS d")
+      .head().getLong(0) === 13L)
+    // zip_with would silently null-pad a length mismatch; the native
+    // raises (embeddings of unequal length are a data error)
+    val ex = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(Similarity.l2Sq(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("native window_roll_hash equals the per-window refold, incl. short and empty inputs") {
     import WindowRollHash.{B, P}
     def refold(hs: Seq[Long]): Long = hs.foldLeft(0L)((a, h) => (a * B + h) % P)
