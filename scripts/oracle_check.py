@@ -37,8 +37,15 @@ def fetch_sorted(con, sql):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    results = {}
     con = duckdb.connect()
     # let blocking operators spill — but CAPPED: the sf1-scale PQ
     # oracles otherwise fill the disk (observed 79 GB of temp blocks
@@ -73,15 +80,18 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failed.append(name)
+            results[name] = {"match": False, "err": str(e)[:300]}
             continue
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
             failed.append(name)
+            results[name] = {"match": False, "err": "column mismatch"}
         # The real driver gate hashes typed values, so a HUGEINT-vs-BIGINT
         # divergence fails it even when stringified values agree (r1 q19).
         elif got_types != want_types:
             print(f"FAIL {name}: types {list(zip(got_cols, got_types))} != {list(zip(want_cols, want_types))}")
             failed.append(name)
+            results[name] = {"match": False, "err": "type mismatch"}
         elif got != want:
             print(f"FAIL {name}: {len(got)} vs {len(want)} rows", flush=True)
             diff_shown = 0
@@ -91,8 +101,16 @@ def main():
             for r in list(ws - gs)[:3]:
                 print(f"   oracle-only: {r}")
             failed.append(name)
+            results[name] = {"match": False,
+                             "err": f"value mismatch ({len(got)} vs {len(want)} rows)"}
         else:
             print(f"OK   {name} ({len(got)} rows)")
+            results[name] = {"match": True, "rows": len(got), "err": None}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "checked": len(results),
+                       "matched": sum(1 for r in results.values() if r["match"]),
+                       "queries": results}, f, indent=1)
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         sys.exit(1)

@@ -44,8 +44,13 @@ object Similarity {
     */
   def l2Sq(a: Column, b: Column): Column = graft.functions.ArrayL2Sq(a, b)
 
-  /** Built-in-composed squared L2 (the spec [[l2Sq]] must equal; kept
-    * for the equivalence property test).
+  /** Built-in-composed squared L2 (the spec [[l2Sq]] must equal on
+    * NON-NULL equal-length inputs — the embedding contract, and all
+    * ArrayL2Sq's own scaladoc promises; kept for the equivalence
+    * property test). The two intentionally diverge on null ELEMENTS:
+    * the native contributes 0 for a null element, this composition
+    * poisons the whole sum to null (SQL arithmetic) — the divergence
+    * is itself law-pinned in NativeExpressionsSpec.
     */
   def l2SqComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)

@@ -887,7 +887,14 @@ object TextAnalysis {
     val dfT = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     p.join(dfT, Seq("term"))
       .withColumn("s_m", expr(
-        s"((${stats.nDocs} * 1000 div df) * tf * ($k1Milli + 1000)) div " +
+        // nDocs is corpus-sized and MUST interpolate as a BIGINT
+        // literal: a bare `5000000` parses as INT, and `INT * 1000`
+        // overflows under ANSI exactly when N·1000 crosses 2³¹ —
+        // found live by the sf100 anchor (5M docs), green at every
+        // smaller scale. The L suffix changes no output type (df/tf
+        // already widen the expression to bigint) and no value below
+        // the overflow point.
+        s"((${stats.nDocs}L * 1000 div df) * tf * ($k1Milli + 1000)) div " +
           s"(tf * 1000 + ($k1Milli * (1000 - $bMilli + ($bMilli * dl * 1000) div $avgdlMilli)) div 1000)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s_m")).as("score_m"), count(lit(1)).as("n_terms"))

@@ -112,6 +112,68 @@ object Skew {
       (bound + targetRowsPerReducer - 1) / targetRowsPerReducer).toInt)
   }
 
+  /** ONE-CALL join pre-flight (VERDICT r19 item 5): everything the
+    * sketch family can tell you about `left ⋈ right ON key` before
+    * shuffling a byte of either table, as a single one-row frame —
+    *
+    *   - `join_size_est`    upper bound on |left ⋈ right| (CM inner
+    *                        product, [[Sketches.countMinJoinSize]])
+    *   - `left_f2_est` /    upper bounds on each side's self-join size
+    *     `right_f2_est`     Σ_k f(k)² — the F2 skew measure that
+    *                        predicts the worst shuffle a key produces
+    *   - `left_heavy_bound`/ one-sided bounds on each side's heaviest
+    *     `right_heavy_bound` key frequency ([[heavyKeyBound]]'s
+    *                        aggregate, computed in-plan)
+    *   - `salts_left` /     the [[saltsForBound]] salt factor if that
+    *     `salts_right`      side is the salted-join PROBE side, from
+    *                        the same integer-ceil formula
+    *
+    * Cost: one column-pruned scan per side building a depth×width
+    * sketch (map-side combined), then sketch-sized joins and one-row
+    * broadcast cross-joins — nothing data-sized moves, which is the
+    * point of a pre-flight at 100 TB. Every estimate is ONE-SIDED
+    * (collisions only add), so acting on it can over-provision but
+    * never under-provision; q197 gates the one-sidedness against the
+    * exact values and the composition-≡-parts law lives in
+    * OperatorSpec.
+    */
+  def joinPreflight(left: DataFrame, right: DataFrame, key: String,
+      depth: Int = 4, width: Int = 2048,
+      targetRowsPerReducer: Long = 1000000L, maxSalts: Int = 256): DataFrame = {
+    require(targetRowsPerReducer > 0, "targetRowsPerReducer must be positive")
+    import graft.operators.Sketches
+    // each sketch feeds three consumers (join est, own F2, own heavy
+    // bound) — pin so the side's scan runs once, not three times
+    val skL = graft.llm.Caching.pin(
+      Sketches.countMin(left.select(col(key)), key, depth, width))
+    val skR = graft.llm.Caching.pin(
+      Sketches.countMin(right.select(col(key)), key, depth, width))
+    def est(a: DataFrame, b: DataFrame, as: String): DataFrame =
+      Sketches.countMinJoinSize(a, b, depth)
+        .select(col("join_size_est").as(as))
+    // heavyKeyBound's min-of-row-maxes, in-plan (no driver collect —
+    // the scalar form stays for callers that want the Long)
+    def heavy(sk: DataFrame, as: String): DataFrame =
+      sk.groupBy(col("r")).agg(max(col("cnt")).as("__m"))
+        .agg(min(col("__m")).as(as))
+    def salts(boundCol: String, as: String): Column =
+      // the saltsForBound formula verbatim: ceil(bound/target) by
+      // INTEGER `div` (Column `/` is double division and could round a
+      // boundary value past the exact clamp), clamped to [1, maxSalts]
+      expr(s"CAST(greatest(1L, least(${maxSalts}L, " +
+        s"($boundCol + ${targetRowsPerReducer - 1}L) div ${targetRowsPerReducer}L)) AS INT)")
+        .as(as)
+    est(skL, skR, "join_size_est")
+      .crossJoin(broadcast(est(skL, skL, "left_f2_est")))
+      .crossJoin(broadcast(est(skR, skR, "right_f2_est")))
+      .crossJoin(broadcast(heavy(skL, "left_heavy_bound")))
+      .crossJoin(broadcast(heavy(skR, "right_heavy_bound")))
+      .select(col("join_size_est"), col("left_f2_est"), col("right_f2_est"),
+        col("left_heavy_bound"), col("right_heavy_bound"),
+        salts("left_heavy_bound", "salts_left"),
+        salts("right_heavy_bound", "salts_right"))
+  }
+
   /** Salted equi-join for a skewed probe side against a modest build
     * side: the build side is replicated `numSalts` times (one copy per
     * salt value), the probe side gets a uniform salt, and the join key

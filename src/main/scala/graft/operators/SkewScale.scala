@@ -87,9 +87,12 @@ object SkewScale {
     // disabled, or a shape its thresholds don't trip). Same data, same
     // session, plans rebuilt per run so the toggle takes effect.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (_, plainJoinNoAqeS) = minOf3 { plainJoin; 0L }
-    val (_, saltedJoinNoAqeS) = minOf3 { saltedJoin; 0L }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val (plainJoinNoAqeS, saltedJoinNoAqeS) =
+      try {
+        val (_, p) = minOf3 { plainJoin; 0L }
+        val (_, s) = minOf3 { saltedJoin; 0L }
+        (p, s)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     println(
       s"""{"sf_dir":"$sfDir","n_rows":$n,"hot_key_rows":$hot,""" +

@@ -1267,6 +1267,47 @@ object Relational {
           col("min_qty_cents"), col("max_qty_cents"),
           (lit(bound) >= col("__mx")).as("bound_one_sided_ok"),
           lit(salts > 1 && salts <= 256).as("salts_multi"))
+    }),
+
+    // ONE-CALL join pre-flight (VERDICT r19 item 5): the pieces q127
+    // (CM join-size bound), q141 (heavy-key bound → salt factor) and
+    // the F2 self-estimate compose into a single Skew.joinPreflight
+    // report — size bound, per-side skew measure, per-side heavy-key
+    // bound, recommended salt factor — from two depth×width sketches,
+    // nothing data-sized shuffled. The gate measures every bound's
+    // one-sidedness against the exact values (events ⋈ orders on the
+    // user/customer key) and pins that the salt recommendation both
+    // covers the exact need and actually engaged (≥2 — events' hot
+    // user exceeds the 25-row target at every sf; per-key frequency
+    // is scale-stable under GenScale's shifted-key replication).
+    "q197_join_preflight" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val ord = Tables.orders(s, dir).select(col("o_custkey").as("user_id"))
+      val pf = Skew.joinPreflight(ev, ord, "user_id", depth = 4, width = 2048,
+        targetRowsPerReducer = 25L)
+      val fL = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cl"))
+      val fR = ord.groupBy(col("user_id")).agg(count(lit(1)).as("cr"))
+      val exact = fL.join(fR, Seq("user_id"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("exact_join_rows"))
+      val exL = fL.agg(sum(col("cl") * col("cl")).as("exact_f2_left"),
+        max(col("cl")).as("__mxl"))
+      val exR = fR.agg(sum(col("cr") * col("cr")).as("exact_f2_right"),
+        max(col("cr")).as("__mxr"))
+      pf.crossJoin(broadcast(exact))
+        .crossJoin(broadcast(exL))
+        .crossJoin(broadcast(exR))
+        .select(col("exact_join_rows"), col("exact_f2_left"), col("exact_f2_right"),
+          (col("join_size_est") >= col("exact_join_rows")).as("join_one_sided_ok"),
+          (col("left_f2_est") >= col("exact_f2_left")).as("f2_left_ok"),
+          (col("right_f2_est") >= col("exact_f2_right")).as("f2_right_ok"),
+          (col("left_heavy_bound") >= col("__mxl")).as("left_bound_ok"),
+          (col("right_heavy_bound") >= col("__mxr")).as("right_bound_ok"),
+          // the recommendation covers the exact need (one-sided bound →
+          // monotone formula; both sides of the clamp compare equal)
+          (col("salts_left").cast("long") >=
+            expr("least(256L, (__mxl + 24L) div 25L)")).as("salts_cover"),
+          (col("salts_left") >= 2).as("salts_multi"))
     })
   )
 
@@ -1507,6 +1548,23 @@ object Relational {
         |  CAST(MAX(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_qty_cents,
         |  TRUE AS bound_one_sided_ok, TRUE AS salts_multi
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Estimates and salt placement are xxhash64-dependent; the oracle
+    // pins the exact join size / per-side F2 and the one-sidedness +
+    // coverage booleans (the q127/q141 pattern composed).
+    "q197_join_preflight" ->
+      """WITH fl AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1),
+        |  fr AS (SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM orders GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(COALESCE(SUM(fl.c * fr.c), 0) AS BIGINT)
+        |     FROM fl JOIN fr USING (user_id)) AS exact_join_rows,
+        |  (SELECT CAST(SUM(c * c) AS BIGINT) FROM fl) AS exact_f2_left,
+        |  (SELECT CAST(SUM(c * c) AS BIGINT) FROM fr) AS exact_f2_right,
+        |  TRUE AS join_one_sided_ok, TRUE AS f2_left_ok, TRUE AS f2_right_ok,
+        |  TRUE AS left_bound_ok, TRUE AS right_bound_ok,
+        |  TRUE AS salts_cover, TRUE AS salts_multi""".stripMargin,
 
     // The TEXTBOOK correlated form — the decorrelated Spark plan must
     // reproduce it exactly (Q21's semantics pin).

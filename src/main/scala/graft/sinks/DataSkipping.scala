@@ -1443,16 +1443,32 @@ object DataSkipping {
     // nonce'd tmp (see [[swapPointer]]): the two renames serialize on
     // the destination only, so neither swapper can clobber the
     // other's in-flight tmp and fail a commit that already stood.
-    // (Full-bytes pointers are self-contained and never die this way;
-    // only redirects are touched.)
+    // (A PARSABLE full-bytes pointer is self-contained and never dies
+    // this way — it is left untouched; defective bytes of either
+    // shape are re-pointed below.)
     val vsAfter = listVersions(spark, dir)
     pointerRedirectTargetE(fs, dir) match {
-      case Right(t) => t.foreach { tv =>
+      case Right(Some(tv)) =>
         if (!vsAfter.contains(tv)) vsAfter.lastOption.foreach { h =>
           swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
             s"""{"redirect":$h}\n""".getBytes("UTF-8"))
         }
-      }
+      case Right(None) =>
+        // no redirect in the head bytes: a legacy full-bytes pointer
+        // (self-contained IF it parses) or a missing one — but also
+        // the READABLE-BUT-UNPARSABLE shape (torn/truncated
+        // out-of-band overwrite), which readManifest degrades to the
+        // log head forever and this arm used to leave unhealed. Probe
+        // the full bytes; on a parse failure re-point at the
+        // surviving head like the unreadable-bytes heal below.
+        pointerDefect(fs, dir).foreach { why =>
+          log.warn(s"recoverLog: latest pointer of $dir is unparsable " +
+            s"($why) — re-pointing at the surviving head")
+          vsAfter.lastOption.foreach { h =>
+            swapPointer(fs, spark.sessionState.newHadoopConf(), dir,
+              s"""{"redirect":$h}\n""".getBytes("UTF-8"))
+          }
+        }
       case Left(e) =>
         // pointer bytes unreadable (stale .crc after an out-of-band
         // overwrite, or rot): same heal as a dead redirect — re-point
@@ -1796,25 +1812,18 @@ object DataSkipping {
     val brokenPtr: Option[Long] =
       if (mTry.isRight) None
       else pointerRedirectTargetE(hfs, dir).toOption.flatten.orElse(Some(-1L))
-    // UNREADABLE-pointer probe (distinct from a dead redirect: here the
-    // pointer file's own BYTES fail verification — stale .crc after an
-    // out-of-band overwrite, or rot). readManifest degrades to the log
-    // head for liveness, so the audit must detect this directly; it
+    // UNSERVABLE-pointer probe (distinct from a dead redirect: here the
+    // pointer FILE itself cannot serve a read — its bytes fail
+    // verification (stale .crc after an out-of-band overwrite, rot) OR
+    // they read fine but parse as neither a redirect nor a full
+    // manifest (torn/truncated overwrite). readManifest degrades BOTH
+    // shapes to the log head for liveness, so the audit must detect
+    // them directly — an unparsable pointer would otherwise audit
+    // clean forever while every read warns and re-derives the head. It
     // classifies with the other exists-but-cannot-read defects in
     // unreadableFiles, and recoverLog is the heal.
     val ptrUnreadable: Option[String] =
-      try {
-        val mfp = new Path(dir, ManifestName)
-        if (!hfs.exists(mfp)) None
-        else {
-          val in = hfs.open(mfp)
-          try { scala.io.Source.fromInputStream(in, "UTF-8").mkString; None }
-          finally in.close()
-        }
-      } catch {
-        case _: java.io.FileNotFoundException => None // raced delete: missing, not unreadable
-        case _: java.io.IOException => Some(ManifestName)
-      }
+      pointerDefect(hfs, dir).map(_ => ManifestName)
     val m = mTry.getOrElse(
       health.reverseIterator.collectFirst { case (_, Right(hm)) => hm }
         .getOrElse(SkipManifest(Nil, Nil)))
@@ -2082,6 +2091,41 @@ object DataSkipping {
   }
 
   private val RedirectRe = """\{"redirect":(\d+)\}""".r
+
+  /** Full-verification pointer probe: Some(defect) when the latest
+    * pointer EXISTS but cannot serve a read — its bytes fail
+    * verification (stale `.crc` after an out-of-band overwrite, rot;
+    * the IOException shape) OR they read fine but parse as neither a
+    * delta redirect nor a full manifest (a torn/truncated out-of-band
+    * overwrite; the IllegalStateException shape). [[readManifest]]
+    * degrades both to the log head for liveness, which would hide the
+    * defect from every diagnostic if nothing probed the pointer
+    * directly: [[fsck]] classifies it (unreadableFiles + pointerLag
+    * −1) and [[recoverLog]] heals it by re-pointing at the surviving
+    * head. A missing pointer is NOT a defect (loud elsewhere), and a
+    * redirect at a quarantined version is the separate dead-redirect
+    * diagnosis (brokenPointer).
+    */
+  private def pointerDefect(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] = {
+    val mfp = new Path(dir, ManifestName)
+    try {
+      if (!fs.exists(mfp)) None
+      else {
+        val in = fs.open(mfp)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (RedirectRe.findPrefixMatchOf(text).isDefined) None
+        else {
+          try { parseManifest(text, mfp); None }
+          catch { case e: IllegalStateException => Some(e.getMessage) }
+        }
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => None // raced delete: missing, not defective
+      case e: java.io.IOException => Some(e.getMessage)
+    }
+  }
 
   /** The version the latest pointer redirects to, if it is a
     * delta-mode redirect (Right(None) for a legacy full-manifest

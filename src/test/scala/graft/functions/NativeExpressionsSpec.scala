@@ -98,6 +98,7 @@ class NativeExpressionsSpec extends SparkSuite {
 
   test("native array_l2_sq equals the composed zip_with+aggregate spec, and raises on length mismatch") {
     import graft.llm.Similarity
+    GraftExtensions.install(spark) // self-contained under test filtering
     val gen = Gen.listOfN(200, Gen.choose(1, 64).flatMap(n =>
       Gen.zip(Gen.listOfN(n, Gen.choose(-1000L, 1000L)), Gen.listOfN(n, Gen.choose(-1000L, 1000L)))))
     val cases = gen.apply(Gen.Parameters.default, Seed(29L)).get
@@ -116,6 +117,18 @@ class NativeExpressionsSpec extends SparkSuite {
         .select(Similarity.l2Sq(col("a"), col("b"))).collect()
     }
     assert(ex.getMessage != null)
+    // null ELEMENTS are where the two deliberately diverge (ADVICE
+    // r19): the native contributes 0 for a null element, the
+    // composed form's SQL arithmetic poisons the sum to null — so the
+    // equivalence above is scoped to non-null inputs (the embedding
+    // contract) and the divergence itself is the pinned behavior here
+    val nullRow = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(2L), Some(7L), Some(5L))))
+      .toDF("a", "b")
+      .select(Similarity.l2Sq(col("a"), col("b")).as("native"),
+        Similarity.l2SqComposed(col("a"), col("b")).as("composed"))
+      .head()
+    assert(nullRow.getLong(0) === 5L, "native: null element contributes 0")
+    assert(nullRow.isNullAt(1), "composed: null element poisons the sum")
   }
 
   test("native window_roll_hash equals the per-window refold, incl. short and empty inputs") {

@@ -1375,6 +1375,22 @@ class LlmSpec extends SparkSuite {
     // d2: norm=250+1500000 div 3333=700;  denom=1000+840;  s=3300000 div 1840=1793
     assert(got.toSeq === Seq((1L, 2129L), (2L, 1793L)),
       "exact integer replay; 3x the tf buys only ~1.2x the score (saturation)")
+    // CORPUS-SCALE idf regression (found live by the sf100 anchor):
+    // with nDocs ≥ 2^31/1000 the idf term N·1000 overflowed — the
+    // interpolated N parsed as an INT literal. Plant a 100 TB-shaped
+    // sidecar (5M docs — exactly the corpus size that crashed) over
+    // the same postings via an out-of-band write (dropping the stale
+    // .crc the raw write leaves) and replay the score by hand.
+    java.nio.file.Files.write(dir.resolve("_corpus_stats.json"),
+      """{"nDocs":5000000,"totalTokens":16666665,"lastEpoch":-1}""".getBytes("UTF-8")): Unit
+    java.nio.file.Files.deleteIfExists(dir.resolve("._corpus_stats.json.crc")): Unit
+    val big = TextAnalysis.bm25TopK(spark, dir.toString, Seq("join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // N=5e6, df=2 -> idf_m=2.5e9 (needs i64); avgdl_m=3333 (unchanged)
+    // d1: denom=4650 (as above); s = 2.5e9*3*2200 div 4650 = 3548387096
+    // d2: denom=1840;            s = 2.5e9*1*2200 div 1840 = 2989130434
+    assert(big.toSeq === Seq((1L, 3548387096L), (2L, 2989130434L)),
+      "idf must compute in i64 once N*1000 crosses 2^31")
   }
 
   test("bigramLmScore: common transitions score high, rare ones low, short docs score 0") {

@@ -121,4 +121,32 @@ class CmsSpec extends SparkSuite {
       Sketches.countMin(b, "k", 4, 65536), depth = 4).head()
     assert(!est.isNullAt(0) && est.getLong(0) === 0L)
   }
+
+  test("joinPreflight composes exactly from its parts (VERDICT r19 item 5)") {
+    // the one-call report must equal what the separate calls return —
+    // same (depth, width) sketches are deterministic (hash-placed, no
+    // rand), so every field replays from the parts
+    val otherRnd = new scala.util.Random(11)
+    val other = Seq.fill(2000)(s"k${otherRnd.nextInt(60)}").toDF("k")
+    val (depth, width, target, maxSalts) = (4, 64, 10L, 32)
+    val row = Skew.joinPreflight(keys, other, "k", depth, width,
+      targetRowsPerReducer = target, maxSalts = maxSalts).head()
+    val skL = Sketches.countMin(keys, "k", depth, width)
+    val skR = Sketches.countMin(other, "k", depth, width)
+    def sz(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+      Sketches.countMinJoinSize(a, b, depth).head().getLong(0)
+    assert(row.getAs[Long]("join_size_est") === sz(skL, skR))
+    assert(row.getAs[Long]("left_f2_est") === sz(skL, skL))
+    assert(row.getAs[Long]("right_f2_est") === sz(skR, skR))
+    val (bL, bR) = (Skew.heavyKeyBound(skL), Skew.heavyKeyBound(skR))
+    assert(row.getAs[Long]("left_heavy_bound") === bL)
+    assert(row.getAs[Long]("right_heavy_bound") === bR)
+    assert(row.getAs[Int]("salts_left") === Skew.saltsForBound(bL, target, maxSalts))
+    assert(row.getAs[Int]("salts_right") === Skew.saltsForBound(bR, target, maxSalts))
+    // clamp edge: a tiny target forces maxSalts on both sides
+    val clamped = Skew.joinPreflight(keys, other, "k", depth, width,
+      targetRowsPerReducer = 1L, maxSalts = 8).head()
+    assert(clamped.getAs[Int]("salts_left") === 8)
+    assert(clamped.getAs[Int]("salts_right") === 8)
+  }
 }

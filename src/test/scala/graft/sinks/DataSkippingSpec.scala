@@ -2073,4 +2073,60 @@ class DataSkippingSpec extends SparkSuite {
       sys.props.remove("graft.store.checkpointEvery"): Unit
     }
   }
+
+  test("torn pointer (readable but unparsable bytes): reads serve the log head, fsck classifies, recoverLog re-points") {
+    // The OTHER out-of-band overwrite shape (ADVICE r19): the raw
+    // writer also replaced the `.crc` sidecar (or the fs is
+    // checksum-free), so the pointer's bytes READ fine but parse as
+    // neither a redirect nor a full manifest — a torn/truncated
+    // overwrite. readManifest degrades to the log head for liveness
+    // (same as the stale-.crc shape), which used to MASK the defect:
+    // fsck's manifest read succeeded, its byte probe only caught
+    // IOException, lag computed 0 via structural equality with the
+    // head — the store audited clean while every read warned and
+    // re-derived the head, and recoverLog's full-bytes arm never
+    // rewrote the pointer. Now the probe parses the bytes: fsck
+    // classifies (unreadableFiles + lag −1, clean=false) and
+    // recoverLog re-points at the surviving head.
+    sys.props("graft.store.deltaThreshold") = "1"
+    sys.props("graft.store.checkpointEvery") = "3"
+    try {
+      val dir = tmpDir("graft-ptr-torn")
+      def app(lo: Long, hi: Long) = DataSkipping.appendWithStats(
+        (lo until hi).map(i => (i, i)).toDF("k", "v"), dir, col("k"), 1)
+      def liveCount() = DataSkipping.readPruned(spark, dir,
+        Seq(("k", Long.MinValue, Long.MaxValue - 1))).count()
+      DataSkipping.writeWithStats((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+        dir, col("k"), numFiles = 2, statsCols = Seq("k"))
+      app(100, 150); app(150, 175): Unit
+      // out-of-band TORN overwrite: a prefix of a full manifest —
+      // plausible bytes, wrong in exactly the way a truncated write
+      // is. Dropping the stale sidecar isolates the PARSE path from
+      // the checksum path the sibling law already pins.
+      Files.write(Paths.get(dir, DataSkipping.ManifestName),
+        """{"cols":["k"],"files":[""".getBytes("UTF-8")): Unit
+      Files.deleteIfExists(Paths.get(dir, s".${DataSkipping.ManifestName}.crc")): Unit
+      // 1. reads degrade to the log HEAD: 175, not a parse crash
+      assert(liveCount() === 175L)
+      // 2. the audit detects the masked defect
+      val audit = DataSkipping.fsck(spark, dir)
+      assert(audit.unreadableFiles.contains(DataSkipping.ManifestName), s"got $audit")
+      assert(audit.pointerLag === -1)
+      assert(!audit.clean)
+      // 3. recoverLog heals the pointer it used to skip (Right(None)
+      //    arm): readable, parsable, serving the head
+      val rep = DataSkipping.recoverLog(spark, dir)
+      assert(rep.head === 3L)
+      assert(DataSkipping.readManifest(spark, dir).files.map(_.rows).sum === 175L)
+      assert(DataSkipping.fsck(spark, dir).clean)
+      // 4. a healthy legacy full-bytes pointer is NOT rewritten by the
+      //    probe path: life resumes, commits land
+      app(175, 200): Unit
+      assert(liveCount() === 200L)
+      assert(DataSkipping.fsck(spark, dir).clean)
+    } finally {
+      sys.props.remove("graft.store.deltaThreshold"): Unit
+      sys.props.remove("graft.store.checkpointEvery"): Unit
+    }
+  }
 }
