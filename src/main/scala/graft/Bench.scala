@@ -243,9 +243,16 @@ object Bench {
     // slowest overall, so the steady-state number exists for the whole
     // expensive tail (q24 was the second-slowest reader with no warm
     // number because it sat just under the old threshold's radar).
+    // SPARK_GRAFT_WARM=0 skips the pass entirely — warm numbers are
+    // ADVISORY (the anchor metric is the cold min), and at sf100 the
+    // pass re-executes every data-sized gate ~3 more times, which is
+    // what pushed the full protocol past its own 150-min abort.
+    val warmEnabled =
+      !sys.env.get("SPARK_GRAFT_WARM").exists(_.trim == "0")
     val slowest20 = names.filter(timings.contains)
       .sortBy(n => -timings(n)).take(20).toSet
-    names.filter(n => timings.get(n).exists(_ > 1.0) || slowest20.contains(n))
+    names.filter(n => warmEnabled &&
+        (timings.get(n).exists(_ > 1.0) || slowest20.contains(n)))
       .foreach { name =>
       try {
         val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution

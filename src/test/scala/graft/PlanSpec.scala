@@ -677,4 +677,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("__salt") || p.contains("pmod"),
       "phase 1 must group by (keys, salt):\n" + p)
   }
+
+  test("q197: the composed pre-flight never plans a cartesian or a data-keyed merge join") {
+    val p = plan("q197_join_preflight")
+    // all cross-joins are broadcast one-row report/calibration shapes;
+    // the only key-equi joins allowed are the sketch (r, c) joins and
+    // the gate's own exact-check join — never a data-sized cartesian
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded cartesian:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "the sketch builds must map-side combine:\n" + p)
+  }
 }
