@@ -102,9 +102,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cpus default — the
+    // scale-ladder knob: 32 reducers over a 100×-data leg concentrate
+    // ~20M rows of agg hash state per task (spill regime, measured in
+    // SCALE.md round 20); a real cluster's reducer count scales with
+    // executors, so the big legs set this to what AQE would coalesce
+    // FROM, not the local core count.
+    val shufflePartitions: String = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).map(_.toString)
+      .getOrElse(cpus.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
