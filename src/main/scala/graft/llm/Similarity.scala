@@ -353,6 +353,90 @@ object Similarity {
     centroids
   }
 
+  /** Train SEVERAL deterministic Lloyd fits over ONE (id, qv) frame in
+    * SHARED passes — the multi-codebook trainer behind PQ and IVF-PQ.
+    * Each spec `(off, len, k)` trains a k-means over the slice
+    * `[off, off+len)` of `qv` (0-based offset); `(0, dim, k)` trains on
+    * the whole vector (the coarse quantizer).
+    *
+    * Bit-identical to running [[kmeansFitQuantized]] once per spec
+    * (law-pinned in LlmSpec), because every per-spec computation is the
+    * same integer arithmetic, only batched:
+    *  - the h32-smallest seed rule depends ONLY on `id`, so every spec
+    *    seeds from the SAME rows — one driver collect of those rows
+    *    seeds all specs (slices taken driver-side);
+    *  - each (assign → integer-mean recompute) round computes every
+    *    spec's argmin assignment and per-(spec, cluster, pos) sum/count
+    *    in ONE aggregation job over the shared frame instead of one job
+    *    (and one full scan of the frame) per spec.
+    *
+    * Scale shape: the m+1 sequential training scans per Lloyd round
+    * collapse to one scan per round (the pass-count win of guide-style
+    * "do fewer passes"); driver state stays Σ k_j · len_j longs.
+    *
+    * @return (per-spec final centroids, N) where N is the frame's row
+    *   count observed by the LAST recompute round (pos-0 cluster counts
+    *   summed — free, no extra pass), or −1 when `iters == 1` (no
+    *   recompute round ran)
+    */
+  private[llm] def kmeansFitMultiQuantized(q: DataFrame,
+      specs: Seq[(Int, Int, Int)], iters: Int)
+      : (IndexedSeq[IndexedSeq[Seq[Long]]], Long) = {
+    require(specs.nonEmpty, "at least one spec")
+    require(iters > 0, "iters must be positive")
+    val base = q.select(col("id"), col("qv"))
+    val maxK = specs.map(_._3).max
+    // one seed collect for every spec: ordering is (h32(id), id) — the
+    // per-spec limit(k) is a prefix of this shared limit(maxK)
+    val seedRows = base
+      .withColumn("__h", Dedup.hash32(col("id").cast("string")))
+      .orderBy(col("__h"), col("id")).limit(maxK)
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    var cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      specs.toIndexedSeq.map { case (off, len, k) =>
+        seedRows.take(k).map(v => v.slice(off, off + len): Seq[Long])
+      }
+    var n = -1L
+    for (_ <- 2 to iters) {
+      val branches = array(specs.toIndexedSeq.zipWithIndex.map {
+        case ((off, len, _), j) =>
+          val sl = slice(col("qv"), off + 1, len)
+          struct(lit(j).as("b"),
+            assignStruct(sl, cents(j)).getField("c").as("cl"),
+            sl.as("sv"))
+      }: _*)
+      val sums = base.select(explode(branches).as("s"))
+        .select(col("s.b").as("b"), col("s.cl").as("cl"),
+          posexplode(col("s.sv")).as(Seq("pos", "v")))
+        .groupBy(col("b"), col("cl"), col("pos"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      // every row lands in exactly one cluster of spec 0, so its pos-0
+      // counts sum to the frame's row count — trainedN without a pass
+      n = sums.iterator
+        .filter(r => r.getInt(0) == 0 && r.getInt(2) == 0)
+        .map(_.getLong(4)).sum
+      val bySpec = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        bySpec.get(j) match {
+          case Some(rows) =>
+            val byCluster = rows.groupBy(_.getLong(1))
+            prev.zipWithIndex.map { case (pc, ci) =>
+              byCluster.get(ci.toLong) match {
+                // truncating division (Scala Long `/`), matching SQL
+                // integer division on negative sums (DuckDB -7 // 2 = -3)
+                case Some(rs) => rs.sortBy(_.getInt(2))
+                  .map(r => r.getLong(3) / r.getLong(4)).toIndexedSeq
+                case None => pc
+              }
+            }
+          case None => prev // empty frame: seeds stand, N stays 0
+        }
+      }
+    }
+    (cents, n)
+  }
+
   /** SemDeDup-style semantic deduplication (the embedding analog of the
     * MinHash near-dup pipeline): deterministic k-means cells become the
     * buckets of an in-cluster cosine near-dup pair join, the pair graph
@@ -463,12 +547,37 @@ object Similarity {
     val dim = q.select(size(col("qv"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
-    val books = (0 until m).map { j =>
-      kmeansFitQuantized(
-        q.select(col("id"), slice(col("qv"), j * sub + 1, sub).as("qv")),
-        k, iters).toIndexedSeq
-    }
-    (q, sub, books.toIndexedSeq)
+    // all m codebooks in shared passes: one seed collect + one
+    // aggregation per Lloyd round instead of m of each (bit-identical —
+    // [[kmeansFitMultiQuantized]])
+    val (books, _) = kmeansFitMultiQuantized(q,
+      (0 until m).map(j => (j * sub, sub, k)), iters)
+    (q, sub, books)
+  }
+
+  /** [[pqTrain]] plus the coarse quantizer in the SAME shared passes —
+    * the m codebooks and the `cells`-means coarse fit all train from one
+    * seed collect and one aggregation per round ([[kmeansFitMultiQuantized]]
+    * — bit-identical to the sequential fits). Also returns the frame's
+    * row count N observed by the last round (−1 when iters == 1), which
+    * [[ivfPqWriteIndex]] persists as the staleness anchor without an
+    * extra counting pass.
+    */
+  private def pqTrainWithCoarse(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, cells: Int)
+      : (DataFrame, Int, IndexedSeq[IndexedSeq[Seq[Long]]], IndexedSeq[Seq[Long]], Long) = {
+    require(m > 0 && k > 0 && iters > 0, "m, k and iters must be positive")
+    require(cells > 0, "cells must be positive")
+    val q0 = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        "qv", quantize(col("__v")))
+      .select(col("id"), col("qv"))
+    val q = Caching.pin(q0)
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val specs = (0 until m).map(j => (j * sub, sub, k)) :+ ((0, dim, cells))
+    val (fits, n) = kmeansFitMultiQuantized(q, specs, iters)
+    (q, sub, fits.take(m), fits(m), n)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
@@ -571,8 +680,8 @@ object Similarity {
     require(cells > 0, "cells must be positive")
     require(nprobe >= 1 && nprobe <= cells,
       s"nprobe must be in [1, cells=$cells], got $nprobe")
-    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
-    val coarse = kmeansFitQuantized(q, cells, iters)
+    val (q, sub, books, coarse, _) =
+      pqTrainWithCoarse(emb, idCol, vecCol, m, k, iters, cells)
     // one pass over the pinned quantized frame computes the coarse cell
     // AND all m sub-codes (the barrier materializes the argmin structs)
     val cand = Dedup.once(q, "__pq", pqCodesStructs(books, sub))
@@ -648,11 +757,11 @@ object Similarity {
       Dedup.once(q, "__cell", assignStruct(col("qv"), coarse).getField("c"))
         .select(col("id"), col("__cell").as("cell"),
           residual(col("qv"), col("__cell")).as("qv")))
-    val books = (0 until m).map { j =>
-      kmeansFitQuantized(
-        res.select(col("id"), slice(col("qv"), j * sub + 1, sub).as("qv")),
-        k, iters).toIndexedSeq
-    }.toIndexedSeq
+    // all m residual codebooks in shared passes over the pinned residual
+    // frame (one seed collect + one aggregation per round, bit-identical
+    // to the sequential fits — [[kmeansFitMultiQuantized]])
+    val (books, _) = kmeansFitMultiQuantized(res,
+      (0 until m).map(j => (j * sub, sub, k)), iters)
     val cand = Dedup.once(res, "__pq", pqCodesStructs(books, sub))
       .select(col("id").as("neighbor_id"), col("cell"),
         transform(col("__pq"), s => s.getField("c")).as("codes"))
@@ -719,13 +828,16 @@ object Similarity {
       outDir: String, cells: Int = 4, m: Int = 4, k: Int = 4,
       iters: Int = 2): IvfPqModel = {
     require(cells > 0, "cells must be positive")
-    val (q, sub, books) = pqTrain(emb, idCol, vecCol, m, k, iters)
-    val coarse = kmeansFitQuantized(q, cells, iters)
+    val (q, sub, books, coarse, n) =
+      pqTrainWithCoarse(emb, idCol, vecCol, m, k, iters, cells)
     // corpus size AT TRAIN TIME, persisted with the model: the √N-cells
     // serve rule (SCALE.md round-17 table: slope 0.51 frozen-cells vs
     // 0.047 at √N cells) only holds while the corpus stays near its
-    // train-time size — [[ivfPqStaleness]] compares against this anchor
-    val model = IvfPqModel(cells, m, sub, coarse, books, trainedN = q.count())
+    // train-time size — [[ivfPqStaleness]] compares against this anchor.
+    // N falls out of the last training round's cluster counts; only an
+    // iters=1 train (no recompute round) pays a counting pass for it.
+    val model = IvfPqModel(cells, m, sub, coarse, books,
+      trainedN = if (n >= 0) n else q.count())
     writeCodeTable(ivfPqEncodeQuantized(q, model), model, outDir, "overwrite")
     writeIvfPqModel(emb.sparkSession, outDir, model)
     model

@@ -417,16 +417,24 @@ object TextAnalysis {
   def keepAbovePercentile(df: org.apache.spark.sql.DataFrame, valueCol: String,
       pct: Int): org.apache.spark.sql.DataFrame = {
     require(pct >= 1 && pct <= 100, "pct in 1..100")
+    // `df` is consumed TWICE — the threshold aggregate and the returned
+    // kept side — and its upstream is typically the expensive scoring
+    // pass (q92 tokenizes + shingles the whole corpus). One eager
+    // localCheckpoint materializes the (narrow) scored rows once, so the
+    // corpus is scored one time instead of two; both consumers read the
+    // checkpointed blocks. (Not Caching.pin: checkpoint blocks die with
+    // the plan — nothing accumulates in the CacheManager across calls.)
+    val snap = df.localCheckpoint()
     val thr = groupPercentiles(
-        df.select(lit(1).as("__g"), col(valueCol)), "__g", valueCol, Seq(pct))
+        snap.select(lit(1).as("__g"), col(valueCol)), "__g", valueCol, Seq(pct))
       .select(col(s"p$pct")).collect().headOption
       .filter(!_.isNullAt(0)) // all-null values: one row, null percentile
       .map(_.getLong(0))
     thr match {
-      case Some(t) => df.filter(col(valueCol) >= lit(t))
+      case Some(t) => snap.filter(col(valueCol) >= lit(t))
       // empty corpus (stays empty) or all-null scores (nothing can be
       // at-or-above a threshold that does not exist)
-      case None    => df.filter(col(valueCol).isNotNull)
+      case None    => snap.filter(col(valueCol).isNotNull)
     }
   }
 

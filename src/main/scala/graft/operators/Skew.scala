@@ -143,19 +143,27 @@ object Skew {
     require(targetRowsPerReducer > 0, "targetRowsPerReducer must be positive")
     import graft.operators.Sketches
     // each sketch feeds three consumers (join est, own F2, own heavy
-    // bound) — pin so the side's scan runs once, not three times
-    val skL = graft.llm.Caching.pin(
-      Sketches.countMin(left.select(col(key)), key, depth, width))
-    val skR = graft.llm.Caching.pin(
-      Sketches.countMin(right.select(col(key)), key, depth, width))
+    // bound) — one EAGER localCheckpoint per side runs the side's scan
+    // once and stores only the depth×width sketch rows. Checkpoint
+    // blocks die with the returned plan, so repeated pre-flights (a
+    // bench loop, a long-lived service) accumulate nothing — unlike a
+    // Caching.pin, whose CacheManager entry outlived every call with no
+    // release handle (r20 ADVICE finding).
+    val skL = Sketches.countMin(left.select(col(key)), key, depth, width)
+      .localCheckpoint()
+    val skR = Sketches.countMin(right.select(col(key)), key, depth, width)
+      .localCheckpoint()
     def est(a: DataFrame, b: DataFrame, as: String): DataFrame =
       Sketches.countMinJoinSize(a, b, depth)
         .select(col("join_size_est").as(as))
     // heavyKeyBound's min-of-row-maxes, in-plan (no driver collect —
-    // the scalar form stays for callers that want the Long)
+    // the scalar form stays for callers that want the Long). An EMPTY
+    // side has no sketch rows: min-over-zero-rows is NULL, which would
+    // poison the salt expression — coalesce to 0 so salts degrade to 1
+    // (join_size_est already defends to 0 the same way).
     def heavy(sk: DataFrame, as: String): DataFrame =
       sk.groupBy(col("r")).agg(max(col("cnt")).as("__m"))
-        .agg(min(col("__m")).as(as))
+        .agg(coalesce(min(col("__m")), lit(0L)).as(as))
     def salts(boundCol: String, as: String): Column =
       // the saltsForBound formula verbatim: ceil(bound/target) by
       // INTEGER `div` (Column `/` is double division and could round a

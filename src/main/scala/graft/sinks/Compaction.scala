@@ -109,7 +109,7 @@ object Compaction {
       s.getPath.getName.contains("=") &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       .map(_.getPath).sortBy(_.getName)
-    parts.toIndexedSeq.map { leaf =>
+    def one(leaf: Path): PartitionCompaction = {
       val (inFiles, inBytes) = dirStats(spark, leaf.toString)
       val n = math.max(1L, (inBytes + targetBytes - 1) / targetBytes).toInt
       if (inFiles <= n)
@@ -131,6 +131,27 @@ object Compaction {
         PartitionCompaction(leaf.getName, skipped = false,
           CompactionStats(inFiles, inBytes, outFiles, outBytes))
       }
+    }
+    // Partitions are rewritten CONCURRENTLY (a bounded driver pool):
+    // each leaf's read→write→swap touches only its own directory and
+    // tmp sibling, and Spark happily schedules several small jobs at
+    // once — sequential leaves left most of the cluster idle during
+    // every leaf's output-commit tail. Results keep the sorted-leaf
+    // order; a single failure propagates after the pool drains (any
+    // already-swapped leaves are complete, unswapped ones untouched —
+    // the same crash surface the sequential loop had between leaves).
+    if (parts.length <= 1) parts.toIndexedSeq.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, parts.length))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            parts.toIndexedSeq.map(p => scala.concurrent.Future(one(p)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
   }
 }

@@ -168,12 +168,27 @@ object DataSkipping {
       bloomFpp: Double = DefaultBloomFpp): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(statsCols.nonEmpty, "statsCols must be non-empty")
-    df.withColumn("__layout", layoutKey)
-      .repartitionByRange(numFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
+    clustered(df, layoutKey, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     writeManifest(df.sparkSession, outDir, statsCols, bloomCols, bloomExpected, bloomFpp)
+  }
+
+  /** The shared clustered-layout shape: ~`numFiles` range partitions on
+    * the layout key, rows sorted by it within each. `numFiles == 1`
+    * skips the range exchange — a RangePartitioner SAMPLES its input
+    * with an extra pass over the child plan before the real shuffle,
+    * which buys nothing when everything lands in one partition anyway
+    * (single-file appends/upserts are the store's hottest write shape);
+    * a plain 1-partition repartition + in-partition sort produces the
+    * byte-identical single sorted file with one pass.
+    */
+  private def clustered(df: DataFrame, layoutKey: Column,
+      numFiles: Int): DataFrame = {
+    val keyed = df.withColumn("__layout", layoutKey)
+    val parted =
+      if (numFiles == 1) keyed.repartition(1)
+      else keyed.repartitionByRange(numFiles, col("__layout"))
+    parted.sortWithinPartitions(col("__layout")).drop("__layout")
   }
 
   /** Append a new batch to a stats-manifested directory, clustered on
@@ -320,10 +335,7 @@ object DataSkipping {
     listPartFiles(spark, dir).filter(_.startsWith(prefix))
       .foreach(n => fs.delete(new Path(dir, n), false): Unit)
     fs.delete(tmp, true): Unit
-    batch.withColumn("__layout", layoutKey)
-      .repartitionByRange(numFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
+    clustered(batch, layoutKey, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val moved = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
@@ -457,10 +469,7 @@ object DataSkipping {
     val tmp = new Path(dir, tmpName)
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true): Unit
-    df.withColumn("__layout", layoutKey)
-      .repartitionByRange(numFiles, col("__layout"))
-      .sortWithinPartitions(col("__layout"))
-      .drop("__layout")
+    clustered(df, layoutKey, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val moved = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
@@ -832,11 +841,122 @@ object DataSkipping {
     throw new IllegalStateException("unreachable")
   }
 
-  /** One column-pruned stats pass over exactly `paths`: per file, row
-    * count, min/max of `statsCols`, Bloom of `bloomCols`. The collect is
-    * one row per FILE — manifest-sized, never data-sized.
+  /** One stats pass over exactly `paths`: per file, row count, min/max
+    * of `statsCols`, Bloom of `bloomCols`. The collect is one row per
+    * FILE — manifest-sized, never data-sized.
+    *
+    * When no Bloom sidecars are requested the pass is METADATA-ONLY:
+    * parquet footers already carry exact per-row-group min/max,
+    * null-count and row-count for integer columns, so the manifest is
+    * assembled from footer reads (KBs per file) instead of a
+    * column-pruned data scan — at 100 TB the stats pass of a table
+    * write/patch drops from a full read of the stats columns to a
+    * footer read per touched file. The footer path refuses (and the
+    * scan fallback runs) whenever any file/column lacks valid footer
+    * statistics or is not a plain signed INT32/INT64 (annotated types —
+    * timestamps, decimals, dates — cast differently than the raw
+    * physical value, so only unannotated integers are provably equal to
+    * the scan's `min(col.cast("long"))`). Bloom builds still need the
+    * values, so `bloomCols` keeps the one-scan path (the scan computes
+    * stats and Blooms together — footers would save nothing there).
+    * `-Dgraft.store.footerStats=false` pins the scan path.
     */
   private def statsFor(spark: SparkSession, paths: Seq[String],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomExpected: Long, bloomFpp: Double): IndexedSeq[FileStats] = {
+    if (bloomCols.isEmpty &&
+        sys.props.getOrElse("graft.store.footerStats", "true").toBoolean) {
+      footerStats(spark, paths, statsCols) match {
+        case Some(st) => return st
+        case None => () // fall through to the exact scan
+      }
+    }
+    statsForScan(spark, paths, statsCols, bloomCols, bloomExpected, bloomFpp)
+  }
+
+  /** Footer-metadata stats for `paths`: Some(per-file stats, scan-path-
+    * identical) or None when any file/column cannot be proven equal from
+    * footers alone. Files whose footers record ZERO rows are omitted,
+    * exactly as the scan path's `groupBy(input_file_name())` omits them.
+    */
+  private def footerStats(spark: SparkSession, paths: Seq[String],
+      statsCols: Seq[String]): Option[IndexedSeq[FileStats]] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    def plainInt(pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+      val name = pt.getPrimitiveTypeName
+      (name == PrimitiveTypeName.INT64 || name == PrimitiveTypeName.INT32) &&
+        (pt.getLogicalTypeAnnotation match {
+          case null => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            i.isSigned && (i.getBitWidth == 64 || i.getBitWidth == 32)
+          case _ => false // timestamp/date/decimal: cast semantics differ
+        })
+    }
+    def fileStats(p: String): Option[Option[FileStats]] = {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toIndexedSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0L) return Some(None) // scan path omits 0-row files
+        val perCol = statsCols.map { c =>
+          var nulls = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(return None)
+            if (!plainInt(chunk.getPrimitiveType)) return None
+            val st = chunk.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  (a.longValue, b.longValue)
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.longValue, b.longValue)
+                case _ => return None
+              }
+              mn = math.min(mn, lo); mx = math.max(mx, hi)
+            }
+          }
+          (mn, mx, nulls) // all-null file keeps the (Max, Min) sentinel
+        }
+        Some(Some(FileStats(p.split('/').last, rows,
+          perCol.map(_._1), perCol.map(_._2), Nil, perCol.map(_._3))))
+      } finally reader.close()
+    }
+    // footer reads are tiny but per-file; overlap them so a many-file
+    // patch is not serialized on driver round-trips
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, paths.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val all = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          paths.map(p => scala.concurrent.Future(fileStats(p)))),
+        scala.concurrent.duration.Duration.Inf)
+      if (all.exists(_.isEmpty)) None
+      else Some(all.flatMap(_.get).sortBy(_.file).toIndexedSeq)
+    } finally pool.shutdown()
+  } catch {
+    // any structural surprise (missing footer, exotic writer) — the
+    // exact scan is always available and always right
+    case scala.util.control.NonFatal(e) =>
+      log.warn(s"footer stats pass failed (${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}); falling back to the scan pass")
+      None
+  }
+
+  /** The exact column-pruned SCAN stats pass (the only path when Bloom
+    * sidecars are requested; the fallback otherwise).
+    */
+  private def statsForScan(spark: SparkSession, paths: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String],
       bloomExpected: Long, bloomFpp: Double): IndexedSeq[FileStats] = {
     val aggs = statsCols.flatMap(c => Seq(

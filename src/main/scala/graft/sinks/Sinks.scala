@@ -163,9 +163,13 @@ object PartitionOverwriteSink {
           .map(_.toString).toSeq
       }.sorted
 
-      // K6 — one audit row per loaded day.
+      // K6 — one audit row per loaded day. The driver-local day list
+      // parallelizes over defaultParallelism, which would append one
+      // tiny file PER CORE per load; coalesce(1) lands the audit batch
+      // as a single file (audit tables are day-count-sized at any scale).
       import spark.implicits._
       days.toDF("period")
+        .coalesce(1)
         .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
           lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
         .write.mode(SaveMode.Append).parquet(auditDir)

@@ -438,6 +438,29 @@ class LlmSpec extends SparkSuite {
     assert(a === run()) // seeds/means are hash-derived, never rand
   }
 
+  test("multi-fit k-means law: shared-pass training ≡ one kmeansFitQuantized per spec, and N = row count") {
+    // mixed-sign, asymmetric vectors; dim 6 splits into 3 slices of 2 —
+    // plus a whole-vector "coarse" spec with a different k, the exact
+    // composition pqTrainWithCoarse batches into shared passes
+    val vecs = (1L to 40L).map { i =>
+      (i, Array(i.toFloat, -2.0f * i, (i % 7).toFloat - 3.0f,
+        (i % 5).toFloat, -(i % 11).toFloat, 0.5f * i))
+    }.toDF("vec_id", "embedding")
+    val q = graft.llm.Dedup.once(
+        vecs.select(col("vec_id").as("id"), col("embedding").as("__v")),
+        "qv", Similarity.quantize(col("__v")))
+      .select(col("id"), col("qv"))
+    val specs = Seq((0, 2, 3), (2, 2, 3), (4, 2, 3), (0, 6, 2))
+    val (multi, n) = Similarity.kmeansFitMultiQuantized(q, specs, iters = 3)
+    assert(n === 40L)
+    specs.zipWithIndex.foreach { case ((off, len, k), j) =>
+      val single = Similarity.kmeansFitQuantized(
+        q.select(col("id"), slice(col("qv"), off + 1, len).as("qv")),
+        k, iters = 3)
+      assert(multi(j) === single, s"spec $j (off=$off len=$len k=$k)")
+    }
+  }
+
   test("cluster canonicalization: empty pair graph returns empty, non-integral ids fail fast") {
     // zero verified pairs is the ordinary clean-corpus case — must exit
     // at the immediate fixpoint, not NPE on a null label sum

@@ -149,4 +149,13 @@ class CmsSpec extends SparkSuite {
     assert(clamped.getAs[Int]("salts_left") === 8)
     assert(clamped.getAs[Int]("salts_right") === 8)
   }
+
+  test("joinPreflight on an empty side degrades to bound 0 / salts 1, never NULL (r20 ADVICE)") {
+    val empty = Seq.empty[String].toDF("k")
+    val row = Skew.joinPreflight(keys, empty, "k", 4, 64).head()
+    assert(row.getAs[Long]("join_size_est") === 0L)
+    assert(row.getAs[Long]("right_heavy_bound") === 0L)
+    assert(row.getAs[Int]("salts_right") === 1)
+    assert(row.getAs[Long]("left_heavy_bound") > 0L)
+  }
 }

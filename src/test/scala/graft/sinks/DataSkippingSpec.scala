@@ -66,6 +66,26 @@ class DataSkippingSpec extends SparkSuite {
     assert(m.files.map(_.rows).sum === 3L)
   }
 
+  test("footer-metadata stats ≡ scan stats: nulls, negatives, int32, all-null files") {
+    val dir = tmpDir("graft-skip-footer")
+    // int64 with nulls and negatives, plus an int32 column; one file
+    // holds only the all-null-`a` rows (payload clustering puts them
+    // together) so the (MaxValue, MinValue) sentinel path is exercised
+    val df = ((0 until 200).map(i =>
+        (if (i < 40) Option.empty[Long] else Some(i.toLong - 100L),
+          i - 50, i.toLong)))
+      .toDF("a", "i32", "payload")
+    DataSkipping.writeWithStats(df, dir, col("payload"),
+      numFiles = 5, statsCols = Seq("a", "i32"))
+    val viaFooter = DataSkipping.readManifest(spark, dir)
+    sys.props("graft.store.footerStats") = "false"
+    try {
+      val viaScan = DataSkipping.writeManifest(spark, dir, Seq("a", "i32"))
+      assert(viaFooter.files === viaScan.files,
+        "footer-derived per-file stats must equal the scan's exactly")
+    } finally sys.props.remove("graft.store.footerStats")
+  }
+
   test("readPruned rejects columns without stats; manifest survives refresh") {
     val dir = tmpDir("graft-skip-cols")
     val df = (0 until 10).map(i => (i.toLong, i.toLong)).toDF("a", "b")
