@@ -111,10 +111,25 @@ object Bench {
     val shufflePartitions: String = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .flatMap(_.trim.toIntOption).filter(_ >= 1).map(_.toString)
       .getOrElse(cpus.toString)
+    // AQE partition coalescing knob (A/B'd in round 21):
+    // `parallelismFirst=false` makes AQE honor
+    // advisoryPartitionSizeInBytes instead of refusing to coalesce
+    // below the core count. Measured on a 20-query slice at sf0.1:
+    // iterative/graph gates improve (q109 −72%, q120 −32%) but the
+    // CPU-bound per-row chains serialize onto too few tasks and lose
+    // far more (q24 +390%, q43 +275%, q147 +165%, q23 +52%) — total
+    // +20%. Default stays TRUE (Spark's default); the env knob exists
+    // for scale-ladder legs, where reduce partitions should be sized
+    // by bytes, not cores (target/r21/bench_pf_{true,false}.json).
+    val parallelismFirst: String = sys.env.get("SPARK_GRAFT_PARALLELISM_FIRST")
+      .map(_.trim).filter(v => v == "true" || v == "false")
+      .getOrElse("true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parallelismFirst)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

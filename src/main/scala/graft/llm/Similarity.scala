@@ -676,10 +676,25 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
-      iters: Int = 2, topK: Int = 10, nprobe: Int = 1): DataFrame = {
+      iters: Int = 2, topK: Int = 10, nprobe: Int = 1): DataFrame =
+    ivfPqTopKCurve(emb, idCol, vecCol, queryPred, cells, m, k, iters,
+      topK, Seq(nprobe)).head._2
+
+  /** [[ivfPqTopK]] at SEVERAL nprobe settings from ONE trained model
+    * and one shared candidate encode — the recall-curve shape: the
+    * trainer is deterministic, so per-point retraining (q102's old
+    * form) recomputed the identical model once per point. Each
+    * returned frame is bit-identical to `ivfPqTopK(..., nprobe = np)`
+    * (same training, literally the same construction).
+    */
+  def ivfPqTopKCurve(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topK: Int = 10,
+      nprobes: Seq[Int] = Seq(1)): Seq[(Int, DataFrame)] = {
     require(cells > 0, "cells must be positive")
-    require(nprobe >= 1 && nprobe <= cells,
-      s"nprobe must be in [1, cells=$cells], got $nprobe")
+    require(nprobes.nonEmpty, "at least one nprobe point")
+    nprobes.foreach(np => require(np >= 1 && np <= cells,
+      s"nprobe must be in [1, cells=$cells], got $np"))
     val (q, sub, books, coarse, _) =
       pqTrainWithCoarse(emb, idCol, vecCol, m, k, iters, cells)
     // one pass over the pinned quantized frame computes the coarse cell
@@ -691,21 +706,24 @@ object Similarity {
     val qBase = Dedup.once(
       emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
       "qqv", quantize(col("__v")))
-    // (query, neighbor) stays unique at nprobe > 1: each neighbor lives
-    // in exactly one cell and the exploded query rows are distinct cells
-    val queries =
-      if (nprobe == 1)
-        qBase.select(col("query_id"), col("qqv"),
-          assignStruct(col("qqv"), coarse).getField("c").as("cell"))
-      else
-        qBase.select(col("query_id"), col("qqv"),
-          explode(transform(
-            slice(array_sort(assignStructArray(col("qqv"), coarse)), 1, nprobe),
-            s => s.getField("c"))).as("cell"))
-    val scored = cand.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
-    adcRanked(scored, topK)
+    nprobes.map { nprobe =>
+      // (query, neighbor) stays unique at nprobe > 1: each neighbor
+      // lives in exactly one cell and the exploded query rows are
+      // distinct cells
+      val queries =
+        if (nprobe == 1)
+          qBase.select(col("query_id"), col("qqv"),
+            assignStruct(col("qqv"), coarse).getField("c").as("cell"))
+        else
+          qBase.select(col("query_id"), col("qqv"),
+            explode(transform(
+              slice(array_sort(assignStructArray(col("qqv"), coarse)), 1, nprobe),
+              s => s.getField("c"))).as("cell"))
+      val scored = cand.join(broadcast(queries), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
+      nprobe -> adcRanked(scored, topK)
+    }
   }
 
   /** Residual IVF-PQ — the form Jégou et al. 2011 §III actually deploy:
@@ -735,10 +753,23 @@ object Similarity {
     */
   def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
-      iters: Int = 2, topK: Int = 10, nprobe: Int = 1): DataFrame = {
+      iters: Int = 2, topK: Int = 10, nprobe: Int = 1): DataFrame =
+    ivfPqResidualTopKCurve(emb, idCol, vecCol, queryPred, cells, m, k,
+      iters, topK, Seq(nprobe)).head._2
+
+  /** [[ivfPqResidualTopK]] at SEVERAL nprobe settings from ONE coarse
+    * fit, one pinned residual frame, and one residual-codebook training
+    * — the q104 curve shape (each point otherwise retrains the whole
+    * identical model). Per point bit-identical to the single-call form.
+    */
+  def ivfPqResidualTopKCurve(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, cells: Int = 4, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topK: Int = 10,
+      nprobes: Seq[Int] = Seq(1)): Seq[(Int, DataFrame)] = {
     require(cells > 0, "cells must be positive")
-    require(nprobe >= 1 && nprobe <= cells,
-      s"nprobe must be in [1, cells=$cells], got $nprobe")
+    require(nprobes.nonEmpty, "at least one nprobe point")
+    nprobes.foreach(np => require(np >= 1 && np <= cells,
+      s"nprobe must be in [1, cells=$cells], got $np"))
     require(m > 0 && k > 0 && iters > 0, "m, k and iters must be positive")
     val q0 = Dedup.once(emb.select(col(idCol).as("id"), col(vecCol).as("__v")),
         "qv", quantize(col("__v")))
@@ -768,21 +799,23 @@ object Similarity {
     val qBase = Dedup.once(
       emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("__v")),
       "qqv", quantize(col("__v")))
-    val routed =
-      if (nprobe == 1)
-        qBase.select(col("query_id"), col("qqv"),
-          assignStruct(col("qqv"), coarse).getField("c").as("cell"))
-      else
-        qBase.select(col("query_id"), col("qqv"),
-          explode(transform(
-            slice(array_sort(assignStructArray(col("qqv"), coarse)), 1, nprobe),
-            s => s.getField("c"))).as("cell"))
-    val queries = routed.select(col("query_id"), col("cell"),
-      residual(col("qqv"), col("cell")).as("qqv"))
-    val scored = cand.join(broadcast(queries), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
-    adcRanked(scored, topK)
+    nprobes.map { nprobe =>
+      val routed =
+        if (nprobe == 1)
+          qBase.select(col("query_id"), col("qqv"),
+            assignStruct(col("qqv"), coarse).getField("c").as("cell"))
+        else
+          qBase.select(col("query_id"), col("qqv"),
+            explode(transform(
+              slice(array_sort(assignStructArray(col("qqv"), coarse)), 1, nprobe),
+              s => s.getField("c"))).as("cell"))
+      val queries = routed.select(col("query_id"), col("cell"),
+        residual(col("qqv"), col("cell")).as("qqv"))
+      val scored = cand.join(broadcast(queries), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), adcDist(books, sub).as("adc_dist"))
+      nprobe -> adcRanked(scored, topK)
+    }
   }
 
   // ------------------------------------------------------- persisted index

@@ -868,11 +868,14 @@ object LlmQueries {
       // subtree) — |queries|·k rows of cache, hashes unchanged
       val truth = Caching.pin(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10))
-      def point(np: Int): DataFrame =
-        Similarity.annRecall(truth,
-            Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred,
-              cells = 4, m = 4, k = 4, iters = 2, topK = 10, nprobe = np),
-            k = 10)
+      // ONE deterministic training shared by both curve points (the
+      // per-point ivfPqTopK calls recomputed the identical model); each
+      // point's frame is bit-identical to the single-call form
+      val points = Similarity.ivfPqTopKCurve(emb, "vec_id", "embedding",
+        pred, cells = 4, m = 4, k = 4, iters = 2, topK = 10,
+        nprobes = Seq(1, 2))
+      def point(np: Int, ann: DataFrame): DataFrame =
+        Similarity.annRecall(truth, ann, k = 10)
           .agg(
             count(lit(1)).as("n_queries"),
             sum(col("n_truth")).as("total_truth"),
@@ -880,7 +883,7 @@ object LlmQueries {
           .select(lit(np.toLong).as("nprobe"), col("n_queries"),
             col("total_truth"), col("total_hits"),
             expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
-      point(1).unionByName(point(2))
+      points.map { case (np, ann) => point(np, ann) }.reduce(_ unionByName _)
     }),
 
     // Residual IVF-PQ (the true Jégou form): PQ codebooks train on
@@ -903,11 +906,13 @@ object LlmQueries {
       // subtree) — |queries|·k rows of cache, hashes unchanged
       val truth = Caching.pin(
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 10))
-      def point(np: Int): DataFrame =
-        Similarity.annRecall(truth,
-            Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pred,
-              cells = 4, m = 4, k = 4, iters = 2, topK = 10, nprobe = np),
-            k = 10)
+      // ONE coarse fit + residual training shared by both curve points
+      // (the q102 move applied to the residual form)
+      val points = Similarity.ivfPqResidualTopKCurve(emb, "vec_id",
+        "embedding", pred, cells = 4, m = 4, k = 4, iters = 2, topK = 10,
+        nprobes = Seq(1, 2))
+      def point(np: Int, ann: DataFrame): DataFrame =
+        Similarity.annRecall(truth, ann, k = 10)
           .agg(
             count(lit(1)).as("n_queries"),
             sum(col("n_truth")).as("total_truth"),
@@ -915,7 +920,7 @@ object LlmQueries {
           .select(lit(np.toLong).as("nprobe"), col("n_queries"),
             col("total_truth"), col("total_hits"),
             expr("(total_hits * 1000000) div total_truth").as("recall_ppm"))
-      point(1).unionByName(point(2))
+      points.map { case (np, ann) => point(np, ann) }.reduce(_ unionByName _)
     }),
 
     // The deployment step of the IVF-PQ stack: write the code table
