@@ -147,6 +147,8 @@ object Bench {
     // empty sample list or kill the run before any query executes.
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.trim.toIntOption).getOrElse(3))
+    val clearBetweenQueries =
+      !sys.env.get("SPARK_GRAFT_CLEAR_CACHE").exists(_.trim == "0")
 
     // Calibration checkpoints: MIN of three timed probe passes. Min, not
     // median: the probe estimates the machine's steady-state cost of a
@@ -194,6 +196,19 @@ object Bench {
         }
         timings(name) = median(samples)
         minTimings(name) = samples.min
+        // Drop this query's pinned intermediates BEFORE the next query
+        // (never between a query's own warmup/timed passes, which share
+        // pins by design). Without this the CacheManager accumulates
+        // every gate's one-shot pins for the whole 197-query session:
+        // each later query's planning scans the whole entry list for
+        // cache-candidate subtrees, the blocks compete with execution
+        // memory, and a query whose pinned subtree happens to match an
+        // EARLIER query's still-cached plan reads that cache instead of
+        // computing — position-dependent numbers. Results are unaffected
+        // (pins are pure intermediates); each query still computes from
+        // the parquet inputs every pass. SPARK_GRAFT_CLEAR_CACHE=0
+        // restores the accumulate-forever behavior for A/B runs.
+        if (clearBetweenQueries) spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
@@ -235,6 +250,7 @@ object Bench {
             run(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           })
+          if (clearBetweenQueries) spark.catalog.clearCache()
         } catch {
           // a query that passed the main pass but fails during retime is
           // a real signal — record it, so a consumer can tell "not
@@ -286,6 +302,7 @@ object Bench {
           qe.toRdd.foreach(_ => ())
           (System.nanoTime() - t0) / 1e9
         }.min
+        if (clearBetweenQueries) spark.catalog.clearCache()
       } catch { case _: Throwable => () } // warm numbers are advisory
     }
 
