@@ -591,9 +591,14 @@ object TextAnalysis {
       bloomExpected: Long = 100000L): graft.sinks.DataSkipping.SkipManifest = {
     val t = Caching.pin(tokenizedDocs(docs, idCol, textCol))
     try {
+      // term_h is a 32-bit hash — uniform by construction, so the
+      // clustered write places fixed-width ranges instead of paying
+      // the RangePartitioner's sampling pass (a full re-run of the
+      // postings aggregation's reduce stage per build)
       val m = graft.sinks.DataSkipping.writeWithStats(postingsOf(t), indexDir,
         col("term_h"), numFiles, statsCols = Seq("term_h"),
-        bloomCols = Seq("term"), bloomExpected = bloomExpected)
+        bloomCols = Seq("term"), bloomExpected = bloomExpected,
+        uniform = Some(graft.sinks.DataSkipping.Hash32Key))
       val (nDocs, totalTokens) = batchCounts(t)
       writeCorpusStats(docs.sparkSession, indexDir, CorpusStats(nDocs, totalTokens))
       m
@@ -649,7 +654,8 @@ object TextAnalysis {
     val t = Caching.pin(tokenizedDocs(newDocs, idCol, textCol))
     try {
       val m = graft.sinks.DataSkipping.appendWithStats(postingsOf(t), indexDir,
-        col("term_h"), numFiles)
+        col("term_h"), numFiles,
+        uniform = Some(graft.sinks.DataSkipping.Hash32Key))
       val old = readCorpusStats(newDocs.sparkSession, indexDir)
       val (nDocs, totalTokens) = batchCounts(t)
       writeCorpusStats(newDocs.sparkSession, indexDir,
@@ -685,7 +691,8 @@ object TextAnalysis {
     val t = Caching.pin(tokenizedDocs(newDocs, idCol, textCol))
     try {
       val m = graft.sinks.DataSkipping.appendEpoch(spark, indexDir,
-        postingsOf(t), col("term_h"), numFiles, epochId)
+        postingsOf(t), col("term_h"), numFiles, epochId,
+        uniform = Some(graft.sinks.DataSkipping.Hash32Key))
       val st = readCorpusStats(spark, indexDir)
       if (st.lastEpoch < epochId) {
         val (nDocs, totalTokens) = batchCounts(t)

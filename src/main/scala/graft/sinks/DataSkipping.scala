@@ -152,6 +152,27 @@ object DataSkipping {
       bloomExpected: Long = DefaultBloomExpected,
       bloomFpp: Double = DefaultBloomFpp)
 
+  /** Layout-placement hint for the [[writeWithStats]] family: the
+    * layout key is KNOWN uniform over `[lo, hi]` (a hash, by
+    * construction — e.g. [[graft.llm.Dedup.hash32]]'s md5 prefix over
+    * [0, 2³²)). [[clustered]] then places fixed-width key ranges
+    * directly instead of letting `repartitionByRange`'s
+    * RangePartitioner SAMPLE its input: the sample executes the whole
+    * child plan one extra time to learn quantiles the caller already
+    * knows (for an aggregated child — the inverted-index postings
+    * build — that is a full re-run of the aggregation's reduce stage).
+    * Files stay disjoint sorted key ranges, so manifest pruning works
+    * exactly as with sampled ranges; only the boundary positions
+    * differ (fixed-width vs sampled quantiles — equivalent for a
+    * uniform key).
+    */
+  final case class UniformKey(lo: Long, hi: Long) {
+    require(hi > lo && hi - lo + 1 > 0, s"UniformKey range [$lo, $hi] invalid")
+  }
+
+  /** The [[UniformKey]] span of a 32-bit hash key ([0, 2³²)). */
+  val Hash32Key: UniformKey = UniformKey(0L, 0xFFFFFFFFL)
+
   /** Write `df` to `outDir` clustered on `layoutKey` in ~`numFiles`
     * range-partitioned, internally sorted files, then collect per-file
     * min/max of `statsCols` (long-valued columns) — and a per-file
@@ -165,10 +186,11 @@ object DataSkipping {
   def writeWithStats(df: DataFrame, outDir: String, layoutKey: Column,
       numFiles: Int, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomExpected: Long = DefaultBloomExpected,
-      bloomFpp: Double = DefaultBloomFpp): SkipManifest = {
+      bloomFpp: Double = DefaultBloomFpp,
+      uniform: Option[UniformKey] = None): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(statsCols.nonEmpty, "statsCols must be non-empty")
-    clustered(df, layoutKey, numFiles)
+    clustered(df, layoutKey, numFiles, uniform)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     writeManifest(df.sparkSession, outDir, statsCols, bloomCols, bloomExpected, bloomFpp)
   }
@@ -180,16 +202,58 @@ object DataSkipping {
     * which buys nothing when everything lands in one partition anyway
     * (single-file appends/upserts are the store's hottest write shape);
     * a plain 1-partition repartition + in-partition sort produces the
-    * byte-identical single sorted file with one pass.
+    * byte-identical single sorted file with one pass. A [[UniformKey]]
+    * hint removes the sampling pass for `numFiles > 1` too: bucket
+    * b = (key − lo) div width with width = ⌈span / numFiles⌉, routed to
+    * partition b EXACTLY via [[partitionProxies]] — per-file ranges
+    * are disjoint and sorted like the sampled layout's.
     */
   private def clustered(df: DataFrame, layoutKey: Column,
-      numFiles: Int): DataFrame = {
+      numFiles: Int, uniform: Option[UniformKey] = None): DataFrame = {
     val keyed = df.withColumn("__layout", layoutKey)
     val parted =
       if (numFiles == 1) keyed.repartition(1)
-      else keyed.repartitionByRange(numFiles, col("__layout"))
+      else uniform match {
+        case Some(u) =>
+          val width = (u.hi - u.lo) / numFiles + 1 // ceil: max bucket <= numFiles-1
+          // clamp defends against out-of-contract key values; in-range
+          // keys are untouched (bucket already in [0, numFiles-1])
+          val bucket = expr(
+            s"least(greatest(CAST((__layout - ${u.lo}) DIV $width AS INT), 0), ${numFiles - 1})")
+          keyed.repartition(numFiles,
+            element_at(lit(partitionProxies(numFiles)), bucket + lit(1)))
+        case None => keyed.repartitionByRange(numFiles, col("__layout"))
+      }
     parted.sortWithinPartitions(col("__layout")).drop("__layout")
   }
+
+  /** For each bucket b in [0, n): an Int proxy value v with
+    * pmod(murmur3_hash(v), n) == b, so `repartition(n, proxy(bucket))`
+    * lands bucket b in shuffle partition b exactly. Computed by
+    * evaluating Spark's OWN partition-id expression
+    * (`Pmod(Murmur3Hash(v), n)` — what HashPartitioning evaluates per
+    * row) driver-side, so the mapping cannot drift from the engine's.
+    * Cached per n; the search tries small ints and needs ~n·ln n draws.
+    */
+  private val proxyCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  private[sinks] def partitionProxies(n: Int): Array[Int] =
+    proxyCache.computeIfAbsent(n, _ => {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+      val proxies = new Array[Int](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var v = 0
+      while (remaining > 0) {
+        // `new`: the auxiliary constructor supplies HashPartitioning's
+        // default seed (42)
+        val b = Pmod(new Murmur3Hash(Seq(Literal(v))), Literal(n))
+          .eval(InternalRow.empty).asInstanceOf[Int]
+        if (!found(b)) { found(b) = true; proxies(b) = v; remaining -= 1 }
+        v += 1
+      }
+      proxies
+    })
 
   /** Append a new batch to a stats-manifested directory, clustered on
     * the same layout key WITHIN the batch, then patch ONLY the new
@@ -216,12 +280,12 @@ object DataSkipping {
     *    serialized by the CAS.
     */
   def appendWithStats(df: DataFrame, dir: String, layoutKey: Column,
-      numFiles: Int): SkipManifest = {
+      numFiles: Int, uniform: Option[UniformKey] = None): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val spark = df.sparkSession
     val base = currentVersion(spark, dir) // writer-fence base
     val moved = moveInClustered(spark, dir,
-      s".append_tmp_${java.util.UUID.randomUUID()}", df, layoutKey, numFiles)
+      s".append_tmp_${java.util.UUID.randomUUID()}", df, layoutKey, numFiles, uniform)
     try patchManifest(spark, dir, Nil, moved, Some(base))
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -316,7 +380,8 @@ object DataSkipping {
     * content, the same argument as the streaming count-min store.
     */
   def appendEpoch(spark: SparkSession, dir: String, batch: DataFrame,
-      layoutKey: Column, numFiles: Int, epochId: Long): SkipManifest = {
+      layoutKey: Column, numFiles: Int, epochId: Long,
+      uniform: Option[UniformKey] = None): SkipManifest = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(epochId >= 0, "epochId must be >= 0")
     val prefix = s"part-e$epochId-"
@@ -335,7 +400,7 @@ object DataSkipping {
     listPartFiles(spark, dir).filter(_.startsWith(prefix))
       .foreach(n => fs.delete(new Path(dir, n), false): Unit)
     fs.delete(tmp, true): Unit
-    clustered(batch, layoutKey, numFiles)
+    clustered(batch, layoutKey, numFiles, uniform)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val moved = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
@@ -465,11 +530,12 @@ object DataSkipping {
     * its own variant: it renames with the epoch prefix.)
     */
   private def moveInClustered(spark: SparkSession, dir: String, tmpName: String,
-      df: DataFrame, layoutKey: Column, numFiles: Int): IndexedSeq[String] = {
+      df: DataFrame, layoutKey: Column, numFiles: Int,
+      uniform: Option[UniformKey] = None): IndexedSeq[String] = {
     val tmp = new Path(dir, tmpName)
     val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true): Unit
-    clustered(df, layoutKey, numFiles)
+    clustered(df, layoutKey, numFiles, uniform)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val moved = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))

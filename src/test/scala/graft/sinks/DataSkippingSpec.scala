@@ -185,6 +185,41 @@ class DataSkippingSpec extends SparkSuite {
     assert(hit.count() === 1L)
   }
 
+  test("uniform fixed-width placement: content ≡ sampled layout, per-file ranges disjoint within fixed buckets, pruning exact") {
+    val dirU = tmpDir("graft-skip-uni")
+    val dirR = tmpDir("graft-skip-rng")
+    // a 32-bit-hash layout key — uniform over [0, 2³²) by construction
+    val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("payload", "s")
+      .withColumn("h", graft.llm.Dedup.hash32(col("s")))
+    val n = 8
+    val mU = DataSkipping.writeWithStats(df, dirU, col("h"), n, Seq("h"),
+      uniform = Some(DataSkipping.Hash32Key))
+    val mR = DataSkipping.writeWithStats(df, dirR, col("h"), n, Seq("h"))
+    // identical table content either way (placement is layout, not data)
+    assert(spark.read.parquet(dirU).orderBy("payload").collect() ===
+      spark.read.parquet(dirR).orderBy("payload").collect())
+    // every file sits inside ONE fixed-width bucket (the placement did
+    // route each bucket to its own partition through Spark's real
+    // HashPartitioning — the partitionProxies law, end to end) and the
+    // per-file ranges are pairwise disjoint like the sampled layout's
+    val width = (DataSkipping.Hash32Key.hi - DataSkipping.Hash32Key.lo) / n + 1
+    assert(mU.files.nonEmpty && mU.files.map(_.rows).sum === 5000L)
+    mU.files.foreach { f =>
+      assert(f.mins.head / width === f.maxs.head / width,
+        s"file ${f.file} spans buckets: [${f.mins.head}, ${f.maxs.head}], width=$width")
+    }
+    val ranges = mU.files.map(f => (f.mins.head, f.maxs.head)).sortBy(_._1)
+    ranges.sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w(0)._2 < w(1)._1, s"overlapping file ranges: $w")
+    }
+    // range pruning over the fixed-width layout stays exact
+    val pruned = DataSkipping.readPruned(spark, dirU, Seq(("h", 0L, width - 1)))
+    assert(pruned.inputFiles.length < mU.files.size,
+      "a one-bucket range read must prune the listing")
+    assert(pruned.orderBy("payload").collect() ===
+      df.filter(col("h") <= width - 1).orderBy("payload").collect())
+  }
+
   test("property: pruned reads and erasure equal their full-scan models across random layouts/bounds/keys") {
     val rnd = new scala.util.Random(13)
     (0 until 4).foreach { trial =>
