@@ -752,6 +752,24 @@ object Dedup {
     val e = Caching.pin(
       pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b")))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // STATE-SIZED loop shuffles (guide §2.2): every round is joins +
+    // aggregates over the (tiny, shrinking-diameter) label/edge state,
+    // and each round MATERIALIZES eagerly inside this call (the lblSum
+    // convergence probe), so the conf set here governs every round's
+    // exchanges. At conf-default partitions a verified near-dup graph
+    // of a few thousand edges runs every round as 32+ KB-sized tasks —
+    // pure scheduling overhead; at cluster scale the same formula sizes
+    // up with the graph. Derived from the OBSERVED edge count (this
+    // count also materializes the pin, which the first round would have
+    // paid anyway), never a constant; capped at the session's own
+    // configured parallelism. Restored in finally — the returned frame
+    // is the loop's PINNED final state, so downstream consumers replan
+    // nothing under this conf.
+    val eCnt = e.count()
+    val spark = pairs.sparkSession
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val statePartitions = math.max(1L, math.min(confPartitions.toLong,
+      2L * eCnt / 2000000L + 1L)).toInt
     // label sums are the convergence probe; decimal so the probe can't
     // overflow at corpus-scale id magnitudes. An EMPTY graph (zero
     // verified pairs — the ordinary clean-corpus case) sums to SQL NULL;
@@ -760,33 +778,36 @@ object Dedup {
     def lblSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var labels = Caching.pin(sym.groupBy(col("a").as("id"))
-      .agg(min(col("b")).as("nb"))
-      .select(col("id"), least(col("id"), col("nb")).as("lbl")))
-    var prev = lblSum(labels)
-    var it = 0
-    var done = false
-    while (!done && it < maxIters) {
-      // neighbor-min: smallest label among self and direct neighbors
-      val viaNbr = sym.join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("blbl")).as("nlbl"))
-      val m1 = labels.join(viaNbr, Seq("id"))
-        .select(col("id"), least(col("lbl"), col("nlbl")).as("l0"))
-      // pointer-jump (path halving): also take the label's own label —
-      // every label IS a node id, so this is a self-join on the table
-      val m2 = Caching.pin(
-        m1.join(labels.select(col("id").as("l0"), col("lbl").as("jlbl")), Seq("l0"), "left")
-          .select(col("id"), least(col("l0"), coalesce(col("jlbl"), col("l0"))).as("lbl")))
-      val cur = lblSum(m2) // materializes m2 before the old cache drops
-      val old = labels
-      labels = m2
-      Caching.release(old)
-      done = cur.compareTo(prev) == 0
-      prev = cur
-      it += 1
-    }
-    Caching.release(e)
-    labels.select(col("id"), col("lbl").as("canonical_id"))
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      var labels = Caching.pin(sym.groupBy(col("a").as("id"))
+        .agg(min(col("b")).as("nb"))
+        .select(col("id"), least(col("id"), col("nb")).as("lbl")))
+      var prev = lblSum(labels)
+      var it = 0
+      var done = false
+      while (!done && it < maxIters) {
+        // neighbor-min: smallest label among self and direct neighbors
+        val viaNbr = sym.join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("blbl")).as("nlbl"))
+        val m1 = labels.join(viaNbr, Seq("id"))
+          .select(col("id"), least(col("lbl"), col("nlbl")).as("l0"))
+        // pointer-jump (path halving): also take the label's own label —
+        // every label IS a node id, so this is a self-join on the table
+        val m2 = Caching.pin(
+          m1.join(labels.select(col("id").as("l0"), col("lbl").as("jlbl")), Seq("l0"), "left")
+            .select(col("id"), least(col("l0"), coalesce(col("jlbl"), col("l0"))).as("lbl")))
+        val cur = lblSum(m2) // materializes m2 before the old cache drops
+        val old = labels
+        labels = m2
+        Caching.release(old)
+        done = cur.compareTo(prev) == 0
+        prev = cur
+        it += 1
+      }
+      Caching.release(e)
+      labels.select(col("id"), col("lbl").as("canonical_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
   }
 
   /** 16-bit SimHash over the (multiset of) token hashes: bit b is set when

@@ -147,10 +147,21 @@ object Compaction {
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        scala.concurrent.Await.result(
+        // bounded, not Inf: a wedged leaf job (hung FS call, deadlocked
+        // commit) should fail the maintenance op loudly instead of
+        // hanging the driver forever; generous enough that no
+        // legitimate leaf rewrite can trip it. Failures are captured
+        // per leaf and the first rethrown only after EVERY in-flight
+        // leaf finished its swap — a bare Future.sequence fails fast,
+        // which would surface the error while a healthy neighbor is
+        // mid delete+rename.
+        val tries = scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(
-            parts.toIndexedSeq.map(p => scala.concurrent.Future(one(p)))),
-          scala.concurrent.duration.Duration.Inf)
+            parts.toIndexedSeq.map(p =>
+              scala.concurrent.Future(scala.util.Try(one(p))))),
+          scala.concurrent.duration.Duration(6, "hours"))
+        tries.foreach(t => if (t.isFailure) throw t.failed.get)
+        tries.map(_.get)
       } finally pool.shutdown()
     }
   }

@@ -1003,10 +1003,14 @@ object DataSkipping {
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // bounded, not Inf: a wedged footer read should surface as a
+      // failure (caught below → scan fallback), never a driver hang;
+      // footer reads are KB-sized, so the bound is orders of magnitude
+      // above any legitimate read
       val all = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
           paths.map(p => scala.concurrent.Future(fileStats(p)))),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.duration.Duration(1, "hour"))
       if (all.exists(_.isEmpty)) None
       else Some(all.flatMap(_.get).sortBy(_.file).toIndexedSeq)
     } finally pool.shutdown()

@@ -148,33 +148,52 @@ object PartitionOverwriteSink {
         if (filesPerDay == 1) pinned.repartition(col(dateCol))
         else pinned.repartition(col(dateCol),
           pmod(hash(pinned.columns.map(col).toIndexedSeq: _*), lit(filesPerDay)))
-      colocated.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
 
-      // G1 — streaks over the loaded days; tiny (O(days)) driver list.
-      val streakRows = DateStreaks(pinned.select(to_date(col(dateCol)).as("d")), "d")
-        .orderBy(col("streak_start")).collect()
-      val streaks = streakRows.toIndexedSeq.map(r =>
-        (r.getDate(0).toString, r.getDate(1).toString))
-      // Streaks are maximal consecutive runs, so expanding them enumerates
-      // exactly the distinct loaded days — no second scan needed.
-      val days = streaks.flatMap { case (a, b) =>
-        Iterator.iterate(java.time.LocalDate.parse(a))(_.plusDays(1))
-          .takeWhile(!_.isAfter(java.time.LocalDate.parse(b)))
-          .map(_.toString).toSeq
-      }.sorted
+      // The STREAK COLLECT and the target write are independent
+      // consumers of the pin, so the (small) streak job runs on a
+      // driver thread UNDER the write (guide §2.6 "overlap independent
+      // jobs" — the partitioned write's wall time is the per-day
+      // directory fan-out, not data volume, so the tail idles the
+      // cluster). The AUDIT append stays strictly AFTER the write
+      // commits: an audit row asserts a completed load, and a write
+      // failure must not leave one behind (K6's failure semantics).
+      // Job descriptions are thread-local, so each job stays labeled.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      val streaksFut = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription(s"load $table: day streaks")
+        DateStreaks(pinned.select(to_date(col(dateCol)).as("d")), "d")
+          .orderBy(col("streak_start")).collect()
+      }(scala.concurrent.ExecutionContext.fromExecutorService(pool))
 
-      // K6 — one audit row per loaded day. The driver-local day list
-      // parallelizes over defaultParallelism, which would append one
-      // tiny file PER CORE per load; coalesce(1) lands the audit batch
-      // as a single file (audit tables are day-count-sized at any scale).
-      import spark.implicits._
-      days.toDF("period")
-        .coalesce(1)
-        .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
-          lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
-        .write.mode(SaveMode.Append).parquet(auditDir)
+      try {
+        colocated.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(targetDir)
 
-      LoadReport(days, streaks, gaps = math.max(0, streaks.size - 1))
+        // G1 — streaks over the loaded days; tiny (O(days)) driver list.
+        val streakRows = scala.concurrent.Await.result(streaksFut,
+          scala.concurrent.duration.Duration(1, "hour"))
+        val streaks = streakRows.toIndexedSeq.map(r =>
+          (r.getDate(0).toString, r.getDate(1).toString))
+        // Streaks are maximal consecutive runs, so expanding them enumerates
+        // exactly the distinct loaded days — no second scan needed.
+        val days = streaks.flatMap { case (a, b) =>
+          Iterator.iterate(java.time.LocalDate.parse(a))(_.plusDays(1))
+            .takeWhile(!_.isAfter(java.time.LocalDate.parse(b)))
+            .map(_.toString).toSeq
+        }.sorted
+
+        // K6 — one audit row per loaded day. The driver-local day list
+        // parallelizes over defaultParallelism, which would append one
+        // tiny file PER CORE per load; coalesce(1) lands the audit batch
+        // as a single file (audit tables are day-count-sized at any scale).
+        import spark.implicits._
+        days.toDF("period")
+          .coalesce(1)
+          .select(lit(runStamp).as("run_timestamp"), lit(table).as("table"),
+            lit("overwrite").as("operation"), col("period"), lit(user).as("user"))
+          .write.mode(SaveMode.Append).parquet(auditDir)
+
+        LoadReport(days, streaks, gaps = math.max(0, streaks.size - 1))
+      } finally pool.shutdown()
     } finally pinned.unpersist()
   }
 }

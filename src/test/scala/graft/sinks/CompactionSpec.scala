@@ -68,6 +68,31 @@ class CompactionSpec extends SparkSuite {
     assert(Compaction.compactPartitions(spark, t, sortCols = Seq("id")).forall(_.skipped))
   }
 
+  test("compactPartitions: a failing leaf fails the pass loudly; healthy leaves stay consistent (pool failure drain)") {
+    val dir = tmpDir("graft-compact-fail")
+    val t = s"$dir/t"
+    // three fragmented partitions; k=1's data is then corrupted so its
+    // leaf rewrite fails inside the bounded pool
+    (0 until 300).map(i => (i.toLong, i % 3L, s"v$i")).toDF("id", "k", "v")
+      .repartition(8).write.partitionBy("k").mode("overwrite").parquet(t)
+    val broken = new java.io.File(s"$t/k=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.write(broken.toPath, Array.fill[Byte](64)(0x7f))
+    intercept[Throwable] {
+      Compaction.compactPartitions(spark, t, sortCols = Seq("id"))
+    }
+    // the failure surfaces only after the pool DRAINED, so every other
+    // leaf is in a complete pre- or post-compaction state: k=0 and k=2
+    // hold their full row sets whether or not their rewrite committed.
+    // (refresh: the swap renames files behind Spark's listing cache)
+    spark.catalog.refreshByPath(t)
+    Seq(0L, 2L).foreach { k =>
+      spark.catalog.refreshByPath(s"$t/k=$k")
+      val part = spark.read.parquet(s"$t/k=$k")
+      assert(part.count() === 100L, s"leaf k=$k lost rows after a pool failure")
+    }
+  }
+
   test("compact refuses in-place rewrites and nonpositive targets") {
     val dir = tmpDir("graft-compact-ip")
     Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/t")
