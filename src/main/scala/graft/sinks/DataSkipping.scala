@@ -2219,11 +2219,31 @@ object DataSkipping {
     // export's debris until the manifest commit completes, which is
     // what entitles a retry to sweep
     val mo = fs.create(marker, true); mo.close()
-    m.files.foreach { f =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        src.getFileSystem(conf), new Path(src, f.file),
-        fs, new Path(dst, f.file),
-        false, true, conf): Unit
+    // per-file copies are independent and the export is DATA-sized —
+    // the one store operation whose cost is the table, not the hit
+    // list — so they run under a bounded pool instead of one at a
+    // time through the driver (guide §2.6; the compactPartitions
+    // pattern). Commit protocol unchanged: marker first, every copy
+    // lands before the manifest commit, a failure (rethrown after the
+    // pool drains) leaves marker-branded debris a retry sweeps.
+    if (m.files.nonEmpty) {
+      val srcFs = src.getFileSystem(conf)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, m.files.size))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val tries = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(m.files.map(f =>
+            scala.concurrent.Future(scala.util.Try {
+              org.apache.hadoop.fs.FileUtil.copy(
+                srcFs, new Path(src, f.file),
+                fs, new Path(dst, f.file),
+                false, true, conf): Unit
+            }))),
+          scala.concurrent.duration.Duration(6, "hours"))
+        tries.foreach(t => if (t.isFailure) throw t.failed.get)
+      } finally pool.shutdown()
     }
     writeManifestFile(spark, destDir, m)
     fs.delete(marker, false): Unit
