@@ -932,12 +932,17 @@ object TextAnalysis {
     * pair support (PMI's classic failure mode is hapax pairs scoring
     * highest).
     *
-    * Scale shape: one tokenize pass feeds both the unigram and bigram
-    * counts (map-side partial aggs); the two c_x/c_y joins are keyed
-    * shuffles of the MINCOUNT-FILTERED bigram table against the
-    * unigram table; the corpus totals ride one broadcast single-row
-    * aggregate; the top-k is TakeOrdered (k rows to the driver, the
-    * vocabulary never collects).
+    * Scale shape: the unigram and bigram counts are the only
+    * corpus-sized subtrees (each materializes once — their exchanges
+    * are reused wherever referenced again, Spark's ReuseExchange), and
+    * the corpus totals DERIVE from those count tables instead of a
+    * third tokenize pass over the corpus: n_tok = Σ c_w exactly
+    * (explode enumerates every token instance) and m_bi = Σ c_xy over
+    * the UNFILTERED bigram counts = Σ_docs max(len−1, 0) exactly
+    * (every ≥2-token doc contributes len−1 bigram instances). The two
+    * c_x/c_y joins are keyed shuffles of the MINCOUNT-FILTERED bigram
+    * table against the unigram table; the top-k is TakeOrdered (k rows
+    * to the driver, the vocabulary never collects).
     */
   def topCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minCount: Long = 5L, k: Int = 40): org.apache.spark.sql.DataFrame = {
@@ -947,13 +952,19 @@ object TextAnalysis {
       "__toks", tokens(col("__text")))
     val uni = t.select(explode(col("__toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-    val totals = t.select(
-      sum(size(col("__toks"))).cast("decimal(38,0)").as("n_tok"),
-      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("decimal(38,0)").as("m_bi"))
-    val bi = t.filter(size(col("__toks")) >= 2)
+    val bi0 = t.filter(size(col("__toks")) >= 2)
       .select(explode(Dedup.shingles(col("__toks"), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= minCount)
+    // totals from the count tables — vocabulary-sized aggregates over
+    // REUSED exchanges, not a third pass over the corpus. coalesce(0):
+    // an all-empty-token corpus has no count rows (sum → NULL) where
+    // the old corpus pass summed zeros; either value is unobservable
+    // (bi is empty then too).
+    val totals = uni.agg(
+        coalesce(sum(col("c_w")), lit(0L)).cast("decimal(38,0)").as("n_tok"))
+      .crossJoin(bi0.agg(
+        coalesce(sum(col("c_xy")), lit(0L)).cast("decimal(38,0)").as("m_bi")))
+    val bi = bi0.filter(col("c_xy") >= minCount)
     bi.withColumn("x", split(col("gram"), " ").getItem(0))
       .withColumn("y", split(col("gram"), " ").getItem(1))
       .join(uni.withColumnRenamed("w", "x").withColumnRenamed("c_w", "c_x"), Seq("x"))
@@ -989,15 +1000,28 @@ object TextAnalysis {
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = Dedup.once(
-      docs.select(col(idCol).as("id"), col(textCol).as("__text")),
-      "__toks", tokens(col("__text")))
-    val grams = t.filter(size(col("__toks")) >= 2)
+    // Two algebraic pass removals over the previous shape (which ran
+    // tokenize+explode once per consumer):
+    //  - the head-word counts DERIVE from the bigram count table
+    //    (c_x = Σ_{grams g starting with x} c_xy(g) — every bigram
+    //    instance contributes its head exactly once), a
+    //    vocabulary-sized aggregate instead of a corpus pass;
+    //  - the keep-every-doc join reads the doc ids straight off the
+    //    source (same rows by construction) instead of through the
+    //    tokenized frame's generate barrier, which forced a full
+    //    tokenize just to enumerate ids.
+    // The remaining corpus-sized subtrees are the bigram count and the
+    // per-instance scoring stream — the irreducible pair (corpus model
+    // + per-doc application).
+    val grams = Dedup.once(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= 2)
       .select(col("id"), explode(Dedup.shingles(col("__toks"), 2)).as("gram"))
     val bc = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
-    val uc = grams
-      .select(split(col("gram"), " ").getItem(0).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val uc = bc
+      .select(split(col("gram"), " ").getItem(0).as("x"), col("c_xy"))
+      .groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
     val scored = grams
       .join(bc, Seq("gram"))
       .withColumn("x", split(col("gram"), " ").getItem(0))
@@ -1006,7 +1030,7 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("lm_ppm"))
-    t.select(col("id"))
+    docs.select(col(idCol).as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

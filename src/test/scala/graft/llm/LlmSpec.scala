@@ -1432,6 +1432,61 @@ class LlmSpec extends SparkSuite {
     assert(out(4L) === ((0L, 0L)), "sub-bigram docs score 0")
   }
 
+  test("bigram restructure law: grouped-multiplicity scoring and count-table-derived totals ≡ the per-instance corpus-pass model") {
+    // heavy bigram repetition within and across docs — the case where
+    // the (doc, gram, n) grouping and the Σc_xy-derived head counts /
+    // totals must reproduce the per-instance model EXACTLY
+    val corpus = (0 until 60).map(i => (i.toLong,
+      Seq.fill(i % 5 + 1)(s"w${i % 7} w${(i * 3) % 5} w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = Dedup.once(
+      corpus.select(col("doc_id").as("id"), col("text").as("__text")),
+      "__toks", TextAnalysis.tokens(col("__text")))
+    val grams = t.filter(size(col("__toks")) >= 2)
+      .select(col("id"), explode(Dedup.shingles(col("__toks"), 2)).as("gram"))
+    // per-instance bigram-LM reference (the pre-optimization shape)
+    val bc = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    val uc = grams.select(split(col("gram"), " ").getItem(0).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val ref = grams.join(bc, Seq("gram"))
+      .withColumn("x", split(col("gram"), " ").getItem(0))
+      .join(uc, Seq("x"))
+      .withColumn("p_ppm", expr("c_xy * 1000000 div c_x"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), expr("sum(p_ppm) div count(1)").as("lm_ppm"))
+    val lmExpected = t.select(col("id")).join(ref, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+      .orderBy("id").collect()
+    val lmGot = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(lmGot === lmExpected)
+    // per-instance collocation reference with corpus-pass totals
+    val totals = t.select(
+      sum(size(col("__toks"))).cast("decimal(38,0)").as("n_tok"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("decimal(38,0)").as("m_bi"))
+    val bi = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 2L)
+    val colRef = bi.withColumn("x", split(col("gram"), " ").getItem(0))
+      .withColumn("y", split(col("gram"), " ").getItem(1))
+      .join(t.select(explode(col("__toks")).as("w")).groupBy(col("w"))
+        .agg(count(lit(1)).as("c_w"))
+        .withColumnRenamed("w", "x").withColumnRenamed("c_w", "c_x"), Seq("x"))
+      .join(t.select(explode(col("__toks")).as("w")).groupBy(col("w"))
+        .agg(count(lit(1)).as("c_w"))
+        .withColumnRenamed("w", "y").withColumnRenamed("c_w", "c_y"), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm", expr(
+        "CAST(c_xy AS DECIMAL(38,0)) * n_tok * n_tok * 1000000 div (m_bi * c_x * c_y)"))
+      .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("gram").asc).limit(40)
+      .collect()
+    val colGot = TextAnalysis.topCollocations(corpus, "doc_id", "text",
+      minCount = 2L, k = 40).collect()
+    assert(colGot === colRef)
+  }
+
   test("hashingTfVectors: bucket assignment is the portable hash mod dim; counts exact") {
     val corpus = Seq((1L, "alpha beta alpha"), (2L, "beta")).toDF("doc_id", "text")
     val out = TextAnalysis.hashingTfVectors(corpus, "doc_id", "text", dim = 8)
